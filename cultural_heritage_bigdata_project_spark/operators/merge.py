@@ -1,0 +1,78 @@
+"""Upsert / MERGE emulation without Delta (SURVEY.md §4.2.3).
+
+The runtime has no delta-spark, so the reference's two MERGE shapes
+are re-expressed as pure DataFrame algebra with identical semantics:
+
+- S11 insert-only upsert (``whenNotMatchedInsertAll`` —
+  eu_raw_to_cleansed_merge.py:62-69): target ∪ (source ⟕anti target).
+- S12 full upsert on null-safe multi-key (``whenMatchedUpdateAll``/
+  ``whenNotMatchedInsertAll`` — join_eu_ugc_qdrant_merge.py:387-401):
+  matched rows take the source row, unmatched target rows survive,
+  unmatched source rows insert.
+
+Like Delta, S12 raises if the source has duplicate rows per match key
+(the reference avoids this by deduping first at
+join_eu_ugc_qdrant_merge.py:351); callers dedup with
+``cleanse.dedup_first_wins`` before merging.
+
+Scale note: both shapes are one shuffle on the merge keys (the same
+exchange Delta's join-based MERGE performs); at 100 TB the win Delta
+adds is file-level pruning of untouched files — on a real deployment
+back this API with Delta/Iceberg ``MERGE INTO``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def upsert_insert_only(target: DataFrame, source: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """S11: insert source rows whose key is absent from target."""
+    new_rows = source.join(target.select(*keys).distinct(), on=list(keys), how="left_anti")
+    return target.unionByName(new_rows)
+
+
+def _assert_unique_keys(df: DataFrame, keys: Sequence[str]) -> None:
+    dup = (
+        df.groupBy(*[F.col(k) for k in keys])
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            f"merge source has duplicate rows for keys {list(keys)}; "
+            "dedup the source first (reference dedups at "
+            "join_eu_ugc_qdrant_merge.py:351)"
+        )
+
+
+def upsert_full(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    check_unique_source: bool = True,
+) -> DataFrame:
+    """S12: null-safe multi-key full upsert (update-all + insert-all).
+
+    Implemented as target ⟕anti(nullsafe) source ∪ source: every
+    matched key takes the complete source row, unmatched target rows
+    are kept, unmatched source rows are inserted. Null-safe equality
+    mirrors Delta's ``<=>`` merge condition.
+    """
+    if check_unique_source:
+        _assert_unique_keys(source, keys)
+    # Alias both sides: target and source often share lineage (e.g. two
+    # filters of the same table) and unaliased self-join refs are
+    # ambiguous.
+    t, s = target.alias("__mt"), source.alias("__ms")
+    cond = None
+    for k in keys:
+        c = F.col(f"__mt.{k}").eqNullSafe(F.col(f"__ms.{k}"))
+        cond = c if cond is None else (cond & c)
+    kept_target = t.join(s, on=cond, how="left_anti")
+    return kept_target.unionByName(source.select(*target.columns))

@@ -1,0 +1,71 @@
+"""Table sources over the driver-provided parquet fixtures.
+
+The reference reads its lake with ``spark.read.json`` (schema inference
+on every run — reference: spark-apps/eu-to-cleansed/
+eu_raw_to_cleansed_merge.py:35) and Delta scans (join_eu_ugc_qdrant_
+merge.py:116-117). Our engine is columnar-at-rest: parquet scans with
+Catalyst pushdown/pruning; explicit schemas for any JSON ingestion so
+no inference pass is paid per run (SURVEY.md §4.1).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic scale
+# factor; join helpers use this to pick broadcast sides explicitly
+# (the optimizer would usually get it right via AQE, but at 100 TB a
+# wrong sort-merge on a 25-row dim is too expensive to risk).
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
+
+
+def default_sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar scan of one fixture table (filter/column pushdown free)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # events.ts is parquet INT64 TIMESTAMP(NANOS), which Spark
+        # rejects unless read as nanosecond longs. Set the conf here
+        # (runtime-settable) so the loader also works under a caller's
+        # vanilla SparkSession, not just sessions built by get_spark().
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # truncate ns→µs — the same narrowing DuckDB applies — and
+        # restore a timestamp column.
+        from pyspark.sql import functions as F
+
+        # integer div: double division would lose ns precision at 1e18
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for the SQL surface."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
