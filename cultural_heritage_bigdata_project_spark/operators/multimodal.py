@@ -1,0 +1,106 @@
+"""Multimodal column support: opaque binary payloads + typed metadata.
+
+The reference's multimodal stage downloads images and runs CLIP on the
+driver (extracting_embeddings.py:279-413 — row loop, JVM→Python per
+record). Our engine treats media as ``binary`` columns with struct
+metadata and runs decode/feature steps as Arrow-batched
+``mapInPandas`` so the expensive Python work is per-batch, model/codec
+init is per-executor, and the exchange is columnar.
+
+The actual codec is STUBBED (no image/audio libs in this container):
+``decode_meta_batches`` computes deterministic fake metadata from the
+payload bytes, and ``clip_like_embedder`` raises unless given a real
+model fn — but the Spark-side plumbing (schema, batching, partition
+behavior) is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODE_META_SCHEMA = (
+    "doc_id long, n_bytes int, width int, height int, channels int, status string"
+)
+
+
+def attach_binary_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Model an opaque media payload: utf-8 bytes of the text column
+    (deterministic stand-in for real image bytes) + media-type tag."""
+    return df.select(
+        F.col(id_col),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.lit("image/fake").alias("media_type"),
+    )
+
+
+def decode_meta_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas stub decoder: metadata from payload bytes.
+
+    Real deployment: replace the body with PIL/ffmpeg decode; the
+    signature, schema and batching stay identical. Deterministic fake:
+    width/height/channels derived from byte length so oracles can
+    reproduce it.
+    """
+    for pdf in batches:
+        n = pdf["payload"].map(len)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": n.astype("int32"),
+                "width": (n % 997).astype("int32"),
+                "height": (n % 991).astype("int32"),
+                "channels": 3,
+                "status": "OK",
+            }
+        )
+
+
+def decode_metadata(df_with_payload: DataFrame) -> DataFrame:
+    """Distributed 'decode': binary in, typed metadata out, via
+    Arrow-batched mapInPandas (per-batch Python, no per-row serde)."""
+    return df_with_payload.mapInPandas(decode_meta_batches, DECODE_META_SCHEMA)
+
+
+def hash_projection_embedder(dim: int = 64) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
+    """Deterministic text embedder (M1 test stand-in): projects token
+    hashes onto ``dim`` buckets, L2-normalized. Loads no model; the
+    real CLIP path plugs in with the same mapInPandas shape."""
+    import zlib
+
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = []
+            for text in pdf["text"]:
+                v = np.zeros(dim, dtype=np.float64)
+                for tok in str(text).split():
+                    # crc32, not hash(): Python string hashing is
+                    # process-salted and would break determinism
+                    h = zlib.crc32(tok.encode("utf-8"))
+                    v[h % dim] += 1.0 if (h >> 16) & 1 else -1.0
+                norm = np.linalg.norm(v)
+                vecs.append((v / norm if norm else v).tolist())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "embedding": vecs})
+
+    return fn
+
+
+def clip_like_embedder(*_args, **_kwargs):
+    """Real-model embedding stage — NOT AVAILABLE in this container
+    (no torch/CLIP). Deployment wires the model through the same
+    mapInPandas contract as ``hash_projection_embedder``."""
+    raise NotImplementedError(
+        "CLIP-style embedding requires torch/transformers; use "
+        "hash_projection_embedder for deterministic tests or inject a "
+        "model fn in deployment."
+    )

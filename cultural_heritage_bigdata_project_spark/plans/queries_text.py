@@ -1,1 +1,236 @@
-"""Text-analysis / document-dedup catalog (populated in Phase 3)."""
+"""Text-analysis / document-dedup catalog (SURVEY.md §2.10 north-star).
+
+Determinism: ratios are int/int double divisions (exact, identical
+both sides); Jaccard is rounded to 6 digits (error between engines
+~1e-15, boundary-flip probability negligible); md5 fingerprints are
+engine-identical hex strings. MinHash/SimHash pairs depend on
+xxhash64, which DuckDB lacks → rows-only entries, with recall checked
+against the exact-Jaccard oracle in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, text
+from ..sources.tables import load_table
+from .catalog import register
+
+_STOP_SQL = "['the', 'a', 'of', 'and', 'to', 'in']"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+@register(
+    "text_stats",
+    description="Per-document token/length/quality statistics (token "
+    "counting, quality scoring) — single-pass codegen projection",
+    survey_ref="M1,F8",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS toks,
+         lower(text) AS ltext
+  FROM documents
+)
+SELECT doc_id, lang,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       CAST(len(regexp_extract_all(ltext, '[a-z0-9]+')) AS INTEGER) AS n_tokens_bpe,
+       CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_tokens,
+       list_sum(list_transform(toks, x -> len(x))) * 1.0
+         / greatest(len(toks), 1) AS avg_token_len,
+       len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) * 1.0
+         / greatest(len(toks), 1) AS stopword_ratio,
+       len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1) AS distinct_ratio,
+       least(len(toks) / 64.0, 1.0) * 0.4
+         + (len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1)) * 0.4
+         + (len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) * 1.0
+            / greatest(len(toks), 1)) * 0.2 AS quality_score
+FROM t
+""",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = text.text_stats(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "n_tokens_bpe",
+        "n_distinct_tokens",
+        "avg_token_len",
+        "stopword_ratio",
+        "distinct_ratio",
+        "quality_score",
+    )
+
+
+@register(
+    "language_id",
+    description="Marker-lexicon language-ID heuristic: per-language "
+    "score + thresholded argmax",
+    survey_ref="M1",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents
+), s AS (
+  SELECT doc_id,
+    len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) * 1.0 / greatest(len(toks),1) AS score_en,
+    len(list_filter(toks, x -> list_contains(['el','la','de','y','que','en','un'], x))) * 1.0 / greatest(len(toks),1) AS score_es,
+    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','ein','zu'], x))) * 1.0 / greatest(len(toks),1) AS score_de,
+    len(list_filter(toks, x -> list_contains(['le','la','de','et','est','un','une'], x))) * 1.0 / greatest(len(toks),1) AS score_fr
+  FROM t
+)
+SELECT doc_id, score_en, score_es, score_de, score_fr,
+       CASE
+         WHEN greatest(score_en, score_es, score_de, score_fr) < 0.01 THEN 'und'
+         WHEN score_en = greatest(score_en, score_es, score_de, score_fr) THEN 'en'
+         WHEN score_es = greatest(score_en, score_es, score_de, score_fr) THEN 'es'
+         WHEN score_de = greatest(score_en, score_es, score_de, score_fr) THEN 'de'
+         ELSE 'fr'
+       END AS lang_pred
+FROM s
+""",
+)
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = text.language_id(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "score_en", "score_es", "score_de", "score_fr", "lang_pred"
+    )
+
+
+@register(
+    "fingerprint_dedup",
+    description="Document fingerprinting (md5 of 4-token prefix) + exact "
+    "dedup groups, canonical = min doc_id (ref md5-identity "
+    "extracting_embeddings.py:89-93)",
+    survey_ref="F7,A5,M3",
+    oracle="""
+WITH fp AS (
+  SELECT doc_id,
+         md5(array_to_string(string_split(lower(trim(text)), ' ')[1:4], ' '))
+           AS fingerprint
+  FROM documents
+)
+SELECT fingerprint, count(*) AS n_members, min(doc_id) AS canonical_id
+FROM fp GROUP BY fingerprint
+""",
+)
+def fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint_dedup(_docs(spark, sf_dir), n_tokens=4)
+
+
+@register(
+    "ngram_jaccard_pairs",
+    description="Exact near-dup pairs: 3-gram shingle Jaccard >= 0.5 via "
+    "inverted-index candidate join (no cross join)",
+    survey_ref="M3,J9",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+), s AS (
+  SELECT doc_id,
+         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        for i in range(1, greatest(len(t) - 1, 1))]) AS sh
+  FROM d WHERE len(t) >= 3
+), ex AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM s
+), cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+)
+SELECT c.a_id, c.b_id,
+       round(len(list_intersect(sa.sh, sb.sh)) * 1.0
+             / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+FROM cand c JOIN s sa ON c.a_id = sa.doc_id JOIN s sb ON c.b_id = sb.doc_id
+WHERE round(len(list_intersect(sa.sh, sb.sh)) * 1.0
+            / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) >= 0.5
+""",
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.split(F.trim(F.lower("text")), " +").alias("t")
+    )
+    docs = docs.filter(F.size("t") >= 3).select(
+        "doc_id", dedup.shingles_expr("t", 3).alias("sh")
+    )
+    pairs = dedup.jaccard_pairs(docs, "doc_id", "sh", threshold=0.5)
+    return pairs
+
+
+@register(
+    "minhash_lsh_dedup",
+    description="MinHash(64)+LSH(16 bands) near-dup candidates verified "
+    "with exact Jaccard >= 0.6 — sub-quadratic scale path; xxhash64-based "
+    "so no SQL oracle (recall vs exact pairs asserted in tests)",
+    survey_ref="M3,J9",
+    oracle=None,
+)
+def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.split(F.trim(F.lower("text")), " +").alias("t")
+    )
+    docs = docs.filter(F.size("t") >= 3).select(
+        "doc_id", dedup.shingles_expr("t", 3).alias("sh")
+    )
+    return dedup.minhash_lsh_pairs(
+        docs, "doc_id", "sh", n_hashes=64, bands=16, threshold=0.6
+    )
+
+
+@register(
+    "simhash_dedup",
+    description="SimHash(64-bit) near-dup pairs, Hamming <= 3 (complete by "
+    "pigeonhole chunking) — xxhash64-based, rows-only (completeness vs "
+    "brute-force signatures asserted in tests)",
+    survey_ref="M3",
+    oracle=None,
+)
+def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.split(F.trim(F.lower("text")), " +").alias("t")
+    )
+    return dedup.simhash_pairs(docs, "doc_id", "t", max_hamming=3)
+
+
+@register(
+    "exact_dedup_docs",
+    description="Exact text dedup: md5(full normalized text) groups "
+    "(hash-groupBy; one shuffle)",
+    survey_ref="A5,F7",
+    oracle="""
+SELECT md5(lower(trim(text))) AS fingerprint,
+       count(*) AS n_members,
+       min(doc_id) AS canonical_id
+FROM documents GROUP BY 1
+""",
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return dedup.exact_dedup_groups(
+        d, F.md5(F.encode(F.lower(F.trim("text")), "utf-8")), "doc_id"
+    )
+
+
+@register(
+    "multimodal_decode_meta",
+    description="Multimodal plumbing: binary payload column → Arrow-batched "
+    "mapInPandas 'decode' → typed metadata (stubbed codec, real plumbing; "
+    "ref row-loop extracting_embeddings.py:279-413 replaced by mapInPandas)",
+    survey_ref="U2,M1",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       CAST(octet_length(encode(text)) % 997 AS INTEGER) AS width,
+       CAST(octet_length(encode(text)) % 991 AS INTEGER) AS height,
+       3 AS channels,
+       'OK' AS status
+FROM documents
+""",
+)
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal
+
+    payload = multimodal.attach_binary_payload(_docs(spark, sf_dir))
+    return multimodal.decode_metadata(payload)

@@ -1,1 +1,200 @@
-"""Vector similarity / dedup catalog (populated in Phase 3)."""
+"""Vector similarity / semantic-dedup catalog (SURVEY.md §2.10).
+
+Cosine is computed in double on both sides and rounded to 6 digits:
+the inter-engine fold-order error is ~1e-15, so a boundary flip at the
+6th digit is ~1e-9-probable — acceptable. LSH entries are xxhash64-
+based → rows-only, with recall vs the exact oracle asserted in tests.
+Thresholds are calibrated to the fixtures (max pairwise cosine ≈ 0.5;
+labels are NOT geometric clusters, so precision@k is a metric query,
+not a quality claim).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, similarity
+from ..sources.tables import load_table
+from .catalog import register
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0):
+    """The query vector as a literal array expression (broadcast-free:
+    it folds into the plan as a constant)."""
+    row = _emb(spark, sf_dir).filter(F.col("vec_id") == vec_id).select("embedding").first()
+    return F.array(*[F.lit(float(x)) for x in row[0]]).cast("array<double>")
+
+
+@register(
+    "knn_brute_force",
+    description="J8/M5 exact kNN: top-10 by cosine against vec_id=0 "
+    "(scan → project → TakeOrderedAndProject; no shuffle) "
+    "(ref Qdrant search deduplicate_from_qdrant.py:53-83)",
+    survey_ref="J8,M5,W4",
+    oracle="""
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+)
+SELECT e.vec_id,
+       round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+             / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine_sim
+FROM embeddings e, q
+WHERE e.vec_id <> 0
+ORDER BY cosine_sim DESC, e.vec_id ASC
+LIMIT 10
+""",
+)
+def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vectors = _emb(spark, sf_dir).filter(F.col("vec_id") != 0)
+    return similarity.knn_brute_force(vectors, _query_vec(spark, sf_dir, 0), k=10)
+
+
+@register(
+    "threshold_similarity_join",
+    description="J9/M3 exact threshold similarity self-join: all pairs "
+    "cosine >= 0.4 (the reference's 0.97-threshold dedup shape, "
+    "deduplicate_from_qdrant.py:160-186; exact-oracle mode)",
+    survey_ref="J9,M3",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine_sim
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
+""",
+)
+def threshold_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.threshold_similarity_join(_emb(spark, sf_dir), threshold=0.4)
+
+
+@register(
+    "semantic_dedup_canonical",
+    description="M3/M4 semantic dedup: threshold-similarity graph (cosine "
+    ">= 0.42) → connected components via iterative min-label propagation; "
+    "canonical_id = min vec_id of the component (deterministic replacement "
+    "for the reference's order-dependent first-seen rule)",
+    survey_ref="M3,M4,J9",
+    oracle="""
+WITH RECURSIVE e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+), edges AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+  WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.42
+), reach(src, dst) AS (
+  SELECT vec_id, vec_id FROM e
+  UNION
+  SELECT r.src, ed.dst FROM reach r JOIN edges ed ON r.dst = ed.src
+)
+SELECT src AS vec_id, min(dst) AS canonical_id
+FROM reach GROUP BY src
+""",
+)
+def semantic_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    edges = similarity.threshold_similarity_join(emb, threshold=0.42)
+    return dedup.canonical_components(edges, emb, "vec_id")
+
+
+@register(
+    "precision_at_k",
+    description="M6 retrieval evaluation: precision@10 by label for the "
+    "first 20 query vectors (ref ML-model/README.md:189-210)",
+    survey_ref="M6,J8",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+n AS (SELECT vec_id, v, label, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+q AS (SELECT vec_id AS q_id, v AS qv, label AS q_label, nrm AS qnrm
+      FROM n WHERE vec_id < 20),
+scored AS (
+  SELECT q.q_id, q.q_label, n.vec_id, n.label,
+         round(list_dot_product(n.v, q.qv) / (n.nrm * q.qnrm), 6) AS cosine_sim,
+         row_number() OVER (PARTITION BY q.q_id
+                            ORDER BY round(list_dot_product(n.v, q.qv)
+                                           / (n.nrm * q.qnrm), 6) DESC,
+                                     n.vec_id ASC) AS rn
+  FROM n JOIN q ON n.vec_id <> q.q_id
+)
+SELECT q_id, sum(CASE WHEN label = q_label THEN 1 ELSE 0 END) / 10.0
+         AS precision_at_k
+FROM scored WHERE rn <= 10 GROUP BY q_id
+""",
+)
+def precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.precision_at_k(_emb(spark, sf_dir), k=10, n_queries=20)
+
+
+@register(
+    "ann_lsh_topk",
+    description="Approximate kNN: random-hyperplane LSH buckets (8 tables "
+    "x 4 bits — tuned for this fixture's weakly-correlated vectors; real "
+    "near-dup corpora use 8-16 bits) then exact rank within candidates — "
+    "the sub-quadratic scale path; recall vs knn_brute_force asserted in "
+    "tests (xxhash64-based, rows-only)",
+    survey_ref="J8,M5",
+    oracle=None,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vectors = _emb(spark, sf_dir).filter(F.col("vec_id") != 0)
+    return similarity.ann_top_k(
+        vectors, _query_vec(spark, sf_dir, 0), k=10, n_planes=4, n_tables=8
+    )
+
+
+@register(
+    "vector_concat_norm",
+    description="F12 vector concat (image+text → combined, ref "
+    "extracting_embeddings.py:436-437) + L2 norm projection",
+    survey_ref="F12,F13",
+    oracle="""
+SELECT vec_id,
+       CAST(len(list_concat(embedding, embedding)) AS INTEGER) AS combined_dim,
+       round(sqrt(list_dot_product(list_concat(embedding::DOUBLE[], embedding::DOUBLE[]),
+                                   list_concat(embedding::DOUBLE[], embedding::DOUBLE[]))), 6)
+         AS combined_norm
+FROM embeddings
+""",
+)
+def vector_concat_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import l2_norm
+
+    e = _emb(spark, sf_dir)
+    combined = F.concat("embedding", "embedding")
+    return e.select(
+        "vec_id",
+        F.size(combined).alias("combined_dim"),
+        F.round(l2_norm(combined), 6).alias("combined_norm"),
+    )
+
+
+@register(
+    "hash_embed_knn",
+    description="M1 embedding-stage plumbing: deterministic hash-projection "
+    "embedder over documents via mapInPandas (model-per-executor shape), "
+    "then exact top-5 cosine vs doc_id=0 (rows-only: embedder is "
+    "Python-side)",
+    survey_ref="M1,U2,J8",
+    oracle=None,
+)
+def hash_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    embedded = docs.mapInPandas(
+        multimodal.hash_projection_embedder(dim=64),
+        "doc_id long, embedding array<double>",
+    )
+    row = embedded.filter(F.col("doc_id") == 0).select("embedding").first()
+    qv = F.array(*[F.lit(float(x)) for x in row[0]]).cast("array<double>")
+    return similarity.knn_brute_force(
+        embedded.filter(F.col("doc_id") != 0), qv, k=5, id_col="doc_id"
+    )

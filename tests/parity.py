@@ -55,6 +55,9 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str = "?") 
     assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), (
         f"{name}: columns {sorted(spark_pdf.columns)} != {sorted(oracle_pdf.columns)}"
     )
+    for c in spark_pdf.columns:
+        st, ot = str(spark_pdf[c].dtype), str(oracle_pdf[c].dtype)
+        assert st == ot, f"{name}: dtype mismatch col={c}: spark={st} oracle={ot}"
     s, o = _canon(spark_pdf), _canon(oracle_pdf)
     for col in s.columns:
         sv, ov = s[col].tolist(), o[col].tolist()
