@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark: headline catalog queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "bench_total_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is fully materialized through a noop sink (no driver
+collect, no result-size bias). One warmup action absorbs JVM/codegen
+startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from cultural_heritage_bigdata_project_spark.plans.catalog import catalog_queries
+from cultural_heritage_bigdata_project_spark.session import get_spark
+
+# Headline set: the pipeline-shaped flagship, scan-heavy aggs, joins,
+# windows, merge emulation, text/vector dedup + similarity, streaming.
+BENCH_QUERIES = [
+    "pricing_summary",
+    "top_revenue_orders",
+    "region_revenue",
+    "curated_pipeline",
+    "semi_join_hot_orders",
+    "running_total",
+    "merge_full_upsert",
+    "from_json_extract",
+    "text_stats",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_dedup",
+    "knn_brute_force",
+    "threshold_similarity_join",
+    "stream_tumbling_window",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark(app_name="bench")
+    qs = catalog_queries()
+
+    spark.range(100_000_000).selectExpr("sum(id)").collect()  # warmup
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

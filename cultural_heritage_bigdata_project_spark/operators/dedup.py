@@ -41,6 +41,40 @@ def shingles_expr(token_col: str, n: int = 3) -> Column:
     )
 
 
+# ----------------------------------------------------- bucket pairing
+
+
+def _bucket_pair_occurrences(
+    keyed: DataFrame, key_cols: list[str], id_col: str
+) -> DataFrame:
+    """All (a_id < b_id) pairs co-occurring in a bucket, one output row
+    per co-occurrence (NOT distinct).
+
+    One groupBy + an in-bucket combination expansion. Compared to the
+    textbook self-join on the bucket key this evaluates the upstream
+    lineage ONCE (a self-join re-executes the signature/shingle stage
+    per side) and shuffles each id once per bucket membership. Bucket
+    sizes are assumed moderate (shingle/band buckets); a hot bucket
+    expands quadratically inside one task — cap upstream (frequency
+    pruning) if a corpus has degenerate buckets.
+    """
+    buckets = (
+        keyed.groupBy(*key_cols)
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pair = F.explode(
+        F.expr(
+            "flatten(transform(ids, (x, i) ->"
+            " transform(slice(ids, i + 2, size(ids)),"
+            " y -> struct(x AS a, y AS b))))"
+        )
+    )
+    return buckets.select(pair.alias("p")).select(
+        F.col("p.a").alias("a_id"), F.col("p.b").alias("b_id")
+    )
+
+
 # --------------------------------------------------------- exact / hash
 
 
@@ -74,25 +108,36 @@ def jaccard_pairs(
     plan is explode → shuffle on shingle → pair-distinct → verify.
     No cross join; candidate count ≈ near-dup count on real corpora.
     """
-    base = df.select(F.col(id_col), F.col(shingle_col))
-    ex = base.select(F.col(id_col), F.explode(shingle_col).alias("__sh"))
-    a = ex.select(F.col(id_col).alias("a_id"), "__sh")
-    b = ex.select(F.col(id_col).alias("b_id"), "__sh")
-    cand = (
-        a.join(b, on="__sh")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .distinct()
+    # Repartition first: small corpora often arrive as one file → one
+    # partition, and the explode/hash fan-out below must not run on a
+    # single core. At scale the input is already many partitions and
+    # this exchange is proportional to the (small) doc count.
+    base = df.select(F.col(id_col), F.col(shingle_col)).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
     )
-    sa = base.select(F.col(id_col).alias("a_id"), F.col(shingle_col).alias("a_sh"))
-    sb = base.select(F.col(id_col).alias("b_id"), F.col(shingle_col).alias("b_sh"))
-    inter = F.size(F.array_intersect("a_sh", "b_sh"))
-    union = F.size(F.array_union("a_sh", "b_sh"))
-    jac = inter / union
+    # join on a 64-bit hash of the shingle, not the string: long
+    # shuffle keys + long equality beat string comparison in the
+    # highest-volume stage (collision odds 2^-64 per shingle pair)
+    ex = base.select(F.col(id_col), F.explode(shingle_col).alias("__s")).select(
+        F.col(id_col), F.xxhash64("__s").alias("__sh")
+    )
+    # |A ∩ B| falls out of the inverted index itself (shingle sets are
+    # distinct): each bucket co-occurrence is one shared shingle, so
+    # counting pair occurrences gives the intersection size — no second
+    # pass over the shingle arrays.
+    shared = (
+        _bucket_pair_occurrences(ex, ["__sh"], id_col)
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("__shared"))
+    )
+    sizes = base.select(F.col(id_col), F.size(shingle_col).alias("__n"))
+    sa = sizes.select(F.col(id_col).alias("a_id"), F.col("__n").alias("__na"))
+    sb = sizes.select(F.col(id_col).alias("b_id"), F.col("__n").alias("__nb"))
+    jac = F.col("__shared") / (F.col("__na") + F.col("__nb") - F.col("__shared"))
     if round_digits is not None:
         jac = F.round(jac, round_digits)
     return (
-        cand.join(sa, "a_id")
+        shared.join(sa, "a_id")
         .join(sb, "b_id")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
@@ -103,14 +148,23 @@ def jaccard_pairs(
 # ------------------------------------------------------------- MinHash
 
 
-def minhash_signature(shingle_col: str, n_hashes: int) -> Column:
-    """k independent min-hashes: h_i = min over shingles of
-    xxhash64(i, shingle). Pure expression, one pass."""
+def minhash_signature(h1_col: str, h2_col: str, n_hashes: int) -> Column:
+    """k min-hashes via Kirsch-Mitzenmacher double hashing:
+    h_i(s) = h1(s) + i·h2(s), over PRE-HASHED shingle columns.
+
+    ``h1_col``/``h2_col`` must be 31-bit-masked long arrays hashed once
+    per shingle in an earlier projection (see ``minhash_lsh_pairs``) —
+    hoisting matters because higher-order-function lambdas are
+    interpreted and don't share subexpressions: hashing strings inside
+    the per-i lambda would redo every string hash k times (it dominated
+    the LSH stage before this change). The 31-bit mask keeps
+    h1 + i·h2 ≤ 2^38, so ANSI overflow checking never fires.
+    """
     return F.expr(
         f"""
         transform(sequence(0, {n_hashes - 1}),
-                  i -> array_min(transform({shingle_col},
-                                           s -> xxhash64(i, s))))
+                  i -> array_min(zip_with({h1_col}, {h2_col},
+                                          (h1, h2) -> h1 + i * h2)))
         """
     )
 
@@ -132,10 +186,27 @@ def minhash_lsh_pairs(
     only on candidates.
     """
     rows = n_hashes // bands
-    sig = df.select(
+    hashed = df.select(
         F.col(id_col),
         F.col(shingle_col),
-        minhash_signature(shingle_col, n_hashes).alias("__sig"),
+        F.expr(f"transform({shingle_col}, s -> xxhash64(42, s) & 2147483647)").alias(
+            "__h1"
+        ),
+        F.expr(f"transform({shingle_col}, s -> xxhash64(43, s) & 2147483647)").alias(
+            "__h2"
+        ),
+    )
+    # The repartition is a real barrier, not just parallelism: without
+    # an exchange between the string-hash projection and the signature
+    # projection, CollapseProject inlines __h1/__h2 into the per-i
+    # lambda and re-hashes every shingle string n_hashes times
+    # (measured 6x slower). It also spreads single-file inputs across
+    # cores.
+    hashed = hashed.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    sig = hashed.select(
+        F.col(id_col),
+        F.col(shingle_col),
+        minhash_signature("__h1", "__h2", n_hashes).alias("__sig"),
     )
     band_structs = [
         F.struct(
@@ -149,14 +220,7 @@ def minhash_lsh_pairs(
     keyed = sig.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bs")
     ).select(id_col, "bs.band", "bs.bkey")
-    a = keyed.select(F.col(id_col).alias("a_id"), "band", "bkey")
-    b_ = keyed.select(F.col(id_col).alias("b_id"), "band", "bkey")
-    cand = (
-        a.join(b_, on=["band", "bkey"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .distinct()
-    )
+    cand = _bucket_pair_occurrences(keyed, ["band", "bkey"], id_col).distinct()
     sa = df.select(F.col(id_col).alias("a_id"), F.col(shingle_col).alias("a_sh"))
     sb = df.select(F.col(id_col).alias("b_id"), F.col(shingle_col).alias("b_sh"))
     jac = F.round(
@@ -176,19 +240,23 @@ def minhash_lsh_pairs(
 # ------------------------------------------------------------- SimHash
 
 
-def simhash64(token_col: str) -> Column:
-    """64-bit SimHash of a token array: per bit position, sign of the
-    ±1 vote sum across token hashes. Pure expressions (one xxhash64
-    per token, reused across bits via shiftright)."""
+def simhash64(hash_col: str) -> Column:
+    """64-bit SimHash over a PRE-HASHED token column (array<long>):
+    per bit position, sign of the ±1 vote sum across token hashes.
+
+    Takes hashes, not tokens, for the same reason as
+    ``minhash_signature``: the per-bit lambda is interpreted, so
+    hashing strings inside it would hash every token 64 times.
+    """
     return F.expr(
         f"""
         aggregate(
           sequence(0, 63),
           0L,
           (acc, i) -> acc + CASE WHEN
-            aggregate({token_col},
+            aggregate({hash_col},
                       0L,
-                      (s, t) -> s + CASE WHEN (shiftright(xxhash64(t), i) & 1) = 1
+                      (s, h) -> s + CASE WHEN (shiftright(h, i) & 1) = 1
                                     THEN 1L ELSE -1L END) >= 0
             THEN shiftleft(1L, i) ELSE 0L END)
         """
@@ -220,7 +288,15 @@ def simhash_pairs(
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
     mask = (1 << width) - 1
-    sig = df.select(F.col(id_col), simhash64(token_col).alias("__sim"))
+    hashed = df.select(
+        F.col(id_col),
+        F.expr(f"transform({token_col}, t -> xxhash64(t))").alias("__th"),
+    )
+    # barrier: prevents CollapseProject from inlining the string-hash
+    # transform into the 64-bit vote loop, and spreads single-file
+    # inputs across cores (same rationale as minhash_lsh_pairs)
+    hashed = hashed.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    sig = hashed.select(F.col(id_col), simhash64("__th").alias("__sim"))
     chunks = [
         F.struct(
             F.lit(c).alias("chunk"),
@@ -231,12 +307,31 @@ def simhash_pairs(
     keyed = sig.select(
         F.col(id_col), F.col("__sim"), F.explode(F.array(*chunks)).alias("cs")
     ).select(id_col, "__sim", "cs.chunk", "cs.ckey")
-    a = keyed.select(F.col(id_col).alias("a_id"), F.col("__sim").alias("a_sim"), "chunk", "ckey")
-    b = keyed.select(F.col(id_col).alias("b_id"), F.col("__sim").alias("b_sim"), "chunk", "ckey")
+    # in-bucket pair expansion over (id, sig) structs — sort_array
+    # orders by id (first struct field), so a < b by construction
+    buckets = (
+        keyed.groupBy("chunk", "ckey")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("__sim").alias("s")))
+            ).alias("ms")
+        )
+        .filter(F.size("ms") >= 2)
+    )
+    pair = F.explode(
+        F.expr(
+            "flatten(transform(ms, (x, i) ->"
+            " transform(slice(ms, i + 2, size(ms)),"
+            " y -> struct(x.i AS a_id, x.s AS a_sim, y.i AS b_id, y.s AS b_sim))))"
+        )
+    )
     return (
-        a.join(b, on=["chunk", "ckey"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", hamming64(F.col("a_sim"), F.col("b_sim")).alias("hamming"))
+        buckets.select(pair.alias("p"))
+        .select(
+            F.col("p.a_id").alias("a_id"),
+            F.col("p.b_id").alias("b_id"),
+            hamming64(F.col("p.a_sim"), F.col("p.b_sim")).alias("hamming"),
+        )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )

@@ -76,3 +76,39 @@ def upsert_full(
         cond = c if cond is None else (cond & c)
     kept_target = t.join(s, on=cond, how="left_anti")
     return kept_target.unionByName(source.select(*target.columns))
+
+
+def upsert_full_conditional(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    update_when,
+    check_unique_source: bool = True,
+) -> DataFrame:
+    """S12 variant: ``whenMatchedUpdate(condition)`` + insert-all.
+
+    Matched keys take the source row only when ``update_when`` (a
+    Column over aliases ``__mt``/``__ms``) holds — e.g.
+    ``F.struct("__ms.ts", "__ms.event_id") > F.struct("__mt.ts",
+    "__mt.event_id")`` for last-write-wins upserts whose result is
+    independent of micro-batch arrival order (used by the streaming
+    foreachBatch sink). One full-outer shuffle on the keys.
+    """
+    if check_unique_source:
+        _assert_unique_keys(source, keys)
+    cols = target.columns
+    t = target.withColumn("__t_present", F.lit(1)).alias("__mt")
+    s = source.select(*cols).withColumn("__s_present", F.lit(1)).alias("__ms")
+    cond = None
+    for k in keys:
+        c = F.col(f"__mt.{k}").eqNullSafe(F.col(f"__ms.{k}"))
+        cond = c if cond is None else (cond & c)
+    j = t.join(s, on=cond, how="full_outer")
+    take_source = F.col("__mt.__t_present").isNull() | (
+        F.col("__ms.__s_present").isNotNull() & update_when
+    )
+    out = [
+        F.when(take_source, F.col(f"__ms.{c}")).otherwise(F.col(f"__mt.{c}")).alias(c)
+        for c in cols
+    ]
+    return j.select(*out)

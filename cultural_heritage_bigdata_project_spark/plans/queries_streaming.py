@@ -1,1 +1,105 @@
-"""Structured Streaming catalog (populated in Phase 4)."""
+"""Structured Streaming catalog (SURVEY.md §2.8) — batch-equivalence
+oracled.
+
+Each entry replays the bounded ``events`` fixture as a file stream
+with an ``availableNow`` trigger and returns the materialized result;
+the DuckDB oracle states the batch semantics the stream must converge
+to. Multi-batch behavior (watermark progression, late-data drops,
+cross-batch upserts) is exercised in tests/test_streaming.py where the
+fixture is split into time-ordered files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import streaming
+from .catalog import register
+
+
+def _events_path(sf_dir: str) -> str:
+    """File-source streams need a directory; expose the (read-only)
+    events fixture through a symlink dir."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"spark_graft_events_{tag}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    return d
+
+
+@register(
+    "stream_tumbling_window",
+    description="T6 capability: watermarked 6h tumbling-window count/sum "
+    "per event_type over the events stream (replaces the reference's "
+    "while-True HWM loops, T5); availableNow replay == batch oracle",
+    survey_ref="T1,T2,T6,S1",
+    oracle="""
+SELECT epoch_us(time_bucket(INTERVAL '6 hours', ts)) AS window_start_us,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = streaming.events_stream(spark, _events_path(sf_dir))
+    agg = streaming.tumbling_window_agg(stream, "6 hours", "1 hour")
+    return streaming.run_to_memory(agg, output_mode="complete")
+
+
+@register(
+    "stream_dedup_keys",
+    description="A5/T6: dropDuplicatesWithinWatermark over the stream, "
+    "key-set projection (bounded-state replacement for the reference's "
+    "HWM+dropDuplicates loop, ugc_raw_to_cleansed.py:37-70)",
+    survey_ref="A5,T6",
+    oracle="""
+SELECT DISTINCT user_id, event_type FROM events
+""",
+)
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = streaming.events_stream(spark, _events_path(sf_dir))
+    deduped = streaming.stream_dedup_keys(stream, ["user_id", "event_type"])
+    return streaming.run_to_memory(deduped, output_mode="append")
+
+
+@register(
+    "stream_upsert_latest",
+    description="T4+S12: foreachBatch last-write-wins keyed upsert into a "
+    "parquet table with staging-swap commit (distributed replacement for "
+    "the reference's collect()-per-batch sink S7 and Postgres staging "
+    "transaction S14); final table == latest event per user",
+    survey_ref="T4,S12,S14,S7",
+    oracle="""
+SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
+FROM (
+  SELECT user_id, event_id, ts, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    stream = streaming.events_stream(spark, _events_path(sf_dir)).select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    final = streaming.foreach_batch_upsert_run(
+        spark, stream, keys=["user_id"], order_desc=["ts", "event_id"]
+    )
+    return final.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_type",
+        "value",
+    )

@@ -24,6 +24,13 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
+def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents spread across cores BEFORE any tokenize/shingle work:
+    the fixture is a single parquet file -> a single input partition,
+    which would serialize the whole shingling stage."""
+    return _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+
+
 @register(
     "text_stats",
     description="Per-document token/length/quality statistics (token "
@@ -149,7 +156,7 @@ WHERE round(len(list_intersect(sa.sh, sb.sh)) * 1.0
 """,
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir).select(
+    docs = _docs_parallel(spark, sf_dir).select(
         "doc_id", F.split(F.trim(F.lower("text")), " +").alias("t")
     )
     docs = docs.filter(F.size("t") >= 3).select(
@@ -168,7 +175,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,
 )
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir).select(
+    docs = _docs_parallel(spark, sf_dir).select(
         "doc_id", F.split(F.trim(F.lower("text")), " +").alias("t")
     )
     docs = docs.filter(F.size("t") >= 3).select(
@@ -188,7 +195,7 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,
 )
 def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir).select(
+    docs = _docs_parallel(spark, sf_dir).select(
         "doc_id", F.split(F.trim(F.lower("text")), " +").alias("t")
     )
     return dedup.simhash_pairs(docs, "doc_id", "t", max_hamming=3)

@@ -1,0 +1,15 @@
+from .pipelines import (
+    events_stream,
+    foreach_batch_upsert_run,
+    run_to_memory,
+    stream_dedup_keys,
+    tumbling_window_agg,
+)
+
+__all__ = [
+    "events_stream",
+    "foreach_batch_upsert_run",
+    "run_to_memory",
+    "stream_dedup_keys",
+    "tumbling_window_agg",
+]

@@ -1,0 +1,191 @@
+"""Structured Streaming pipelines (SURVEY.md §2.8).
+
+The reference's streaming surface is two Kafka→file landing jobs
+(T1-T4) plus ``while True`` batch loops standing in for real streaming
+(T5 — join_eu_ugc_qdrant_merge.py:141-407, scheduler.py files). Here
+every loop becomes a real Structured Streaming query:
+
+- file-source streams with explicit schemas (S1 analog; Kafka swaps in
+  by changing ``format`` only),
+- watermarked tumbling-window aggregation and
+  ``dropDuplicatesWithinWatermark`` — the native replacements the
+  reference lacks for its high-water-mark/dedup loops (T6, P5/A5),
+- a ``foreachBatch`` keyed-upsert sink (T4+S12) with a staging-swap
+  commit mirroring the reference's transactional Postgres swap
+  (curated_to_postgres.py:83-132) — but distributed, no
+  collect-to-driver (fixes the S7 scale bug at
+  metadata_eu_to_raw.py:74-112).
+
+Tests drive these with ``availableNow`` so a bounded fixture replays
+as a stream and results compare against batch oracles
+(batch-stream equivalence, SURVEY.md §7 Phase 4).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators import cleanse, merge
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as ns longs
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over an events parquet directory with explicit
+    schema (the engine never pays streaming schema inference;
+    SURVEY.md §4.1).
+
+    ``max_files_per_trigger`` splits a directory of files into multiple
+    micro-batches (tests use time-ordered splits to exercise watermark
+    progression and cross-batch upserts).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(path)
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+    )
+
+
+def tumbling_window_agg(
+    stream: DataFrame,
+    window_size: str = "6 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """T6 capability: watermarked tumbling-window count/sum per
+    event_type. Sum uses the decimal convention so stream output is
+    bit-comparable with the batch oracle."""
+    return (
+        stream.withColumn("ts_ltz", F.col("ts").cast("timestamp"))
+        .withWatermark("ts_ltz", watermark)
+        .groupBy(F.window("ts_ltz", window_size), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_dedup_keys(stream: DataFrame, keys: list[str], watermark: str = "1 hour") -> DataFrame:
+    """A5/T6: streaming dedup with bounded state —
+    ``dropDuplicatesWithinWatermark`` replaces the reference's
+    HWM-loop + dropDuplicates pattern (ugc_raw_to_cleansed.py:37-70).
+    Projects the key set only, so the result is order-insensitive."""
+    return (
+        stream.withColumn("ts_ltz", F.col("ts").cast("timestamp"))
+        .withWatermark("ts_ltz", watermark)
+        .dropDuplicatesWithinWatermark(keys)
+        .select(*keys)
+    )
+
+
+def run_to_memory(
+    agg: DataFrame, name: str | None = None, output_mode: str = "complete"
+) -> DataFrame:
+    """Drive a (bounded) streaming DataFrame to completion with an
+    availableNow trigger into a memory sink; return the batch result.
+    This is the test/driver harness for batch-stream equivalence."""
+    qname = name or f"q_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return agg.sparkSession.table(qname)
+
+
+def foreach_batch_upsert_run(
+    spark: SparkSession,
+    stream: DataFrame,
+    keys: list[str],
+    order_desc: list[str],
+    target_dir: str | None = None,
+) -> DataFrame:
+    """T4+S12: continuous keyed last-write-wins upsert into a parquet
+    table via ``foreachBatch``.
+
+    Per micro-batch: dedup the batch to its latest row per key
+    (deterministic (order_desc) tiebreak), then conditional-upsert into
+    the target — matched rows update only when the source row is newer,
+    so the final table is the latest row per key REGARDLESS of how rows
+    were split into micro-batches. Commit is a staging-directory swap —
+    the distributed analog of the reference's staging-table transaction
+    (S14), safe against partial writes and never reading+overwriting
+    the same files in one job.
+
+    Returns the final table as a batch DataFrame.
+    """
+    tdir = target_dir or os.path.join(
+        tempfile.gettempdir(), f"spark_graft_upsert_{uuid.uuid4().hex[:8]}"
+    )
+    data_dir = os.path.join(tdir, "data")
+    shutil.rmtree(tdir, ignore_errors=True)
+    os.makedirs(tdir, exist_ok=True)
+    order_cols = [F.col(c).desc() for c in order_desc]
+    newer = F.struct(*[F.col(f"__ms.{c}") for c in order_desc]) > F.struct(
+        *[F.col(f"__mt.{c}") for c in order_desc]
+    )
+
+    def upsert_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        latest = cleanse.dedup_first_wins(batch_df, keys, order_cols)
+        if os.path.exists(data_dir):
+            target = spark.read.parquet(data_dir)
+            result = merge.upsert_full_conditional(
+                target, latest.select(*target.columns), keys, newer,
+                check_unique_source=False,  # dedup_first_wins guarantees it
+            )
+        else:
+            result = latest
+        staging = os.path.join(tdir, f"staging_{epoch_id}")
+        result.write.mode("overwrite").parquet(staging)
+        # atomic-ish swap: the new table version replaces the old only
+        # after the full write committed (reference S14 semantics)
+        old = data_dir + "_old"
+        if os.path.exists(data_dir):
+            os.replace(data_dir, old)
+        os.replace(staging, data_dir)
+        shutil.rmtree(old, ignore_errors=True)
+
+    writer = stream.writeStream.foreachBatch(upsert_batch).trigger(availableNow=True)
+    q = writer.option(
+        "checkpointLocation", os.path.join(tdir, "_checkpoint")
+    ).start()
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.read.parquet(data_dir)

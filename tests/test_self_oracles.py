@@ -45,9 +45,12 @@ def test_simhash_complete_vs_brute_force(spark):
     docs = load_table(spark, SF_DIR, "documents").select(
         "doc_id", F.split(F.trim(F.lower("text")), " +").alias("t")
     )
+    hashed = docs.select(
+        "doc_id", F.expr("transform(t, x -> xxhash64(x))").alias("__th")
+    )
     sigs = {
         r.doc_id: r.s
-        for r in docs.select("doc_id", dedup.simhash64("t").alias("s")).collect()
+        for r in hashed.select("doc_id", dedup.simhash64("__th").alias("s")).collect()
     }
     ids = sorted(sigs)
     expected = {

@@ -1,0 +1,109 @@
+"""Multi-batch streaming behavior: watermark progression, append-mode
+window finalization, cross-batch last-write-wins upserts — the
+batch-stream equivalence harness of SURVEY.md §7 Phase 4."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from cultural_heritage_bigdata_project_spark import streaming
+from cultural_heritage_bigdata_project_spark.sources.tables import load_table
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def split_events_dir(spark, tmp_path_factory):
+    """events split into 4 time-ordered parquet files (one per quantile
+    of ts), written in order so the file source replays them as
+    successive micro-batches."""
+    d = str(tmp_path_factory.mktemp("events_splits"))
+    ev = load_table(spark, SF_DIR, "events")
+    # keep raw ns longs so the stream schema matches the fixture's
+    raw = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    bounds = raw.approxQuantile("ts", [0.25, 0.5, 0.75], 0.0)
+    lo = float("-inf")
+    for i, hi in enumerate([*bounds, float("inf")]):
+        part = raw.filter((F.col("ts") > lo) & (F.col("ts") <= hi))
+        part.coalesce(1).write.mode("overwrite").parquet(f"{d}/part_{i}")
+        # flatten: move the parquet file up so the dir is a flat file list
+        pdir = f"{d}/part_{i}"
+        files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+        os.replace(f"{pdir}/{files[0]}", f"{d}/split_{i}.parquet")
+        shutil.rmtree(pdir)
+        time.sleep(1.1)  # distinct mtimes → deterministic batch order
+        lo = hi
+    return d
+
+
+def test_multibatch_upsert_matches_batch_semantics(spark, split_events_dir):
+    """4 micro-batches of upserts must converge to the same
+    latest-event-per-user table a single batch query computes."""
+    stream = streaming.events_stream(
+        spark, split_events_dir, max_files_per_trigger=1
+    ).select("user_id", "event_id", "ts", "event_type", "value")
+    final = streaming.foreach_batch_upsert_run(
+        spark, stream, keys=["user_id"], order_desc=["ts", "event_id"]
+    )
+    got = {
+        r.user_id: (r.ts, r.event_id)
+        for r in final.select("user_id", "ts", "event_id").collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    expected = {
+        r.user_id: (r.ts, r.event_id)
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts"), "event_id")
+        .collect()
+    }
+    got_us = {k: (int(v[0].timestamp() * 1_000_000) if hasattr(v[0], "timestamp") else v[0], v[1]) for k, v in got.items()}
+    assert set(got) == set(expected)
+    for k in expected:
+        assert got_us[k][1] == expected[k][1], (k, got_us[k], expected[k])
+
+
+def test_multibatch_append_window_subset(spark, split_events_dir):
+    """Append mode emits only watermark-finalized windows: the emitted
+    set must be a subset of the complete batch result with identical
+    values, and nonempty (watermark advanced across batches)."""
+    stream = streaming.events_stream(spark, split_events_dir, max_files_per_trigger=1)
+    agg = streaming.tumbling_window_agg(stream, "6 hours", "1 hour")
+    emitted = streaming.run_to_memory(agg, output_mode="append").collect()
+    batch = {
+        (r.window_start_us, r.event_type): (r.n_events, r.sum_value)
+        for r in streaming.run_to_memory(
+            streaming.tumbling_window_agg(
+                streaming.events_stream(spark, split_events_dir), "6 hours", "1 hour"
+            ),
+            output_mode="complete",
+        ).collect()
+    }
+    assert emitted, "watermark should finalize at least the early windows"
+    assert len(emitted) < len(batch), "append must withhold un-finalized windows"
+    for r in emitted:
+        assert batch[(r.window_start_us, r.event_type)] == (r.n_events, r.sum_value)
+
+
+def test_multibatch_dedup_no_duplicate_keys(spark, split_events_dir):
+    stream = streaming.events_stream(spark, split_events_dir, max_files_per_trigger=1)
+    out = streaming.run_to_memory(
+        streaming.stream_dedup_keys(stream, ["user_id", "event_type"], "10 days"),
+        output_mode="append",
+    )
+    rows = [(r.user_id, r.event_type) for r in out.collect()]
+    assert len(rows) == len(set(rows)), "duplicate keys leaked across batches"
+    ev = load_table(spark, SF_DIR, "events")
+    expected = {
+        (r.user_id, r.event_type)
+        for r in ev.select("user_id", "event_type").distinct().collect()
+    }
+    assert set(rows) == expected
