@@ -1,0 +1,86 @@
+"""Sink operators: raw landing, partitioned lake writes, JDBC serving.
+
+Reference shapes re-expressed at scale (SURVEY.md §2.1):
+- S7 per-record JSON landing — the reference collect()s every micro-
+  batch to the driver and PUTs one S3 object per row
+  (metadata_eu_to_raw.py:74-112), its clearest scale bug. Here:
+  deterministic keyed dedup + a distributed partitioned write; the
+  landing is idempotent because content is a pure function of input.
+- S8 partitioned streaming/batch sink (partitionBy dt,
+  kafka_annotations_to_minio_raw.py:35-42) — same pattern, minus the
+  anti-scale coalesce(1) (configurable here).
+- S9/S10 overwrite/append sinks — plain writer modes.
+- S13 JDBC serving sink (curated_to_postgres.py:67-75) — thin wrapper,
+  gated: no database/driver ships in this environment.
+- S4 existence probe (DeltaTable.isDeltaTable branching,
+  eu_raw_to_cleansed_merge.py:62) — filesystem/catalog check.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import cleanse
+
+
+def table_exists(spark: SparkSession, path: str) -> bool:
+    """S4: create-vs-merge branching probe. Works for any file-based
+    table (parquet dir with files)."""
+    if not os.path.isdir(path):
+        return False
+    return any(f.endswith(".parquet") for f in os.listdir(path))
+
+
+def keyed_json_landing(
+    df: DataFrame,
+    key: str,
+    path: str,
+    order_by: Sequence[Column | str],
+    n_buckets: int = 64,
+) -> None:
+    """S7 replacement: idempotent keyed raw landing, distributed.
+
+    One row per key (deterministic first-wins), written as JSON
+    partitioned by a stable key-hash bucket — executors write in
+    parallel, no driver collect, and re-running lands byte-identical
+    content (overwrite of a pure function of the input).
+    """
+    deduped = cleanse.dedup_first_wins(df, [key], order_by)
+    (
+        deduped.withColumn(
+            "bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
+        )
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .json(path)
+    )
+
+
+def partitioned_parquet_landing(
+    df: DataFrame, path: str, partition_cols: Sequence[str], coalesce: int | None = None
+) -> None:
+    """S8: partitioned columnar landing. ``coalesce`` mirrors the
+    reference's small-file mitigation but stays configurable — at scale
+    leave it None and let AQE size output files."""
+    out = df.coalesce(coalesce) if coalesce else df
+    out.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def jdbc_serving_sink(
+    df: DataFrame, url: str, table: str, mode: str = "overwrite", **options
+) -> None:
+    """S13: JDBC serving-table write (staging-swap commit is the
+    caller's job, as in the reference's S14). GATED: this environment
+    ships no JDBC driver or database; deployment supplies both."""
+    try:
+        df.write.mode(mode).options(**options).jdbc(url, table)
+    except Exception as e:  # pragma: no cover - exercised via unit test
+        raise RuntimeError(
+            "JDBC sink unavailable: no database/driver in this environment "
+            "(reference serving sink: curated_to_postgres.py:67-75). "
+            f"Underlying error: {e}"
+        ) from e

@@ -1,0 +1,102 @@
+"""Invariants for the reference-pipeline re-creation and the sink
+operators (mirroring the reference's audits, SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cultural_heritage_bigdata_project_spark.pipelines import curated
+from cultural_heritage_bigdata_project_spark.sources import sinks
+from cultural_heritage_bigdata_project_spark.sources.tables import load_table
+
+from .conftest import SF_DIR
+
+
+def test_curated_flow_idempotent(spark):
+    """Running the flow twice yields identical results (merge/idempotency
+    invariant, SURVEY.md §5)."""
+    a = curated.curated_flow(spark, SF_DIR)
+    b = curated.curated_flow(spark, SF_DIR)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_curated_flow_no_ugc_lost(spark):
+    """M4 invariant (README.md:244-245 'no UGC lost'): every validated,
+    metadata-resolvable annotation appears in curated output."""
+    ugc = curated.cleanse_ugc(curated.derive_ugc_raw(spark, SF_DIR))
+    rep = curated.representative_map(curated.derive_verdicts(spark, SF_DIR))
+    eu = curated.cleanse_eu(curated.derive_eu_raw(spark, SF_DIR))
+    expected = (
+        ugc.join(rep, "guid")
+        .join(eu.select(F.col("guid").alias("rep_guid")), "rep_guid")
+        .select("rep_guid", "user_id", "ts_us")
+        .distinct()
+        .count()
+    )
+    out = curated.curated_flow(spark, SF_DIR)
+    got = out.filter(F.col("user_id").isNotNull()).count()
+    assert got == expected, f"annotations lost: {expected} -> {got}"
+
+
+def test_curated_flow_key_unique(spark):
+    """A2 audit: curated identity (guid, user_id, ts) is unique."""
+    out = curated.curated_flow(spark, SF_DIR)
+    total = out.count()
+    distinct = out.select("guid", "user_id", "ts_us").distinct().count()
+    assert total == distinct
+
+
+def test_curated_flow_pending_excluded(spark):
+    """P6: objects whose verdict is pending never reach curated."""
+    verd = curated.derive_verdicts(spark, SF_DIR)
+    pending = {r.guid for r in verd.filter("status = 'pending'").collect()}
+    out_guids = {r.guid for r in curated.curated_flow(spark, SF_DIR).select("guid").distinct().collect()}
+    assert not (pending & out_guids)
+
+
+def test_keyed_landing_idempotent(spark, tmp_path):
+    """S7 replacement invariant: re-landing the same input produces the
+    same table."""
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    path = str(tmp_path / "landing")
+    sinks.keyed_json_landing(o, "o_orderkey", path, [F.col("o_totalprice")])
+    first = spark.read.json(path).collect()
+    sinks.keyed_json_landing(o, "o_orderkey", path, [F.col("o_totalprice")])
+    second = spark.read.json(path).collect()
+    assert sorted(map(str, first)) == sorted(map(str, second))
+    assert len(first) == o.select("o_orderkey").distinct().count()
+
+
+def test_partition_pruning_in_plan(spark, tmp_path):
+    """S8: a filter on the partition column must prune at planning time
+    (PartitionFilters in the scan, not a post-scan Filter)."""
+    o = load_table(spark, SF_DIR, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "part")
+    sinks.partitioned_parquet_landing(o, path, ["order_year"])
+    back = spark.read.parquet(path).filter(F.col("order_year") == 2000)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "order_year" in plan
+    n_years = spark.read.parquet(path).select("order_year").distinct().count()
+    import os as _os
+
+    scanned_dirs = [d for d in _os.listdir(path) if d.startswith("order_year=")]
+    assert len(scanned_dirs) == n_years  # all written...
+    assert back.count() > 0  # ...but only one read (pruned scan returns rows)
+
+
+def test_table_exists_probe(spark, tmp_path):
+    assert not sinks.table_exists(spark, str(tmp_path / "nope"))
+    p = str(tmp_path / "t")
+    load_table(spark, SF_DIR, "region").write.parquet(p)
+    assert sinks.table_exists(spark, p)
+
+
+def test_jdbc_sink_gated(spark):
+    df = load_table(spark, SF_DIR, "region")
+    with pytest.raises(RuntimeError, match="JDBC sink unavailable"):
+        sinks.jdbc_serving_sink(df, "jdbc:postgresql://nohost/db", "t")
