@@ -71,6 +71,96 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_sliding_window",
+    description="T6 capability: sliding-window (12h window, 6h slide) "
+    "count/sum per event_type — every event lands in exactly two "
+    "epoch-aligned windows",
+    survey_ref="T6,T1",
+    oracle="""
+WITH buckets AS (
+  SELECT epoch_us(time_bucket(INTERVAL '6 hours', ts)) AS window_start_us,
+         event_type, value
+  FROM events
+  UNION ALL
+  SELECT epoch_us(time_bucket(INTERVAL '6 hours', ts)) - 21600000000,
+         event_type, value
+  FROM events
+)
+SELECT window_start_us, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM buckets GROUP BY 1, 2
+""",
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    stream = streaming.events_stream(spark, _events_path(sf_dir))
+    agg = (
+        stream.withColumn("ts_ltz", F.col("ts").cast("timestamp"))
+        .withWatermark("ts_ltz", "1 hour")
+        .groupBy(F.window("ts_ltz", "12 hours", "6 hours"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return streaming.run_to_memory(agg, output_mode="complete")
+
+
+@register(
+    "stream_session_window",
+    description="T6 capability the reference entirely lacks: streaming "
+    "session windows (1h gap) per user — merged-session start/end/count "
+    "(native replacement for the T5 while-True loops)",
+    survey_ref="T6",
+    oracle="""
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+g AS (
+  SELECT *, CASE WHEN ts_us - lag(ts_us) OVER w > 3600000000
+                 THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+), s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS sid
+  FROM g
+)
+SELECT user_id,
+       min(ts_us) AS session_start_us,
+       max(ts_us) + 3600000000 AS session_end_us,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid
+""",
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    stream = streaming.events_stream(spark, _events_path(sf_dir))
+    agg = (
+        stream.withColumn("ts_ltz", F.col("ts").cast("timestamp"))
+        .withWatermark("ts_ltz", "1 hour")
+        .groupBy(F.session_window("ts_ltz", "1 hour"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+    return streaming.run_to_memory(agg, output_mode="complete")
+
+
+@register(
     "stream_upsert_latest",
     description="T4+S12: foreachBatch last-write-wins keyed upsert into a "
     "parquet table with staging-swap commit (distributed replacement for "
