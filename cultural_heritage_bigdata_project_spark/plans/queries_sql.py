@@ -92,7 +92,7 @@ FROM customer c
 WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey
-                    AND o.o_totalprice > 250000)
+                    AND o.o_totalprice > 400000)
 GROUP BY c.c_mktsegment
 """
 
