@@ -1,0 +1,114 @@
+"""Scale-pattern operators: skew salting, small-file compaction,
+incremental high-water-mark processing.
+
+These are the engine-level answers to the reference's acknowledged
+scale gaps (SURVEY.md §4.1): `coalesce(1)` small-file mitigation that
+serializes writes, full re-reads every scheduler cycle, and "Implement
+Delta Lake OPTIMIZE" left as future work (reference README.md:410-411).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import cleanse, merge
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, Column],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for skewed keys.
+
+    Phase 1 groups on (keys, salt) — a hot key's rows spread over
+    ``salt_buckets`` reducers instead of one straggler — phase 2
+    merges the partials on the true keys. Only algebraic aggregates
+    (sum/count/min/max) compose this way; ``aggs`` maps output column
+    name → phase-1 aggregate, and phase 2 re-combines by sum for
+    sum/count and min/max for min/max (inferred from the name prefix:
+    ``sum_*``/``cnt_*`` → sum, ``min_*`` → min, ``max_*`` → max).
+
+    AQE's skew-join handling covers joins; this covers aggregations,
+    where AQE cannot split a single hot reduce key.
+    """
+    # salt assignment need not be reproducible: algebraic aggregates
+    # are invariant to how rows split across salts (exactness of the
+    # final values is the caller's concern — use decimal sums)
+    salted = df.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)),
+    )
+    phase1 = salted.groupBy(*keys, "__salt").agg(
+        *[a.alias(name) for name, a in aggs.items()]
+    )
+    phase2_aggs = []
+    for name in aggs:
+        if name.startswith("min_"):
+            phase2_aggs.append(F.min(name).alias(name))
+        elif name.startswith("max_"):
+            phase2_aggs.append(F.max(name).alias(name))
+        else:  # sums and counts re-combine additively
+            phase2_aggs.append(F.sum(name).alias(name))
+    return phase1.groupBy(*keys).agg(*phase2_aggs)
+
+
+def compact_table(
+    spark: SparkSession, path: str, target_files: int
+) -> int:
+    """Small-file compaction maintenance op (the OPTIMIZE the reference
+    defers; README.md:410-411): rewrite a parquet dir into
+    ``target_files`` files via a staging-swap commit. Returns the
+    resulting file count.
+    """
+    df = spark.read.parquet(path)
+    staging = path.rstrip("/") + "__compact_staging"
+    df.repartition(target_files).write.mode("overwrite").parquet(staging)
+    old = path.rstrip("/") + "__old"
+    os.replace(path, old)
+    os.replace(staging, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return len([f for f in os.listdir(path) if f.endswith(".parquet")])
+
+
+def incremental_cycle(
+    spark: SparkSession,
+    source: DataFrame,
+    target_path: str,
+    hwm_col: str,
+    keys: Sequence[str],
+    order_by: Sequence[Column | str],
+) -> DataFrame:
+    """One batch incremental cycle: read the target's high-water mark,
+    process only newer source rows, insert-only upsert, staging-swap
+    commit (the reference's T5 while-True loop body — scheduler.py +
+    P5 + S11 — as a composable function; the streaming-native version
+    is streaming.foreach_batch_upsert_run).
+    """
+    exists = os.path.isdir(target_path) and any(
+        f.endswith(".parquet") for f in os.listdir(target_path)
+    )
+    if exists:
+        target = spark.read.parquet(target_path)
+        hwm = target.agg(F.max(hwm_col)).first()[0]
+        fresh = cleanse.high_water_mark_filter(source, hwm_col, hwm) if hwm is not None else source
+        fresh = cleanse.dedup_first_wins(fresh, keys, order_by)
+        result = merge.upsert_insert_only(target, fresh.select(*target.columns), keys)
+    else:
+        result = cleanse.dedup_first_wins(source, keys, order_by)
+    staging = target_path.rstrip("/") + "__staging"
+    result.write.mode("overwrite").parquet(staging)
+    if exists:
+        old = target_path.rstrip("/") + "__old"
+        os.replace(target_path, old)
+        os.replace(staging, target_path)
+        shutil.rmtree(old, ignore_errors=True)
+    else:
+        os.replace(staging, target_path)
+    return spark.read.parquet(target_path)

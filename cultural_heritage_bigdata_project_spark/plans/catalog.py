@@ -67,6 +67,7 @@ def _load_all() -> None:
     from . import queries_sources  # noqa: F401
     from . import queries_advanced  # noqa: F401
     from . import queries_sql  # noqa: F401
+    from . import queries_scale  # noqa: F401
 
 
 def catalog_queries() -> dict[str, QueryFn]:
