@@ -37,6 +37,10 @@ BENCH_QUERIES = [
     "knn_brute_force",
     "threshold_similarity_join",
     "stream_tumbling_window",
+    "reference_curated_flow",
+    "asof_join_purchase_click",
+    "sessionization",
+    "skew_salted_agg",
 ]
 
 

@@ -68,6 +68,7 @@ def _load_all() -> None:
     from . import queries_advanced  # noqa: F401
     from . import queries_sql  # noqa: F401
     from . import queries_scale  # noqa: F401
+    from . import queries_misc  # noqa: F401
 
 
 def catalog_queries() -> dict[str, QueryFn]:
