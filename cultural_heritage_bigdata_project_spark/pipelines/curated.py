@@ -166,9 +166,16 @@ def representative_map(verdicts: DataFrame) -> DataFrame:
 
 def curated_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.3 steps 4-5 + serving projection, end to end."""
-    eu = cleanse_eu(derive_eu_raw(spark, sf_dir))
+    # localCheckpoint the stage outputs that feed multiple downstream
+    # branches (eu → metadata join + rep-objects; deduped → union +
+    # anti-join): without it each branch re-executes the whole
+    # cleanse lineage. This is the reference's cache() bracketing
+    # (join_eu_ugc_qdrant_merge.py:148,169) done lineage-safe.
+    eu = cleanse_eu(derive_eu_raw(spark, sf_dir)).localCheckpoint(eager=False)
     ugc = cleanse_ugc(derive_ugc_raw(spark, sf_dir))
-    rep = representative_map(derive_verdicts(spark, sf_dir))
+    rep = representative_map(derive_verdicts(spark, sf_dir)).localCheckpoint(
+        eager=False
+    )
 
     # P6→J5: only annotations on validated objects survive (the
     # reference builds a driver-side isin list; we semi-join).
@@ -202,7 +209,7 @@ def curated_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     # replays that survive to this point.
     deduped = cleanse.dedup_first_wins(
         unioned, ["guid", "user_id", "ts_us"], [F.col("comment").asc_nulls_first()]
-    )
+    ).localCheckpoint(eager=False)
 
     # B4 left-join semantics: validated representative objects with no
     # annotations still appear, with NULL annotation fields.
