@@ -30,9 +30,20 @@ from pyspark.sql import functions as F
 
 
 def upsert_insert_only(target: DataFrame, source: DataFrame, keys: Sequence[str]) -> DataFrame:
-    """S11: insert source rows whose key is absent from target."""
-    new_rows = source.join(target.select(*keys).distinct(), on=list(keys), how="left_anti")
-    return target.unionByName(new_rows)
+    """S11: insert source rows whose key is absent from target.
+
+    Key matching is null-safe (consistent with ``upsert_full``): a
+    NULL-key source row matches a NULL-key target row. (A name-based
+    anti-join would use plain equality and re-insert NULL-key rows on
+    every run — caught by the hypothesis property suite.)
+    """
+    t, s = target.alias("__mt"), source.alias("__ms")
+    cond = None
+    for k in keys:
+        c = F.col(f"__mt.{k}").eqNullSafe(F.col(f"__ms.{k}"))
+        cond = c if cond is None else (cond & c)
+    new_rows = s.join(t, on=cond, how="left_anti")
+    return target.unionByName(new_rows.select(*target.columns))
 
 
 def _assert_unique_keys(df: DataFrame, keys: Sequence[str]) -> None:

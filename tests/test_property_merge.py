@@ -1,0 +1,133 @@
+"""Property-based checks (hypothesis) for the Delta-free merge
+emulation and canonical components — SURVEY.md §7 hard-list #1/#2:
+null-safe multi-key matching and deterministic grouping, validated
+against independent in-Python reference implementations on random
+inputs (nulls included)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cultural_heritage_bigdata_project_spark.operators import cleanse, dedup, merge
+
+ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("k1", T.IntegerType(), True),
+        T.StructField("k2", T.StringType(), True),
+        T.StructField("val", T.IntegerType(), True),
+    ]
+)
+
+keys_st = st.tuples(
+    st.one_of(st.none(), st.integers(0, 3)),
+    st.one_of(st.none(), st.sampled_from(["a", "b"])),
+)
+rows_st = st.lists(
+    st.tuples(keys_st, st.integers(0, 100)).map(lambda t: (t[0][0], t[0][1], t[1])),
+    max_size=12,
+)
+
+
+def _dedup_by_key(rows):
+    seen = {}
+    for r in rows:
+        seen.setdefault((r[0], r[1]), r)
+    return list(seen.values())
+
+
+def _ref_upsert_full(target, source):
+    """Reference semantics: matched keys (null-safe) take the source
+    row; unmatched target rows survive; unmatched source rows insert."""
+    out = {(r[0], r[1]): r for r in target}
+    for r in source:
+        out[(r[0], r[1])] = r
+    return sorted(out.values(), key=str)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(target=rows_st, source=rows_st)
+def test_upsert_full_matches_reference(spark, target, source):
+    # unique keys per side (Delta precondition; duplicates tested below)
+    target, source = _dedup_by_key(target), _dedup_by_key(source)
+    tdf = spark.createDataFrame(target, ROW_SCHEMA)
+    sdf = spark.createDataFrame(source, ROW_SCHEMA)
+    got = sorted(
+        [tuple(r) for r in merge.upsert_full(tdf, sdf, ["k1", "k2"]).collect()],
+        key=str,
+    )
+    assert got == _ref_upsert_full(target, source)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(target=rows_st, source=rows_st)
+def test_upsert_insert_only_matches_reference(spark, target, source):
+    target, source = _dedup_by_key(target), _dedup_by_key(source)
+    tdf = spark.createDataFrame(target, ROW_SCHEMA)
+    sdf = spark.createDataFrame(source, ROW_SCHEMA)
+    got = sorted(
+        [tuple(r) for r in merge.upsert_insert_only(tdf, sdf, ["k1", "k2"]).collect()],
+        key=str,
+    )
+    # insert-only: target rows always win
+    expected = {(r[0], r[1]): r for r in source}
+    expected.update({(r[0], r[1]): r for r in target})
+    assert got == sorted(expected.values(), key=str)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=rows_st)
+def test_dedup_first_wins_matches_reference(spark, rows):
+    df = spark.createDataFrame(rows, ROW_SCHEMA)
+    got = sorted(
+        [
+            tuple(r)
+            for r in cleanse.dedup_first_wins(
+                df, ["k1", "k2"], [F.col("val").asc()]
+            ).collect()
+        ],
+        key=str,
+    )
+    expected = {}
+    for r in sorted(rows, key=lambda r: r[2]):
+        expected.setdefault((r[0], r[1]), r)
+    assert got == sorted(expected.values(), key=str)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(lambda e: e[0] != e[1]),
+        max_size=10,
+    )
+)
+def test_canonical_components_matches_union_find(spark, edges):
+    nodes = list(range(10))
+    ndf = spark.createDataFrame([(n,) for n in nodes], "vec_id int")
+    edf = spark.createDataFrame(
+        edges or [(0, 0)], "a_id int, b_id int"
+    )
+    if not edges:
+        edf = edf.filter("a_id <> a_id")  # empty edge set
+    labels = {
+        r.vec_id: r.canonical_id
+        for r in dedup.canonical_components(edf, ndf, "vec_id").collect()
+    }
+    # reference union-find
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: min(m for m in nodes if find(m) == find(n)) for n in nodes}
+    assert labels == expected
