@@ -115,9 +115,10 @@ LIMIT 10
 """,
 )
 def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # customer is the small side → explicit broadcast; lineitem⋈orders
-    # shuffles on orderkey once. Global top-10 plans as
-    # TakeOrderedAndProject (no full sort of the agg output).
+    # lineitem⋈orders shuffles on orderkey once; the filtered customer
+    # side is left to AQE — it broadcasts at test scale by measured
+    # size, but customer scales with SF, so forcing broadcast would
+    # OOM at 100 TB. Global top-10 plans as TakeOrderedAndProject.
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
@@ -125,7 +126,7 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
             _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
@@ -159,9 +160,11 @@ GROUP BY n.n_name
 """,
 )
 def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # region/nation/supplier are broadcast dims (sources.BROADCAST_TABLES):
-    # the only shuffle is lineitem⋈orders on orderkey; everything after
-    # is map-side. This is the plan that survives 100 TB.
+    # region/nation are bounded dims (5/25 rows at ANY scale factor) →
+    # explicit broadcast; customer/supplier scale with SF, so their
+    # join strategy is AQE's call. The only guaranteed shuffle is
+    # lineitem⋈orders on orderkey. This is the plan that survives
+    # 100 TB.
     r = _t(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
     n = _t(spark, sf_dir, "nation")
     c = _t(spark, sf_dir, "customer")
@@ -174,7 +177,7 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .join(
-            F.broadcast(s),
+            s,
             (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == n.n_nationkey),
         )
         .groupBy("n_name")
@@ -866,8 +869,9 @@ def curated_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey", "o_custkey")
         .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)).alias("rev"))
     )
+    # enriched derives from customer (scales with SF) — AQE decides
     return (
-        order_rev.join(F.broadcast(enriched), order_rev.o_custkey == enriched.c_custkey)
+        order_rev.join(enriched, order_rev.o_custkey == enriched.c_custkey)
         .groupBy("c_mktsegment", "nation_name")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),

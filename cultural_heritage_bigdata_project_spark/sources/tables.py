@@ -27,11 +27,11 @@ TABLES = (
     "embeddings",
 )
 
-# Dimension tables small enough to broadcast at any realistic scale
-# factor; join helpers use this to pick broadcast sides explicitly
-# (the optimizer would usually get it right via AQE, but at 100 TB a
-# wrong sort-merge on a 25-row dim is too expensive to risk).
-BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
+# Dimension tables whose cardinality is BOUNDED (5/25 rows at any
+# scale factor) — safe to broadcast explicitly even at 100 TB. All
+# other tables scale with SF; their join strategy is AQE's runtime
+# call, never a forced broadcast.
+BROADCAST_TABLES = frozenset({"region", "nation"})
 
 
 def default_sf_dir() -> str:
