@@ -1,6 +1,8 @@
 from .pipelines import (
     events_stream,
     foreach_batch_upsert_run,
+    kafka_sink,
+    kafka_stream,
     run_to_memory,
     stream_dedup_keys,
     tumbling_window_agg,
@@ -9,6 +11,8 @@ from .pipelines import (
 __all__ = [
     "events_stream",
     "foreach_batch_upsert_run",
+    "kafka_sink",
+    "kafka_stream",
     "run_to_memory",
     "stream_dedup_keys",
     "tumbling_window_agg",

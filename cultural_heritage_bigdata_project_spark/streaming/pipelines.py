@@ -46,6 +46,44 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
+def kafka_stream(
+    spark: SparkSession,
+    brokers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """S1: Kafka stream source (reference: metadata_eu_to_raw.py:53-59).
+
+    GATED: this environment ships no Kafka broker or spark-sql-kafka
+    package; the builder is the exact production shape — deployment
+    adds ``--packages org.apache.spark:spark-sql-kafka-0-10_2.13``.
+    File-source streams (``events_stream``) are the tested stand-in;
+    downstream operators are source-agnostic.
+    """
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", "false")
+        .load()
+    )
+
+
+def kafka_sink(df: DataFrame, brokers: str, topic: str, checkpoint: str):
+    """S6: Kafka producer sink as a streaming writer (the reference uses
+    a driver-side Python KafkaProducer loop — annotation_producer.py:
+    144-158; this is the distributed equivalent). GATED like
+    ``kafka_stream``."""
+    return (
+        df.selectExpr("CAST(value AS STRING) AS value")
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
 def events_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:

@@ -100,3 +100,13 @@ def test_jdbc_sink_gated(spark):
     df = load_table(spark, SF_DIR, "region")
     with pytest.raises(RuntimeError, match="JDBC sink unavailable"):
         sinks.jdbc_serving_sink(df, "jdbc:postgresql://nohost/db", "t")
+
+
+def test_kafka_source_gated(spark):
+    """S1/S6 builders exist with the production shape; without the
+    kafka package they fail with Spark's deployment guidance, not a
+    crash deep in our code."""
+    from cultural_heritage_bigdata_project_spark import streaming
+
+    with pytest.raises(Exception, match="kafka"):
+        streaming.kafka_stream(spark, "nohost:9092", "topic")
