@@ -17,7 +17,7 @@ from cultural_heritage_bigdata_project_spark.plans.catalog import (
     catalog_queries,
 )
 
-FLAGSHIP = "curated_pipeline"
+FLAGSHIP = "reference_curated_flow"
 
 
 def entry(spark: SparkSession) -> DataFrame:
