@@ -8,7 +8,12 @@ SQL-expressible) a DuckDB oracle; this module just re-exports them.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# make the package importable regardless of the caller's CWD
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 

@@ -50,6 +50,64 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bucketed_colocated_join",
+    description="Bucketing: orders and lineitem written CLUSTERED BY the "
+    "join key into matching buckets, then joined WITHOUT a shuffle on "
+    "either side (the co-location pattern that amortizes one write-time "
+    "shuffle across every later join at 100 TB; absence of Exchange "
+    "asserted in tests)",
+    survey_ref="J1",
+    oracle="""
+SELECT o.o_orderkey, o.o_totalprice,
+       CAST(sum(CAST(l.l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty,
+       count(*) AS n_items
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderstatus = 'O'
+GROUP BY o.o_orderkey, o.o_totalprice
+""",
+)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import shutil
+    import tempfile
+    import os as _os
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = _os.path.join(tempfile.gettempdir(), f"spark_graft_buckets_{tag}")
+    for tbl, src_sql in [
+        ("b_orders", "SELECT o_orderkey, o_totalprice, o_orderstatus FROM __b_src_orders"),
+        ("b_lineitem", "SELECT l_orderkey, l_quantity FROM __b_src_lineitem"),
+    ]:
+        loc = _os.path.join(base, tbl)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(loc, ignore_errors=True)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__b_src_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("__b_src_lineitem")
+    spark.sql(
+        f"""CREATE TABLE b_orders USING parquet
+            CLUSTERED BY (o_orderkey) INTO 8 BUCKETS
+            LOCATION '{base}/b_orders'
+            AS SELECT o_orderkey, o_totalprice, o_orderstatus FROM __b_src_orders"""
+    )
+    spark.sql(
+        f"""CREATE TABLE b_lineitem USING parquet
+            CLUSTERED BY (l_orderkey) INTO 8 BUCKETS
+            LOCATION '{base}/b_lineitem'
+            AS SELECT l_orderkey, l_quantity FROM __b_src_lineitem"""
+    )
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_totalprice,
+               CAST(sum(CAST(l.l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty,
+               count(*) AS n_items
+        FROM b_orders o JOIN b_lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'O'
+        GROUP BY o.o_orderkey, o.o_totalprice
+        """
+    )
+
+
+@register(
     "approx_stats",
     description="Approximate aggregates for 100TB-scale profiling: "
     "approx_count_distinct (HLL) + percentile_approx — sketch values are "

@@ -56,3 +56,22 @@ def test_keyset_pagination_take_ordered(spark):
     assert any("event_id" in p and "GreaterThan" in p for p in pushed), (
         f"keyset predicate not pushed: {pushed}"
     )
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """Bucket co-location: with broadcast disabled, the bucketed join
+    (and even the downstream groupBy on the bucket key) must plan with
+    ZERO Exchange operators — the write-time shuffle is amortized."""
+    catalog_queries()
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = CATALOG["bucketed_colocated_join"].fn(spark, SF_DIR)
+        jvm = spark._jvm
+        plan = df._jdf.queryExecution().explainString(
+            jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan[:2000]}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
