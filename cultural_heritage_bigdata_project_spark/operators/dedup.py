@@ -112,8 +112,13 @@ def jaccard_pairs(
     # partition, and the explode/hash fan-out below must not run on a
     # single core. At scale the input is already many partitions and
     # this exchange is proportional to the (small) doc count.
-    base = df.select(F.col(id_col), F.col(shingle_col)).repartition(
-        df.sparkSession.sparkContext.defaultParallelism
+    # localCheckpoint: the shingled relation feeds the inverted index
+    # AND the size lookup — without it the tokenize/shingle lineage
+    # re-executes per branch.
+    base = (
+        df.select(F.col(id_col), F.col(shingle_col))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=False)
     )
     # join on a 64-bit hash of the shingle, not the string: long
     # shuffle keys + long equality beat string comparison in the
@@ -186,6 +191,11 @@ def minhash_lsh_pairs(
     only on candidates.
     """
     rows = n_hashes // bands
+    # the shingled input feeds the signature AND both verify sides —
+    # checkpoint once (also spreads single-file inputs, see below)
+    df = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    ).localCheckpoint(eager=False)
     hashed = df.select(
         F.col(id_col),
         F.col(shingle_col),

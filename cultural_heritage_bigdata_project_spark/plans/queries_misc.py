@@ -103,6 +103,64 @@ def flatten_distinct_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "complex_types_gallery",
+    description="Engine type floor beyond the reference (SURVEY §1.2: no "
+    "decimal/interval/map/nested-struct in the reference, engine covers "
+    "them): map construction+lookup, struct field access, exact decimal "
+    "arithmetic, interval date math",
+    survey_ref="F4,F5",
+    oracle="""
+SELECT o_orderkey,
+       CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'filled'
+            ELSE 'other' END AS status_name,
+       o_totalprice AS nested_price,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS VARCHAR) AS dec_doubled,
+       epoch_us(o_orderdate + INTERVAL 30 DAY) AS due_us
+FROM orders
+""",
+)
+def complex_types_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    status_map = F.create_map(
+        F.lit("O"), F.lit("open"), F.lit("F"), F.lit("filled"), F.lit("P"), F.lit("other")
+    )
+    nested = F.struct(
+        F.col("o_orderkey").alias("k"),
+        F.struct(F.col("o_totalprice").alias("price")).alias("inner"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.coalesce(
+            F.element_at(status_map, F.col("o_orderstatus")), F.lit("other")
+        ).alias("status_name"),
+        nested.getField("inner").getField("price").alias("nested_price"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 2)
+        .cast("string")
+        .alias("dec_doubled"),
+        F.unix_micros(
+            (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).cast("timestamp")
+        ).alias("due_us"),
+    )
+
+
+@register(
+    "cube_status_priority",
+    description="CUBE multi-dimensional aggregate (engine SQL surface "
+    "sibling of rollup_order_status)",
+    survey_ref="A1",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@register(
     "temporal_scalar_gallery",
     description="F2/F3/F9/F11 scalar surface: to_timestamp parse, "
     "date_format, year/quarter extraction, element_at on split arrays",

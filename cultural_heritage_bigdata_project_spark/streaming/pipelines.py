@@ -145,6 +145,26 @@ def stream_dedup_keys(stream: DataFrame, keys: list[str], watermark: str = "1 ho
     )
 
 
+def _scoped_shuffle_partitions(spark: SparkSession):
+    """Context manager: size stateful-stream shuffles to the core count
+    for the duration of a bounded replay (a caller's 200-partition
+    default turns every micro-batch state stage into 200 tiny tasks),
+    restoring the caller's setting afterwards."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def scope():
+        key = "spark.sql.shuffle.partitions"
+        old = spark.conf.get(key)
+        spark.conf.set(key, str(spark.sparkContext.defaultParallelism))
+        try:
+            yield
+        finally:
+            spark.conf.set(key, old)
+
+    return scope()
+
+
 def run_to_memory(
     agg: DataFrame, name: str | None = None, output_mode: str = "complete"
 ) -> DataFrame:
@@ -152,17 +172,18 @@ def run_to_memory(
     availableNow trigger into a memory sink; return the batch result.
     This is the test/driver harness for batch-stream equivalence."""
     qname = name or f"q_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
+    with _scoped_shuffle_partitions(agg.sparkSession):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
     return agg.sparkSession.table(qname)
 
 
@@ -219,11 +240,12 @@ def foreach_batch_upsert_run(
         shutil.rmtree(old, ignore_errors=True)
 
     writer = stream.writeStream.foreachBatch(upsert_batch).trigger(availableNow=True)
-    q = writer.option(
-        "checkpointLocation", os.path.join(tdir, "_checkpoint")
-    ).start()
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
+    with _scoped_shuffle_partitions(spark):
+        q = writer.option(
+            "checkpointLocation", os.path.join(tdir, "_checkpoint")
+        ).start()
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
     return spark.read.parquet(data_dir)
