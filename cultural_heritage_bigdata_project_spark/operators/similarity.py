@@ -265,6 +265,64 @@ def ann_top_k(
     )
 
 
+def ivf_ann_top_k(
+    vectors: DataFrame,
+    query_vec: Column,
+    k: int,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style approximate kNN: coarse-quantize the collection with
+    KMeans centroids (the inverted lists), then rank by exact cosine
+    only within the ``n_probe`` lists nearest to the query.
+
+    The index build is one MLlib KMeans fit (sampled, driver-cheap) +
+    one assignment pass; queries touch ~n_probe/n_lists of the data.
+    This is the centroid-bucketed scale path the LSH variant
+    (``ann_top_k``) trades against: IVF adapts to the data
+    distribution, LSH is oblivious but needs no training.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feat = vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__feat"),
+    )
+    km = KMeans(k=n_lists, seed=seed, featuresCol="__feat", predictionCol="__list")
+    model = km.fit(feat.select("__feat"))
+    assigned = model.transform(feat)
+
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    qrow = vectors.sparkSession.range(1).select(query_vec.alias("__qv"))
+    # distance of the query to each centroid — tiny, computed as a
+    # literal-array expression, no collect of the collection
+    dists = []
+    for li, c in enumerate(centroids):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(F.col("__qv"), carr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        dists.append(F.struct(d.alias("d"), F.lit(li).alias("list")))
+    probe = qrow.select(
+        F.slice(F.array_sort(F.array(*dists)), 1, n_probe).alias("probed")
+    ).select(F.explode("probed.list").alias("__list"))
+
+    cands = assigned.join(F.broadcast(probe), on="__list")
+    sim = F.round(cosine_similarity(F.col(vec_col), query_vec), 6)
+    return (
+        cands.select(F.col(id_col), sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def precision_at_k(
     vectors: DataFrame,
     k: int = 10,

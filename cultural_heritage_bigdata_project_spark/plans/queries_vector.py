@@ -151,6 +151,78 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ivf_ann_topk",
+    description="IVF approximate kNN: KMeans coarse quantizer (16 lists), "
+    "probe the 4 nearest lists, exact cosine within — the data-adaptive "
+    "ANN scale path beside hyperplane LSH (rows-only: clustering; recall "
+    "vs brute force asserted in tests)",
+    survey_ref="J8,M5",
+    oracle=None,
+)
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vectors = _emb(spark, sf_dir).filter(F.col("vec_id") != 0)
+    return similarity.ivf_ann_top_k(
+        vectors, _query_vec(spark, sf_dir, 0), k=10, n_lists=16, n_probe=4
+    )
+
+
+@register(
+    "text_dedup_keep_canonical",
+    description="End-to-end training-data dedup: 3-gram Jaccard >= 0.8 "
+    "edges → connected components → keep only each group's canonical "
+    "(min doc_id) — the filtered corpus a pretraining pipeline ships "
+    "(oracle: recursive-CTE components over the same edges)",
+    survey_ref="M3,M4,A5",
+    oracle="""
+WITH RECURSIVE d AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+), s AS (
+  SELECT doc_id,
+         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        for i in range(1, greatest(len(t) - 1, 1))]) AS sh
+  FROM d WHERE len(t) >= 3
+), ex AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM s
+), cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+), edges AS (
+  SELECT c.a_id AS src, c.b_id AS dst
+  FROM cand c JOIN s sa ON c.a_id = sa.doc_id JOIN s sb ON c.b_id = sb.doc_id
+  WHERE round(len(list_intersect(sa.sh, sb.sh)) * 1.0
+              / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) >= 0.8
+), reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM d
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), canon AS (
+  SELECT src AS doc_id, min(dst) AS canonical_id FROM reach GROUP BY src
+)
+SELECT d.doc_id, dd.lang, dd.n_chars
+FROM canon d JOIN documents dd ON d.doc_id = dd.doc_id
+WHERE d.doc_id = d.canonical_id
+""",
+)
+def text_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.repartition(spark.sparkContext.defaultParallelism).select(
+        "doc_id", F.split(F.trim(F.lower("text")), " +").alias("t")
+    )
+    shingled = toks.filter(F.size("t") >= 3).select(
+        "doc_id", dedup.shingles_expr("t", 3).alias("sh")
+    )
+    edges = dedup.jaccard_pairs(shingled, "doc_id", "sh", threshold=0.8)
+    labels = dedup.canonical_components(edges, docs, "doc_id")
+    survivors = labels.filter(F.col("doc_id") == F.col("canonical_id")).select(
+        "doc_id"
+    )
+    return survivors.join(docs, "doc_id").select("doc_id", "lang", "n_chars")
+
+
+@register(
     "vector_concat_norm",
     description="F12 vector concat (image+text → combined, ref "
     "extracting_embeddings.py:436-437) + L2 norm projection",

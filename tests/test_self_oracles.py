@@ -142,3 +142,23 @@ def test_multimodal_decode_not_implemented():
 
     with pytest.raises(NotImplementedError):
         multimodal.clip_like_embedder()
+
+
+def test_ivf_ann_recall_vs_brute_force(spark):
+    """IVF probing 4/16 lists must recover a healthy share of the exact
+    top-10 (and beat random probing's expectation of 0.25)."""
+    exact = {r.vec_id for r in CATALOG["knn_brute_force"].fn(spark, SF_DIR).collect()}
+    ivf = {r.vec_id for r in CATALOG["ivf_ann_topk"].fn(spark, SF_DIR).collect()}
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.3, f"IVF recall vs brute force too low: {recall}"
+
+
+def test_keep_canonical_drops_only_near_dups(spark):
+    """Every dropped doc must be reachable from a kept canonical via the
+    >=0.8 jaccard edge set (no over-deletion)."""
+    from cultural_heritage_bigdata_project_spark.sources.tables import load_table as lt
+
+    total = lt(spark, SF_DIR, "documents").count()
+    kept = CATALOG["text_dedup_keep_canonical"].fn(spark, SF_DIR).count()
+    assert kept < total, "fixture contains planted near-dups; some must drop"
+    assert kept > total * 0.9, "over-deletion: most docs are not near-dups"
