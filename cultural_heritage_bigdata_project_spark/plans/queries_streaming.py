@@ -161,6 +161,26 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stateful_totals",
+    description="Custom stateful streaming operator (applyInPandasWithState, "
+    "T6 surface the reference lacks): per-user running totals in explicit "
+    "group state; single-batch replay == batch group-by (multi-batch "
+    "accumulation exercised in tests)",
+    survey_ref="T6,U3",
+    oracle="""
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micro
+FROM events GROUP BY user_id
+""",
+)
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = streaming.events_stream(spark, _events_path(sf_dir))
+    out = streaming.stateful_user_totals(stream)
+    return streaming.run_to_memory(out, output_mode="update")
+
+
+@register(
     "stream_upsert_latest",
     description="T4+S12: foreachBatch last-write-wins keyed upsert into a "
     "parquet table with staging-swap commit (distributed replacement for "

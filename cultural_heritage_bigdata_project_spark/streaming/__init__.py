@@ -4,11 +4,13 @@ from .pipelines import (
     kafka_sink,
     kafka_stream,
     run_to_memory,
+    stateful_user_totals,
     stream_dedup_keys,
     tumbling_window_agg,
 )
 
 __all__ = [
+    "stateful_user_totals",
     "events_stream",
     "foreach_batch_upsert_run",
     "kafka_sink",

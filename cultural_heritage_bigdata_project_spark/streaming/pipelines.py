@@ -165,6 +165,48 @@ def _scoped_shuffle_partitions(spark: SparkSession):
     return scope()
 
 
+def stateful_user_totals(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running totals carried in explicit group state across micro-batches
+    (the engine-native replacement for the reference's driver-held
+    offset/guid-set state — extracting_embeddings.py:96-124).
+
+    Emits one row per user per micro-batch with the cumulative count
+    and value sum. Value accumulates in integer micro-units so the
+    emitted total is exact and batch-split-independent.
+    """
+    import pandas as pd
+
+    def update(key, pdf_iter, state):
+        (user_id,) = key
+        if state.exists:
+            n, v_micro = state.get
+        else:
+            n, v_micro = 0, 0
+        for pdf in pdf_iter:
+            n += len(pdf)
+            # accumulate PER-ROW integer micro-units: a per-batch float
+            # sum rounded once would drift with how rows split across
+            # batches
+            v_micro += int(pdf["value"].mul(1_000_000).round().astype("int64").sum())
+        state.update((n, v_micro))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "value_micro": [v_micro]}
+        )
+
+    return (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long, value_micro long",
+            stateStructType="n long, v_micro long",
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
 def run_to_memory(
     agg: DataFrame, name: str | None = None, output_mode: str = "complete"
 ) -> DataFrame:

@@ -107,3 +107,33 @@ def test_multibatch_dedup_no_duplicate_keys(spark, split_events_dir):
         for r in ev.select("user_id", "event_type").distinct().collect()
     }
     assert set(rows) == expected
+
+
+def test_multibatch_stateful_totals_accumulate(spark, split_events_dir):
+    """Group state must accumulate across micro-batches: the LAST emitted
+    row per user equals the single-batch (= batch SQL) totals, and users
+    spanning several batches emit several monotone updates."""
+    stream = streaming.events_stream(spark, split_events_dir, max_files_per_trigger=1)
+    out = streaming.run_to_memory(
+        streaming.stateful_user_totals(stream), output_mode="update"
+    )
+    rows = out.collect()
+    last = {}
+    per_user_updates = {}
+    for r in rows:
+        per_user_updates[r.user_id] = per_user_updates.get(r.user_id, 0) + 1
+        cur = last.get(r.user_id)
+        if cur is None or r.n_events > cur[0]:
+            last[r.user_id] = (r.n_events, r.value_micro)
+    ev = load_table(spark, SF_DIR, "events")
+    expected = {
+        r.user_id: (r.n, r.vm)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CAST(round(value * 1000000) AS BIGINT)")).alias("vm"),
+        )
+        .collect()
+    }
+    assert last == expected
+    assert max(per_user_updates.values()) > 1, "no user spanned multiple batches"
