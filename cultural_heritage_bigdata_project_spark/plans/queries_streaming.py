@@ -161,6 +161,101 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_static_join",
+    description="Stream-static enrichment join: the events stream joined "
+    "to a static dimension derived from customer (broadcast per "
+    "micro-batch; the streaming analog of the curated metadata join)",
+    survey_ref="J1,T1",
+    oracle="""
+WITH dim AS (
+  SELECT c_custkey AS user_id, c_mktsegment FROM customer WHERE c_custkey < 150
+)
+SELECT d.c_mktsegment,
+       count(*) AS n_events,
+       CAST(sum(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM events e JOIN dim d ON e.user_id = d.user_id
+GROUP BY d.c_mktsegment
+""",
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import load_table
+
+    stream = streaming.events_stream(spark, _events_path(sf_dir))
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 150)
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    agg = (
+        stream.join(dim, "user_id")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+    )
+    return streaming.run_to_memory(agg, output_mode="complete")
+
+
+@register(
+    "stream_stream_interval_join",
+    description="Watermarked stream-stream interval join: each purchase "
+    "joined to same-user clicks within the preceding 30 minutes (state "
+    "bounded by the watermark + time-range condition)",
+    survey_ref="J1,T6",
+    oracle="""
+WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+p AS (SELECT event_id AS purchase_id, user_id, ts_us AS p_ts FROM e
+      WHERE event_type = 'purchase'),
+c AS (SELECT event_id AS click_id, user_id, ts_us AS c_ts FROM e
+      WHERE event_type = 'click')
+SELECT p.purchase_id, c.click_id, p.user_id, p.p_ts - c.c_ts AS gap_us
+FROM p JOIN c ON p.user_id = c.user_id
+ AND c.c_ts <= p.p_ts AND c.c_ts > p.p_ts - 1800000000
+""",
+)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    purchases = (
+        streaming.events_stream(spark, _events_path(sf_dir))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").cast("timestamp").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        streaming.events_stream(spark, _events_path(sf_dir))
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").cast("timestamp").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+    )
+    return streaming.run_to_memory(joined, output_mode="append")
+
+
+@register(
     "stream_stateful_totals",
     description="Custom stateful streaming operator (applyInPandasWithState, "
     "T6 surface the reference lacks): per-user running totals in explicit "
