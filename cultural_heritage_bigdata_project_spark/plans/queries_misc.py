@@ -190,3 +190,175 @@ def temporal_scalar_gallery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.element_at(F.split("o_orderpriority", "-"), 1).alias("priority_code"),
     )
+
+
+@register(
+    "filtered_revenue",
+    description="Q6-shaped tight-filter aggregate (date range + discount "
+    "band + quantity cap, all pushed to the scan) — single global agg",
+    survey_ref="A1,P5",
+    oracle="""
+SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE)
+         AS revenue_effect,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def filtered_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("revenue_effect"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "conditional_share",
+    description="Q14-shaped conditional aggregate: revenue share of one "
+    "part-type family (CASE inside sum over a join)",
+    survey_ref="A1,J1,F4",
+    oracle="""
+SELECT CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))
+                ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) AS promo_revenue,
+       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+         AS total_revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+""",
+)
+def conditional_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+    zero = F.lit(0).cast("decimal(38,6)")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(zero))
+            .cast("double")
+            .alias("promo_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "multi_or_predicates",
+    description="Q19-shaped disjunctive multi-clause predicate over a join "
+    "(Catalyst pushes the common conjuncts, keeps the OR residual)",
+    survey_ref="A1,J1",
+    oracle="""
+SELECT CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+         AS revenue,
+       count(*) AS n_rows
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'BRAND#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+   OR (p.p_brand = 'BRAND#2' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity >= 5 AND l.l_quantity <= 35)
+   OR (p.p_brand = 'BRAND#3' AND p.p_size BETWEEN 20 AND 50 AND l.l_quantity >= 10 AND l.l_quantity <= 50)
+""",
+)
+def multi_or_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(p, p.p_partkey == li.l_partkey)
+    def clause(brand, s_lo, s_hi, q_lo, q_hi):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(s_lo, s_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+    cond = (
+        clause("BRAND#1", 1, 15, 1, 20)
+        | clause("BRAND#2", 10, 30, 5, 35)
+        | clause("BRAND#3", 20, 50, 10, 50)
+    )
+    return j.filter(cond).agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "table_profile",
+    description="Data-profiling utility a training-data pipeline needs: "
+    "per-column nulls / distincts / extrema in one pass, long-form output",
+    survey_ref="A1,A2",
+    oracle="""
+SELECT 'o_orderstatus' AS column_name,
+       count(*) - count(o_orderstatus) AS n_nulls,
+       count(DISTINCT o_orderstatus) AS n_distinct,
+       min(o_orderstatus) AS min_str, max(o_orderstatus) AS max_str
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', count(*) - count(o_orderpriority),
+       count(DISTINCT o_orderpriority),
+       min(o_orderpriority), max(o_orderpriority)
+FROM orders
+UNION ALL
+SELECT 'o_custkey', count(*) - count(o_custkey),
+       count(DISTINCT o_custkey),
+       CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+FROM orders
+""",
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    def prof(col, cast_str=False):
+        # min/max on the NATIVE type, cast the result (casting first
+        # would compare numerics lexicographically)
+        return o.agg(
+            F.lit(col).alias("column_name"),
+            (F.count(F.lit(1)) - F.count(col)).alias("n_nulls"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.min(F.col(col)).cast("string").alias("min_str"),
+            F.max(F.col(col)).cast("string").alias("max_str"),
+        )
+    return (
+        prof("o_orderstatus")
+        .unionByName(prof("o_orderpriority"))
+        .unionByName(prof("o_custkey", cast_str=True))
+    )
+
+
+@register(
+    "ntile_quartiles",
+    description="NTILE window binning: price quartile per order within its "
+    "priority class (unique tiebreak for determinism)",
+    survey_ref="W5",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+       ntile(4) OVER (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice, o_orderkey) AS price_quartile
+FROM orders
+""",
+)
+def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("long").alias("price_quartile"),
+    )
