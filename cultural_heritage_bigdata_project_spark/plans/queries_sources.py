@@ -150,3 +150,64 @@ def partitioned_landing_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
+
+
+@register(
+    "csv_landing_roundtrip",
+    description="CSV source/sink round trip with explicit schema (no "
+    "inferSchema pass) — header write, typed re-read, aggregate",
+    survey_ref="S2",
+    oracle="""
+SELECT c_mktsegment, count(*) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_bal
+FROM customer GROUP BY c_mktsegment
+""",
+)
+def csv_landing_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    path = _tmp(sf_dir, "csv_landing")
+    c.write.mode("overwrite").option("header", True).csv(path)
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    )
+    back = spark.read.schema(schema).option("header", True).csv(path)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double").alias(
+            "total_bal"
+        ),
+    )
+
+
+@register(
+    "orc_landing_roundtrip",
+    description="ORC source/sink round trip (columnar alternative with the "
+    "same pushdown/pruning machinery as parquet)",
+    survey_ref="S2,S9",
+    oracle="""
+SELECT p_brand, count(*) AS n_parts,
+       CAST(sum(CAST(p_retailprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+FROM part WHERE p_size > 25 GROUP BY p_brand
+""",
+)
+def orc_landing_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    path = _tmp(sf_dir, "orc_landing")
+    p.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return (
+        back.filter(F.col("p_size") > 25)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(F.col("p_retailprice").cast("decimal(38,6)")).cast("double").alias(
+                "total_price"
+            ),
+        )
+    )
