@@ -221,9 +221,7 @@ def minhash_lsh_pairs(
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
-            F.hash(F.slice("__sig", b * rows + 1, rows).cast("array<string>")).alias(
-                "bkey"
-            ),
+            F.hash(F.slice("__sig", b * rows + 1, rows)).alias("bkey"),
         )
         for b in range(bands)
     ]
