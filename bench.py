@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "asof_join_purchase_click",
     "sessionization",
     "skew_salted_agg",
+    "text_dedup_keep_canonical",
+    "semantic_dedup_canonical",
 ]
 
 

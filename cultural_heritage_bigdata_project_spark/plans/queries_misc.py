@@ -362,3 +362,35 @@ def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.ntile(4).over(w).cast("long").alias("price_quartile"),
     )
+
+
+@register(
+    "global_sort_nulls",
+    description="W3 + null-ordering parity: multi-column global sort with "
+    "explicit NULLS FIRST/LAST (Spark default asc=nulls-first differs from "
+    "DuckDB's nulls-last — both sides pin it explicitly), top-200 slice",
+    survey_ref="W3,W1",
+    oracle="""
+WITH src AS (
+  SELECT event_id,
+         CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS etype,
+         value
+  FROM events
+)
+SELECT event_id, etype, value FROM src
+ORDER BY etype ASC NULLS FIRST, value DESC, event_id ASC
+LIMIT 200
+""",
+)
+def global_sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    src = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None))
+        .otherwise(F.col("event_type"))
+        .alias("etype"),
+        "value",
+    )
+    return src.orderBy(
+        F.col("etype").asc_nulls_first(), F.col("value").desc(), F.col("event_id").asc()
+    ).limit(200)
