@@ -377,6 +377,7 @@ def canonical_components(
     )
     sym = sym.localCheckpoint(eager=True)
     labels = labels.localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.node)
@@ -393,14 +394,12 @@ def canonical_components(
             )
         )
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        # labels only ever decrease, so the label sum is strictly
+        # monotone until the fixpoint: an unchanged sum ⟺ convergence.
+        # One cheap aggregate per iteration instead of a join+count.
+        new_sum = new_labels.agg(F.sum("label")).first()[0]
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("canonical_id"))

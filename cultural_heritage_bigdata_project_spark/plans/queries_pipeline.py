@@ -89,6 +89,83 @@ FROM full_rows
 """
 
 
+_METRICS_ORACLE = """
+WITH eu_base AS (
+  SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+              ELSE 'item/' || CAST(o_orderkey AS VARCHAR) END AS guid,
+         CASE WHEN o_orderkey % 89 = 0 THEN NULL
+              ELSE 'http://img/' || CAST(o_orderkey AS VARCHAR) END AS image_url,
+         o_orderkey AS okey
+  FROM orders
+), eu_dirty AS (
+  SELECT * FROM eu_base
+  UNION ALL
+  SELECT * FROM eu_base WHERE okey % 13 = 0
+), eu_cleansed AS (
+  SELECT DISTINCT guid FROM eu_dirty
+  WHERE guid IS NOT NULL AND image_url IS NOT NULL
+), ugc_base AS (
+  SELECT 'item/' || CAST(event_id % 499 AS VARCHAR) AS guid,
+         'u' || CAST(user_id AS VARCHAR) AS user_id,
+         CASE WHEN event_id % 4 = 0 THEN NULL ELSE event_type END AS comment,
+         epoch_us(ts) AS ts_us, event_id AS eid
+  FROM events
+), ugc_dirty AS (
+  SELECT * FROM ugc_base UNION ALL SELECT * FROM ugc_base WHERE eid % 17 = 0
+), ugc_cleansed AS (
+  SELECT DISTINCT guid, user_id, comment, ts_us FROM ugc_dirty
+), verd AS (
+  SELECT 'item/' || CAST(vec_id AS VARCHAR) AS guid,
+         CASE WHEN vec_id % 10 = 3 THEN 'pending' ELSE 'validated' END AS status
+  FROM embeddings
+)
+SELECT (SELECT count(*) FROM eu_dirty) AS eu_raw_rows,
+       (SELECT count(*) FROM eu_cleansed) AS eu_cleansed_rows,
+       (SELECT count(*) FROM ugc_dirty) AS ugc_raw_rows,
+       (SELECT count(*) FROM ugc_cleansed) AS ugc_cleansed_rows,
+       (SELECT count(*) FROM verd WHERE status = 'validated') AS validated_objects,
+       (SELECT count(*) FROM ugc_cleansed u
+         WHERE EXISTS (SELECT 1 FROM verd v
+                       WHERE v.guid = u.guid AND v.status = 'validated'))
+         AS annotations_on_validated
+"""
+
+
+@register(
+    "pipeline_stage_metrics",
+    description="The reference's [METRICHE] stage-count audit as one query "
+    "(record counts before/after each transform — SURVEY §5, "
+    "join_eu_ugc_qdrant_merge.py:357-360) instead of scattered print()s",
+    survey_ref="A1,A2",
+    oracle=_METRICS_ORACLE,
+)
+def pipeline_stage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators import joins
+
+    eu_raw = curated.derive_eu_raw(spark, sf_dir)
+    eu = curated.cleanse_eu(eu_raw)
+    ugc_raw = curated.derive_ugc_raw(spark, sf_dir)
+    ugc = curated.cleanse_ugc(ugc_raw)
+    verd = curated.derive_verdicts(spark, sf_dir)
+    validated = verd.filter(F.col("status") == "validated")
+    ann_valid = joins.semi_join(ugc, validated.select("guid"), "guid")
+
+    def cnt(df, name):
+        return df.agg(F.count(F.lit(1)).alias(name))
+
+    out = (
+        cnt(eu_raw, "eu_raw_rows")
+        .crossJoin(cnt(eu, "eu_cleansed_rows"))
+        .crossJoin(cnt(ugc_raw, "ugc_raw_rows"))
+        .crossJoin(cnt(ugc, "ugc_cleansed_rows"))
+        .crossJoin(cnt(validated, "validated_objects"))
+        .crossJoin(cnt(ann_valid, "annotations_on_validated"))
+    )
+    return out
+
+
 @register(
     "reference_curated_flow",
     description="Full reference pipeline re-creation: dirty raw metadata + "

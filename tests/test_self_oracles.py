@@ -162,3 +162,23 @@ def test_keep_canonical_drops_only_near_dups(spark):
     kept = CATALOG["text_dedup_keep_canonical"].fn(spark, SF_DIR).count()
     assert kept < total, "fixture contains planted near-dups; some must drop"
     assert kept > total * 0.9, "over-deletion: most docs are not near-dups"
+
+
+def test_lsh_candidate_pairs_catch_top_similar(spark):
+    """The sub-quadratic LSH candidate generator must surface the most
+    similar vector pairs (the ones any downstream verify would keep),
+    at a candidate volume far below n²/2."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    top = similarity.threshold_similarity_join(emb, threshold=0.45)
+    top_pairs = {(r.a_id, r.b_id) for r in top.collect()}
+    assert top_pairs, "fixture should have some cos >= 0.45 pairs"
+    cands = {
+        (r.a_id, r.b_id)
+        for r in similarity.lsh_candidate_pairs(
+            emb, n_planes=4, n_tables=8
+        ).collect()
+    }
+    n = emb.count()
+    assert len(cands) < n * (n - 1) / 4, "candidate set should be sub-quadratic"
+    recall = len(top_pairs & cands) / len(top_pairs)
+    assert recall >= 0.5, f"LSH candidates missed top-similar pairs: {recall}"
