@@ -241,3 +241,68 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     payload = multimodal.attach_binary_payload(_docs(spark, sf_dir))
     return multimodal.decode_metadata(payload)
+
+
+@register(
+    "hash_ordered_sample",
+    description="Deterministic stratified sampling (training-data op): "
+    "k docs per lang, selected by md5-hash order — reproducible across "
+    "engines and runs, unlike seeded RNG sampling",
+    survey_ref="W2,A5",
+    oracle="""
+SELECT lang, doc_id, n_chars
+FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+) WHERE rn <= 20
+""",
+)
+def hash_ordered_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = _docs(spark, sf_dir)
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("lang", "doc_id", "n_chars")
+    )
+
+
+@register(
+    "vocabulary_top_tokens",
+    description="Corpus vocabulary statistics: token frequencies + document "
+    "frequencies, top-50 by count (tie-broken) — the vocab-building pass of "
+    "a tokenizer pipeline",
+    survey_ref="A9,A1",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS token
+  FROM documents
+)
+SELECT token,
+       count(*) AS term_freq,
+       count(DISTINCT doc_id) AS doc_freq
+FROM tok GROUP BY token
+ORDER BY term_freq DESC, token ASC
+LIMIT 50
+""",
+)
+def vocabulary_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_parallel(spark, sf_dir)
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.lower("text")), " +")).alias("token")
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("term_freq"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.col("term_freq").desc(), F.col("token").asc())
+        .limit(50)
+    )
