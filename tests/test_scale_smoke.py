@@ -1,0 +1,82 @@
+"""Scale-up smoke: the sub-quadratic operators must stay sub-quadratic
+when the input grows well past the fixtures — candidate volumes and
+wall-clock are bounded, results stay consistent with exact semantics
+on the planted structure.
+
+(The fixtures cap at 2k vectors / 5k docs; here we synthesize 20x by
+shifting ids, which preserves near-dup structure per replica.)
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from cultural_heritage_bigdata_project_spark.operators import dedup, similarity
+from cultural_heritage_bigdata_project_spark.sources.tables import load_table
+
+SF_BIG = "/root/testdata/sf0.1"
+
+
+@pytest.fixture(scope="module")
+def big_vectors(spark):
+    """2k fixture vectors replicated 20x with distinct ids → 40k rows."""
+    base = load_table(spark, SF_BIG, "embeddings")
+    n = base.count()
+    reps = spark.range(20).select(F.col("id").alias("rep"))
+    return (
+        base.crossJoin(reps)
+        .select(
+            (F.col("vec_id") + F.col("rep") * n).alias("vec_id"),
+            "embedding",
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def test_lsh_candidates_sub_quadratic_at_40k(spark, big_vectors):
+    n = big_vectors.count()
+    assert n == 40_000
+    t0 = time.perf_counter()
+    cands = similarity.lsh_candidate_pairs(big_vectors, n_planes=12, n_tables=2)
+    n_cands = cands.count()
+    elapsed = time.perf_counter() - t0
+    # quadratic would be 8e8 pairs; bucketing must stay far below
+    assert n_cands < n * 100, f"candidate blowup: {n_cands}"
+    assert elapsed < 120, f"LSH candidate generation too slow: {elapsed:.0f}s"
+
+
+def test_minhash_scales_to_20k_docs(spark):
+    """5k fixture docs replicated 4x (ids shifted): each replica keeps
+    its planted near-dup pairs, so the pair count must scale ~4x and
+    the run stays minutes-free."""
+    docs = load_table(spark, SF_BIG, "documents").select(
+        "doc_id", F.split(F.trim(F.lower("text")), " +").alias("t")
+    )
+    n = docs.count()
+    reps = spark.range(4).select(F.col("id").alias("rep"))
+    big = (
+        docs.crossJoin(reps)
+        .select((F.col("doc_id") + F.col("rep") * n).alias("doc_id"), "t")
+    )
+    shingled = big.filter(F.size("t") >= 3).select(
+        "doc_id", dedup.shingles_expr("t", 3).alias("sh")
+    )
+    t0 = time.perf_counter()
+    pairs = dedup.minhash_lsh_pairs(shingled, "doc_id", "sh", threshold=0.9)
+    got = pairs.count()
+    elapsed = time.perf_counter() - t0
+    base_pairs = dedup.minhash_lsh_pairs(
+        docs.filter(F.size("t") >= 3).select(
+            "doc_id", dedup.shingles_expr("t", 3).alias("sh")
+        ),
+        "doc_id",
+        "sh",
+        threshold=0.9,
+    ).count()
+    # replicas also pair ACROSS copies (identical docs); within-replica
+    # pairs alone give the 4x floor
+    assert got >= 4 * base_pairs, (got, base_pairs)
+    assert elapsed < 180, f"minhash at 20k docs too slow: {elapsed:.0f}s"
