@@ -394,3 +394,78 @@ def global_sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src.orderBy(
         F.col("etype").asc_nulls_first(), F.col("value").desc(), F.col("event_id").asc()
     ).limit(200)
+
+
+@register(
+    "statistical_moments",
+    description="Variance/stddev/correlation derived from exact decimal "
+    "power sums (Σx, Σx², Σxy) — order-independent cross-engine, unlike "
+    "native stddev/corr whose float accumulation order differs",
+    survey_ref="A1",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round((sxx - sx * sx / n) / (n - 1), 6) AS var_qty,
+       round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_qty,
+       round((sxy - sx * sy / n) / (n - 1), 4) AS cov_qty_price
+FROM s
+""",
+)
+def statistical_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    DEC = "decimal(38,6)"
+    q = F.col("l_quantity")
+    p = F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q.cast(DEC)).cast("double").alias("sx"),
+        F.sum((q * q).cast(DEC)).cast("double").alias("sxx"),
+        F.sum(p.cast(DEC)).cast("double").alias("sy"),
+        F.sum((q * p).cast(DEC)).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - 1)
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(var, 6).alias("var_qty"),
+        F.round(F.sqrt(var), 6).alias("stddev_qty"),
+        F.round(cov, 4).alias("cov_qty_price"),
+    )
+
+
+@register(
+    "rank_distributions",
+    description="percent_rank / cume_dist / dense_rank analytic windows "
+    "(rank-derived ratios are exact int divisions — cross-engine safe)",
+    survey_ref="W5",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+       dense_rank() OVER w AS dr,
+       percent_rank() OVER w AS pr,
+       cume_dist() OVER w AS cd
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.dense_rank().over(w).cast("long").alias("dr"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
