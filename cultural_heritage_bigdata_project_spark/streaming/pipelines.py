@@ -235,9 +235,14 @@ def foreach_batch_upsert_run(
     keys: list[str],
     order_desc: list[str],
     target_dir: str | None = None,
+    reset: bool = True,
 ) -> DataFrame:
     """T4+S12: continuous keyed last-write-wins upsert into a parquet
     table via ``foreachBatch``.
+
+    ``reset=False`` keeps an existing target + checkpoint so a later
+    invocation RESUMES from the committed offsets (T3 checkpoint
+    recovery): only files unseen by the previous run are processed.
 
     Per micro-batch: dedup the batch to its latest row per key
     (deterministic (order_desc) tiebreak), then conditional-upsert into
@@ -254,7 +259,8 @@ def foreach_batch_upsert_run(
         tempfile.gettempdir(), f"spark_graft_upsert_{uuid.uuid4().hex[:8]}"
     )
     data_dir = os.path.join(tdir, "data")
-    shutil.rmtree(tdir, ignore_errors=True)
+    if reset:
+        shutil.rmtree(tdir, ignore_errors=True)
     os.makedirs(tdir, exist_ok=True)
     order_cols = [F.col(c).desc() for c in order_desc]
     newer = F.struct(*[F.col(f"__ms.{c}") for c in order_desc]) > F.struct(
