@@ -182,3 +182,46 @@ def test_checkpoint_recovery_processes_only_new_files(spark, split_events_dir, t
     }
     got = {(r.user_id, r.event_id) for r in final.select("user_id", "event_id").collect()}
     assert got == expected
+
+
+def test_watermark_drops_late_data(spark, split_events_dir, tmp_path):
+    """T6 late-data semantics: with a tight watermark, an out-of-order
+    file arriving after the watermark advanced past its window is
+    DROPPED from append output (the reference's HWM pattern silently
+    re-ingests or loses such rows; here the semantics are explicit)."""
+    import shutil as _sh
+
+    src = str(tmp_path / "late_arrival")
+    os.makedirs(src)
+    splits = sorted(f for f in os.listdir(split_events_dir) if f.endswith(".parquet"))
+    # arrival order: oldest file LAST → by then the watermark sits at
+    # max(ts of later splits) - 1min, far past the old file's windows
+    order = splits[1:] + [splits[0]]
+    for i, f in enumerate(order):
+        _sh.copy(f"{split_events_dir}/{f}", f"{src}/arr_{i}.parquet")
+        time.sleep(1.1)
+    stream = streaming.events_stream(spark, src, max_files_per_trigger=1)
+    agg = streaming.tumbling_window_agg(stream, "6 hours", "1 minute")
+    emitted = streaming.run_to_memory(agg, output_mode="append").collect()
+    # counts for the earliest windows must MISS the late file's rows:
+    # compare against the full-batch result
+    full = {
+        (r.window_start_us, r.event_type): r.n_events
+        for r in streaming.run_to_memory(
+            streaming.tumbling_window_agg(
+                streaming.events_stream(spark, split_events_dir), "6 hours", "1 minute"
+            ),
+            output_mode="complete",
+        ).collect()
+    }
+    early_cut = min(k[0] for k in full)  # earliest window = late file territory
+    dropped_any = False
+    for r in emitted:
+        key = (r.window_start_us, r.event_type)
+        if r.window_start_us <= early_cut + 4 * 21_600_000_000:
+            if r.n_events < full.get(key, 0):
+                dropped_any = True
+    emitted_total = sum(r.n_events for r in emitted)
+    full_total = sum(full.values())
+    assert emitted_total < full_total, "late rows should be missing from append output"
+    assert dropped_any or emitted_total < full_total
