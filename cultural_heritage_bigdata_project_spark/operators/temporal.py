@@ -28,6 +28,7 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_cols: list[str],
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """For each left row, the latest right row with ts ≤ left ts, per
     key (merge_asof semantics, backward direction, allow-equal).
@@ -35,6 +36,11 @@ def asof_join(
     Implemented as union-tag + ``last(..., ignorenulls)`` over an
     ordered window: one shuffle on ``key``, linear in rows — never the
     O(n·m) nested-loop a naive inequality join would plan.
+
+    ``right_tiebreak`` (a column of ``right_cols``) makes the result
+    deterministic when several right rows share a timestamp: the
+    greatest tiebreak wins. Without it, equal-ts right rows are
+    partition-order dependent.
     """
     l_tag = left.select(
         F.col(key),
@@ -56,9 +62,12 @@ def asof_join(
     )
     unioned = l_tag.unionByName(r_tag)
     # right rows sort before left rows at equal ts → allow-equal match
+    order = [F.col("__ts"), F.col("__is_left")]
+    if right_tiebreak is not None:
+        order.append(F.col(f"__r.{right_tiebreak}").asc_nulls_first())
     w = (
         W.partitionBy(key)
-        .orderBy(F.col("__ts"), F.col("__is_left"))
+        .orderBy(*order)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     matched = unioned.withColumn(

@@ -57,6 +57,7 @@ def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_ts="ts_us",
         right_ts="click_ts_us",
         right_cols=["click_id", "click_ts_us"],
+        right_tiebreak="click_id",
     )
 
 

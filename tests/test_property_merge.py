@@ -131,3 +131,63 @@ def test_canonical_components_matches_union_find(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     expected = {n: min(m for m in nodes if find(m) == find(n)) for n in nodes}
     assert labels == expected
+
+
+# ids unique by construction: duplicate ids would make Spark's
+# dropDuplicates pick an arbitrary row vs the Python reference
+TS_ROWS = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 20), st.integers(0, 99)),
+    max_size=10,
+    unique_by=lambda r: r[2],
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(left=TS_ROWS, right=TS_ROWS)
+def test_asof_join_matches_reference(spark, left, right):
+    """asof_join vs python reference: per left row, the right row with
+    the greatest (ts, id) among ts <= left ts, same key."""
+    from cultural_heritage_bigdata_project_spark.operators import temporal
+
+    ldf = spark.createDataFrame(
+        [(k, t, i) for k, t, i in left] or [(0, 0, 0)], "k int, lts int, lid int"
+    )
+    if not left:
+        ldf = ldf.filter("k <> k")
+    rdf = spark.createDataFrame(
+        [(k, t, i) for k, t, i in right] or [(0, 0, 0)], "k int, rts int, rid int"
+    )
+    if not right:
+        rdf = rdf.filter("k <> k")
+    out = temporal.asof_join(
+        ldf, rdf, key="k", left_ts="lts", right_ts="rts",
+        right_cols=["rid", "rts"], right_tiebreak="rid",
+    )
+    got = {(r.k, r.lts, r.lid): (r.asof_rid, r.asof_rts) for r in out.collect()}
+    expected = {}
+    for k, lts, lid in left:
+        cands = [(rts, rid) for rk, rts, rid in right if rk == k and rts <= lts]
+        expected[(k, lts, lid)] = (
+            (max(cands)[1], max(cands)[0]) if cands else (None, None)
+        )
+    assert got == expected
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=TS_ROWS)
+def test_range_join_matches_brute_force(spark, rows):
+    from cultural_heritage_bigdata_project_spark.operators import temporal
+
+    df = spark.createDataFrame(
+        [(k, t, i) for k, t, i in rows] or [(0, 0, 0)], "k int, ts int, id int"
+    )
+    if not rows:
+        df = df.filter("k <> k")
+    out = temporal.range_join_pairs(df, key="k", ts_us_col="ts", id_col="id", max_delta_us=5)
+    got = {(r.a_id, r.b_id, r.delta_us) for r in out.collect()}
+    expected = set()
+    for ka, ta, ia in rows:
+        for kb, tb, ib in rows:
+            if ka == kb and 0 < tb - ta <= 5:
+                expected.add((ia, ib, tb - ta))
+    assert got == expected
