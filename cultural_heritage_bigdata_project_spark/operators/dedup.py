@@ -19,14 +19,46 @@ Scale shapes:
   component fixpoint (deterministic replacement for the reference's
   order-dependent first-seen rule; SURVEY.md §7 hard-list #2).
 
-All token/hash work is built-in expressions (xxhash64, transform,
-aggregate) — no Python in the hot path.
+All token/hash work is built-in expressions (xxhash64/md5, transform,
+aggregate) — no Python in the hot path. MinHash/SimHash accept a
+``hash_family``: "xxhash64" (fast JVM default) or "md5-portable"
+(every hash derived from md5 hex digits, reproducible in any engine
+with md5 — the catalog queries use it so the DuckDB oracle replays
+the exact candidate sets). Candidate generators take an optional
+``max_bucket`` hot-bucket cap (df-pruning) with drop counts published
+via ``pyspark.sql.Observation``.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.observation import Observation
+
+# ------------------------------------------------- portable hash family
+#
+# xxhash64 is the fast JVM-side default, but it exists only in Spark.
+# The "md5-portable" family derives every hash from md5 hex digits, so
+# any engine with md5 (DuckDB, Postgres, Trino) reproduces the exact
+# candidate sets — that is what lets the driver hash-check the MinHash
+# and SimHash queries instead of a rows-only pass. Cost: md5 is ~2-4x
+# xxhash64 per call; both families share every other stage.
+
+
+def _md5_hash31_sql(expr: str, half: int) -> str:
+    """31-bit hash from md5 hex chars [1..8] (half=0) or [9..16] (half=1):
+    one md5 per input yields two independent Kirsch-Mitzenmacher bases.
+    DuckDB equivalent: ('0x'||substr(md5(x),{start},8))::BIGINT & 2147483647.
+    """
+    start = 1 + 8 * half
+    return f"(cast(conv(substr({expr}, {start}, 8), 16, 10) as bigint) & 2147483647)"
+
+
+def md5_hash60_sql(expr: str) -> str:
+    """60-bit hash from the first 15 md5 hex chars (fits a signed long).
+    DuckDB equivalent: ('0x'||substr(md5(x),1,15))::BIGINT."""
+    return f"cast(conv(substr(md5({expr}), 1, 15), 16, 10) as bigint)"
+
 
 # --------------------------------------------------------------- shingles
 
@@ -45,7 +77,11 @@ def shingles_expr(token_col: str, n: int = 3) -> Column:
 
 
 def _bucket_pair_occurrences(
-    keyed: DataFrame, key_cols: list[str], id_col: str
+    keyed: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    max_bucket: int | None = None,
+    observation: Observation | None = None,
 ) -> DataFrame:
     """All (a_id < b_id) pairs co-occurring in a bucket, one output row
     per co-occurrence (NOT distinct).
@@ -53,16 +89,37 @@ def _bucket_pair_occurrences(
     One groupBy + an in-bucket combination expansion. Compared to the
     textbook self-join on the bucket key this evaluates the upstream
     lineage ONCE (a self-join re-executes the signature/shingle stage
-    per side) and shuffles each id once per bucket membership. Bucket
-    sizes are assumed moderate (shingle/band buckets); a hot bucket
-    expands quadratically inside one task — cap upstream (frequency
-    pruning) if a corpus has degenerate buckets.
+    per side) and shuffles each id once per bucket membership.
+
+    ``max_bucket`` is the hot-bucket guard: a bucket with k members
+    expands to k(k-1)/2 structs inside ONE task, so a degenerate key
+    (a stop-shingle, an all-identical corpus) can OOM an executor.
+    With a cap, buckets above it are dropped before expansion — the
+    standard document-frequency pruning of inverted indexes (a shingle
+    shared by thousands of docs carries no near-dup signal anyway).
+    Dropped-bucket/member counts are published through ``observation``
+    (``pyspark.sql.Observation``) so callers can log them without an
+    extra job. Exact operators keep the default ``None``; at corpus
+    scale pass a cap (typical 2-5x the expected duplicate-cluster
+    size).
     """
     buckets = (
         keyed.groupBy(*key_cols)
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
+    if max_bucket is not None:
+        if observation is not None:
+            buckets = buckets.observe(
+                observation,
+                F.sum((F.size("ids") > max_bucket).cast("long")).alias(
+                    "dropped_buckets"
+                ),
+                F.sum(
+                    F.when(F.size("ids") > max_bucket, F.size("ids")).otherwise(0)
+                ).alias("dropped_members"),
+            )
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
     pair = F.explode(
         F.expr(
             "flatten(transform(ids, (x, i) ->"
@@ -102,11 +159,20 @@ def jaccard_pairs(
     shingle_col: str,
     threshold: float,
     round_digits: int | None = 6,
+    max_bucket: int | None = None,
+    observation: Observation | None = None,
 ) -> DataFrame:
     """Near-dup pairs by n-gram-set Jaccard ≥ threshold — exact, via an
     inverted-index candidate join (pairs must share ≥1 shingle), so the
     plan is explode → shuffle on shingle → pair-distinct → verify.
     No cross join; candidate count ≈ near-dup count on real corpora.
+
+    ``max_bucket`` (off by default: exact semantics) document-frequency-
+    prunes hot shingle buckets before pair expansion — see
+    ``_bucket_pair_occurrences``. With a cap the result can MISS pairs
+    whose only shared shingles are ultra-common; the intersection count
+    (and so the Jaccard value) of surviving pairs also excludes pruned
+    shingles, which is the standard df-pruned approximation.
     """
     # Repartition first: small corpora often arrive as one file → one
     # partition, and the explode/hash fan-out below must not run on a
@@ -131,7 +197,9 @@ def jaccard_pairs(
     # counting pair occurrences gives the intersection size — no second
     # pass over the shingle arrays.
     shared = (
-        _bucket_pair_occurrences(ex, ["__sh"], id_col)
+        _bucket_pair_occurrences(
+            ex, ["__sh"], id_col, max_bucket=max_bucket, observation=observation
+        )
         .groupBy("a_id", "b_id")
         .agg(F.count(F.lit(1)).alias("__shared"))
     )
@@ -181,6 +249,9 @@ def minhash_lsh_pairs(
     n_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.6,
+    hash_family: str = "xxhash64",
+    max_bucket: int | None = None,
+    observation: Observation | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup candidates, verified with exact
     Jaccard ≥ threshold.
@@ -189,46 +260,93 @@ def minhash_lsh_pairs(
     are caught w.h.p., pairs below 0.4 mostly skipped. Shuffle volume
     is bands × n_rows band keys — sub-quadratic; the exact verify runs
     only on candidates.
+
+    ``hash_family``: "xxhash64" (fast JVM default) or "md5-portable"
+    (hashes + band keys derived from md5 hex digits → any md5-capable
+    engine reproduces the exact candidate set; this is what the DuckDB
+    oracle for the catalog query replays). ``max_bucket`` df-prunes hot
+    band buckets (see ``_bucket_pair_occurrences``) — off by default so
+    the oracle can replay candidate generation exactly.
     """
+    if hash_family not in ("xxhash64", "md5-portable"):
+        raise ValueError(f"unknown hash_family {hash_family!r}")
     rows = n_hashes // bands
+    par = df.sparkSession.sparkContext.defaultParallelism
     # the shingled input feeds the signature AND both verify sides —
     # checkpoint once (also spreads single-file inputs, see below)
-    df = df.repartition(
-        df.sparkSession.sparkContext.defaultParallelism
-    ).localCheckpoint(eager=False)
-    hashed = df.select(
-        F.col(id_col),
-        F.col(shingle_col),
-        F.expr(f"transform({shingle_col}, s -> xxhash64(42, s) & 2147483647)").alias(
-            "__h1"
-        ),
-        F.expr(f"transform({shingle_col}, s -> xxhash64(43, s) & 2147483647)").alias(
-            "__h2"
-        ),
-    )
-    # The repartition is a real barrier, not just parallelism: without
-    # an exchange between the string-hash projection and the signature
-    # projection, CollapseProject inlines __h1/__h2 into the per-i
-    # lambda and re-hashes every shingle string n_hashes times
-    # (measured 6x slower). It also spreads single-file inputs across
+    df = df.repartition(par).localCheckpoint(eager=False)
+    # The repartitions below are real barriers, not just parallelism:
+    # without an exchange between the string-hash projection and the
+    # signature projection, CollapseProject inlines __h1/__h2 into the
+    # per-i lambda and re-hashes every shingle string n_hashes times
+    # (measured 6x slower). They also spread single-file inputs across
     # cores.
-    hashed = hashed.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    if hash_family == "md5-portable":
+        # one md5 per shingle; both 31-bit KM bases are substrings of it
+        md5ed = df.select(
+            F.col(id_col),
+            F.col(shingle_col),
+            F.expr(f"transform({shingle_col}, s -> md5(s))").alias("__m"),
+        ).repartition(par)
+        hashed = md5ed.select(
+            F.col(id_col),
+            F.col(shingle_col),
+            F.expr(
+                f"transform(__m, m -> {_md5_hash31_sql('m', 0)})"
+            ).alias("__h1"),
+            F.expr(
+                f"transform(__m, m -> {_md5_hash31_sql('m', 1)})"
+            ).alias("__h2"),
+        )
+    else:
+        hashed = df.select(
+            F.col(id_col),
+            F.col(shingle_col),
+            F.expr(
+                f"transform({shingle_col}, s -> xxhash64(42, s) & 2147483647)"
+            ).alias("__h1"),
+            F.expr(
+                f"transform({shingle_col}, s -> xxhash64(43, s) & 2147483647)"
+            ).alias("__h2"),
+        )
+    hashed = hashed.repartition(par)
     sig = hashed.select(
         F.col(id_col),
         F.col(shingle_col),
         minhash_signature("__h1", "__h2", n_hashes).alias("__sig"),
     )
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.hash(F.slice("__sig", b * rows + 1, rows)).alias("bkey"),
-        )
-        for b in range(bands)
-    ]
+    if hash_family == "md5-portable":
+        # band key = md5 of the comma-joined minhash values — DuckDB:
+        # md5(string_agg(m::VARCHAR, ',' ORDER BY i)) per (doc, band)
+        band_structs = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at("__sig", b * rows + j + 1).cast("string")
+                            for j in range(rows)
+                        ],
+                    )
+                ).alias("bkey"),
+            )
+            for b in range(bands)
+        ]
+    else:
+        band_structs = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.hash(F.slice("__sig", b * rows + 1, rows)).cast("string").alias("bkey"),
+            )
+            for b in range(bands)
+        ]
     keyed = sig.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bs")
     ).select(id_col, "bs.band", "bs.bkey")
-    cand = _bucket_pair_occurrences(keyed, ["band", "bkey"], id_col).distinct()
+    cand = _bucket_pair_occurrences(
+        keyed, ["band", "bkey"], id_col, max_bucket=max_bucket, observation=observation
+    ).distinct()
     sa = df.select(F.col(id_col).alias("a_id"), F.col(shingle_col).alias("a_sh"))
     sb = df.select(F.col(id_col).alias("b_id"), F.col(shingle_col).alias("b_sh"))
     jac = F.round(
@@ -248,18 +366,19 @@ def minhash_lsh_pairs(
 # ------------------------------------------------------------- SimHash
 
 
-def simhash64(hash_col: str) -> Column:
-    """64-bit SimHash over a PRE-HASHED token column (array<long>):
-    per bit position, sign of the ±1 vote sum across token hashes.
+def simhash_bits(hash_col: str, n_bits: int = 64) -> Column:
+    """``n_bits``-bit SimHash over a PRE-HASHED token column
+    (array<long>): per bit position, sign of the ±1 vote sum across
+    token hashes.
 
     Takes hashes, not tokens, for the same reason as
     ``minhash_signature``: the per-bit lambda is interpreted, so
-    hashing strings inside it would hash every token 64 times.
+    hashing strings inside it would hash every token n_bits times.
     """
     return F.expr(
         f"""
         aggregate(
-          sequence(0, 63),
+          sequence(0, {n_bits - 1}),
           0L,
           (acc, i) -> acc + CASE WHEN
             aggregate({hash_col},
@@ -269,6 +388,11 @@ def simhash64(hash_col: str) -> Column:
             THEN shiftleft(1L, i) ELSE 0L END)
         """
     )
+
+
+def simhash64(hash_col: str) -> Column:
+    """64-bit SimHash (back-compat alias for ``simhash_bits``)."""
+    return simhash_bits(hash_col, 64)
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -282,29 +406,45 @@ def simhash_pairs(
     id_col: str,
     token_col: str,
     max_hamming: int = 3,
+    hash_family: str = "xxhash64",
+    max_bucket: int | None = None,
+    observation: Observation | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming — exact.
 
-    Candidate generation: the 64-bit signature is split into
+    Candidate generation: the signature is split into
     ``max_hamming + 1`` chunks; by pigeonhole any pair within Hamming ≤
     max_hamming differs in at most max_hamming chunks, so at least one
     chunk matches exactly → equi-join on (chunk_index, chunk_value)
     generates a complete candidate set, then the true Hamming distance
     verifies. Shuffle on chunk keys only; no cross join. (This is the
     classic 64-bit/k=3 SimHash dedup operating point.)
+
+    ``hash_family``: "xxhash64" → 64-bit signatures (fast default);
+    "md5-portable" → 60-bit signatures from the first 15 md5 hex chars
+    of each token, so the DuckDB oracle re-derives identical signatures
+    (60 = 4 chunks x 15 bits keeps the pigeonhole guarantee).
+    ``max_bucket`` caps hot chunk buckets; capping can drop pairs whose
+    only matching chunk is hot, so the exact/oracle mode leaves it off.
     """
+    if hash_family not in ("xxhash64", "md5-portable"):
+        raise ValueError(f"unknown hash_family {hash_family!r}")
+    n_bits = 60 if hash_family == "md5-portable" else 64
     n_chunks = max_hamming + 1
-    width = 64 // n_chunks
+    width = n_bits // n_chunks
     mask = (1 << width) - 1
+    token_hash = (
+        md5_hash60_sql("t") if hash_family == "md5-portable" else "xxhash64(t)"
+    )
     hashed = df.select(
         F.col(id_col),
-        F.expr(f"transform({token_col}, t -> xxhash64(t))").alias("__th"),
+        F.expr(f"transform({token_col}, t -> {token_hash})").alias("__th"),
     )
     # barrier: prevents CollapseProject from inlining the string-hash
-    # transform into the 64-bit vote loop, and spreads single-file
+    # transform into the per-bit vote loop, and spreads single-file
     # inputs across cores (same rationale as minhash_lsh_pairs)
     hashed = hashed.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    sig = hashed.select(F.col(id_col), simhash64("__th").alias("__sim"))
+    sig = hashed.select(F.col(id_col), simhash_bits("__th", n_bits).alias("__sim"))
     chunks = [
         F.struct(
             F.lit(c).alias("chunk"),
@@ -326,6 +466,18 @@ def simhash_pairs(
         )
         .filter(F.size("ms") >= 2)
     )
+    if max_bucket is not None:
+        if observation is not None:
+            buckets = buckets.observe(
+                observation,
+                F.sum((F.size("ms") > max_bucket).cast("long")).alias(
+                    "dropped_buckets"
+                ),
+                F.sum(
+                    F.when(F.size("ms") > max_bucket, F.size("ms")).otherwise(0)
+                ).alias("dropped_members"),
+            )
+        buckets = buckets.filter(F.size("ms") <= max_bucket)
     pair = F.explode(
         F.expr(
             "flatten(transform(ms, (x, i) ->"
@@ -378,6 +530,7 @@ def canonical_components(
     sym = sym.localCheckpoint(eager=True)
     labels = labels.localCheckpoint(eager=True)
     prev_sum = labels.agg(F.sum("label")).first()[0]
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.node)
@@ -400,6 +553,20 @@ def canonical_components(
         new_sum = new_labels.agg(F.sum("label")).first()[0]
         labels = new_labels
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # partially-propagated labels are silently WRONG canonical ids;
+        # surface it instead of returning them as if converged
+        import warnings
+
+        warnings.warn(
+            f"canonical_components did not reach its fixpoint within "
+            f"max_iter={max_iter} rounds (component diameter exceeds the "
+            f"budget); canonical_id values may be partial. Raise max_iter "
+            f"or pre-contract the graph.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("canonical_id"))

@@ -72,22 +72,42 @@ def decode_metadata(df_with_payload: DataFrame) -> DataFrame:
 
 def hash_projection_embedder(dim: int = 64) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
     """Deterministic text embedder (M1 test stand-in): projects token
-    hashes onto ``dim`` buckets, L2-normalized. Loads no model; the
-    real CLIP path plugs in with the same mapInPandas shape."""
-    import zlib
+    hashes onto ``dim`` buckets (signed feature hashing), L2-normalized.
+    Loads no model; the real CLIP path plugs in with the same
+    mapInPandas shape.
+
+    Token hash = first 8 md5 hex chars (NOT Python ``hash()``, which is
+    process-salted): any md5-capable engine re-derives the identical
+    embedding — DuckDB replays it as
+    ``('0x'||substr(md5(tok),1,8))::BIGINT`` with bucket ``h % dim`` and
+    sign ``(h >> 16) & 1`` — which is what lets the catalog query be
+    hash-checked end-to-end. Tokenization is a plain single-space split
+    (keeping empty tokens), matching SQL ``string_split(text, ' ')``
+    exactly. Bucket sums are small integers, so normalization divides
+    bit-identical doubles on every engine.
+    """
+    import hashlib
 
     import numpy as np
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, tuple[int, float]] = {}
+
+        def tok_hash(tok: str) -> tuple[int, float]:
+            hit = cache.get(tok)
+            if hit is None:
+                h = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:8], 16)
+                hit = (h % dim, 1.0 if (h >> 16) & 1 else -1.0)
+                cache[tok] = hit
+            return hit
+
         for pdf in batches:
             vecs = []
             for text in pdf["text"]:
                 v = np.zeros(dim, dtype=np.float64)
-                for tok in str(text).split():
-                    # crc32, not hash(): Python string hashing is
-                    # process-salted and would break determinism
-                    h = zlib.crc32(tok.encode("utf-8"))
-                    v[h % dim] += 1.0 if (h >> 16) & 1 else -1.0
+                for tok in str(text).split(" "):
+                    b, s = tok_hash(tok)
+                    v[b] += s
                 norm = np.linalg.norm(v)
                 vecs.append((v / norm if norm else v).tolist())
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "embedding": vecs})

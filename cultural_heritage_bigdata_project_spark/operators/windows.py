@@ -53,16 +53,35 @@ def keyset_page(df: DataFrame, key: str, last_key, page_size: int) -> DataFrame:
     return out.orderBy(F.col(key).asc()).limit(page_size)
 
 
-def seeded_random_page(df: DataFrame, seed: int, page: int, page_size: int) -> DataFrame:
-    """W2: stable-under-seed random ordering with OFFSET-style paging
-    (app.py:119-149). Spec is "stable given a fixed seed", not a value
-    match with Postgres ``setseed`` (SURVEY.md §7 hard-list #4)."""
-    w = W.orderBy(F.col("__r"), *[F.col(c) for c in df.columns])
+def seeded_random_page(
+    df: DataFrame,
+    seed: int,
+    page: int,
+    page_size: int,
+    key_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """W2: stable-under-seed pseudo-random ordering with OFFSET-style
+    paging (app.py:119-149). Spec is "stable given a fixed seed", not a
+    value match with Postgres ``setseed`` (SURVEY.md §7 hard-list #4).
+
+    The shuffle key is ``md5(seed \\x1f key-columns)`` — derived from
+    DATA, not from ``F.rand(seed)``, which is seeded per-partition and
+    therefore only stable if the input's partition layout never changes
+    (a different core count or file split would silently reorder
+    pages). A data-derived key is partition-independent, reproducible
+    across engines (md5 is everywhere), and still uniform per seed.
+    """
+    cols = list(key_cols) if key_cols else list(df.columns)
+    okey = F.md5(
+        F.concat_ws(
+            "\x1f", F.lit(str(seed)), *[F.col(c).cast("string") for c in cols]
+        )
+    )
+    w = W.orderBy(okey, *[F.col(c) for c in cols])
     return (
-        df.withColumn("__r", F.rand(seed))
-        .withColumn("__rn", F.row_number().over(w))
+        df.withColumn("__rn", F.row_number().over(w))
         .filter(
             (F.col("__rn") > page * page_size) & (F.col("__rn") <= (page + 1) * page_size)
         )
-        .drop("__r", "__rn")
+        .drop("__rn")
     )

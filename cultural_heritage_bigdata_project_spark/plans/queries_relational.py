@@ -613,17 +613,27 @@ def keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "seeded_random_page",
-    description="W2 seeded-random pagination (ref app.py:119-149). Spec is "
-    "stability under a fixed seed, not value-parity with Postgres setseed "
-    "(SURVEY.md §7) → rows-only driver check; stability asserted in tests.",
+    description="W2 seeded-random pagination (ref app.py:119-149): page "
+    "order = md5(seed || key) — data-derived, so it is stable across "
+    "partition layouts/core counts (F.rand(seed) is not) and replayable "
+    "by any md5-capable engine, which makes the page hash-checkable.",
     survey_ref="W2",
-    oracle=None,
+    oracle="""
+SELECT c_custkey, c_name FROM (
+  SELECT c_custkey, c_name,
+         row_number() OVER (
+           ORDER BY md5('42' || chr(31) || CAST(c_custkey AS VARCHAR)),
+                    c_custkey
+         ) AS rn
+  FROM customer
+) WHERE rn > 20 AND rn <= 40
+""",
 )
 def seeded_random_page(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer")
-    return windows.seeded_random_page(c, seed=42, page=1, page_size=20).select(
-        "c_custkey", "c_name"
-    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return windows.seeded_random_page(
+        c, seed=42, page=1, page_size=20, key_cols=["c_custkey"]
+    ).select("c_custkey", "c_name")
 
 
 # =================================================================

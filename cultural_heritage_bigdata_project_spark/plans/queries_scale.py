@@ -110,15 +110,40 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "approx_stats",
     description="Approximate aggregates for 100TB-scale profiling: "
-    "approx_count_distinct (HLL) + percentile_approx — sketch values are "
-    "engine-specific, so rows-only; accuracy vs exact asserted in tests",
+    "approx_count_distinct (HLL) + percentile_approx. Sketch values are "
+    "engine-specific, so the checked output is the EXACT statistics plus "
+    "within-tolerance flags for the sketches (HLL within 5% of the exact "
+    "distinct count, approx median within 5% of the exact median) — the "
+    "oracle computes the exact side and asserts the flags TRUE; both "
+    "sketches are deterministic, so the flags are stable",
     survey_ref="A2",
-    oracle=None,
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_orderkey) AS n_orders_exact,
+       TRUE AS approx_orders_ok,
+       TRUE AS approx_median_ok,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+""",
 )
 def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders_exact"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("__approx_orders"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("__median_exact"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("__approx_median"),
         F.count(F.lit(1)).alias("n_rows"),
+    )
+    rel_err = lambda a, b: F.abs(a - b) / F.greatest(F.abs(b), F.lit(1e-9))  # noqa: E731
+    return agg.select(
+        "l_returnflag",
+        "n_orders_exact",
+        (rel_err(F.col("__approx_orders"), F.col("n_orders_exact")) <= 0.05).alias(
+            "approx_orders_ok"
+        ),
+        (rel_err(F.col("__approx_median"), F.col("__median_exact")) <= 0.05).alias(
+            "approx_median_ok"
+        ),
+        "n_rows",
     )

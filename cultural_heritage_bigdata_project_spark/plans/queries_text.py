@@ -169,10 +169,44 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "minhash_lsh_dedup",
     description="MinHash(64)+LSH(16 bands) near-dup candidates verified "
-    "with exact Jaccard >= 0.6 — sub-quadratic scale path; xxhash64-based "
-    "so no SQL oracle (recall vs exact pairs asserted in tests)",
+    "with exact Jaccard >= 0.6 — sub-quadratic scale path. md5-portable "
+    "hash family: the oracle re-derives the SAME signatures, band keys "
+    "and candidate set in SQL, so the full LSH pipeline is hash-checked",
     survey_ref="M3,J9",
-    oracle=None,
+    oracle="""
+WITH d AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+), s AS (
+  SELECT doc_id,
+         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        for i in range(1, greatest(len(t) - 1, 1))]) AS sh
+  FROM d WHERE len(t) >= 3
+), ex AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM s
+), h AS (
+  SELECT doc_id,
+         ('0x'||substr(md5(shingle),1,8))::BIGINT & 2147483647 AS h1,
+         ('0x'||substr(md5(shingle),9,8))::BIGINT & 2147483647 AS h2
+  FROM ex
+), sig AS (
+  SELECT doc_id, i.i AS i, min(h1 + i.i * h2) AS m
+  FROM h, range(64) i(i) GROUP BY doc_id, i.i
+), band AS (
+  SELECT doc_id, i // 4 AS band,
+         md5(string_agg(m::VARCHAR, ',' ORDER BY i)) AS bkey
+  FROM sig GROUP BY doc_id, i // 4
+), cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM band a JOIN band b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT c.a_id, c.b_id,
+       round(len(list_intersect(sa.sh, sb.sh)) * 1.0
+             / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+FROM cand c JOIN s sa ON c.a_id = sa.doc_id JOIN s sb ON c.b_id = sb.doc_id
+WHERE round(len(list_intersect(sa.sh, sb.sh)) * 1.0
+            / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) >= 0.6
+""",
 )
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_parallel(spark, sf_dir).select(
@@ -182,23 +216,56 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", dedup.shingles_expr("t", 3).alias("sh")
     )
     return dedup.minhash_lsh_pairs(
-        docs, "doc_id", "sh", n_hashes=64, bands=16, threshold=0.6
+        docs,
+        "doc_id",
+        "sh",
+        n_hashes=64,
+        bands=16,
+        threshold=0.6,
+        hash_family="md5-portable",
     )
 
 
 @register(
     "simhash_dedup",
-    description="SimHash(64-bit) near-dup pairs, Hamming <= 3 (complete by "
-    "pigeonhole chunking) — xxhash64-based, rows-only (completeness vs "
-    "brute-force signatures asserted in tests)",
+    description="SimHash near-dup pairs, Hamming <= 3, complete by "
+    "pigeonhole chunking (4 chunks x 15 bits). md5-portable 60-bit "
+    "signatures: the oracle re-derives identical signatures and the "
+    "same chunk-join candidate set in SQL",
     survey_ref="M3",
-    oracle=None,
+    oracle="""
+WITH d AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+), tok AS (
+  SELECT doc_id, unnest(t) AS token FROM d
+), th AS (
+  SELECT doc_id, ('0x'||substr(md5(token),1,15))::BIGINT AS h FROM tok
+), vote AS (
+  SELECT doc_id, b.b AS b,
+         CASE WHEN sum(CASE WHEN ((h >> b.b) & 1) = 1 THEN 1 ELSE -1 END) >= 0
+              THEN 1::BIGINT << b.b ELSE 0 END AS bit
+  FROM th, range(60) b(b) GROUP BY doc_id, b.b
+), sig AS (
+  SELECT doc_id, sum(bit)::BIGINT AS sim FROM vote GROUP BY doc_id
+), chunk AS (
+  SELECT doc_id, sim, c.c AS c, (sim >> (c.c * 15)) & 32767 AS ckey
+  FROM sig, range(4) c(c)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, a.sim AS a_sim, b.doc_id AS b_id, b.sim AS b_sim
+  FROM chunk a JOIN chunk b
+    ON a.c = b.c AND a.ckey = b.ckey AND a.doc_id < b.doc_id
+)
+SELECT a_id, b_id, CAST(bit_count(xor(a_sim, b_sim)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(a_sim, b_sim)) <= 3
+""",
 )
 def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_parallel(spark, sf_dir).select(
         "doc_id", F.split(F.trim(F.lower("text")), " +").alias("t")
     )
-    return dedup.simhash_pairs(docs, "doc_id", "t", max_hamming=3)
+    return dedup.simhash_pairs(
+        docs, "doc_id", "t", max_hamming=3, hash_family="md5-portable"
+    )
 
 
 @register(

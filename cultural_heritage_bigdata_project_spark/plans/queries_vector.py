@@ -250,12 +250,41 @@ def vector_concat_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "hash_embed_knn",
-    description="M1 embedding-stage plumbing: deterministic hash-projection "
-    "embedder over documents via mapInPandas (model-per-executor shape), "
-    "then exact top-5 cosine vs doc_id=0 (rows-only: embedder is "
-    "Python-side)",
+    description="M1 embedding-stage plumbing: deterministic md5 "
+    "feature-hashing embedder over documents via mapInPandas "
+    "(model-per-executor shape), then exact top-5 cosine vs doc_id=0 — "
+    "the oracle re-derives the embeddings bucket-by-bucket in SQL, so "
+    "the Python embedding stage is hash-checked end-to-end",
     survey_ref="M1,U2,J8",
-    oracle=None,
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+), h AS (
+  SELECT doc_id, ('0x'||substr(md5(t),1,8))::BIGINT AS hv FROM tok
+), contrib AS (
+  SELECT doc_id, (hv % 64)::INT AS bucket,
+         CASE WHEN ((hv >> 16) & 1) = 1 THEN 1.0 ELSE -1.0 END AS w
+  FROM h
+), vec AS (
+  SELECT doc_id, bucket, sum(w) AS v FROM contrib GROUP BY doc_id, bucket
+), nrm AS (
+  SELECT doc_id, sqrt(sum(v * v)) AS n FROM vec GROUP BY doc_id
+), dims AS (
+  SELECT doc.doc_id, dd.d AS d, coalesce(vec.v, 0.0) AS v
+  FROM (SELECT doc_id FROM documents) doc
+  CROSS JOIN range(64) dd(d)
+  LEFT JOIN vec ON vec.doc_id = doc.doc_id AND vec.bucket = dd.d
+), arr AS (
+  SELECT dims.doc_id, list(dims.v / nrm.n ORDER BY dims.d) AS e
+  FROM dims JOIN nrm ON nrm.doc_id = dims.doc_id
+  GROUP BY dims.doc_id
+)
+SELECT a.doc_id, round(list_dot_product(a.e, q.e), 6) AS cosine_sim
+FROM arr a, (SELECT e FROM arr WHERE doc_id = 0) q(e)
+WHERE a.doc_id <> 0
+ORDER BY cosine_sim DESC, a.doc_id ASC
+LIMIT 5
+""",
 )
 def hash_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import multimodal

@@ -42,22 +42,29 @@ def test_simhash_complete_vs_brute_force(spark):
     """The chunk-join candidate generation must be COMPLETE: exactly the
     pairs with true Hamming <= 3, verified by brute-force comparison of
     all signatures."""
-    docs = load_table(spark, SF_DIR, "documents").select(
-        "doc_id", F.split(F.trim(F.lower("text")), " +").alias("t")
-    )
-    hashed = docs.select(
-        "doc_id", F.expr("transform(t, x -> xxhash64(x))").alias("__th")
-    )
-    sigs = {
-        r.doc_id: r.s
-        for r in hashed.select("doc_id", dedup.simhash64("__th").alias("s")).collect()
-    }
+    import hashlib
+    import re
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+
+    # independent pure-Python replay of the md5-portable 60-bit family
+    # used by the catalog query (hash_family="md5-portable")
+    def sig60(text: str) -> int:
+        toks = re.split(" +", text.strip().lower())
+        votes = [0] * 60
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            for b in range(60):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        return sum(1 << b for b in range(60) if votes[b] >= 0)
+
+    sigs = {r.doc_id: sig60(r.text) for r in docs}
     ids = sorted(sigs)
     expected = {
         (a, b)
         for i, a in enumerate(ids)
         for b in ids[i + 1 :]
-        if bin((sigs[a] ^ sigs[b]) & 0xFFFFFFFFFFFFFFFF).count("1") <= 3
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
     }
     got = _pairs(CATALOG["simhash_dedup"].fn(spark, SF_DIR))
     assert got == expected, (
