@@ -1,0 +1,413 @@
+"""Digest bundles: driver-slot consolidation for the correctness gate.
+
+The round-1 driver checked exactly the first 50 ``queries()`` entries
+(CORRECTNESS_r01.json), leaving 42 of 92 catalog queries unverified.
+Rather than drop coverage, cheap single-operator queries are *bundled*:
+each bundle runs every member query and reduces it to one row of
+
+    (part: string, n_rows: bigint, digest: bigint)
+
+where ``digest`` is the order-insensitive sum of a 40-bit portable
+row hash (first 15 hex chars of md5 over a canonical serialization,
+masked so a 64-bit sum cannot overflow). The DuckDB oracle replays the
+identical serialization + hash over the member's oracle SQL, so a
+single flipped value anywhere in any member's full result set flips
+the bundle digest — the verification strength of the per-query hash
+check is preserved while 55 queries occupy 11 driver slots.
+
+Canonical serialization (identical on both engines, columns sorted by
+name, chr(31) separator, chr(30) NULL sentinel):
+
+- doubles  -> ``cast(x * 1e6 as bigint)`` (truncation toward zero).
+  Both engines run the same IEEE multiply on bit-identical inputs, so
+  the result is deterministic; values are bounded well inside the
+  long range at every test SF (checked in tests/test_digests.py).
+- everything else (string/int/bigint/boolean) -> plain varchar cast.
+
+The member queries themselves remain registered in ``CATALOG`` (the
+per-part parity test still compares each against its own oracle); only
+the public ``catalog_queries()`` / ``catalog_oracles()`` view folds
+them into bundles.
+
+Scale note: a bundle is a UNION ALL of independent single-row
+aggregates — each member keeps its own (already reviewed) distributed
+plan, and the digest adds one map-side projection + a scalar agg, no
+extra shuffle.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SEP = "\x1f"  # chr(31) unit separator
+NUL = "\x1e"  # chr(30) NULL sentinel
+MASK = (1 << 40) - 1  # 40-bit row hash => sum of ~8M rows fits a long
+
+# digest bundle name -> member catalog-query names (registration names)
+GROUPS: dict[str, list[str]] = {
+    "rel_core_digest": [
+        "region_revenue",
+        "countdistinct_audit",
+        "cleanse_normalize_dedup",
+        "hwm_incremental",
+        "null_or_newer",
+    ],
+    "join_set_digest": [
+        "top_revenue_orders",
+        "semi_join_hot_orders",
+        "anti_join_quiet_customers",
+        "nullsafe_join",
+        "broadcast_remap",
+        "union_by_name",
+        "intersect_buyers",
+        "except_unordered_parts",
+    ],
+    "window_page_digest": [
+        "distinct_on_first_order",
+        "topk_per_group",
+        "running_total",
+        "lag_lead_events",
+        "keyset_pagination",
+    ],
+    "shape_gallery_digest": [
+        "rollup_order_status",
+        "pivot_status_by_priority",
+        "unpivot_customer_metrics",
+        "from_json_extract",
+        "scalar_function_gallery",
+    ],
+    "subquery_digest": [
+        "correlated_exists",
+        "outer_join_distribution",
+        "in_subquery_having",
+        "scalar_subquery_anti",
+        "correlated_scalar_min",
+    ],
+    "misc_relational_digest": [
+        "filtered_revenue",
+        "conditional_share",
+        "multi_or_predicates",
+        "table_profile",
+        "right_join_orders",
+        "cube_status_priority",
+    ],
+    "analytic_windows_digest": [
+        "ntile_quartiles",
+        "global_sort_nulls",
+        "statistical_moments",
+        "rank_distributions",
+    ],
+    "complex_types_digest": [
+        "explode_tokens_distinct",
+        "arrays_overlap_filter",
+        "flatten_distinct_union",
+        "complex_types_gallery",
+        "temporal_scalar_gallery",
+    ],
+    "landing_roundtrip_digest": [
+        "json_landing_roundtrip",
+        "keyed_landing_roundtrip",
+        "partitioned_landing_prune",
+        "csv_landing_roundtrip",
+        "orc_landing_roundtrip",
+    ],
+    "pandas_udf_digest": [
+        "canonical_grouping",
+        "pandas_grouped_agg",
+        "apply_in_pandas_normalize",
+        "udtf_token_explode",
+    ],
+    "scale_patterns_digest": [
+        "skew_salted_agg",
+        "bucketed_colocated_join",
+        "approx_stats",
+    ],
+}
+
+GROUPED_PARTS: dict[str, str] = {
+    part: group for group, parts in GROUPS.items() for part in parts
+}
+
+# Canonical column spec per member: (column, kind) sorted by column name.
+# kind 'f' = double (trunc * 1e6 serialization), 's' = varchar cast.
+# Generated from live query schemas; tests/test_digests.py re-derives and
+# asserts this table matches, so schema drift fails loudly.
+PART_COLS: dict[str, tuple[tuple[str, str], ...]] = {
+    "region_revenue": (("n_lineitems", "s"), ("n_name", "s"), ("revenue", "f")),
+    "countdistinct_audit": (("distinct_keys", "s"), ("total_rows", "s")),
+    "cleanse_normalize_dedup": (("brand", "s"), ("key", "s"), ("ptype", "s")),
+    "hwm_incremental": (("event_id", "s"), ("event_type", "s"), ("ts_us", "s")),
+    "null_or_newer": (("event_id", "s"), ("mark_us", "s")),
+    "top_revenue_orders": (
+        ("o_orderkey", "s"),
+        ("orderdate_us", "s"),
+        ("revenue", "f"),
+    ),
+    "semi_join_hot_orders": (("o_orderkey", "s"), ("o_totalprice", "f")),
+    "anti_join_quiet_customers": (("c_custkey", "s"), ("c_name", "s")),
+    "nullsafe_join": (("n_nationkey", "s"), ("r_name", "s")),
+    "broadcast_remap": (
+        ("n_customers", "s"),
+        ("nation_name", "s"),
+        ("total_acctbal", "f"),
+    ),
+    "union_by_name": (("okey", "s"), ("price", "f"), ("prio", "s")),
+    "intersect_buyers": (("c_custkey", "s"),),
+    "except_unordered_parts": (("p_partkey", "s"),),
+    "distinct_on_first_order": (
+        ("o_custkey", "s"),
+        ("o_orderkey", "s"),
+        ("orderdate_us", "s"),
+    ),
+    "topk_per_group": (
+        ("o_orderkey", "s"),
+        ("o_orderpriority", "s"),
+        ("o_totalprice", "f"),
+    ),
+    "running_total": (
+        ("o_custkey", "s"),
+        ("o_orderkey", "s"),
+        ("running_spend", "f"),
+    ),
+    "lag_lead_events": (
+        ("event_id", "s"),
+        ("next_event_id", "s"),
+        ("prev_value", "f"),
+        ("user_id", "s"),
+        ("value", "f"),
+    ),
+    "keyset_pagination": (("event_id", "s"), ("event_type", "s")),
+    "rollup_order_status": (
+        ("n_orders", "s"),
+        ("o_orderpriority", "s"),
+        ("o_orderstatus", "s"),
+        ("total_price", "f"),
+    ),
+    "pivot_status_by_priority": (
+        ("n_filled", "s"),
+        ("n_open", "s"),
+        ("n_partial", "s"),
+        ("o_orderpriority", "s"),
+    ),
+    "unpivot_customer_metrics": (
+        ("c_custkey", "s"),
+        ("metric", "s"),
+        ("value", "f"),
+    ),
+    "from_json_extract": (("event_type", "s"), ("n_events", "s"), ("sum_k", "s")),
+    "scalar_function_gallery": (
+        ("acctbal_int", "s"),
+        ("c_custkey", "s"),
+        ("name_md5", "s"),
+        ("prompt", "s"),
+        ("sanitized", "s"),
+    ),
+    "correlated_exists": (("n_orders", "s"), ("o_orderpriority", "s")),
+    "outer_join_distribution": (("n_customers", "s"), ("n_orders", "s")),
+    "in_subquery_having": (
+        ("o_orderkey", "s"),
+        ("o_totalprice", "f"),
+        ("total_qty", "f"),
+    ),
+    "scalar_subquery_anti": (
+        ("c_mktsegment", "s"),
+        ("n_idle_rich", "s"),
+        ("total_bal", "f"),
+    ),
+    "correlated_scalar_min": (
+        ("p_brand", "s"),
+        ("p_partkey", "s"),
+        ("p_retailprice", "f"),
+    ),
+    "filtered_revenue": (("n_rows", "s"), ("revenue_effect", "f")),
+    "conditional_share": (("promo_revenue", "f"), ("total_revenue", "f")),
+    "multi_or_predicates": (("n_rows", "s"), ("revenue", "f")),
+    "table_profile": (
+        ("column_name", "s"),
+        ("max_str", "s"),
+        ("min_str", "s"),
+        ("n_distinct", "s"),
+        ("n_nulls", "s"),
+    ),
+    "right_join_orders": (
+        ("c_custkey", "s"),
+        ("c_name", "s"),
+        ("o_orderkey", "s"),
+    ),
+    "cube_status_priority": (
+        ("n_orders", "s"),
+        ("o_orderpriority", "s"),
+        ("o_orderstatus", "s"),
+    ),
+    "ntile_quartiles": (
+        ("o_orderkey", "s"),
+        ("o_orderpriority", "s"),
+        ("price_quartile", "s"),
+    ),
+    "global_sort_nulls": (("etype", "s"), ("event_id", "s"), ("value", "f")),
+    "statistical_moments": (
+        ("cov_qty_price", "f"),
+        ("l_returnflag", "s"),
+        ("n", "s"),
+        ("stddev_qty", "f"),
+        ("var_qty", "f"),
+    ),
+    "rank_distributions": (
+        ("cd", "f"),
+        ("dr", "s"),
+        ("o_orderkey", "s"),
+        ("o_orderpriority", "s"),
+        ("pr", "f"),
+    ),
+    "explode_tokens_distinct": (("lang", "s"), ("token", "s")),
+    "arrays_overlap_filter": (("doc_id", "s"), ("lang", "s")),
+    "flatten_distinct_union": (("n_distinct_guids", "s"), ("n_total", "s")),
+    "complex_types_gallery": (
+        ("dec_doubled", "s"),
+        ("due_us", "s"),
+        ("nested_price", "f"),
+        ("o_orderkey", "s"),
+        ("status_name", "s"),
+    ),
+    "temporal_scalar_gallery": (
+        ("o_orderkey", "s"),
+        ("order_date_str", "s"),
+        ("order_quarter", "s"),
+        ("order_year", "s"),
+        ("priority_code", "s"),
+        ("reparsed_us", "s"),
+    ),
+    "json_landing_roundtrip": (
+        ("event_type", "s"),
+        ("n_events", "s"),
+        ("sum_value", "f"),
+    ),
+    "keyed_landing_roundtrip": (
+        ("landed_key", "s"),
+        ("n_total", "s"),
+        ("o_custkey", "s"),
+    ),
+    "partitioned_landing_prune": (
+        ("n_orders", "s"),
+        ("o_orderpriority", "s"),
+        ("order_year", "s"),
+    ),
+    "csv_landing_roundtrip": (
+        ("c_mktsegment", "s"),
+        ("n_customers", "s"),
+        ("total_bal", "f"),
+    ),
+    "orc_landing_roundtrip": (
+        ("n_parts", "s"),
+        ("p_brand", "s"),
+        ("total_price", "f"),
+    ),
+    "canonical_grouping": (
+        ("canonical_group", "s"),
+        ("member_guids", "s"),
+        ("n_members", "s"),
+        ("representative", "s"),
+    ),
+    "pandas_grouped_agg": (
+        ("acctbal_spread", "f"),
+        ("c_mktsegment", "s"),
+        ("n_customers", "s"),
+    ),
+    "apply_in_pandas_normalize": (
+        ("o_orderkey", "s"),
+        ("o_orderpriority", "s"),
+        ("price_norm", "f"),
+    ),
+    "udtf_token_explode": (("doc_id", "s"), ("position", "s"), ("token", "s")),
+    "skew_salted_agg": (
+        ("cnt_items", "s"),
+        ("l_returnflag", "s"),
+        ("max_price", "f"),
+        ("min_price", "f"),
+        ("sum_qty", "f"),
+    ),
+    "bucketed_colocated_join": (
+        ("n_items", "s"),
+        ("o_orderkey", "s"),
+        ("o_totalprice", "f"),
+        ("total_qty", "f"),
+    ),
+    "approx_stats": (
+        ("approx_median_ok", "s"),
+        ("approx_orders_ok", "s"),
+        ("l_returnflag", "s"),
+        ("n_orders_exact", "s"),
+        ("n_rows", "s"),
+    ),
+}
+
+
+def _ser_col_spark(name: str, kind: str) -> F.Column:
+    if kind == "f":
+        return F.coalesce(
+            (F.col(name).cast("double") * F.lit(1000000.0))
+            .cast("long")
+            .cast("string"),
+            F.lit(NUL),
+        )
+    return F.coalesce(F.col(name).cast("string"), F.lit(NUL))
+
+
+def _row_hash_spark(cols: tuple[tuple[str, str], ...]) -> F.Column:
+    ser = F.concat_ws(SEP, *[_ser_col_spark(n, k) for n, k in cols])
+    h60 = F.conv(F.substring(F.md5(ser.cast("binary")), 1, 15), 16, 10).cast("long")
+    return h60.bitwiseAND(F.lit(MASK))
+
+
+def digest_part_df(df: DataFrame, tag: str) -> DataFrame:
+    """Reduce one member's result to (part, n_rows, digest)."""
+    cols = PART_COLS[tag]
+    missing = [n for n, _ in cols if n not in df.columns]
+    if missing:
+        raise ValueError(f"digest part {tag!r}: missing columns {missing}")
+    return (
+        df.select(_row_hash_spark(cols).alias("row_h"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.coalesce(F.sum("row_h"), F.lit(0).cast("long")).alias("digest"),
+        )
+        .select(F.lit(tag).alias("part"), "n_rows", "digest")
+    )
+
+
+def build_digest_fn(parts: list[tuple[str, object]]):
+    """(tag, member_fn) list -> a catalog QueryFn unioning member digests."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        outs = [digest_part_df(member(spark, sf_dir), tag) for tag, member in parts]
+        return reduce(lambda a, b: a.unionByName(b), outs)
+
+    return fn
+
+
+def _ser_col_sql(name: str, kind: str) -> str:
+    if kind == "f":
+        return (
+            f"coalesce(cast(cast(trunc(cast({name} AS DOUBLE) * 1000000.0) "
+            f"AS BIGINT) AS VARCHAR), chr(30))"
+        )
+    return f"coalesce(cast({name} AS VARCHAR), chr(30))"
+
+
+def digest_part_sql(oracle: str, tag: str) -> str:
+    """DuckDB digest of one member's oracle SQL — same hash as Spark."""
+    cols = PART_COLS[tag]
+    sers = ", ".join(_ser_col_sql(n, k) for n, k in cols)
+    return (
+        f"SELECT '{tag}' AS part, count(*) AS n_rows,\n"
+        f"       cast(coalesce(sum(('0x' || substr(md5(concat_ws(chr(31), {sers})), 1, 15))::BIGINT & {MASK}), 0) AS BIGINT) AS digest\n"
+        f"FROM (\n{oracle.strip()}\n) AS q_{tag}"
+    )
+
+
+def build_digest_sql(parts: list[tuple[str, str]]) -> str:
+    """(tag, member_oracle_sql) list -> one UNION ALL digest oracle."""
+    return "\nUNION ALL\n".join(digest_part_sql(sql, tag) for tag, sql in parts)
