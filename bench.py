@@ -17,7 +17,7 @@ import json
 import os
 import time
 
-from cultural_heritage_bigdata_project_spark.plans.catalog import catalog_queries
+from cultural_heritage_bigdata_project_spark.plans.catalog import CATALOG, catalog_queries
 from cultural_heritage_bigdata_project_spark.session import get_spark
 
 # Headline set: the pipeline-shaped flagship, scan-heavy aggs, joins,
@@ -35,6 +35,8 @@ BENCH_QUERIES = [
     "ngram_jaccard_pairs",
     "minhash_lsh_dedup",
     "knn_brute_force",
+    "ann_lsh_topk",
+    "ivf_ann_topk",
     "threshold_similarity_join",
     "stream_tumbling_window",
     "reference_curated_flow",
@@ -50,7 +52,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark(app_name="bench")
-    qs = catalog_queries()
+    catalog_queries()  # force registration of every query module
+    # benchmark the raw per-operator queries: digest bundles (driver-slot
+    # consolidation) would time serialization, not the operators
+    qs = {name: q.fn for name, q in CATALOG.items()}
 
     spark.range(100_000_000).selectExpr("sum(id)").collect()  # warmup
 

@@ -57,6 +57,7 @@ def threshold_similarity_join(
     vec_col: str = "embedding",
     round_digits: int | None = 6,
     block_size: int = 2048,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """J9/M3: all pairs (a<b) with cosine ≥ threshold — exact, via
     block-matrix BLAS.
@@ -72,13 +73,17 @@ def threshold_similarity_join(
     cache-friendly, releases the GIL, distributes evenly. At scale the
     sub-quadratic path is ``lsh_candidate_pairs`` + verify; this is the
     exact oracle.
+
+    ``n_rows``: pass the (approximate) collection size when known — it
+    only sizes the block grid, so a catalog/statistics estimate is
+    fine. The ``count()`` fallback is a full extra scan at 100 TB.
     """
     import math
 
     import numpy as np
     import pandas as pd
 
-    n = vectors.count()
+    n = n_rows if n_rows is not None else vectors.count()
     nb = max(1, math.ceil(n / block_size))
     v = vectors.select(
         F.col(id_col).alias("id"),
@@ -141,44 +146,111 @@ def threshold_similarity_join(
     )
 
 
-def _hyperplane_sign(vec_col: str, plane: int, dim: int) -> Column:
-    """Deterministic ±1 random-hyperplane dot-product sign.
+def _plane_matrix(n_planes: int, dim: int):
+    """Deterministic ±1 hyperplane matrix (n_planes × dim), derived from
+    md5 so ANY md5-capable engine (DuckDB oracle, a Python worker, a
+    future Scala port) regenerates the identical planes: component
+    (p, i) is +1 iff the low bit of the first 8 hex chars of
+    md5(f"{p}:{i}") is set.
 
-    Hyperplane components are pseudo-random signs derived from
-    ``xxhash64(plane, index)`` — reproducible across runs/executors
-    with no driver-side randomness or broadcast of plane matrices.
+    Regenerated per executor from the definition — no broadcast, no
+    driver-side randomness, O(n_planes × dim) work once per worker
+    (cached). This replaces the interpreted aggregate/zip_with
+    per-row expression tree (round-1 cost: n_tables × n_planes
+    lambdas × O(dim) interpreted ops PER ROW) with one Arrow-batched
+    numpy GEMM per batch.
     """
-    signed = F.expr(
-        f"""
-        aggregate(
-          zip_with({vec_col},
-                   transform(sequence(0, {dim - 1}),
-                             i -> CASE WHEN (xxhash64({plane}, i) % 2 + 2) % 2 = 0
-                                  THEN 1.0D ELSE -1.0D END),
-                   (x, s) -> CAST(x AS DOUBLE) * s),
-          0.0D, (acc, v) -> acc + v)
-        """
-    )
-    return (signed >= 0).cast("int")
+    import hashlib
 
+    import numpy as np
 
-def lsh_signature(
-    vectors: DataFrame,
-    n_planes: int = 16,
-    vec_col: str = "embedding",
-    out_col: str = "lsh_bucket",
-) -> DataFrame:
-    """Random-hyperplane (SimHash-for-cosine) bucket id per vector.
-
-    ``n_planes`` sign bits packed into one int bucket key. Collisions
-    preserve cosine neighborhoods (Charikar 2002): P[same bit] =
-    1 - θ/π.
-    """
-    dim = len(vectors.select(vec_col).first()[0])
-    bucket = F.lit(0)
+    m = np.empty((n_planes, dim), dtype=np.float64)
     for p in range(n_planes):
-        bucket = F.shiftleft(bucket, 1) + _hyperplane_sign(vec_col, p, dim)
-    return vectors.withColumn(out_col, bucket)
+        for i in range(dim):
+            h = int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:8], 16)
+            m[p, i] = 1.0 if (h & 1) else -1.0
+    return m
+
+
+_PLANE_CACHE: dict = {}
+
+
+def _planes_cached(n_planes: int, dim: int):
+    key = (n_planes, dim)
+    if key not in _PLANE_CACHE:
+        _PLANE_CACHE[key] = _plane_matrix(n_planes, dim)
+    return _PLANE_CACHE[key]
+
+
+def _pack_buckets(bits, n_tables: int, n_bits: int):
+    """(rows × n_tables*n_bits) sign bits → (rows × n_tables) bucket ids;
+    bit (t*n_bits + b) is the (n_bits-1-b)-th bit of table t's bucket."""
+    import numpy as np
+
+    weights = np.array([1 << (n_bits - 1 - b) for b in range(n_bits)], dtype=np.int64)
+    per_table = bits.reshape(bits.shape[0], n_tables, n_bits)
+    return per_table @ weights
+
+
+def query_buckets(query, n_bits: int, n_tables: int) -> list[tuple[int, int]]:
+    """The (table, bucket) keys of one query vector — pure Python on the
+    driver (planes are tiny and deterministic), so probing costs no
+    Spark job."""
+    import numpy as np
+
+    qv = np.asarray(list(query), dtype=np.float64)
+    planes = _planes_cached(n_tables * n_bits, len(qv))
+    bits = (planes @ qv >= 0).astype(np.int64)[None, :]
+    buckets = _pack_buckets(bits, n_tables, n_bits)[0]
+    return [(t, int(buckets[t])) for t in range(n_tables)]
+
+
+def lsh_signatures(
+    vectors: DataFrame,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Random-hyperplane (SimHash-for-cosine) signatures: one
+    (id, table, bucket) row per vector per table. Collisions preserve
+    cosine neighborhoods (Charikar 2002): P[same bit] = 1 - θ/π.
+
+    Physical shape: mapInPandas — each Arrow batch does ONE
+    (batch × dim) @ (dim × n_tables·n_bits) float64 GEMM, signs are
+    packed into int64 bucket ids vectorized. Pass ``dim`` (schema
+    metadata or caller knowledge) to skip the one-row probe job.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+    nt, nb, d = n_tables, n_bits, dim
+
+    def compute(batches):
+        planes = _planes_cached(nt * nb, d).T  # dim × planes
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+            bits = (mat @ planes >= 0).astype(np.int64)
+            buckets = _pack_buckets(bits, nt, nb)  # rows × tables
+            ids = pdf["__id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "__id": np.repeat(ids, nt),
+                    "table": np.tile(np.arange(nt, dtype=np.int32), len(ids)),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    out = vectors.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).mapInPandas(compute, "__id long, table int, bucket long")
+    return out.withColumnRenamed("__id", id_col)
 
 
 def lsh_candidate_pairs(
@@ -187,32 +259,21 @@ def lsh_candidate_pairs(
     n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Sub-quadratic candidate pairs: vectors sharing any of
     ``n_tables`` independent ``n_planes``-bit buckets.
 
-    Plan shape: explode to (table, bucket) keys → shuffle on the key →
-    within-bucket self-join → distinct pairs. No cross join anywhere;
+    Plan shape: signature GEMM (one pass) → shuffle on (table, bucket)
+    → within-bucket self-join → distinct pairs. No cross join anywhere;
     at 100 TB the shuffle key count is n_tables × n_rows.
     """
-    dim = len(vectors.select(vec_col).first()[0])
-    sigs = []
-    for t in range(n_tables):
-        bucket = F.lit(0)
-        for p in range(n_planes):
-            bucket = F.shiftleft(bucket, 1) + _hyperplane_sign(
-                vec_col, t * n_planes + p, dim
-            )
-        sigs.append(F.struct(F.lit(t).alias("table"), bucket.alias("bucket")))
-    keyed = vectors.select(
-        F.col(id_col), F.explode(F.array(*sigs)).alias("sig")
-    ).select(id_col, "sig.table", "sig.bucket")
-    a = keyed.select(
-        F.col(id_col).alias("a_id"), F.col("table"), F.col("bucket")
+    keyed = lsh_signatures(
+        vectors, n_bits=n_planes, n_tables=n_tables,
+        id_col=id_col, vec_col=vec_col, dim=dim,
     )
-    b = keyed.select(
-        F.col(id_col).alias("b_id"), F.col("table"), F.col("bucket")
-    )
+    a = keyed.select(F.col(id_col).alias("a_id"), "table", "bucket")
+    b = keyed.select(F.col(id_col).alias("b_id"), "table", "bucket")
     return (
         a.join(b, on=["table", "bucket"])
         .filter(F.col("a_id") < F.col("b_id"))
@@ -223,43 +284,114 @@ def lsh_candidate_pairs(
 
 def ann_top_k(
     vectors: DataFrame,
-    query_vec: Column,
+    query,
     k: int,
     n_planes: int = 8,
     n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
-    """Approximate kNN: rank by cosine only within the query's LSH
-    buckets. Recall < 1 by construction; tests measure it against
-    ``knn_brute_force``."""
-    dim = len(vectors.select(vec_col).first()[0])
-    q = vectors.sparkSession.range(1).select(query_vec.alias(vec_col))
-    conds = []
-    keyed = vectors
-    for t in range(n_tables):
-        bucket = F.lit(0)
-        qbucket = F.lit(0)
-        for p in range(n_planes):
-            bucket = F.shiftleft(bucket, 1) + _hyperplane_sign(
-                vec_col, t * n_planes + p, dim
-            )
-            qbucket = F.shiftleft(qbucket, 1) + _hyperplane_sign(
-                vec_col, t * n_planes + p, dim
-            )
-        keyed = keyed.withColumn(f"__b{t}", bucket)
-        conds.append((t, qbucket))
-    qrow = q.select(
-        *[qb.alias(f"__qb{t}") for t, qb in conds]
+    """Approximate kNN: rank by exact cosine only within the query's
+    LSH buckets. ``query`` is a plain vector (Sequence[float]): its
+    buckets are computed driver-side in Python (same md5 planes), so
+    the only Spark work is the signature pass + a broadcast semi-join.
+    Recall < 1 by construction; tests measure it vs brute force.
+    """
+    qkeys = query_buckets(query, n_bits=n_planes, n_tables=n_tables)
+    probe = vectors.sparkSession.createDataFrame(qkeys, "table int, bucket long")
+    sigs = lsh_signatures(
+        vectors, n_bits=n_planes, n_tables=n_tables,
+        id_col=id_col, vec_col=vec_col, dim=dim,
     )
-    cond = None
-    for t, _ in conds:
-        c = F.col(f"__b{t}") == F.col(f"__qb{t}")
-        cond = c if cond is None else (cond | c)
-    cands = keyed.join(F.broadcast(qrow), cond)
-    sim = F.round(cosine_similarity(F.col(vec_col), query_vec), 6)
+    cand_ids = (
+        sigs.join(F.broadcast(probe), on=["table", "bucket"], how="leftsemi")
+        .select(id_col)
+        .distinct()
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in query]).cast("array<double>")
+    sim = F.round(cosine_similarity(F.col(vec_col), qlit), 6)
     return (
-        cands.select(F.col(id_col), sim.alias("cosine_sim"))
+        vectors.join(cand_ids, on=id_col, how="leftsemi")
+        .select(F.col(id_col), sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def _assign_lists(vectors: DataFrame, centroids, id_col: str, vec_col: str) -> DataFrame:
+    """Nearest-centroid assignment (squared L2, ties → lowest list id)
+    via one Arrow-batched GEMM per batch; the centroid matrix rides the
+    task closure (a few KB), not a plan literal."""
+    import numpy as np
+    import pandas as pd
+
+    cmat = np.asarray(centroids, dtype=np.float64)
+
+    def compute(batches):
+        c2 = (cmat * cmat).sum(axis=1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+            # argmin_c |v|^2 - 2 v·c + |c|^2 == argmin_c (|c|^2 - 2 v·c)
+            d = c2[None, :] - 2.0 * (mat @ cmat.T)
+            yield pd.DataFrame(
+                {"__id": pdf["__id"].to_numpy(), "__list": np.argmin(d, axis=1)}
+            )
+
+    return (
+        vectors.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        )
+        .mapInPandas(compute, "__id long, __list int")
+        .withColumnRenamed("__id", id_col)
+    )
+
+
+def ivf_deterministic_top_k(
+    vectors: DataFrame,
+    query,
+    k: int,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate kNN with a *deterministic* coarse quantizer:
+    centroids are the ``n_lists`` collection vectors with the smallest
+    md5(id) (an unbiased, engine-portable sample), assignment is
+    nearest-centroid, and the query probes its ``n_probe`` nearest
+    lists. Every step is replayable in SQL, so the DuckDB oracle
+    hash-checks the full ANN result — the KMeans variant
+    (``ivf_ann_top_k``) trades that auditability for data-adaptive
+    centroids.
+    """
+    import numpy as np
+
+    cent_rows = (
+        vectors.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
+        .orderBy(F.md5(F.col(id_col).cast("string").cast("binary")), F.col(id_col))
+        .limit(n_lists)
+        .collect()
+    )
+    centroids = [list(map(float, r["__v"])) for r in cent_rows]
+
+    # probe-list selection: pure driver-side numpy over n_lists rows —
+    # plan size is independent of n_lists × dim (round-1 verdict #5)
+    cmat = np.asarray(centroids, dtype=np.float64)
+    qv = np.asarray(list(query), dtype=np.float64)
+    d = ((cmat - qv[None, :]) ** 2).sum(axis=1)
+    probe_ids = [int(i) for i in np.argsort(d, kind="stable")[:n_probe]]
+
+    assigned = _assign_lists(vectors, centroids, id_col, vec_col)
+    cand_ids = assigned.filter(F.col("__list").isin(probe_ids)).select(id_col)
+    qlit = F.array(*[F.lit(float(x)) for x in query]).cast("array<double>")
+    sim = F.round(cosine_similarity(F.col(vec_col), qlit), 6)
+    return (
+        vectors.join(cand_ids, on=id_col, how="leftsemi")
+        .select(F.col(id_col), sim.alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
         .limit(k)
     )
@@ -267,7 +399,7 @@ def ann_top_k(
 
 def ivf_ann_top_k(
     vectors: DataFrame,
-    query_vec: Column,
+    query,
     k: int,
     n_lists: int = 16,
     n_probe: int = 4,
@@ -279,45 +411,38 @@ def ivf_ann_top_k(
     KMeans centroids (the inverted lists), then rank by exact cosine
     only within the ``n_probe`` lists nearest to the query.
 
-    The index build is one MLlib KMeans fit (sampled, driver-cheap) +
-    one assignment pass; queries touch ~n_probe/n_lists of the data.
-    This is the centroid-bucketed scale path the LSH variant
-    (``ann_top_k``) trades against: IVF adapts to the data
-    distribution, LSH is oblivious but needs no training.
+    The index build is one MLlib KMeans fit + one assignment pass
+    (Arrow-batched GEMM — the fitted centroids ride the closure);
+    queries touch ~n_probe/n_lists of the data. Probe-list selection
+    happens driver-side in numpy: the centroids already live on the
+    driver after ``fit``, so shipping query↔centroid distances into
+    the plan as literal expression trees (round-1 verdict #5: MBs of
+    plan for 1024-d × 256 lists) would buy nothing.
     """
+    import numpy as np
+
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     feat = vectors.select(
-        F.col(id_col),
-        F.col(vec_col),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__feat"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__feat")
     )
     km = KMeans(k=n_lists, seed=seed, featuresCol="__feat", predictionCol="__list")
-    model = km.fit(feat.select("__feat"))
-    assigned = model.transform(feat)
-
+    model = km.fit(feat)
     centroids = [list(map(float, c)) for c in model.clusterCenters()]
-    qrow = vectors.sparkSession.range(1).select(query_vec.alias("__qv"))
-    # distance of the query to each centroid — tiny, computed as a
-    # literal-array expression, no collect of the collection
-    dists = []
-    for li, c in enumerate(centroids):
-        carr = F.array(*[F.lit(float(x)) for x in c])
-        d = F.aggregate(
-            F.zip_with(F.col("__qv"), carr, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        dists.append(F.struct(d.alias("d"), F.lit(li).alias("list")))
-    probe = qrow.select(
-        F.slice(F.array_sort(F.array(*dists)), 1, n_probe).alias("probed")
-    ).select(F.explode("probed.list").alias("__list"))
 
-    cands = assigned.join(F.broadcast(probe), on="__list")
-    sim = F.round(cosine_similarity(F.col(vec_col), query_vec), 6)
+    cmat = np.asarray(centroids, dtype=np.float64)
+    qv = np.asarray(list(query), dtype=np.float64)
+    d = ((cmat - qv[None, :]) ** 2).sum(axis=1)
+    probe_ids = [int(i) for i in np.argsort(d, kind="stable")[:n_probe]]
+
+    assigned = _assign_lists(vectors, centroids, id_col, vec_col)
+    cand_ids = assigned.filter(F.col("__list").isin(probe_ids)).select(id_col)
+    qlit = F.array(*[F.lit(float(x)) for x in query]).cast("array<double>")
+    sim = F.round(cosine_similarity(F.col(vec_col), qlit), 6)
     return (
-        cands.select(F.col(id_col), sim.alias("cosine_sim"))
+        vectors.join(cand_ids, on=id_col, how="leftsemi")
+        .select(F.col(id_col), sim.alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
         .limit(k)
     )

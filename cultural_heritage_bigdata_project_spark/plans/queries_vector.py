@@ -23,11 +23,19 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
 
+def _query_list(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    """The query vector as a plain Python list (driver-side: lets ANN
+    operators compute buckets/probe lists without a Spark job)."""
+    row = _emb(spark, sf_dir).filter(F.col("vec_id") == vec_id).select("embedding").first()
+    return [float(x) for x in row[0]]
+
+
 def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0):
     """The query vector as a literal array expression (broadcast-free:
     it folds into the plan as a constant)."""
-    row = _emb(spark, sf_dir).filter(F.col("vec_id") == vec_id).select("embedding").first()
-    return F.array(*[F.lit(float(x)) for x in row[0]]).cast("array<double>")
+    return F.array(
+        *[F.lit(x) for x in _query_list(spark, sf_dir, vec_id)]
+    ).cast("array<double>")
 
 
 @register(
@@ -138,31 +146,95 @@ def precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="Approximate kNN: random-hyperplane LSH buckets (8 tables "
     "x 4 bits — tuned for this fixture's weakly-correlated vectors; real "
     "near-dup corpora use 8-16 bits) then exact rank within candidates — "
-    "the sub-quadratic scale path; recall vs knn_brute_force asserted in "
-    "tests (xxhash64-based, rows-only)",
+    "the sub-quadratic scale path. Planes are md5-derived (see "
+    "similarity._plane_matrix), so the oracle replays signature → bucket "
+    "→ candidate → top-k entirely in SQL: the whole ANN path is "
+    "hash-checked, and recall vs knn_brute_force is asserted in tests",
     survey_ref="J8,M5",
-    oracle=None,
+    oracle="""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), planes AS (
+  SELECT p.p AS plane, i.i AS idx,
+         CASE WHEN (('0x' || substr(md5(p.p::VARCHAR || ':' || i.i::VARCHAR), 1, 8))::BIGINT & 1) = 1
+              THEN 1.0 ELSE -1.0 END AS s
+  FROM range(32) p(p) CROSS JOIN range(64) i(i)
+), sig AS (
+  SELECT e.vec_id, pl.plane,
+         sum(e.v[pl.idx + 1] * pl.s) >= 0 AS bit
+  FROM e CROSS JOIN planes pl
+  GROUP BY e.vec_id, pl.plane
+), buckets AS (
+  SELECT vec_id, plane // 4 AS tbl,
+         sum(CASE WHEN bit THEN 1 ELSE 0 END * (1 << (3 - (plane % 4)))) AS bucket
+  FROM sig GROUP BY vec_id, plane // 4
+), qb AS (
+  SELECT tbl, bucket FROM buckets WHERE vec_id = 0
+), cand AS (
+  SELECT DISTINCT b.vec_id
+  FROM buckets b JOIN qb ON b.tbl = qb.tbl AND b.bucket = qb.bucket
+  WHERE b.vec_id <> 0
+), q AS (SELECT v FROM e WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(list_dot_product(e.v, q.v)
+             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v))),
+             6) AS cosine_sim
+FROM e JOIN cand ON e.vec_id = cand.vec_id, q
+ORDER BY cosine_sim DESC, e.vec_id ASC
+LIMIT 10
+""",
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors = _emb(spark, sf_dir).filter(F.col("vec_id") != 0)
     return similarity.ann_top_k(
-        vectors, _query_vec(spark, sf_dir, 0), k=10, n_planes=4, n_tables=8
+        vectors, _query_list(spark, sf_dir, 0), k=10, n_planes=4, n_tables=8, dim=64
     )
 
 
 @register(
     "ivf_ann_topk",
-    description="IVF approximate kNN: KMeans coarse quantizer (16 lists), "
-    "probe the 4 nearest lists, exact cosine within — the data-adaptive "
-    "ANN scale path beside hyperplane LSH (rows-only: clustering; recall "
-    "vs brute force asserted in tests)",
+    description="IVF approximate kNN: deterministic coarse quantizer "
+    "(centroids = the 16 vectors with smallest md5(id), an engine-portable "
+    "sample), nearest-centroid inverted lists, probe the 4 lists nearest "
+    "the query, exact cosine within — the centroid-bucketed ANN scale "
+    "path, hash-checked end-to-end (assignment → probe → top-k replayed "
+    "in SQL). The data-adaptive KMeans variant is "
+    "similarity.ivf_ann_top_k, recall-tested beside this one",
     survey_ref="J8,M5",
-    oracle=None,
+    oracle="""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id <> 0
+), cent AS (
+  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS list_id, v
+  FROM e ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16
+), assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance(e.v, c.v), c.list_id) AS rn
+    FROM e CROSS JOIN cent c
+  ) WHERE rn = 1
+), q AS (
+  SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0
+), qprobe AS (
+  SELECT c.list_id FROM cent c, q
+  ORDER BY list_distance(q.v, c.v), c.list_id LIMIT 4
+), cand AS (
+  SELECT vec_id FROM assign WHERE list_id IN (SELECT list_id FROM qprobe)
+)
+SELECT e.vec_id,
+       round(list_dot_product(e.v, q.v)
+             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v))),
+             6) AS cosine_sim
+FROM e JOIN cand ON e.vec_id = cand.vec_id, q
+ORDER BY cosine_sim DESC, e.vec_id ASC
+LIMIT 10
+""",
 )
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors = _emb(spark, sf_dir).filter(F.col("vec_id") != 0)
-    return similarity.ivf_ann_top_k(
-        vectors, _query_vec(spark, sf_dir, 0), k=10, n_lists=16, n_probe=4
+    return similarity.ivf_deterministic_top_k(
+        vectors, _query_list(spark, sf_dir, 0), k=10, n_lists=16, n_probe=4
     )
 
 

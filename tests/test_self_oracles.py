@@ -160,6 +160,24 @@ def test_ivf_ann_recall_vs_brute_force(spark):
     assert recall >= 0.3, f"IVF recall vs brute force too low: {recall}"
 
 
+def test_ivf_kmeans_recall_vs_brute_force(spark):
+    """The data-adaptive KMeans IVF variant (library op; the catalog
+    entry uses the deterministic quantizer for oracle parity) must also
+    recover a healthy share of the exact top-10."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    vectors = emb.filter(F.col("vec_id") != 0)
+    exact = {r.vec_id for r in CATALOG["knn_brute_force"].fn(spark, SF_DIR).collect()}
+    ivf = {
+        r.vec_id
+        for r in similarity.ivf_ann_top_k(
+            vectors, q, k=10, n_lists=16, n_probe=4
+        ).collect()
+    }
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.3, f"KMeans IVF recall vs brute force too low: {recall}"
+
+
 def test_keep_canonical_drops_only_near_dups(spark):
     """Every dropped doc must be reachable from a kept canonical via the
     >=0.8 jaccard edge set (no over-deletion)."""
