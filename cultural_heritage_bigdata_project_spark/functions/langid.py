@@ -1,0 +1,96 @@
+"""Character-trigram language profiles (Cavnar–Trenkle-style).
+
+A real (if compact) language-ID model: per-language trigram frequency
+profiles built from small embedded sample corpora, scored as
+``sum(profile weight of each document trigram) / n_trigrams``. The
+profile builder is plain deterministic Python, and the same rows feed
+BOTH the Spark broadcast table and the DuckDB oracle's VALUES list, so
+the catalog query is hash-checked with one source of truth.
+
+The sample corpora are original example sentences written for this
+repo (ordinary textbook phrases); profiles are intentionally small —
+the point is the *operator shape* (trigram explode → broadcast profile
+join → per-doc aggregate → argmax), which is exactly how a production
+fastText/CLD-style stage plugs in at 100 TB: swap the profile table,
+keep the plan.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from functools import lru_cache
+
+# Original sample sentences per language (profile-building corpus).
+# Deliberately disjoint from the test sentences in tests/.
+SAMPLE_CORPUS: dict[str, str] = {
+    "en": (
+        "the quick brown fox jumps over the lazy dog while the children "
+        "watch from the garden and the old man reads his newspaper in the "
+        "morning light because there is nothing better than a quiet day "
+        "with a good book and a cup of tea on the table by the window"
+    ),
+    "es": (
+        "el rapido zorro marron salta sobre el perro perezoso mientras los "
+        "ninos miran desde el jardin y el viejo lee su periodico en la luz "
+        "de la manana porque no hay nada mejor que un dia tranquilo con un "
+        "buen libro y una taza de cafe sobre la mesa junto a la ventana"
+    ),
+    "de": (
+        "der schnelle braune fuchs springt uber den faulen hund wahrend die "
+        "kinder aus dem garten zuschauen und der alte mann seine zeitung im "
+        "morgenlicht liest denn es gibt nichts besseres als einen ruhigen "
+        "tag mit einem guten buch und einer tasse tee auf dem tisch am "
+        "fenster"
+    ),
+    "fr": (
+        "le rapide renard brun saute par dessus le chien paresseux pendant "
+        "que les enfants regardent depuis le jardin et que le vieil homme "
+        "lit son journal dans la lumiere du matin car il n y a rien de "
+        "mieux qu une journee tranquille avec un bon livre et une tasse de "
+        "the sur la table pres de la fenetre"
+    ),
+}
+
+LANGS: tuple[str, ...] = tuple(SAMPLE_CORPUS)
+PROFILE_SIZE = 64
+
+
+def text_trigrams(s: str) -> list[str]:
+    """Char trigrams of ``' ' + s.lower() + ' '`` — the same definition
+    the Spark expression and the DuckDB oracle use."""
+    padded = f" {s.lower()} "
+    return [padded[i : i + 3] for i in range(len(padded) - 2)]
+
+
+@lru_cache(maxsize=None)
+def profile_rows() -> tuple[tuple[str, str, int], ...]:
+    """(lang, trigram, weight) rows: each language's PROFILE_SIZE most
+    frequent trigrams, weight = raw count (small exact ints, so engine
+    sums are integer-exact). Deterministic: ties break on trigram."""
+    rows: list[tuple[str, str, int]] = []
+    for lang in LANGS:
+        counts = Counter(text_trigrams(SAMPLE_CORPUS[lang]))
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:PROFILE_SIZE]
+        rows.extend((lang, tg, int(w)) for tg, w in top)
+    return tuple(rows)
+
+
+def profile_values_sql() -> str:
+    """The profile as a DuckDB VALUES list (single quotes escaped)."""
+    parts = []
+    for lang, tg, w in profile_rows():
+        tg_sql = tg.replace("'", "''")
+        parts.append(f"('{lang}', '{tg_sql}', {w})")
+    return ", ".join(parts)
+
+
+def score_python(text: str) -> dict[str, float]:
+    """Pure-Python reference scorer (tests cross-check Spark/SQL)."""
+    prof: dict[str, dict[str, int]] = {lang: {} for lang in LANGS}
+    for lang, tg, w in profile_rows():
+        prof[lang][tg] = w
+    tgs = text_trigrams(text)
+    n = max(len(tgs), 1)
+    return {
+        lang: sum(prof[lang].get(tg, 0) for tg in tgs) / n for lang in LANGS
+    }

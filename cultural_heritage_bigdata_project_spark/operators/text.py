@@ -9,7 +9,7 @@ Python), so it runs at scan speed on 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -19,22 +19,7 @@ from ..functions.text import (
     tokenize,
 )
 
-# Tiny per-language marker lexicons for the n-gram/stopword language
-# heuristic. Deliberately small and deterministic — the operator shape
-# (score per language, argmax with threshold) is what matters; swap
-# lexicons freely.
-LANG_MARKERS: dict[str, tuple[str, ...]] = {
-    "en": ("the", "a", "of", "and", "to", "in", "is"),
-    "es": ("el", "la", "de", "y", "que", "en", "un"),
-    "de": ("der", "die", "das", "und", "ist", "ein", "zu"),
-    "fr": ("le", "la", "de", "et", "est", "un", "une"),
-}
-
-
-def _marker_ratio(tokens: Column, markers: tuple[str, ...]) -> Column:
-    arr = F.array(*[F.lit(m) for m in markers])
-    hits = F.filter(tokens, lambda t: F.array_contains(arr, t))
-    return F.size(hits) / F.greatest(F.size(tokens), F.lit(1))
+from ..functions.langid import LANGS, profile_rows
 
 
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -73,25 +58,76 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Marker-lexicon language heuristic: score per language, argmax
-    with an 'und' (undetermined) floor — the n-gram-heuristic shape of
-    a real lang-ID stage, as one codegen'd projection."""
-    toks = tokenize(F.lower(F.col(text_col)))
-    scores = [
-        _marker_ratio(toks, markers).alias(f"score_{lang}")
-        for lang, markers in LANG_MARKERS.items()
-    ]
-    out = df.select("*", *scores)
-    langs = list(LANG_MARKERS)
-    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+def language_id(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    floor: float = 0.2,
+) -> DataFrame:
+    """Char-trigram profile language ID (Cavnar–Trenkle shape): score
+    per language = sum of profile weights over the document's char
+    trigrams / n_trigrams, argmax with an 'und' (undetermined) floor.
+
+    Plan shape: trigram explode → broadcast join against the (tiny,
+    deterministic) profile table → one per-doc aggregate → argmax
+    projection. The shuffle key is the document id; the profile table
+    is a few hundred rows at any corpus scale, so this is the plan a
+    production lang-ID stage keeps at 100 TB (swap the profile table
+    for a bigger model, same operators). Weights are exact ints and
+    the score an int/int division, so the DuckDB oracle (same profile
+    rows via functions.langid.profile_values_sql) matches bitwise.
+    Accuracy on held-out per-language sentences is asserted >90% in
+    tests/test_langid.py.
+    """
+    spark = df.sparkSession
+    prof = spark.createDataFrame(
+        list(profile_rows()), "lang string, tg string, w int"
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" ")).alias("__s"),
+    ).withColumn("__n", F.greatest(F.length("__s") - 2, F.lit(0)))
+    tgs = base.select(
+        "__id",
+        F.explode(
+            F.when(
+                F.length("__s") >= 3,
+                F.expr(
+                    "transform(sequence(1, length(__s) - 2), i -> substring(__s, i, 3))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("tg"),
+    )
+    weights = (
+        tgs.join(F.broadcast(prof), on="tg")
+        .groupBy("__id")
+        .agg(
+            *[
+                F.sum(F.when(F.col("lang") == lang, F.col("w")).otherwise(0)).alias(
+                    f"__w_{lang}"
+                )
+                for lang in LANGS
+            ]
+        )
+    )
+    scored = base.join(weights, on="__id", how="left").select(
+        "__id",
+        *[
+            (
+                F.coalesce(F.col(f"__w_{lang}"), F.lit(0))
+                / F.greatest(F.col("__n"), F.lit(1))
+            ).alias(f"score_{lang}")
+            for lang in LANGS
+        ],
+    )
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANGS])
     pred = F.lit("und")
     # argmax with first-wins tie semantics, matching the oracle's CASE
-    for lang in reversed(langs):
+    for lang in reversed(LANGS):
         pred = F.when(
-            (F.col(f"score_{lang}") == best) & (best >= 0.01), F.lit(lang)
+            (F.col(f"score_{lang}") == best) & (best >= floor), F.lit(lang)
         ).otherwise(pred)
-    return out.withColumn("lang_pred", pred)
+    return scored.withColumn("lang_pred", pred).withColumnRenamed("__id", id_col)
 
 
 def fingerprint_dedup(

@@ -1,0 +1,80 @@
+"""Language-ID quality gate: the trigram-profile scorer must actually
+identify languages (>90% on held-out sentences), not just match its own
+oracle. Sentences here are original and disjoint from the
+profile-building corpus in functions/langid.py."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from cultural_heritage_bigdata_project_spark.functions import langid
+from cultural_heritage_bigdata_project_spark.operators import text
+
+HELD_OUT: list[tuple[str, str]] = [
+    ("en", "she walked along the river and listened to the birds singing in the trees"),
+    ("en", "we should meet at the station before the train leaves this evening"),
+    ("en", "my brother works in the city but he comes home every weekend"),
+    ("en", "the weather was cold and the streets were empty after midnight"),
+    ("en", "please bring the letters to the office when you have finished reading them"),
+    ("es", "ella camino junto al rio y escucho a los pajaros cantar en los arboles"),
+    ("es", "debemos encontrarnos en la estacion antes de que salga el tren esta tarde"),
+    ("es", "mi hermano trabaja en la ciudad pero vuelve a casa cada fin de semana"),
+    ("es", "el tiempo era frio y las calles estaban vacias despues de medianoche"),
+    ("es", "por favor lleva las cartas a la oficina cuando hayas terminado de leerlas"),
+    ("de", "sie ging am fluss entlang und horte den vogeln beim singen in den baumen zu"),
+    ("de", "wir sollten uns am bahnhof treffen bevor der zug heute abend abfahrt"),
+    ("de", "mein bruder arbeitet in der stadt aber er kommt jedes wochenende nach hause"),
+    ("de", "das wetter war kalt und die strassen waren leer nach mitternacht"),
+    ("de", "bitte bring die briefe ins buro wenn du sie zu ende gelesen hast"),
+    ("fr", "elle marchait le long de la riviere et ecoutait les oiseaux chanter dans les arbres"),
+    ("fr", "nous devrions nous retrouver a la gare avant que le train parte ce soir"),
+    ("fr", "mon frere travaille dans la ville mais il rentre a la maison chaque semaine"),
+    ("fr", "le temps etait froid et les rues etaient vides apres minuit"),
+    ("fr", "apporte les lettres au bureau quand tu auras fini de les lire"),
+]
+
+
+def test_python_reference_accuracy():
+    """The profile itself must separate languages, independent of Spark."""
+    correct = 0
+    for label, sent in HELD_OUT:
+        scores = langid.score_python(sent)
+        pred = max(langid.LANGS, key=lambda l: (scores[l], -langid.LANGS.index(l)))
+        correct += pred == label
+    acc = correct / len(HELD_OUT)
+    assert acc > 0.9, f"held-out accuracy {acc}"
+
+
+def test_spark_operator_accuracy_and_python_parity(spark):
+    df = spark.createDataFrame(
+        [(i, label, sent) for i, (label, sent) in enumerate(HELD_OUT)],
+        "doc_id long, label string, text string",
+    )
+    out = text.language_id(df).collect()
+    assert len(out) == len(HELD_OUT)
+    correct = 0
+    for r in out:
+        label, sent = HELD_OUT[r.doc_id]
+        correct += r.lang_pred == label
+        ref = langid.score_python(sent)
+        for lang in langid.LANGS:
+            got = r[f"score_{lang}"]
+            assert math.isclose(got, ref[lang], rel_tol=0, abs_tol=0), (
+                f"doc {r.doc_id} score_{lang}: spark={got} python={ref[lang]}"
+            )
+    acc = correct / len(HELD_OUT)
+    assert acc > 0.9, f"spark held-out accuracy {acc}"
+
+
+def test_short_and_empty_text(spark):
+    df = spark.createDataFrame(
+        [(0, ""), (1, "ab"), (2, "xq")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in text.language_id(df).collect()}
+    assert len(out) == 3
+    for r in out.values():
+        assert r.lang_pred == "und"
+        for lang in langid.LANGS:
+            assert r[f"score_{lang}"] <= 2.0  # tiny strings, bounded scores
