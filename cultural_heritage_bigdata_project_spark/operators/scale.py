@@ -16,7 +16,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import cleanse, merge
+from . import cleanse, merge, txn
 
 
 def salted_aggregate(
@@ -67,6 +67,9 @@ def compact_table(
     ``target_files`` files via a staging-swap commit. Returns the
     resulting file count.
     """
+    # repair any earlier crashed swap first: restores a vanished target
+    # from its __old backup and clears stale staging dirs (ADVICE r1)
+    txn.recover_swap(path, staging_suffixes=("__compact_staging",))
     df = spark.read.parquet(path)
     staging = path.rstrip("/") + "__compact_staging"
     df.repartition(target_files).write.mode("overwrite").parquet(staging)
@@ -91,6 +94,7 @@ def incremental_cycle(
     P5 + S11 — as a composable function; the streaming-native version
     is streaming.foreach_batch_upsert_run).
     """
+    txn.recover_swap(target_path)  # repair a crashed swap before reading
     exists = os.path.isdir(target_path) and any(
         f.endswith(".parquet") for f in os.listdir(target_path)
     )

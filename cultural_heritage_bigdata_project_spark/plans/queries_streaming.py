@@ -28,8 +28,16 @@ def _events_path(sf_dir: str) -> str:
     d = os.path.join(tempfile.gettempdir(), f"spark_graft_events_{tag}")
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
+    target = f"{sf_dir}/events.parquet"
+    # islink, not exists: a dangling symlink (stale tempdir) reports
+    # False on exists and the create below would raise; also retarget
+    # if the link points somewhere else (ADVICE r1)
+    if os.path.islink(link):
+        if os.readlink(link) != target:
+            os.remove(link)
+            os.symlink(target, link)
+    else:
+        os.symlink(target, link)
     return d
 
 

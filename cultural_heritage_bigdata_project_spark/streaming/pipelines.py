@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..operators import cleanse, merge
+from ..operators import cleanse, merge, txn
 
 EVENTS_SCHEMA = T.StructType(
     [
@@ -258,10 +258,12 @@ def foreach_batch_upsert_run(
     tdir = target_dir or os.path.join(
         tempfile.gettempdir(), f"spark_graft_upsert_{uuid.uuid4().hex[:8]}"
     )
-    data_dir = os.path.join(tdir, "data")
     if reset:
         shutil.rmtree(tdir, ignore_errors=True)
     os.makedirs(tdir, exist_ok=True)
+    # repair any crashed commit BEFORE the stream replays offsets: a
+    # stale unpublished version must not shadow the committed one
+    txn.cleanup_unpublished(tdir)
     order_cols = [F.col(c).desc() for c in order_desc]
     newer = F.struct(*[F.col(f"__ms.{c}") for c in order_desc]) > F.struct(
         *[F.col(f"__mt.{c}") for c in order_desc]
@@ -269,23 +271,24 @@ def foreach_batch_upsert_run(
 
     def upsert_batch(batch_df: DataFrame, epoch_id: int) -> None:
         latest = cleanse.dedup_first_wins(batch_df, keys, order_cols)
-        if os.path.exists(data_dir):
-            target = spark.read.parquet(data_dir)
+        cur = txn.current_version_dir(tdir)
+        if cur is not None:
+            target = spark.read.parquet(cur)
             result = merge.upsert_full_conditional(
                 target, latest.select(*target.columns), keys, newer,
                 check_unique_source=False,  # dedup_first_wins guarantees it
             )
         else:
             result = latest
-        staging = os.path.join(tdir, f"staging_{epoch_id}")
-        result.write.mode("overwrite").parquet(staging)
-        # atomic-ish swap: the new table version replaces the old only
-        # after the full write committed (reference S14 semantics)
-        old = data_dir + "_old"
-        if os.path.exists(data_dir):
-            os.replace(data_dir, old)
-        os.replace(staging, data_dir)
-        shutil.rmtree(old, ignore_errors=True)
+        # versioned commit (no missing-table window — see operators/txn):
+        # write the full new version, then atomically repoint CURRENT.
+        # A crash anywhere leaves the previous version committed, so a
+        # checkpoint resume re-running this epoch is idempotent.
+        vname = f"data_v{epoch_id}"
+        vdir = os.path.join(tdir, vname)
+        shutil.rmtree(vdir, ignore_errors=True)  # partial write from a crash
+        result.write.mode("overwrite").parquet(vdir)
+        txn.publish_version(tdir, vname)
 
     writer = stream.writeStream.foreachBatch(upsert_batch).trigger(availableNow=True)
     with _scoped_shuffle_partitions(spark):
@@ -296,4 +299,4 @@ def foreach_batch_upsert_run(
             q.awaitTermination()
         finally:
             q.stop()
-    return spark.read.parquet(data_dir)
+    return spark.read.parquet(txn.current_version_dir(tdir))
