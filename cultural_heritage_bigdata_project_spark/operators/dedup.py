@@ -513,11 +513,16 @@ def canonical_components(
     SURVEY.md §7 hard-list #2): every node's ``canonical_id`` is the
     min node id reachable in its similarity component.
 
-    ``edges`` must have columns (a_id, b_id). Each iteration is one
-    join + groupBy (label ← min(label, neighbors' labels)); iteration
-    count is bounded by the component diameter, and each round's
+    ``edges`` must have columns (a_id, b_id). Each iteration does a
+    propagate step (label ← min(label, neighbors' labels)) AND a
+    pointer-doubling step (label ← min(label, label-of-label), the
+    Shiloach–Vishkin shortcut), so the round count is O(log diameter)
+    instead of O(diameter) — a path component of length 10^6 converges
+    in ~20 rounds, not 10^6 (round-1 advice: the bare propagation
+    silently returned partial labels on deep components). Each round's
     result is checkpoint-light (localCheckpoint) so the plan doesn't
-    grow unboundedly.
+    grow unboundedly, and convergence is detected by the monotone
+    label-sum probe (one cheap aggregate per round).
     """
     sym = edges.select(
         F.col("a_id").alias("src"), F.col("b_id").alias("dst")
@@ -537,12 +542,26 @@ def canonical_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        propagated = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # pointer doubling: hop to the label's own label — halves the
+        # pointer depth every round, giving O(log diameter) convergence
+        hop = propagated.select(
+            F.col("node").alias("pnode"), F.col("label").alias("plabel")
+        )
+        new_labels = (
+            propagated.join(hop, propagated.label == hop.pnode, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("plabel"), F.col("label"))
                 ).alias("label"),
             )
         )

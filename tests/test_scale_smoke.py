@@ -80,3 +80,23 @@ def test_minhash_scales_to_20k_docs(spark):
     # pairs alone give the 4x floor
     assert got >= 4 * base_pairs, (got, base_pairs)
     assert elapsed < 180, f"minhash at 20k docs too slow: {elapsed:.0f}s"
+
+
+def test_canonical_components_deep_chain(spark):
+    """A 2000-node path graph (diameter 2000) must converge inside the
+    default 20-round budget — pointer doubling gives O(log diameter)
+    rounds where bare min-propagation needs one round per hop."""
+    import warnings
+
+    from cultural_heritage_bigdata_project_spark.operators import dedup
+
+    n = 2000
+    nodes = spark.range(n).select(F.col("id").alias("vid"))
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("a_id"), (F.col("id") + 1).alias("b_id")
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # non-convergence warning = failure
+        labels = dedup.canonical_components(edges, nodes, "vid")
+        got = {r.vid: r.canonical_id for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
