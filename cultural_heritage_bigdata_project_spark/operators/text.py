@@ -130,6 +130,109 @@ def language_id(
     return scored.withColumn("lang_pred", pred).withColumnRenamed("__id", id_col)
 
 
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dup_frac: float = 0.05,
+    max_top_frac: float = 0.06,
+) -> DataFrame:
+    """Gopher-style repetition quality filter (Rae et al. 2021 §A1.1):
+    per-document duplicate-bigram fraction and top-bigram coverage,
+    with a keep flag under the given thresholds. Highly repetitive
+    documents (boilerplate, keyword stuffing, degenerate generations)
+    are the classic pretraining-corpus pollutant these metrics catch.
+
+    Plan shape: bigram explode → (doc, gram) count → per-doc aggregate
+    → left join back (docs under 2 tokens keep zero metrics). Two
+    shuffles, both on keys whose cardinality grows with the corpus —
+    no per-doc quadratic work, no Python. All metrics are int/int
+    divisions → bit-exact across engines.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), " ")
+    base = df.select(F.col(id_col).alias("__id"), toks.alias("t"))
+    grams = base.filter(F.size("t") >= 2).select(
+        "__id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+            )
+        ).alias("gram"),
+    )
+    m = (
+        grams.groupBy("__id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("__id")
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("cnt").alias("top_cnt"),
+        )
+    )
+    dup = (F.col("n_grams") - F.col("n_distinct")) / F.col("n_grams")
+    top = F.col("top_cnt") / F.col("n_grams")
+    return (
+        df.select(F.col(id_col).alias("__id"))
+        .join(m, on="__id", how="left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_bigrams"),
+            F.coalesce(dup, F.lit(0.0)).alias("dup_bigram_frac"),
+            F.coalesce(top, F.lit(0.0)).alias("top_bigram_frac"),
+            (
+                (F.coalesce(dup, F.lit(0.0)) <= max_dup_frac)
+                & (F.coalesce(top, F.lit(0.0)) <= max_top_frac)
+            ).alias("keep"),
+        )
+    )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 6,
+) -> DataFrame:
+    """Benchmark-contamination check (GPT-3 appx C / PaLM style):
+    training documents sharing any word n-gram with a held-out
+    benchmark set, with the count of distinct shared n-grams.
+
+    Plan shape: n-gram explode on both sides → distinct → inverted-
+    index equi-join on the gram → per-doc count. The join key is the
+    n-gram itself (high cardinality at n≥6, so no hot keys); the
+    benchmark side is typically tiny and AQE broadcasts it. This is
+    the decontamination pass every pretraining pipeline runs before
+    shipping a corpus.
+    """
+
+    def grams(d: DataFrame) -> DataFrame:
+        toks = F.split(F.trim(F.lower(F.col(text_col))), " ")
+        return (
+            d.select(F.col(id_col).alias("__id"), toks.alias("t"))
+            .filter(F.size("t") >= n)
+            .select(
+                "__id",
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(1, size(t) - {n - 1}),"
+                        f" i -> concat_ws(' ', slice(t, i, {n})))"
+                    )
+                ).alias("gram"),
+            )
+        )
+
+    tr = grams(train).distinct()
+    bg = grams(bench).select("gram").distinct()
+    return (
+        tr.join(bg, on="gram")
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+        .withColumnRenamed("__id", id_col)
+    )
+
+
 def fingerprint_dedup(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_tokens: int = 4
 ) -> DataFrame:

@@ -108,6 +108,8 @@ CATALOG_ORDER: tuple[str, ...] = (
     "multimodal_decode_meta",
     "hash_ordered_sample",
     "vocabulary_top_tokens",
+    "repetition_filter",
+    "benchmark_contamination",
     "knn_brute_force",
     "threshold_similarity_join",
     "semantic_dedup_canonical",

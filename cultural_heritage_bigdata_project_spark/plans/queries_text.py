@@ -399,3 +399,72 @@ def vocabulary_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("term_freq").desc(), F.col("token").asc())
         .limit(50)
     )
+
+
+@register(
+    "repetition_filter",
+    description="Gopher-style repetition quality filter (Rae et al. 2021 "
+    "A1.1): per-doc duplicate-bigram fraction + top-bigram coverage with "
+    "a keep flag - the boilerplate/keyword-stuffing screen of a "
+    "pretraining corpus; int/int metrics, bit-exact cross-engine",
+    survey_ref="M1,A1",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents
+), g AS (
+  SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS gram
+  FROM t WHERE len(toks) >= 2
+), c AS (
+  SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram
+), m AS (
+  SELECT doc_id, cast(sum(cnt) AS BIGINT) AS n_grams,
+         count(*) AS n_distinct, max(cnt) AS top_cnt
+  FROM c GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(m.n_grams, 0) AS n_bigrams,
+       coalesce((m.n_grams - m.n_distinct) * 1.0 / m.n_grams, 0.0) AS dup_bigram_frac,
+       coalesce(m.top_cnt * 1.0 / m.n_grams, 0.0) AS top_bigram_frac,
+       (coalesce((m.n_grams - m.n_distinct) * 1.0 / m.n_grams, 0.0) <= 0.05
+        AND coalesce(m.top_cnt * 1.0 / m.n_grams, 0.0) <= 0.06) AS keep
+FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+""",
+)
+def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.repetition_stats(
+        _docs(spark, sf_dir), max_dup_frac=0.05, max_top_frac=0.06
+    )
+
+
+@register(
+    "benchmark_contamination",
+    description="Benchmark-contamination check (GPT-3 appx C style): "
+    "training docs sharing any 6-gram with a deterministic held-out "
+    "'benchmark' split (doc_id % 89 = 0), with distinct shared-gram "
+    "counts - the decontamination pass before shipping a corpus; "
+    "inverted-index join on the gram, no cross join",
+    survey_ref="M3,J9,A1",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents
+), g AS (
+  SELECT doc_id, unnest([array_to_string(toks[i:i+5], ' ')
+                         for i in range(1, len(toks) - 4)]) AS gram
+  FROM t WHERE len(toks) >= 6
+), tr AS (
+  SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 89 <> 0
+), b AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id % 89 = 0
+)
+SELECT tr.doc_id, count(*) AS n_shared_ngrams
+FROM tr JOIN b ON tr.gram = b.gram
+GROUP BY tr.doc_id
+""",
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    train = docs.filter(F.col("doc_id") % 89 != 0)
+    bench = docs.filter(F.col("doc_id") % 89 == 0)
+    return text.ngram_contamination(train, bench, n=6)
