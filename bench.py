@@ -57,7 +57,19 @@ def main() -> None:
     # consolidation) would time serialization, not the operators
     qs = {name: q.fn for name, q in CATALOG.items()}
 
-    spark.range(100_000_000).selectExpr("sum(id)").collect()  # warmup
+    # warmup: JVM/codegen + the Python-worker/Arrow pool (including the
+    # numpy import every vectorized UDF pays once per worker process),
+    # so no startup cost lands on whichever query happens to hit it first
+    spark.range(100_000_000).selectExpr("sum(id)").collect()
+
+    def _warm(batches):
+        import numpy as np  # preload into the reused worker processes
+
+        for pdf in batches:
+            pdf["id"] = np.asarray(pdf["id"])
+            yield pdf
+
+    spark.range(256, numPartitions=64).mapInPandas(_warm, "id long").count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
