@@ -100,3 +100,43 @@ def test_canonical_components_deep_chain(spark):
         labels = dedup.canonical_components(edges, nodes, "vid")
         got = {r.vid: r.canonical_id for r in labels.collect()}
     assert got == {i: 0 for i in range(n)}
+
+
+def test_hot_bucket_cap_adversarial_corpus(spark):
+    """VERDICT r1 #2: an adversarial corpus where EVERY doc shares one
+    shingle (a degenerate inverted-index bucket of 20k ids that would
+    expand to 2*10^8 pair structs in one task uncapped) must complete
+    under a cap, report the pruned bucket through the Observation, and
+    still find every planted near-dup pair via their distinctive
+    shingles."""
+    from pyspark.sql import Observation
+
+    from cultural_heritage_bigdata_project_spark.operators import dedup
+
+    n = 20_000
+    k = (F.col("id") / 2).cast("long")
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.split(
+            F.concat_ws(
+                " ",
+                F.lit("h0 h1 h2"),  # hot prefix: shingle shared by ALL docs
+                F.concat(F.lit("a"), k),
+                F.concat(F.lit("b"), k),
+                F.concat(F.lit("c"), k),
+                F.concat(F.lit("d"), k),
+                F.concat(F.lit("e"), F.col("id")),  # differs within a pair
+            ),
+            " ",
+        ).alias("t"),
+    )
+    shingled = docs.select("doc_id", dedup.shingles_expr("t", 3).alias("sh"))
+    obs = Observation("hot_buckets")
+    pairs = dedup.jaccard_pairs(
+        shingled, "doc_id", "sh", threshold=0.4, max_bucket=64, observation=obs
+    )
+    got = pairs.count()
+    assert got == n // 2, f"expected {n // 2} planted pairs, got {got}"
+    metrics = obs.get
+    assert metrics["dropped_buckets"] >= 1, metrics
+    assert metrics["dropped_members"] >= n, metrics
