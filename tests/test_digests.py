@@ -58,3 +58,37 @@ def test_digest_parity(group, spark, duck):
     parity.compare(spdf, opdf, name=group)
     assert len(spdf) == len(digests.GROUPS[group])
     assert (spdf["n_rows"] > 0).all(), f"{group}: a member returned no rows"
+
+
+def test_float_serialization_parity_adversarial(spark, duck):
+    """The digest serializer's trunc(x*1e6) must agree between engines
+    on the risky value classes: exact 6-decimal values (product lands
+    next to an integer), halfway values, negatives, -0.0, large
+    magnitudes, NULL."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from cultural_heritage_bigdata_project_spark.plans import digests
+
+    vals = [
+        0.0, -0.0, 1.5, -1.5, 0.1, -0.1, 1234.56, -1234.56,
+        0.0000005, -0.0000005, 25.5286, 311582.535, -311582.535,
+        8.9e12, -8.9e12, 1e-7, 123456789.123456, None,
+        2.0 / 3.0, -2.0 / 3.0, 0.3000003, 1.0000005,
+    ]
+    sdf = spark.createDataFrame(pd.DataFrame({"v": pd.array(vals, dtype="float64")}))
+    ser = sdf.select(
+        F.coalesce(
+            (F.col("v").cast("double") * F.lit(1000000.0)).cast("long").cast("string"),
+            F.lit(digests.NUL),
+        ).alias("s")
+    )
+    got_spark = [r.s for r in ser.collect()]
+    got_duck = []
+    for v in vals:
+        lit = "NULL" if v is None else repr(v)
+        (res,) = duck.execute(
+            f"SELECT coalesce(cast(cast(trunc(cast({lit} AS DOUBLE) * 1000000.0)"
+            f" AS BIGINT) AS VARCHAR), chr(30))"
+        ).fetchone()
+        got_duck.append(res)
+    assert got_spark == got_duck, list(zip(vals, got_spark, got_duck))
