@@ -1,0 +1,171 @@
+"""Corpus assembly operators: deterministic splits, weighted mixing,
+sequence packing.
+
+The last mile of a training-data pipeline (SURVEY.md §2.10 north-star
+surface, beyond the reference): after cleaning/dedup/quality filtering,
+a corpus is split train/val/test, mixed across sources with target
+weights, and packed into fixed token budgets. All selection here is
+*hash-deterministic* (md5 over ids — no RNG, no partition-layout
+dependence): re-running the pipeline, on any cluster layout or engine,
+reproduces the same corpus bit-for-bit. That property is what makes
+training runs auditable, and it is the same md5-portable family the
+dedup/ANN operators use, so the DuckDB oracle replays splits exactly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# integer per-ten-thousand buckets: exact on every engine, no float
+# threshold boundaries
+_BUCKETS = 10_000
+
+
+def _hash_bucket(seed: int | str, key: Column) -> Column:
+    """Deterministic bucket in [0, 10000) from md5(seed ':' key) — the
+    engine-portable analog of a seeded uniform draw.
+    DuckDB: ('0x' || substr(md5(s), 1, 15))::BIGINT % 10000."""
+    s = F.concat(F.lit(str(seed)), F.lit(":"), key.cast("string"))
+    h60 = F.conv(F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
+    return h60 % _BUCKETS
+
+
+def hash_split(
+    df: DataFrame,
+    fractions: Mapping[str, float],
+    id_col: str = "doc_id",
+    seed: int = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Disjoint, exhaustive, deterministic split assignment
+    (train/val/test). Each row lands in exactly one split by its
+    md5-hash bucket against the cumulative fraction thresholds —
+    independent of partitioning, row order, engine, or cluster size
+    (the properties a seeded `randomSplit` does NOT have).
+
+    Plan: one stateless projection — splits at 100 TB at scan speed.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    bucket = _hash_bucket(seed, F.col(id_col))
+    expr = None
+    cum = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        cond = bucket < int(round(cum * _BUCKETS))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, out)
+
+
+def weighted_mix(
+    sources: Mapping[str, DataFrame],
+    weights: Mapping[str, float],
+    id_col: str = "doc_id",
+    seed: int = 0,
+    source_col: str = "source",
+) -> DataFrame:
+    """Weighted corpus mix: keep a deterministic ``weights[s]`` fraction
+    of each source (md5-hash thresholding per row, seeded per source)
+    and union with a source tag — the sampling half of a data-mixture
+    recipe (e.g. upweight curated text, downweight crawl).
+
+    Weights are keep-fractions in [0, 1]; upsampling (>1) is the
+    trainer's repeat-epochs knob, not a row-duplication concern here.
+    One projection + filter per source, then unionByName — no shuffle.
+    """
+    parts = []
+    for name, df in sources.items():
+        w = weights[name]
+        if not (0.0 <= w <= 1.0):
+            raise ValueError(f"weight for {name!r} must be in [0,1], got {w}")
+        bucket = _hash_bucket(f"{seed}:{name}", F.col(id_col))
+        parts.append(
+            df.filter(bucket < int(round(w * _BUCKETS))).withColumn(
+                source_col, F.lit(name)
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    n_groups: int | None = None,
+) -> DataFrame:
+    """Greedy sequence packing: assign documents to bins of at most
+    ``budget`` tokens (first-fit decreasing), the packing step that
+    turns a filtered corpus into fixed-length pretraining rows with
+    minimal padding waste.
+
+    Exact global FFD is inherently sequential, so the distributed shape
+    is pack-within-hash-groups: rows are hash-partitioned into
+    ``n_groups`` groups (md5 on the id — deterministic), each group is
+    FFD-packed independently in one Arrow batch (applyInPandas), and
+    bin ids are made globally unique as group*2^32 + local bin. Waste
+    vs global FFD is bounded by one partial bin per group — negligible
+    when groups hold thousands of documents. Oversized docs (tokens >
+    budget) get a dedicated bin each (the trainer's truncation
+    concern, not the packer's).
+
+    Output: (id, bin_id, bin_tokens) — one row per input document.
+    """
+    import pandas as pd
+
+    if n_groups is None:
+        n_groups = df.sparkSession.sparkContext.defaultParallelism
+    grp = _hash_bucket("pack", F.col(id_col)) % n_groups
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(tokens_col).cast("long").alias("__tok"),
+        grp.cast("int").alias("__grp"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = int(pdf["__grp"].iloc[0])
+        # deterministic FFD: sort by tokens desc, id asc
+        rows = sorted(
+            zip(pdf["__id"].tolist(), pdf["__tok"].tolist()),
+            key=lambda r: (-r[1], r[0]),
+        )
+        bins: list[int] = []  # remaining capacity per bin
+        out_id, out_bin = [], []
+        for rid, tok in rows:
+            placed = None
+            for bi, rem in enumerate(bins):
+                if tok <= rem:
+                    placed = bi
+                    break
+            if placed is None:
+                bins.append(max(budget, tok))
+                placed = len(bins) - 1
+            bins[placed] -= tok
+            out_id.append(rid)
+            out_bin.append((g << 32) | placed)
+        totals: dict[int, int] = {}
+        for (rid, tok), b in zip(rows, out_bin):
+            totals[b] = totals.get(b, 0) + tok
+        return pd.DataFrame(
+            {
+                "__id": out_id,
+                "bin_id": out_bin,
+                "bin_tokens": [totals[b] for b in out_bin],
+            }
+        )
+
+    return (
+        base.groupBy("__grp")
+        .applyInPandas(pack, "__id long, bin_id long, bin_tokens long")
+        .withColumnRenamed("__id", id_col)
+    )

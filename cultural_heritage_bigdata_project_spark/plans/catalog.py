@@ -69,6 +69,7 @@ def _load_all() -> None:
     from . import queries_sql  # noqa: F401
     from . import queries_scale  # noqa: F401
     from . import queries_misc  # noqa: F401
+    from . import queries_corpus  # noqa: F401
 
 
 # Final catalog order. The round-1 driver hash-checked exactly the first
@@ -98,7 +99,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "asof_join_purchase_click",
     "range_join_bursts",
     "sessionization",
-    "text_stats",
+    "text_profile_digest",
     "language_id",
     "fingerprint_dedup",
     "ngram_jaccard_pairs",
@@ -106,8 +107,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "simhash_dedup",
     "exact_dedup_docs",
     "multimodal_decode_meta",
-    "hash_ordered_sample",
-    "vocabulary_top_tokens",
+    "corpus_sampling_digest",
     "repetition_filter",
     "benchmark_contamination",
     "knn_brute_force",

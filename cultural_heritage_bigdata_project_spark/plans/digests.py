@@ -125,6 +125,15 @@ GROUPS: dict[str, list[str]] = {
         "bucketed_colocated_join",
         "approx_stats",
     ],
+    "text_profile_digest": [
+        "text_stats",
+        "vocabulary_top_tokens",
+        "hash_ordered_sample",
+    ],
+    "corpus_sampling_digest": [
+        "hash_split_sets",
+        "corpus_mix_weighted",
+    ],
 }
 
 GROUPED_PARTS: dict[str, str] = {
@@ -341,6 +350,37 @@ PART_COLS: dict[str, tuple[tuple[str, str], ...]] = {
         ("l_returnflag", "s"),
         ("n_orders_exact", "s"),
         ("n_rows", "s"),
+    ),
+    "text_stats": (
+        ("avg_token_len", "f"),
+        ("distinct_ratio", "f"),
+        ("doc_id", "s"),
+        ("lang", "s"),
+        ("n_distinct_tokens", "s"),
+        ("n_tokens", "s"),
+        ("n_tokens_bpe", "s"),
+        ("quality_score", "f"),
+        ("stopword_ratio", "f"),
+    ),
+    "vocabulary_top_tokens": (
+        ("doc_freq", "s"),
+        ("term_freq", "s"),
+        ("token", "s"),
+    ),
+    "hash_ordered_sample": (
+        ("doc_id", "s"),
+        ("lang", "s"),
+        ("n_chars", "s"),
+    ),
+    "hash_split_sets": (
+        ("doc_id", "s"),
+        ("lang", "s"),
+        ("split", "s"),
+    ),
+    "corpus_mix_weighted": (
+        ("doc_id", "s"),
+        ("n_chars", "s"),
+        ("source", "s"),
     ),
 }
 
