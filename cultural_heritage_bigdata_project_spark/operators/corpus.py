@@ -103,6 +103,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     tokens_col: str = "n_tokens",
     n_groups: int | None = None,
+    lookback: int = 64,
 ) -> DataFrame:
     """Greedy sequence packing: assign documents to bins of at most
     ``budget`` tokens (first-fit decreasing), the packing step that
@@ -118,6 +119,14 @@ def pack_sequences(
     when groups hold thousands of documents. Oversized docs (tokens >
     budget) get a dedicated bin each (the trainer's truncation
     concern, not the packer's).
+
+    Naive FFD scans every open bin per document — O(docs × bins)
+    inside one group, quadratic when a group holds millions of rows.
+    ``lookback`` bounds it: only the ``lookback`` most recently opened
+    bins stay open (older bins are closed, evicting the fullest
+    first), so per-group work is O(docs × lookback) — linear — at the
+    cost of a slightly looser fill. Size ``n_groups`` so groups hold
+    ~10⁴-10⁵ docs; both knobs compose for 100 TB corpora.
 
     Output: (id, bin_id, bin_tokens) — one row per input document.
     """
@@ -139,18 +148,25 @@ def pack_sequences(
             zip(pdf["__id"].tolist(), pdf["__tok"].tolist()),
             key=lambda r: (-r[1], r[0]),
         )
-        bins: list[int] = []  # remaining capacity per bin
+        open_bins: list[tuple[int, int]] = []  # (bin_index, remaining)
+        n_bins = 0
         out_id, out_bin = [], []
         for rid, tok in rows:
             placed = None
-            for bi, rem in enumerate(bins):
+            for i, (bi, rem) in enumerate(open_bins):
                 if tok <= rem:
                     placed = bi
+                    open_bins[i] = (bi, rem - tok)
                     break
             if placed is None:
-                bins.append(max(budget, tok))
-                placed = len(bins) - 1
-            bins[placed] -= tok
+                placed = n_bins
+                open_bins.append((n_bins, max(budget, tok) - tok))
+                n_bins += 1
+                if len(open_bins) > lookback:
+                    # close the fullest bin: least likely to fit
+                    # future (smaller) docs — keeps the scan bounded
+                    fullest = min(range(len(open_bins)), key=lambda j: open_bins[j][1])
+                    open_bins.pop(fullest)
             out_id.append(rid)
             out_bin.append((g << 32) | placed)
         totals: dict[int, int] = {}

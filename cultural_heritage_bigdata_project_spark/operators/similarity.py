@@ -260,24 +260,35 @@ def lsh_candidate_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    max_bucket: int | None = None,
+    observation=None,
 ) -> DataFrame:
     """Sub-quadratic candidate pairs: vectors sharing any of
     ``n_tables`` independent ``n_planes``-bit buckets.
 
     Plan shape: signature GEMM (one pass) → shuffle on (table, bucket)
-    → within-bucket self-join → distinct pairs. No cross join anywhere;
-    at 100 TB the shuffle key count is n_tables × n_rows.
+    → in-bucket pair expansion → distinct pairs. No cross join; at
+    100 TB the shuffle key count is n_tables × n_rows. The expansion
+    reuses dedup's collect_list bucketing, so the upstream signature
+    stage evaluates ONCE (a self-join would run it per side) and
+    ``max_bucket`` applies the same hot-bucket df-pruning guard: a
+    degenerate bucket (many identical vectors, an all-zeros bucket at
+    low n_planes) would otherwise expand k²/2 pairs in one task. Pass
+    a cap ~2-5× the expected duplicate-cluster size at corpus scale;
+    drop counts surface through ``observation``
+    (``pyspark.sql.Observation``).
     """
+    from .dedup import _bucket_pair_occurrences
+
     keyed = lsh_signatures(
         vectors, n_bits=n_planes, n_tables=n_tables,
         id_col=id_col, vec_col=vec_col, dim=dim,
     )
-    a = keyed.select(F.col(id_col).alias("a_id"), "table", "bucket")
-    b = keyed.select(F.col(id_col).alias("b_id"), "table", "bucket")
     return (
-        a.join(b, on=["table", "bucket"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
+        _bucket_pair_occurrences(
+            keyed, ["table", "bucket"], id_col,
+            max_bucket=max_bucket, observation=observation,
+        )
         .distinct()
     )
 

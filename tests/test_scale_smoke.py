@@ -140,3 +140,29 @@ def test_hot_bucket_cap_adversarial_corpus(spark):
     metrics = obs.get
     assert metrics["dropped_buckets"] >= 1, metrics
     assert metrics["dropped_members"] >= n, metrics
+
+
+def test_lsh_candidate_pairs_hot_bucket_cap(spark):
+    """5k identical vectors collapse into one LSH bucket per table —
+    uncapped that is 12.5M pairs; with the cap the degenerate buckets
+    are pruned (reported via Observation) while distinct planted
+    neighbors still pair up."""
+    from pyspark.sql import Observation
+
+    from cultural_heritage_bigdata_project_spark.operators import similarity
+
+    n = 5000
+    # ids < n: identical vector; ids n, n+1: a distinct near-dup pair
+    vec = F.when(
+        F.col("id") >= n,
+        F.array(*[F.lit(1.0)] + [F.lit(-0.5)] * 7),
+    ).otherwise(F.array(*[F.lit(0.25)] * 8))
+    vectors = spark.range(n + 2).select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+    obs = Observation("lsh_hot")
+    pairs = similarity.lsh_candidate_pairs(
+        vectors, n_planes=4, n_tables=2, dim=8, max_bucket=100, observation=obs
+    )
+    got = {(r.a_id, r.b_id) for r in pairs.collect()}
+    assert (n, n + 1) in got, "distinct planted pair must survive the cap"
+    assert len(got) < 10_000, f"cap failed: {len(got)} pairs"
+    assert obs.get["dropped_buckets"] >= 1, obs.get
