@@ -75,3 +75,38 @@ def test_bucketed_join_has_no_shuffle(spark):
         assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan[:2000]}"
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_hash_split_is_stateless_projection(spark):
+    """hash_split must add zero shuffles — corpus splitting at 100 TB
+    runs at scan speed."""
+    plan = _formatted_plan(spark, "hash_split_sets")
+    assert "Exchange" not in plan, plan
+
+
+def test_corpus_mix_no_shuffle(spark):
+    """weighted_mix is filter + union — no exchange anywhere."""
+    plan = _formatted_plan(spark, "corpus_mix_weighted")
+    assert "Exchange" not in plan, plan
+
+
+def test_ann_probe_is_broadcast(spark):
+    """The query's (table, bucket) probe set joins the signature stream
+    by broadcast — no shuffle of the collection on the probe join."""
+    plan = _formatted_plan(spark, "ann_lsh_topk")
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_language_id_profile_broadcasts(spark):
+    """The trigram profile table must broadcast (a few hundred rows at
+    any corpus scale), never shuffle the exploded trigram stream
+    against it."""
+    plan = _formatted_plan(spark, "language_id")
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_repetition_filter_partial_aggregation(spark):
+    """The (doc, gram) count must map-side combine before the exchange
+    (HashAggregate appears above AND below each shuffle)."""
+    plan = _formatted_plan(spark, "repetition_filter")
+    assert plan.count("HashAggregate") >= 4, plan
