@@ -49,6 +49,9 @@ def _md5_hash31_sql(expr: str, half: int) -> str:
     """31-bit hash from md5 hex chars [1..8] (half=0) or [9..16] (half=1):
     one md5 per input yields two independent Kirsch-Mitzenmacher bases.
     DuckDB equivalent: ('0x'||substr(md5(x),{start},8))::BIGINT & 2147483647.
+    This SQL form is the portable-family CONTRACT; the minhash hot path
+    now computes the identical values in numpy (see ``minhash_lsh_pairs``)
+    and any engine replay must match this definition.
     """
     start = 1 + 8 * half
     return f"(cast(conv(substr({expr}, {start}, 8), 16, 10) as bigint) & 2147483647)"
@@ -282,21 +285,54 @@ def minhash_lsh_pairs(
     # (measured 6x slower). They also spread single-file inputs across
     # cores.
     if hash_family == "md5-portable":
-        # one md5 per shingle; both 31-bit KM bases are substrings of it
-        md5ed = df.select(
-            F.col(id_col),
-            F.col(shingle_col),
-            F.expr(f"transform({shingle_col}, s -> md5(s))").alias("__m"),
-        ).repartition(par)
-        hashed = md5ed.select(
-            F.col(id_col),
-            F.col(shingle_col),
-            F.expr(
-                f"transform(__m, m -> {_md5_hash31_sql('m', 0)})"
-            ).alias("__h1"),
-            F.expr(
-                f"transform(__m, m -> {_md5_hash31_sql('m', 1)})"
-            ).alias("__h2"),
+        # Vectorized signature+banding: one Arrow batch does the shingle
+        # md5s (C hashlib) and a (n_shingles × n_hashes) numpy min per
+        # doc — replacing the interpreted per-i zip_with lambdas that
+        # dominated this stage (same fix class as the LSH-signature GEMM
+        # in similarity.py; measured ~2× on the bench query). The
+        # arithmetic is bit-identical to the DuckDB oracle:
+        #   h1/h2 = first/second 8 md5 hex chars & 2^31-1,
+        #   sig_i = min(h1 + i·h2),
+        #   band key = md5(','.join(sig[band*r : (band+1)*r])).
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        nh, nb, nr = n_hashes, bands, rows
+
+        def band_keys(batches):
+            i_arr = np.arange(nh, dtype=np.int64)
+            for pdf in batches:
+                out_id, out_band, out_bkey = [], [], []
+                for rid, shingles in zip(pdf["__id"], pdf["__sh"]):
+                    k = len(shingles)
+                    if k == 0:
+                        continue
+                    h1 = np.empty(k, dtype=np.int64)
+                    h2 = np.empty(k, dtype=np.int64)
+                    for j, s in enumerate(shingles):
+                        hx = hashlib.md5(s.encode("utf-8")).hexdigest()
+                        h1[j] = int(hx[:8], 16) & 0x7FFFFFFF
+                        h2[j] = int(hx[8:16], 16) & 0x7FFFFFFF
+                    sig = (h1[:, None] + i_arr[None, :] * h2[:, None]).min(axis=0)
+                    for b in range(nb):
+                        joined = ",".join(
+                            str(int(v)) for v in sig[b * nr : (b + 1) * nr]
+                        )
+                        out_id.append(rid)
+                        out_band.append(b)
+                        out_bkey.append(hashlib.md5(joined.encode()).hexdigest())
+                yield pd.DataFrame(
+                    {"__id": out_id, "band": out_band, "bkey": out_bkey}
+                )
+
+        keyed = (
+            df.select(
+                F.col(id_col).alias("__id"), F.col(shingle_col).alias("__sh")
+            )
+            .mapInPandas(band_keys, "__id long, band int, bkey string")
+            .withColumnRenamed("__id", id_col)
         )
     else:
         hashed = df.select(
@@ -308,32 +344,12 @@ def minhash_lsh_pairs(
             F.expr(
                 f"transform({shingle_col}, s -> xxhash64(43, s) & 2147483647)"
             ).alias("__h2"),
+        ).repartition(par)
+        sig = hashed.select(
+            F.col(id_col),
+            F.col(shingle_col),
+            minhash_signature("__h1", "__h2", n_hashes).alias("__sig"),
         )
-    hashed = hashed.repartition(par)
-    sig = hashed.select(
-        F.col(id_col),
-        F.col(shingle_col),
-        minhash_signature("__h1", "__h2", n_hashes).alias("__sig"),
-    )
-    if hash_family == "md5-portable":
-        # band key = md5 of the comma-joined minhash values — DuckDB:
-        # md5(string_agg(m::VARCHAR, ',' ORDER BY i)) per (doc, band)
-        band_structs = [
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.element_at("__sig", b * rows + j + 1).cast("string")
-                            for j in range(rows)
-                        ],
-                    )
-                ).alias("bkey"),
-            )
-            for b in range(bands)
-        ]
-    else:
         band_structs = [
             F.struct(
                 F.lit(b).alias("band"),
@@ -341,9 +357,9 @@ def minhash_lsh_pairs(
             )
             for b in range(bands)
         ]
-    keyed = sig.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("bs")
-    ).select(id_col, "bs.band", "bs.bkey")
+        keyed = sig.select(
+            F.col(id_col), F.explode(F.array(*band_structs)).alias("bs")
+        ).select(id_col, "bs.band", "bs.bkey")
     cand = _bucket_pair_occurrences(
         keyed, ["band", "bkey"], id_col, max_bucket=max_bucket, observation=observation
     ).distinct()
