@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "skew_salted_agg",
     "text_dedup_keep_canonical",
     "semantic_dedup_canonical",
+    "training_corpus_pipeline",
 ]
 
 

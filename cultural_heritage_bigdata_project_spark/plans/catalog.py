@@ -110,6 +110,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "corpus_sampling_digest",
     "repetition_filter",
     "benchmark_contamination",
+    "training_corpus_pipeline",
     "knn_brute_force",
     "threshold_similarity_join",
     "semantic_dedup_canonical",

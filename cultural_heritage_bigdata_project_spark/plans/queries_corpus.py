@@ -74,3 +74,169 @@ def corpus_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.weighted_mix(
         sources, {"en": 0.5, "de": 1.0, "fr": 0.25}, seed=3
     )
+
+
+_MINHASH_CTES = """
+d AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM e1
+), s AS (
+  SELECT doc_id,
+         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        for i in range(1, greatest(len(t) - 1, 1))]) AS sh
+  FROM d WHERE len(t) >= 3
+), ex AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM s
+), h AS (
+  SELECT doc_id,
+         ('0x'||substr(md5(shingle),1,8))::BIGINT & 2147483647 AS h1,
+         ('0x'||substr(md5(shingle),9,8))::BIGINT & 2147483647 AS h2
+  FROM ex
+), sig AS (
+  SELECT doc_id, i.i AS i, min(h1 + i.i * h2) AS m
+  FROM h, range(64) i(i) GROUP BY doc_id, i.i
+), band AS (
+  SELECT doc_id, i // 4 AS band,
+         md5(string_agg(m::VARCHAR, ',' ORDER BY i)) AS bkey
+  FROM sig GROUP BY doc_id, i // 4
+), cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM band a JOIN band b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+), ver AS (
+  SELECT c.a_id, c.b_id
+  FROM cand c JOIN s sa ON c.a_id = sa.doc_id JOIN s sb ON c.b_id = sb.doc_id
+  WHERE round(len(list_intersect(sa.sh, sb.sh)) * 1.0
+              / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) >= 0.6
+)"""
+
+_QUALITY_CTES = """
+tq AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM e2
+), q AS (
+  SELECT doc_id,
+         least(len(toks) / 64.0, 1.0) * 0.4
+           + (len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1)) * 0.4
+           + (len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in'], x)))
+              * 1.0 / greatest(len(toks), 1)) * 0.2 AS quality
+  FROM tq
+), g2 AS (
+  SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS gram
+  FROM tq WHERE len(toks) >= 2
+), c2 AS (
+  SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY doc_id, gram
+), rep AS (
+  SELECT doc_id, cast(sum(cnt) AS BIGINT) AS n_grams,
+         count(*) AS n_distinct, max(cnt) AS top_cnt
+  FROM c2 GROUP BY doc_id
+), e3 AS (
+  SELECT e2.* FROM e2
+  JOIN q ON q.doc_id = e2.doc_id
+  LEFT JOIN rep ON rep.doc_id = e2.doc_id
+  WHERE q.quality >= 0.45
+    AND coalesce((rep.n_grams - rep.n_distinct) * 1.0 / rep.n_grams, 0.0) <= 0.05
+    AND coalesce(rep.top_cnt * 1.0 / rep.n_grams, 0.0) <= 0.06
+)"""
+
+_CONTAM_CTES = """
+tb AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents
+  WHERE doc_id % 89 = 0
+), bench_g AS (
+  SELECT DISTINCT unnest([array_to_string(toks[i:i+5], ' ')
+                          for i in range(1, len(toks) - 4)]) AS gram
+  FROM tb WHERE len(toks) >= 6
+), t3 AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM e3
+  WHERE doc_id % 89 <> 0
+), tr_g AS (
+  SELECT DISTINCT doc_id, unnest([array_to_string(toks[i:i+5], ' ')
+                                  for i in range(1, len(toks) - 4)]) AS gram
+  FROM t3 WHERE len(toks) >= 6
+), contam AS (
+  SELECT DISTINCT tr_g.doc_id FROM tr_g JOIN bench_g ON tr_g.gram = bench_g.gram
+), e4 AS (
+  SELECT * FROM e3
+  WHERE doc_id % 89 <> 0 AND doc_id NOT IN (SELECT doc_id FROM contam)
+)"""
+
+
+@register(
+    "training_corpus_pipeline",
+    description="End-to-end training-corpus assembly (the LLM-data "
+    "flagship): length floor -> exact dedup (md5, keep min id) -> "
+    "MinHash-LSH near-dup prune (>=0.6, keep smaller id) -> quality "
+    "filter (score >= 0.45 + Gopher repetition caps) -> 6-gram benchmark "
+    "decontamination -> deterministic 90/10 split -> per-(split, lang) "
+    "corpus stats. Every stage is md5-portable, so the full pipeline is "
+    "hash-checked end to end",
+    survey_ref="A5,F7,M3,J9,M1,W2,A1",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, lang, n_chars, text FROM documents WHERE n_chars >= 100
+), fp AS (
+  SELECT doc_id, md5(lower(trim(text))) AS f FROM base
+), exact_keep AS (
+  SELECT f, min(doc_id) AS keep_id FROM fp GROUP BY f
+), e1 AS (
+  SELECT b.* FROM base b JOIN exact_keep k ON b.doc_id = k.keep_id
+),{_MINHASH_CTES},
+e2 AS (
+  SELECT * FROM e1 WHERE doc_id NOT IN (SELECT b_id FROM ver)
+),{_QUALITY_CTES},{_CONTAM_CTES},
+sp AS (
+  SELECT lang, n_chars,
+         CASE WHEN ('0x' || substr(md5('11:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 < 9000
+              THEN 'train' ELSE 'val' END AS split
+  FROM e4
+)
+SELECT split, lang, count(*) AS n_docs,
+       cast(sum(n_chars) AS BIGINT) AS n_chars_total
+FROM sp GROUP BY split, lang
+""",
+)
+def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup, text
+
+    docs = load_table(spark, sf_dir, "documents")
+    # 1. length floor (cleanse)
+    base = docs.filter(F.col("n_chars") >= 100)
+    # 2. exact dedup: md5(normalized text), keep min doc_id
+    fp = base.select(
+        "doc_id", F.md5(F.trim(F.lower("text")).cast("binary")).alias("f")
+    )
+    keep = fp.groupBy("f").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    e1 = base.join(keep, on="doc_id", how="leftsemi")
+    # 3. near-dup prune: MinHash-LSH verified >= 0.6; drop the larger id
+    toks = e1.repartition(spark.sparkContext.defaultParallelism).select(
+        "doc_id", F.split(F.trim(F.lower("text")), " +").alias("t")
+    )
+    shingled = toks.filter(F.size("t") >= 3).select(
+        "doc_id", dedup.shingles_expr("t", 3).alias("sh")
+    )
+    pairs = dedup.minhash_lsh_pairs(
+        shingled, "doc_id", "sh", threshold=0.6, hash_family="md5-portable"
+    )
+    dupes = pairs.select(F.col("b_id").alias("doc_id")).distinct()
+    e2 = e1.join(dupes, on="doc_id", how="left_anti")
+    # 4. quality: trigram-independent score floor + Gopher repetition caps
+    quality = text.text_stats(e2.select("doc_id", "text")).select(
+        "doc_id", "quality_score"
+    )
+    rep = text.repetition_stats(e2, max_dup_frac=0.05, max_top_frac=0.06)
+    e3 = (
+        e2.join(quality.filter(F.col("quality_score") >= 0.45), "doc_id", "leftsemi")
+        .join(rep.filter(F.col("keep")), "doc_id", "leftsemi")
+    )
+    # 5. decontamination vs the deterministic benchmark split
+    bench = docs.filter(F.col("doc_id") % 89 == 0)
+    train_side = e3.filter(F.col("doc_id") % 89 != 0)
+    contam = text.ngram_contamination(train_side, bench, n=6).select("doc_id")
+    e4 = train_side.join(contam, on="doc_id", how="left_anti")
+    # 6. deterministic split + corpus stats
+    from ..operators import corpus as corpus_ops
+
+    sp = corpus_ops.hash_split(e4, {"train": 0.9, "val": 0.1}, seed=11)
+    return sp.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars_total"),
+    )
