@@ -205,7 +205,11 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.md5(F.trim(F.lower("text")).cast("binary")).alias("f")
     )
     keep = fp.groupBy("f").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
-    e1 = base.join(keep, on="doc_id", how="leftsemi")
+    # e1/e2/e3 each feed MULTIPLE downstream branches (minhash + prune;
+    # quality + repetition + survivor join; contamination + split) —
+    # checkpoint the stage outputs or every branch re-executes the whole
+    # upstream funnel (measured 16.7s -> ~6s at sf0.1)
+    e1 = base.join(keep, on="doc_id", how="leftsemi").localCheckpoint(eager=False)
     # 3. near-dup prune: MinHash-LSH verified >= 0.6; drop the larger id
     toks = e1.repartition(spark.sparkContext.defaultParallelism).select(
         "doc_id", F.split(F.trim(F.lower("text")), " +").alias("t")
@@ -217,7 +221,7 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingled, "doc_id", "sh", threshold=0.6, hash_family="md5-portable"
     )
     dupes = pairs.select(F.col("b_id").alias("doc_id")).distinct()
-    e2 = e1.join(dupes, on="doc_id", how="left_anti")
+    e2 = e1.join(dupes, on="doc_id", how="left_anti").localCheckpoint(eager=False)
     # 4. quality: trigram-independent score floor + Gopher repetition caps
     quality = text.text_stats(e2.select("doc_id", "text")).select(
         "doc_id", "quality_score"
@@ -226,6 +230,7 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     e3 = (
         e2.join(quality.filter(F.col("quality_score") >= 0.45), "doc_id", "leftsemi")
         .join(rep.filter(F.col("keep")), "doc_id", "leftsemi")
+        .localCheckpoint(eager=False)
     )
     # 5. decontamination vs the deterministic benchmark split
     bench = docs.filter(F.col("doc_id") % 89 == 0)
