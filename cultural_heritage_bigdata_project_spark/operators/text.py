@@ -248,3 +248,128 @@ def fingerprint_dedup(
             F.min(id_col).alias("canonical_id"),
         )
     )
+
+
+# ------------------------------------------------- winnowing fingerprints
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """MOSS-style winnowing fingerprints (Schleimer et al., SIGMOD 2003):
+    hash every character k-gram of the normalized text, then keep the
+    minimum hash of each sliding window of ``window`` consecutive k-gram
+    hashes. Guarantee: any shared substring of length >= k + window - 1
+    between two documents yields at least one shared fingerprint, so
+    fingerprint overlap is a sound near-dup candidate signal at ~1/window
+    the k-gram volume.
+
+    Output: one row per distinct (id, fingerprint). Docs shorter than
+    k + window - 1 normalized chars produce no rows (no full window).
+
+    Scale shape: one Arrow batch per input partition does the k-gram
+    hashing (C hashlib md5) and the window-min (numpy sliding-window
+    view) — no interpreted HOF lambdas, no shuffle; output volume is
+    ~len/window rows per doc. The hash is the md5-portable 60-bit
+    family (``md5_hash60_sql``): DuckDB replays it as
+    ``('0x' || substr(md5(substr(t, i, k)), 1, 15))::BIGINT`` so the
+    driver hash-checks the full pipeline.
+
+    The reference has no fingerprinting beyond whole-field md5 identity
+    (extracting_embeddings.py:89-93); this is the north-star rolling
+    fingerprint operator a training-data pipeline needs.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    min_len = k + window - 1
+
+    def fps(batches):
+        for pdf in batches:
+            ids: list = []
+            vals: list = []
+            for rid, t in zip(pdf["__id"], pdf["__t"]):
+                n_grams = len(t) - k + 1
+                if n_grams < window:
+                    continue
+                h = np.empty(n_grams, dtype=np.int64)
+                for i in range(n_grams):
+                    h[i] = int(
+                        hashlib.md5(t[i : i + k].encode("utf-8")).hexdigest()[:15],
+                        16,
+                    )
+                mins = np.unique(
+                    np.lib.stride_tricks.sliding_window_view(h, window).min(axis=1)
+                )
+                ids.extend([rid] * len(mins))
+                vals.extend(mins.tolist())
+            yield pd.DataFrame({"__id": ids, "fp": vals})
+
+    normalized = df.select(
+        F.col(id_col).alias("__id"),
+        F.lower(F.trim(F.col(text_col))).alias("__t"),
+    ).filter(F.length("__t") >= min_len)
+    return normalized.mapInPandas(fps, "__id long, fp long").withColumnRenamed(
+        "__id", id_col
+    )
+
+
+def winnow_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+    max_df: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by winnowing-fingerprint overlap: pairs whose
+    shared fingerprints cover >= half their fingerprint union
+    (2·|A∩B| >= |A∪B|, an integer comparison — no float boundary).
+
+    ``max_df`` document-frequency-prunes fingerprints appearing in more
+    than that many documents BEFORE pair expansion — the standard
+    inverted-index df-pruning: an ultra-common fingerprint carries no
+    near-dup signal but expands quadratically (on the low-entropy test
+    corpus a single fingerprint reaches df=328 of 500 docs ⇒ 94M pair
+    expansions uncapped vs ~25 real pairs capped). Per-doc fingerprint
+    counts are taken AFTER pruning so the overlap ratio is consistent.
+
+    Plan: fingerprints (mapInPandas, no shuffle) → window count over fp
+    (1 shuffle) → in-bucket pair expansion reusing that partitioning →
+    pair-count shuffle → two small joins for the per-doc counts.
+    """
+    from pyspark.sql.window import Window
+
+    ex = winnow_fingerprints(df, id_col, text_col, k=k, window=window)
+    # df-prune with a window count: one shuffle on fp, and the bucket
+    # groupBy below reuses the resulting hash partitioning (no second
+    # exchange on fp).
+    kept = (
+        ex.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+        .filter(F.col("__df") <= max_df)
+        .drop("__df")
+        .localCheckpoint(eager=False)  # reused by nfp AND pair branches
+    )
+    nfp = kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    from .dedup import _bucket_pair_occurrences
+
+    shared = (
+        _bucket_pair_occurrences(kept, ["fp"], id_col)
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    na = nfp.withColumnRenamed(id_col, "a_id").withColumnRenamed("__n", "__na")
+    nb = nfp.withColumnRenamed(id_col, "b_id").withColumnRenamed("__n", "__nb")
+    return (
+        shared.join(na, "a_id")
+        .join(nb, "b_id")
+        .withColumn("n_union", F.col("__na") + F.col("__nb") - F.col("n_shared"))
+        .filter(2 * F.col("n_shared") >= F.col("n_union"))
+        .select("a_id", "b_id", "n_shared", "n_union")
+    )

@@ -129,6 +129,7 @@ GROUPS: dict[str, list[str]] = {
         "text_stats",
         "vocabulary_top_tokens",
         "hash_ordered_sample",
+        "winnow_dup_pairs",
     ],
     "corpus_sampling_digest": [
         "hash_split_sets",
@@ -371,6 +372,12 @@ PART_COLS: dict[str, tuple[tuple[str, str], ...]] = {
         ("doc_id", "s"),
         ("lang", "s"),
         ("n_chars", "s"),
+    ),
+    "winnow_dup_pairs": (
+        ("a_id", "s"),
+        ("b_id", "s"),
+        ("n_shared", "s"),
+        ("n_union", "s"),
     ),
     "hash_split_sets": (
         ("doc_id", "s"),

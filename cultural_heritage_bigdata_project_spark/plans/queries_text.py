@@ -468,3 +468,49 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(F.col("doc_id") % 89 != 0)
     bench = docs.filter(F.col("doc_id") % 89 == 0)
     return text.ngram_contamination(train, bench, n=6)
+
+
+@register(
+    "winnow_dup_pairs",
+    description="Rolling-hash document fingerprinting (MOSS winnowing, "
+    "Schleimer et al. 2003): char-8-gram md5-portable hashes -> window-4 "
+    "minima -> df-pruned (<=16 docs) inverted-index pair join; keep pairs "
+    "with 2*|A∩B| >= |A∪B| (integer comparison, no float boundary)",
+    survey_ref="M3,F7",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, lower(trim(text)) AS t FROM documents
+), g AS (
+  SELECT doc_id,
+         [('0x' || substr(md5(substr(t, i, 8)), 1, 15))::BIGINT
+          for i in range(1, len(t) - 8 + 2)] AS hs
+  FROM d WHERE len(t) >= 11
+), w AS (
+  SELECT doc_id,
+         list_distinct([list_min(hs[j:j+3]) for j in range(1, len(hs) - 4 + 2)]) AS fps
+  FROM g
+), ex AS (
+  SELECT doc_id, unnest(fps) AS fp FROM w
+), keep AS (
+  SELECT fp FROM ex GROUP BY fp HAVING count(*) <= 16
+), kept AS (
+  SELECT e.doc_id, e.fp FROM ex e JOIN keep USING (fp)
+), nfp AS (
+  SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT s.a_id, s.b_id, s.n_shared,
+       CAST(na.n + nb.n - s.n_shared AS BIGINT) AS n_union
+FROM shared s
+JOIN nfp na ON s.a_id = na.doc_id
+JOIN nfp nb ON s.b_id = nb.doc_id
+WHERE 2 * s.n_shared >= na.n + nb.n - s.n_shared
+""",
+)
+def winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.winnow_dup_pairs(
+        _docs_parallel(spark, sf_dir), k=8, window=4, max_df=16
+    )

@@ -207,3 +207,47 @@ def test_lsh_candidate_pairs_catch_top_similar(spark):
     assert len(cands) < n * (n - 1) / 4, "candidate set should be sub-quadratic"
     recall = len(top_pairs & cands) / len(top_pairs)
     assert recall >= 0.5, f"LSH candidates missed top-similar pairs: {recall}"
+
+
+def test_winnowing_guarantee_and_pruning(spark):
+    """Winnowing guarantee (Schleimer et al. 2003): two docs sharing a
+    substring of length >= k + window - 1 share >= 1 fingerprint; docs
+    over disjoint alphabets share none. df-pruning bounds pair output
+    on an all-identical corpus."""
+    from cultural_heritage_bigdata_project_spark.operators.text import (
+        winnow_dup_pairs,
+        winnow_fingerprints,
+    )
+
+    k, w = 8, 4
+    shared = "the quick brown fox jumps"  # len 25 >= k + w - 1
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa xx " + shared + " zz qqqq"),
+            (2, "bbbb yy " + shared + " pp rrrr"),
+            (3, "0123 456 789 0123 456 789 0123 456"),  # disjoint alphabet
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, k=k, window=w)
+    by_doc = {
+        r.doc_id: set(r.fps)
+        for r in fps.groupBy("doc_id").agg(F.collect_set("fp").alias("fps")).collect()
+    }
+    assert by_doc[1] & by_doc[2], "shared substring must yield a shared fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+
+    # all-identical corpus: df-pruning (max_df) must suppress the
+    # quadratic pair expansion entirely once df > max_df
+    clones = spark.createDataFrame(
+        [(i, "identical corpus row for hot bucket pruning") for i in range(64)],
+        "doc_id long, text string",
+    )
+    assert winnow_dup_pairs(clones, max_df=16).count() == 0
+    # ...while below the cap the clones pair up fully (sim = 1)
+    few = spark.createDataFrame(
+        [(i, "identical corpus row for hot bucket pruning") for i in range(4)],
+        "doc_id long, text string",
+    )
+    pairs = winnow_dup_pairs(few, max_df=16).collect()
+    assert len(pairs) == 6 and all(r.n_shared == r.n_union for r in pairs)
