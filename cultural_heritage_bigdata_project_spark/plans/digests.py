@@ -130,6 +130,7 @@ GROUPS: dict[str, list[str]] = {
         "vocabulary_top_tokens",
         "hash_ordered_sample",
         "winnow_dup_pairs",
+        "pii_scrub",
     ],
     "corpus_sampling_digest": [
         "hash_split_sets",
@@ -378,6 +379,13 @@ PART_COLS: dict[str, tuple[tuple[str, str], ...]] = {
         ("b_id", "s"),
         ("n_shared", "s"),
         ("n_union", "s"),
+    ),
+    "pii_scrub": (
+        ("doc_id", "s"),
+        ("n_email", "s"),
+        ("n_ip", "s"),
+        ("n_phone", "s"),
+        ("scrub_md5", "s"),
     ),
     "hash_split_sets": (
         ("doc_id", "s"),

@@ -514,3 +514,49 @@ def winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.winnow_dup_pairs(
         _docs_parallel(spark, sf_dir), k=8, window=4, max_df=16
     )
+
+
+@register(
+    "pii_scrub",
+    description="PII redaction gate (email/IPv4/phone regex scrub + "
+    "per-type counts) — pure JVM regexp projection, scan-speed; PII is "
+    "synthesized deterministically from doc_id so redaction is "
+    "observable; patterns restricted to Java-regex/RE2-identical syntax",
+    survey_ref="F6,P1",
+    oracle=r"""
+WITH d AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com or 10.'
+              || (doc_id % 200) || '.3.' || (doc_id % 250)
+              || ' call 555-01' || lpad((doc_id % 100)::VARCHAR, 2, '0') AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+       CAST(len(regexp_extract_all(t, '\b\d{1,3}(\.\d{1,3}){3}\b')) AS INTEGER) AS n_ip,
+       CAST(len(regexp_extract_all(t, '\b555-\d{4}\b')) AS INTEGER) AS n_phone,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g'),
+           '\b555-\d{4}\b', '<PHONE>', 'g')) AS scrub_md5
+FROM d
+""",
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".3."),
+            (F.col("doc_id") % 250).cast("string"),
+            F.lit(" call 555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        ),
+    )
+    return text.pii_scrub(docs).select(
+        "doc_id", "n_email", "n_ip", "n_phone", F.md5("scrubbed").alias("scrub_md5")
+    )

@@ -251,3 +251,29 @@ def test_winnowing_guarantee_and_pruning(spark):
     )
     pairs = winnow_dup_pairs(few, max_df=16).collect()
     assert len(pairs) == 6 and all(r.n_shared == r.n_union for r in pairs)
+
+
+def test_pii_scrub_semantics_and_plan(spark):
+    """Redaction order (emails before IPs), multiple matches per doc,
+    and the scan-speed contract: no shuffle in the physical plan."""
+    from cultural_heritage_bigdata_project_spark.operators.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "a@b.io c@d.org 1.2.3.4 10.0.0.1 555-1234 555-12345 x"),
+            (2, "no pii at all"),
+            (3, "999.1.2.3 is 999 dot ip; a.b@c.co"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in pii_scrub(df).collect()}
+    # 555-12345 is NOT a phone: the trailing \b rejects longer digit runs
+    assert (rows[1].n_email, rows[1].n_ip, rows[1].n_phone) == (2, 2, 1)
+    assert rows[1].scrubbed == "<EMAIL> <EMAIL> <IP> <IP> <PHONE> 555-12345 x"
+    assert (rows[2].n_email, rows[2].n_ip, rows[2].n_phone) == (0, 0, 0)
+    # '999.1.2.3': \b\d{1,3} matches '999' — the classic over-match both
+    # engines share; documented operating point (validation regexes with
+    # value-range alternation would diverge between RE2 and Java).
+    assert rows[3].n_ip == 1 and rows[3].n_email == 1
+    plan = pii_scrub(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "pii_scrub must be a shuffle-free projection"
