@@ -72,6 +72,37 @@ def main() -> None:
 
     spark.range(256, numPartitions=64).mapInPandas(_warm, "id long").count()
 
+    # compile the physical-operator codegen shapes the headline queries
+    # share (parquet scan -> hash agg -> exchange -> join -> window ->
+    # top-k) against the smallest fixture: identical schemas generate
+    # identical whole-stage classes, so the one-time Janino compilation
+    # cost lands here instead of on the first timed queries. Data volume
+    # at sf0.001 is negligible — this times codegen, not I/O.
+    from pyspark.sql import Window, functions as F
+
+    from cultural_heritage_bigdata_project_spark.sources.tables import load_table
+
+    wdir = os.path.join(os.path.dirname(sf_dir.rstrip("/") or sf_dir), "sf0.001")
+    if not os.path.isdir(wdir):
+        wdir = sf_dir
+    li = load_table(spark, wdir, "lineitem")
+    o = load_table(spark, wdir, "orders")
+    (
+        li.filter(F.col("l_quantity") > 0)
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).alias("rev"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("o_custkey").orderBy(F.desc("rev"))
+            ),
+        )
+        .orderBy(F.desc("rev"), "o_orderkey")
+        .limit(10)
+        .write.format("noop").mode("overwrite").save()
+    )
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
