@@ -118,7 +118,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "ann_lsh_topk",
     "ivf_ann_topk",
     "text_dedup_keep_canonical",
-    "vector_concat_norm",
+    "vector_codec_digest",
     "hash_embed_knn",
     "stream_tumbling_window",
     "stream_dedup_keys",

@@ -136,6 +136,10 @@ GROUPS: dict[str, list[str]] = {
         "hash_split_sets",
         "corpus_mix_weighted",
     ],
+    "vector_codec_digest": [
+        "vector_concat_norm",
+        "pq_ann_topk",
+    ],
 }
 
 GROUPED_PARTS: dict[str, str] = {
@@ -386,6 +390,16 @@ PART_COLS: dict[str, tuple[tuple[str, str], ...]] = {
         ("n_ip", "s"),
         ("n_phone", "s"),
         ("scrub_md5", "s"),
+    ),
+    "vector_concat_norm": (
+        ("combined_dim", "s"),
+        ("combined_norm", "f"),
+        ("vec_id", "s"),
+    ),
+    "pq_ann_topk": (
+        ("adc_micro", "s"),
+        ("cosine_sim", "f"),
+        ("vec_id", "s"),
     ),
     "hash_split_sets": (
         ("doc_id", "s"),

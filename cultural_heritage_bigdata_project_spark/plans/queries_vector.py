@@ -371,3 +371,63 @@ def hash_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_brute_force(
         embedded.filter(F.col("doc_id") != 0), qv, k=5, id_col="doc_id"
     )
+
+
+@register(
+    "pq_ann_topk",
+    description="Product-quantization ANN (J\u00e9gou et al. 2011): L2-normalize, "
+    "m=8 subspaces \u00d7 16 deterministic codewords (md5-sample, as IVF), "
+    "integer micro-unit ADC shortlist (top-100) \u2192 exact cosine re-rank "
+    "top-10 \u2014 the memory-compression ANN scale path (m bytes/vector), "
+    "hash-checked end-to-end incl. the ADC scores",
+    survey_ref="J8,M5",
+    oracle="""
+WITH e0 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings WHERE vec_id <> 0
+), e AS (
+  SELECT vec_id, v0,
+         list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v
+  FROM e0
+), cw AS (
+  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS c, v
+  FROM e ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16
+), dims AS (
+  SELECT len(v) // 8 AS sd FROM e LIMIT 1
+), q0 AS (
+  SELECT embedding::DOUBLE[] AS v0 FROM embeddings WHERE vec_id = 0
+), q AS (
+  SELECT v0, list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v
+  FROM q0
+), assign AS (
+  SELECT vec_id, j, c FROM (
+    SELECT e.vec_id, j.j, cwc.c,
+           row_number() OVER (PARTITION BY e.vec_id, j.j
+               ORDER BY list_distance(e.v[j.j*sd+1 : (j.j+1)*sd],
+                                      cwc.v[j.j*sd+1 : (j.j+1)*sd]), cwc.c) AS rn
+    FROM e CROSS JOIN generate_series(0, 7) AS j(j) CROSS JOIN cw cwc, dims
+  ) WHERE rn = 1
+), lut AS (
+  SELECT j.j, cwc.c,
+         CAST(trunc(list_dot_product(q.v[j.j*sd+1 : (j.j+1)*sd],
+                                     cwc.v[j.j*sd+1 : (j.j+1)*sd]) * 1e6) AS BIGINT) AS ipm
+  FROM generate_series(0, 7) AS j(j) CROSS JOIN cw cwc, q, dims
+), short AS (
+  SELECT a.vec_id, CAST(sum(l.ipm) AS BIGINT) AS adc_micro
+  FROM assign a JOIN lut l ON a.j = l.j AND a.c = l.c
+  GROUP BY a.vec_id
+  ORDER BY adc_micro DESC, vec_id LIMIT 100
+)
+SELECT e.vec_id, s.adc_micro,
+       round(list_dot_product(e.v0, q.v0)
+             / (sqrt(list_dot_product(e.v0, e.v0)) * sqrt(list_dot_product(q.v0, q.v0))),
+             6) AS cosine_sim
+FROM e JOIN short s ON e.vec_id = s.vec_id, q
+ORDER BY cosine_sim DESC, e.vec_id ASC
+LIMIT 10
+""",
+)
+def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vectors = _emb(spark, sf_dir).filter(F.col("vec_id") != 0)
+    return similarity.pq_deterministic_top_k(
+        vectors, _query_list(spark, sf_dir, 0), k=10, m=8, n_codes=16, shortlist=100
+    )

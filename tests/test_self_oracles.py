@@ -277,3 +277,28 @@ def test_pii_scrub_semantics_and_plan(spark):
     assert rows[3].n_ip == 1 and rows[3].n_email == 1
     plan = pii_scrub(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, "pii_scrub must be a shuffle-free projection"
+
+
+def test_pq_adc_recall_vs_brute_force(spark):
+    """PQ shortlist (m=8 × 16 codes, ADC top-100) + exact re-rank must
+    recover a healthy share of the exact cosine top-10, and the re-rank
+    must agree with brute-force cosine on the shared ids."""
+    from cultural_heritage_bigdata_project_spark.operators.similarity import (
+        pq_deterministic_top_k,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    vectors = emb.filter(F.col("vec_id") != 0)
+    exact = {
+        r.vec_id: r.cosine_sim
+        for r in CATALOG["knn_brute_force"].fn(spark, SF_DIR).collect()
+    }
+    rows = pq_deterministic_top_k(
+        vectors, q, k=10, m=8, n_codes=16, shortlist=100
+    ).collect()
+    got = {r.vec_id: r.cosine_sim for r in rows}
+    recall = len(exact.keys() & got.keys()) / len(exact)
+    assert recall >= 0.5, f"PQ shortlist recall vs brute force too low: {recall}"
+    for vid in exact.keys() & got.keys():
+        assert exact[vid] == got[vid], "re-rank cosine must match brute force"
