@@ -46,6 +46,9 @@ BENCH_QUERIES = [
     "text_dedup_keep_canonical",
     "semantic_dedup_canonical",
     "training_corpus_pipeline",
+    "winnow_dup_pairs",
+    "pq_ann_topk",
+    "pii_scrub",
 ]
 
 

@@ -605,3 +605,127 @@ def canonical_components(
             stacklevel=2,
         )
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("canonical_id"))
+
+
+# ------------------------------------------------- incremental dedup
+#
+# The daily-snapshot pattern: a 100 TB corpus is not re-deduped from
+# scratch when a new crawl lands — the pipeline persists a fingerprint
+# index (exact md5 + minhash signatures/band keys) and processes ONLY
+# the increment: new-vs-seen candidate join on band keys, then a
+# signature-estimate verify (no shingle sets needed for old docs).
+# The reference's closest shape is its incremental HWM reprocessing
+# (eu_raw_to_cleansed_merge.py) — this is that idea applied to dedup.
+
+
+def minhash_index(
+    df: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    n_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """The persisted minhash index of a corpus (md5-portable family):
+    one row per (id, band) carrying (sig array<bigint>, band, bkey).
+
+    Denormalized (sig repeated per band row) for joinability in tests;
+    a production layout stores sigs once and bands separately — the
+    join keys and values are identical. One Arrow batch per partition:
+    C hashlib md5s + one (n_shingles × n_hashes) numpy min per doc,
+    same arithmetic as ``minhash_lsh_pairs`` (hash_family
+    "md5-portable"), so any md5-capable engine replays it.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    rows = n_hashes // bands
+    if rows * bands != n_hashes:
+        raise ValueError("bands must divide n_hashes")
+
+    def index_rows(batches):
+        i_arr = np.arange(n_hashes, dtype=np.int64)
+        for pdf in batches:
+            out_id, out_sig, out_band, out_bkey = [], [], [], []
+            for rid, shingles in zip(pdf["__id"], pdf["__sh"]):
+                k = len(shingles)
+                if k == 0:
+                    continue
+                h1 = np.empty(k, dtype=np.int64)
+                h2 = np.empty(k, dtype=np.int64)
+                for j, s in enumerate(shingles):
+                    hx = hashlib.md5(s.encode("utf-8")).hexdigest()
+                    h1[j] = int(hx[:8], 16) & 0x7FFFFFFF
+                    h2[j] = int(hx[8:16], 16) & 0x7FFFFFFF
+                sig = (h1[:, None] + i_arr[None, :] * h2[:, None]).min(axis=0)
+                sig_list = [int(v) for v in sig]
+                for b in range(bands):
+                    joined = ",".join(
+                        str(int(v)) for v in sig[b * rows : (b + 1) * rows]
+                    )
+                    out_id.append(rid)
+                    out_sig.append(sig_list)
+                    out_band.append(b)
+                    out_bkey.append(hashlib.md5(joined.encode()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "__id": out_id,
+                    "sig": out_sig,
+                    "band": out_band,
+                    "bkey": out_bkey,
+                }
+            )
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(F.col(id_col).alias("__id"), F.col(shingle_col).alias("__sh"))
+        .repartition(par)
+        .mapInPandas(index_rows, "__id long, sig array<bigint>, band int, bkey string")
+        .withColumnRenamed("__id", id_col)
+    )
+
+
+def incremental_minhash_filter(
+    new_index: DataFrame,
+    seen_index: DataFrame,
+    id_col: str,
+    n_hashes: int = 64,
+    min_matches: int = 39,
+) -> DataFrame:
+    """New-snapshot ids near-duplicating an already-seen doc, verified
+    by the SIGNATURE-estimate Jaccard: a candidate (band-key collision)
+    is a duplicate iff >= ``min_matches`` of its ``n_hashes`` minhash
+    components equal the seen doc's (E[matches/n] = true Jaccard;
+    default 39/64 ≈ the 0.6 threshold, an INTEGER comparison — no
+    float boundary, no shingle sets for the seen corpus).
+
+    Plan: band-key equi-join (shuffle on (band, bkey) — the increment
+    side is small, the seen side is the index, not the corpus), then a
+    per-candidate zip_with equality count. Returns distinct dropped
+    new ids with one matched seen id (min, deterministic) as evidence.
+    """
+    nb = new_index.select(
+        F.col(id_col).alias("new_id"), "sig", "band", "bkey"
+    )
+    sb = seen_index.select(
+        F.col(id_col).alias("seen_id"),
+        F.col("sig").alias("seen_sig"),
+        "band",
+        "bkey",
+    )
+    cand = (
+        nb.join(sb, on=["band", "bkey"])
+        .select("new_id", "sig", "seen_id", "seen_sig")
+        .dropDuplicates(["new_id", "seen_id"])
+    )
+    n_match = F.expr(
+        "aggregate(zip_with(sig, seen_sig, (x, y) -> IF(x = y, 1, 0)),"
+        " 0, (a, x) -> a + x)"
+    )
+    return (
+        cand.withColumn("n_match", n_match)
+        .filter(F.col("n_match") >= min_matches)
+        .groupBy("new_id")
+        .agg(F.min("seen_id").alias("matched_seen_id"))
+    )

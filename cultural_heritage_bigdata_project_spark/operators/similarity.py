@@ -635,3 +635,61 @@ def pq_deterministic_top_k(
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def ivf_pq_top_k(
+    vectors: DataFrame,
+    query,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the two ANN scale paths composed the way production
+    systems ship them (FAISS ``IVFx,PQy``) — IVF's inverted lists prune
+    the CORPUS (probe ~n_probe/n_lists of the rows), then PQ's ADC
+    shortlist + exact re-rank prunes the FLOAT MATH (m byte codes per
+    candidate, exact cosine only on the shortlist).
+
+    At 100 TB: the IVF assignment and PQ codes are both one-pass
+    mapInPandas projections computed offline next to the vectors; a
+    query then touches n_probe lists' code columns (bytes, not floats)
+    and re-ranks ``shortlist`` raw vectors. Both stages are the
+    deterministic (md5-sample) variants, so the composition inherits
+    their auditability; recall vs brute force is pinned in tests.
+    """
+    cent_rows = (
+        vectors.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
+        .orderBy(F.md5(F.col(id_col).cast("string").cast("binary")), F.col(id_col))
+        .limit(n_lists)
+        .collect()
+    )
+    centroids = [list(map(float, r["__v"])) for r in cent_rows]
+
+    import numpy as np
+
+    cmat = np.asarray(centroids, dtype=np.float64)
+    qv = np.asarray(list(query), dtype=np.float64)
+    d = ((cmat - qv[None, :]) ** 2).sum(axis=1)
+    probe_ids = [int(i) for i in np.argsort(d, kind="stable")[:n_probe]]
+
+    assigned = _assign_lists(vectors, centroids, id_col, vec_col)
+    probed = vectors.join(
+        assigned.filter(F.col("__list").isin(probe_ids)).select(id_col),
+        on=id_col,
+        how="leftsemi",
+    )
+    return pq_deterministic_top_k(
+        probed,
+        query,
+        k=k,
+        m=m,
+        n_codes=n_codes,
+        shortlist=shortlist,
+        id_col=id_col,
+        vec_col=vec_col,
+    )

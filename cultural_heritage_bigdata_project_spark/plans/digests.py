@@ -135,6 +135,7 @@ GROUPS: dict[str, list[str]] = {
     "corpus_sampling_digest": [
         "hash_split_sets",
         "corpus_mix_weighted",
+        "incremental_dedup_snapshot",
     ],
     "vector_codec_digest": [
         "vector_concat_norm",
@@ -405,6 +406,11 @@ PART_COLS: dict[str, tuple[tuple[str, str], ...]] = {
         ("doc_id", "s"),
         ("lang", "s"),
         ("split", "s"),
+    ),
+    "incremental_dedup_snapshot": (
+        ("doc_id", "s"),
+        ("lang", "s"),
+        ("n_chars", "s"),
     ),
     "corpus_mix_weighted": (
         ("doc_id", "s"),

@@ -245,3 +245,104 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("n_chars_total"),
     )
+
+
+@register(
+    "incremental_dedup_snapshot",
+    description="Incremental snapshot dedup (the daily-crawl pattern): "
+    "new docs (doc_id%3=0) deduped against the SEEN corpus's persisted "
+    "index only — exact md5 anti-join + minhash band-key collision "
+    "verified by signature-estimate Jaccard (>=39/64 matching "
+    "components, an integer threshold) — per-increment cost, no "
+    "old-corpus reprocessing; full pipeline md5-portable and "
+    "hash-checked",
+    survey_ref="M3,A5,P5",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, lang, n_chars, lower(trim(text)) AS nt,
+         string_split(lower(trim(text)), ' ') AS t,
+         doc_id % 3 = 0 AS is_new
+  FROM documents
+), fp AS (
+  SELECT doc_id, md5(nt) AS f, is_new FROM d
+), new_exact AS (
+  -- exact stage: min doc_id per fingerprint within new, fingerprint
+  -- absent from the seen corpus
+  SELECT min(doc_id) AS doc_id FROM fp WHERE is_new GROUP BY f
+  HAVING f NOT IN (SELECT f FROM fp WHERE NOT is_new)
+), s AS (
+  SELECT doc_id, is_new,
+         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        for i in range(1, greatest(len(t) - 1, 1))]) AS sh
+  FROM d WHERE len(t) >= 3
+), ex AS (
+  SELECT doc_id, is_new, unnest(sh) AS shingle FROM s
+), h AS (
+  SELECT doc_id, is_new,
+         ('0x'||substr(md5(shingle),1,8))::BIGINT & 2147483647 AS h1,
+         ('0x'||substr(md5(shingle),9,8))::BIGINT & 2147483647 AS h2
+  FROM ex
+), sigc AS (
+  SELECT doc_id, is_new, i.i AS i, min(h1 + i.i * h2) AS m
+  FROM h, range(64) i(i) GROUP BY doc_id, is_new, i.i
+), sig AS (
+  SELECT doc_id, is_new, list(m ORDER BY i) AS sg FROM sigc
+  GROUP BY doc_id, is_new
+), band AS (
+  SELECT doc_id, is_new, i // 4 AS band,
+         md5(string_agg(m::VARCHAR, ',' ORDER BY i)) AS bkey
+  FROM sigc GROUP BY doc_id, is_new, i // 4
+), cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS seen_id
+  FROM band n JOIN band o ON n.band = o.band AND n.bkey = o.bkey
+  WHERE n.is_new AND NOT o.is_new
+), near_dropped AS (
+  SELECT DISTINCT c.new_id AS doc_id
+  FROM cand c JOIN sig a ON c.new_id = a.doc_id
+              JOIN sig b ON c.seen_id = b.doc_id
+  WHERE list_sum([CASE WHEN a.sg[i] = b.sg[i] THEN 1 ELSE 0 END
+                  for i in range(1, 65)]) >= 39
+)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM new_exact ne JOIN d ON ne.doc_id = d.doc_id
+WHERE ne.doc_id NOT IN (SELECT doc_id FROM near_dropped)
+""",
+)
+def incremental_dedup_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    seen = docs.filter(F.col("doc_id") % 3 != 0)
+
+    # exact stage: persisted index side is just fingerprints
+    fp = F.md5(F.trim(F.lower("text")).cast("binary"))
+    new_fp = new.select("doc_id", fp.alias("f"))
+    seen_fp = seen.select(fp.alias("f"))
+    exact_kept = (
+        new_fp.groupBy("f")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .join(seen_fp, on="f", how="left_anti")
+        .select("doc_id")
+    )
+
+    # near stage: band-collision vs the seen index, signature verify
+    def shingled(df: DataFrame) -> DataFrame:
+        toks = df.repartition(par).select(
+            "doc_id", F.split(F.trim(F.lower("text")), " +").alias("t")
+        )
+        return toks.filter(F.size("t") >= 3).select(
+            "doc_id", dedup.shingles_expr("t", 3).alias("sh")
+        )
+
+    new_idx = dedup.minhash_index(shingled(new), "doc_id", "sh")
+    seen_idx = dedup.minhash_index(shingled(seen), "doc_id", "sh")
+    near_dropped = dedup.incremental_minhash_filter(
+        new_idx, seen_idx, "doc_id", n_hashes=64, min_matches=39
+    ).select(F.col("new_id").alias("doc_id"))
+
+    survivors = exact_kept.join(near_dropped, on="doc_id", how="left_anti")
+    return docs.join(survivors, on="doc_id", how="leftsemi").select(
+        "doc_id", "lang", "n_chars"
+    )

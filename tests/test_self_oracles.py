@@ -302,3 +302,46 @@ def test_pq_adc_recall_vs_brute_force(spark):
     assert recall >= 0.5, f"PQ shortlist recall vs brute force too low: {recall}"
     for vid in exact.keys() & got.keys():
         assert exact[vid] == got[vid], "re-rank cosine must match brute force"
+
+
+def test_ivf_pq_recall_vs_brute_force(spark):
+    """The composed IVF-PQ path (probe 8/16 lists, PQ shortlist, exact
+    re-rank) must still recover a healthy share of the exact top-10,
+    and its cosines must agree with brute force on shared ids."""
+    from cultural_heritage_bigdata_project_spark.operators.similarity import ivf_pq_top_k
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    vectors = emb.filter(F.col("vec_id") != 0)
+    exact = {
+        r.vec_id: r.cosine_sim
+        for r in CATALOG["knn_brute_force"].fn(spark, SF_DIR).collect()
+    }
+    rows = ivf_pq_top_k(vectors, q, k=10, n_lists=16, n_probe=8, m=8).collect()
+    got = {r.vec_id: r.cosine_sim for r in rows}
+    recall = len(exact.keys() & got.keys()) / len(exact)
+    assert recall >= 0.3, f"IVF-PQ recall vs brute force too low: {recall}"
+    for vid in exact.keys() & got.keys():
+        assert exact[vid] == got[vid]
+
+
+def test_incremental_dedup_drops_cross_boundary_dups(spark):
+    """Every strong planted near-dup (exact jaccard >= 0.8) whose
+    canonical lives in the seen corpus must be dropped from the new
+    snapshot; exact duplicates across the boundary must be dropped
+    too; and survivors ∪ dropped = the new snapshot."""
+    out = {r.doc_id for r in CATALOG["incremental_dedup_snapshot"].fn(spark, SF_DIR).collect()}
+    docs = load_table(spark, SF_DIR, "documents")
+    new_ids = {r.doc_id for r in docs.filter(F.col("doc_id") % 3 == 0).collect()}
+    assert out <= new_ids, "survivors must be a subset of the new snapshot"
+    pairs = CATALOG["ngram_jaccard_pairs"].fn(spark, SF_DIR)
+    strong = [(r.a_id, r.b_id) for r in pairs.filter(F.col("jaccard") >= 0.8).collect()]
+    crossed = [
+        (a, b) if b % 3 == 0 else (b, a)
+        for a, b in strong
+        if (a % 3 == 0) != (b % 3 == 0)
+    ]
+    for seen_id, nid in crossed:
+        assert nid not in out, (
+            f"new doc {nid} near-dups seen doc {seen_id} but survived"
+        )
