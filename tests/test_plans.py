@@ -110,3 +110,37 @@ def test_repetition_filter_partial_aggregation(spark):
     (HashAggregate appears above AND below each shuffle)."""
     plan = _formatted_plan(spark, "repetition_filter")
     assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_pii_scrub_scan_speed(spark):
+    """PII scrubbing is a pure codegen projection: no exchange, no
+    Python worker (ArrowEval/BatchEval would mean a UDF snuck in)."""
+    plan = _formatted_plan(spark, "pii_scrub")
+    assert "Exchange" not in plan, plan
+    assert "Eval" not in plan, plan
+
+
+def test_winnow_pairs_single_fp_exchange(spark):
+    """The winnowing pair stage df-prunes with a window over fp and
+    reuses that partitioning for the bucket groupBy: exactly ONE
+    exchange on fp before pair expansion (plus the small per-doc-count
+    joins), never a second re-hash of the fingerprint stream."""
+    plan = _formatted_plan(spark, "winnow_dup_pairs")
+    assert len(re.findall(r"hashpartitioning\(fp", plan)) <= 1, plan
+
+
+def test_pq_shortlist_take_ordered(spark):
+    """PQ's ADC shortlist is an integer top-N (TakeOrderedAndProject),
+    not a global sort of the collection."""
+    plan = _formatted_plan(spark, "pq_ann_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort " not in plan or "SortMergeJoin" in plan, plan
+
+
+def test_incremental_dedup_joins_index_not_corpus(spark):
+    """The near-dup stage joins band keys of the increment against the
+    seen INDEX; verification happens on signature arrays (zip_with),
+    so no shingle-set join of the old corpus appears — the plan's only
+    wide joins key on (band, bkey) or doc ids."""
+    plan = _formatted_plan(spark, "incremental_dedup_snapshot")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
