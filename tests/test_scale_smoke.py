@@ -166,3 +166,70 @@ def test_lsh_candidate_pairs_hot_bucket_cap(spark):
     assert (n, n + 1) in got, "distinct planted pair must survive the cap"
     assert len(got) < 10_000, f"cap failed: {len(got)} pairs"
     assert obs.get["dropped_buckets"] >= 1, obs.get
+
+
+def test_winnow_pairs_bounded_at_20k_docs(spark):
+    """Winnowing near-dup pairs on 4x the sf0.1 corpus: the df-pruned
+    inverted index must keep pair volume and wall-clock bounded even
+    though the low-entropy vocabulary makes most fingerprints hot."""
+    from cultural_heritage_bigdata_project_spark.operators.text import winnow_dup_pairs
+
+    base = load_table(spark, SF_BIG, "documents").select("doc_id", "text")
+    n = base.count()
+    reps = spark.range(4).select(F.col("id").alias("rep"))
+    docs = (
+        base.crossJoin(reps)
+        .select((F.col("doc_id") + F.col("rep") * n).alias("doc_id"), "text")
+        .localCheckpoint(eager=True)
+    )
+    t0 = time.perf_counter()
+    pairs = winnow_dup_pairs(docs, k=8, window=4, max_df=16)
+    n_pairs = pairs.count()
+    elapsed = time.perf_counter() - t0
+    # 20k docs quadratic would be 2e8 pairs; replicas keep per-replica
+    # planted structure but replicas of the SAME doc exceed max_df and
+    # prune, so the output stays near the per-replica planted volume
+    assert n_pairs < n * 4 * 10, f"pair blowup: {n_pairs}"
+    assert elapsed < 120, f"winnowing too slow at 20k docs: {elapsed:.0f}s"
+
+
+def test_incremental_dedup_index_joins_at_20k(spark):
+    """Incremental minhash filtering at 20k docs: index build + band
+    join + signature verify stay bounded; every planted cross-boundary
+    exact duplicate is caught by the signature estimate (matches=64)."""
+    base = load_table(spark, SF_BIG, "documents").select("doc_id", "text")
+    n = base.count()
+    reps = spark.range(4).select(F.col("id").alias("rep"))
+    docs = (
+        base.crossJoin(reps)
+        .select((F.col("doc_id") + F.col("rep") * n).alias("doc_id"), "text")
+        .localCheckpoint(eager=True)
+    )
+    par = spark.sparkContext.defaultParallelism
+
+    def shingled(df):
+        toks = df.repartition(par).select(
+            "doc_id", F.split(F.trim(F.lower("text")), " +").alias("t")
+        )
+        return toks.filter(F.size("t") >= 3).select(
+            "doc_id", dedup.shingles_expr("t", 3).alias("sh")
+        )
+
+    # new = replica 1's copy of every seen doc → every new doc is an
+    # exact dup of a seen doc (signature match = 64/64)
+    seen = docs.filter(F.col("doc_id") < n)
+    new = docs.filter((F.col("doc_id") >= n) & (F.col("doc_id") < 2 * n))
+    t0 = time.perf_counter()
+    seen_idx = dedup.minhash_index(shingled(seen), "doc_id", "sh")
+    new_idx = dedup.minhash_index(shingled(new), "doc_id", "sh")
+    dropped = dedup.incremental_minhash_filter(
+        new_idx, seen_idx, "doc_id", n_hashes=64, min_matches=39
+    )
+    n_dropped = dropped.count()
+    elapsed = time.perf_counter() - t0
+    n_new_with_sigs = shingled(new).count()
+    assert n_dropped == n_new_with_sigs, (
+        f"every replicated new doc is an exact dup; dropped {n_dropped} "
+        f"of {n_new_with_sigs}"
+    )
+    assert elapsed < 150, f"incremental dedup too slow: {elapsed:.0f}s"
