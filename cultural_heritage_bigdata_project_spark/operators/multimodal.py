@@ -124,3 +124,94 @@ def clip_like_embedder(*_args, **_kwargs):
         "hash_projection_embedder for deterministic tests or inject a "
         "model fn in deployment."
     )
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, out_w int, out_h int, scale double, payload binary, status string"
+)
+
+
+def resize_fit_batches(target_w: int, target_h: int):
+    """mapInPandas stub resizer: aspect-preserving fit-within-box.
+
+    The DIMENSION arithmetic (letterbox fit: scale = min(tw/w, th/h),
+    floor to >=1 px) is real and tested; the pixel resample is stubbed
+    (payload passes through truncated to the implied byte budget —
+    deterministic, so tests can pin it). Real deployment swaps the two
+    marked lines for PIL/libvips; schema and batching stay identical.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf["payload"].map(len)
+            w = (n % 997 + 1).astype("int64")  # fake decode, as decode_meta
+            h = (n % 991 + 1).astype("int64")
+            scale = pd.concat([target_w / w, target_h / h], axis=1).min(axis=1).clip(upper=1.0)
+            out_w = (w * scale).astype("int64").clip(lower=1)
+            out_h = (h * scale).astype("int64").clip(lower=1)
+            budget = (out_w * out_h).clip(upper=n)  # stub: byte budget
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "out_w": out_w.astype("int32"),
+                    "out_h": out_h.astype("int32"),
+                    "scale": scale.astype("float64"),
+                    "payload": [
+                        p[:b] for p, b in zip(pdf["payload"], budget)
+                    ],  # stub resample
+                    "status": "OK",
+                }
+            )
+
+    return fn
+
+
+def resize_fit(df_with_payload: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """Distributed aspect-preserving resize (stub codec, real plumbing):
+    binary in → binary out through one Arrow batch per partition."""
+    return df_with_payload.mapInPandas(
+        resize_fit_batches(target_w, target_h), RESIZE_SCHEMA
+    )
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, ts_ms long, frame binary"
+_FRAME_BYTES = 64  # stub codec: fixed-size fake frames
+_FRAME_MS = 40  # 25 fps
+
+
+def frame_sample_batches(every: int):
+    """mapInPandas stub frame sampler: one INPUT video row explodes to
+    N OUTPUT frame rows (the 1→N batch-shape change that makes video
+    ops different from scalar decode — mapInPandas handles it natively,
+    no explode of a materialized array column, so a 2-hour video never
+    exists as one giant row).
+
+    Stub codec: the payload is treated as consecutive 64-byte frames at
+    25 fps; every ``every``-th frame is emitted with its timestamp.
+    Real deployment replaces the slicing with an ffmpeg/pyav iterator —
+    same signature, same schema, same bounded memory.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, frames = [], [], [], []
+            for rid, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = len(payload) // _FRAME_BYTES
+                for i in range(0, n_frames, every):
+                    ids.append(rid)
+                    idxs.append(i)
+                    tss.append(i * _FRAME_MS)
+                    frames.append(payload[i * _FRAME_BYTES : (i + 1) * _FRAME_BYTES])
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "ts_ms": tss, "frame": frames}
+            )
+
+    return fn
+
+
+def frame_sample(df_with_payload: DataFrame, every: int = 5) -> DataFrame:
+    """Distributed video frame sampling (stub codec, real 1→N
+    mapInPandas plumbing)."""
+    if every < 1:
+        raise ValueError("every must be >= 1")
+    return df_with_payload.mapInPandas(frame_sample_batches(every), FRAME_SCHEMA)

@@ -345,3 +345,36 @@ def test_incremental_dedup_drops_cross_boundary_dups(spark):
         assert nid not in out, (
             f"new doc {nid} near-dups seen doc {seen_id} but survived"
         )
+
+
+def test_multimodal_resize_and_frame_sample_plumbing(spark):
+    """Stubbed-codec, real-plumbing contract: aspect-preserving resize
+    math, 1→N frame explosion with bounded rows, determinism across
+    runs, and no upscaling past scale=1."""
+    from cultural_heritage_bigdata_project_spark.operators import multimodal
+
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    payload = multimodal.attach_binary_payload(docs)
+
+    resized = multimodal.resize_fit(payload, 224, 224).collect()
+    assert len(resized) == 50
+    for r in resized:
+        assert 1 <= r.out_w <= 224 and 1 <= r.out_h <= 224
+        assert r.scale <= 1.0
+        assert len(r.payload) <= r.out_w * r.out_h
+        # aspect preserved within integer-floor tolerance
+        w, h = (r.out_w / r.scale, r.out_h / r.scale)
+        assert abs(r.out_w * h - r.out_h * w) / (w * h) < 0.05
+
+    frames = multimodal.frame_sample(payload, every=3)
+    rows = frames.collect()
+    assert rows == multimodal.frame_sample(payload, every=3).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+        assert r.frame_idx % 3 == 0 and r.ts_ms == r.frame_idx * 40
+        assert len(r.frame) == 64
+    n_bytes = {r.doc_id: len(r.payload) for r in payload.collect()}
+    for did, fr in by_doc.items():
+        expected = len(range(0, n_bytes[did] // 64, 3))
+        assert len(fr) == expected
