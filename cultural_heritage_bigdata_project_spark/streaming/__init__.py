@@ -1,4 +1,5 @@
 from .pipelines import (
+    docs_stream,
     events_stream,
     foreach_batch_upsert_run,
     kafka_sink,
@@ -6,10 +7,12 @@ from .pipelines import (
     run_to_memory,
     stateful_user_totals,
     stream_dedup_keys,
+    streaming_corpus_dedup_run,
     tumbling_window_agg,
 )
 
 __all__ = [
+    "docs_stream",
     "stateful_user_totals",
     "events_stream",
     "foreach_batch_upsert_run",
@@ -17,5 +20,6 @@ __all__ = [
     "kafka_stream",
     "run_to_memory",
     "stream_dedup_keys",
+    "streaming_corpus_dedup_run",
     "tumbling_window_agg",
 ]

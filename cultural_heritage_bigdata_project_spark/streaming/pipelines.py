@@ -300,3 +300,138 @@ def foreach_batch_upsert_run(
         finally:
             q.stop()
     return spark.read.parquet(txn.current_version_dir(tdir))
+
+
+DOCS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def docs_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = 1
+) -> DataFrame:
+    """File-source document stream (a crawl drop directory; Kafka swaps
+    in by changing ``format`` only, as with ``events_stream``)."""
+    reader = spark.readStream.schema(DOCS_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(source_dir)
+
+
+def streaming_corpus_dedup_run(
+    spark: SparkSession,
+    stream: DataFrame,
+    target_dir: str | None = None,
+    reset: bool = True,
+    n_hashes: int = 64,
+    bands: int = 16,
+    min_matches: int = 39,
+) -> DataFrame:
+    """Continuous corpus ingestion with cross-batch dedup: each
+    micro-batch of documents is deduped exactly (md5) AND near-dup
+    (minhash signature estimate, ``incremental_minhash_filter``)
+    against everything already accepted, then appended — the streaming
+    form of ``incremental_dedup_snapshot``, state = the persisted
+    fingerprint/minhash index, NOT the corpus text.
+
+    Within a batch: exact first-wins (min doc_id per fingerprint), then
+    band-collision pairs verified by the same >= ``min_matches``/
+    ``n_hashes`` signature estimate, dropping the larger doc_id.
+    Across batches: survivors are checked against the accumulated
+    index; batch-split boundaries therefore never change which
+    DUPLICATES are dropped (a dup is caught whether its canonical
+    arrived in the same batch or an earlier one).
+
+    Commit: one versioned directory per epoch holding corpus/ fps/
+    bands/ together, atomically published via the CURRENT pointer
+    (``operators/txn``) — a crash leaves the previous version intact
+    and the checkpoint replays the epoch idempotently. Each version
+    rewrites full state (emulation); production appends to Delta/
+    Iceberg tables per DEPLOYMENT.md.
+
+    Returns the final accepted corpus as a batch DataFrame.
+    """
+    from ..operators import dedup
+
+    tdir = target_dir or os.path.join(
+        tempfile.gettempdir(), f"spark_graft_corpus_{uuid.uuid4().hex[:8]}"
+    )
+    if reset:
+        shutil.rmtree(tdir, ignore_errors=True)
+    os.makedirs(tdir, exist_ok=True)
+    txn.cleanup_unpublished(tdir)
+    fp_expr = F.md5(F.trim(F.lower("text")).cast("binary"))
+
+    def batch_index(df: DataFrame) -> DataFrame:
+        toks = df.select("doc_id", F.split(F.trim(F.lower("text")), " +").alias("t"))
+        sh = toks.filter(F.size("t") >= 3).select(
+            "doc_id", dedup.shingles_expr("t", 3).alias("sh")
+        )
+        return dedup.minhash_index(sh, "doc_id", "sh", n_hashes=n_hashes, bands=bands)
+
+    def dedup_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        cur = txn.current_version_dir(tdir)
+        batch_df = batch_df.localCheckpoint(eager=True)
+
+        # exact: first-wins within batch, anti-join vs seen fingerprints
+        fps = batch_df.select("doc_id", fp_expr.alias("f"))
+        kept = fps.groupBy("f").agg(F.min("doc_id").alias("doc_id"))
+        if cur is not None:
+            seen_fps = spark.read.parquet(os.path.join(cur, "fps"))
+            kept = kept.join(seen_fps.select("f"), on="f", how="left_anti")
+        kept_docs = batch_df.join(kept.select("doc_id"), "doc_id", "leftsemi")
+
+        # near: signature-estimate within batch (drop larger id of a
+        # verified band-collision pair), then vs the accumulated index
+        idx = batch_index(kept_docs).localCheckpoint(eager=True)
+        within = dedup.incremental_minhash_filter(
+            idx, idx, "doc_id", n_hashes=n_hashes, min_matches=min_matches
+        )
+        # incremental filter joins new x seen; keep only a<b pairs so
+        # the smaller id stays canonical (self-pairs match trivially)
+        within_dropped = (
+            within.filter(F.col("matched_seen_id") < F.col("new_id"))
+            .select(F.col("new_id").alias("doc_id"))
+            .distinct()
+        )
+        survivors = kept_docs.join(within_dropped, "doc_id", "left_anti")
+        idx = idx.join(within_dropped, "doc_id", "left_anti")
+        if cur is not None:
+            seen_idx = spark.read.parquet(os.path.join(cur, "bands"))
+            cross_dropped = dedup.incremental_minhash_filter(
+                idx, seen_idx, "doc_id", n_hashes=n_hashes, min_matches=min_matches
+            ).select(F.col("new_id").alias("doc_id"))
+            survivors = survivors.join(cross_dropped, "doc_id", "left_anti")
+            idx = idx.join(cross_dropped, "doc_id", "left_anti")
+
+        # versioned commit of corpus + index together
+        vname = f"data_v{epoch_id}"
+        vdir = os.path.join(tdir, vname)
+        shutil.rmtree(vdir, ignore_errors=True)
+        new_fps = survivors.select("doc_id", fp_expr.alias("f"))
+        if cur is not None:
+            corpus = spark.read.parquet(os.path.join(cur, "corpus")).unionByName(
+                survivors
+            )
+            all_fps = spark.read.parquet(os.path.join(cur, "fps")).unionByName(new_fps)
+            all_bands = spark.read.parquet(os.path.join(cur, "bands")).unionByName(idx)
+        else:
+            corpus, all_fps, all_bands = survivors, new_fps, idx
+        corpus.write.mode("overwrite").parquet(os.path.join(vdir, "corpus"))
+        all_fps.write.mode("overwrite").parquet(os.path.join(vdir, "fps"))
+        all_bands.write.mode("overwrite").parquet(os.path.join(vdir, "bands"))
+        txn.publish_version(tdir, vname)
+
+    writer = stream.writeStream.foreachBatch(dedup_batch).trigger(availableNow=True)
+    with _scoped_shuffle_partitions(spark):
+        q = writer.option(
+            "checkpointLocation", os.path.join(tdir, "_checkpoint")
+        ).start()
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    return spark.read.parquet(os.path.join(txn.current_version_dir(tdir), "corpus"))

@@ -225,3 +225,53 @@ def test_watermark_drops_late_data(spark, split_events_dir, tmp_path):
     full_total = sum(full.values())
     assert emitted_total < full_total, "late rows should be missing from append output"
     assert dropped_any or emitted_total < full_total
+
+
+def test_streaming_corpus_dedup_cross_batch(spark, tmp_path):
+    """Streaming corpus ingestion: exact and near duplicates are dropped
+    whether their canonical arrived in the SAME micro-batch or an
+    EARLIER one, and a reset=False resume processes only new files."""
+    import shutil as _sh
+
+    src = str(tmp_path / "drops")
+    os.makedirs(src)
+    tdir = str(tmp_path / "corpus")
+
+    def mktext(seed: str, n: int = 50) -> str:
+        return " ".join(f"{seed}tok{i}" for i in range(n))
+
+    base = {i: mktext(f"d{i}x") for i in range(10)}
+    batch1 = [(i, base[i]) for i in range(10)]
+    near_dup_of_1 = base[1].rsplit(" ", 1)[0] + " changedword"
+    batch2 = [
+        (100, base[0]),          # exact dup of doc 0 (earlier batch)
+        (101, near_dup_of_1),    # near dup of doc 1 (earlier batch)
+        (102, mktext("fresh102")),
+        (103, mktext("fresh103")),
+        (104, mktext("fresh103")),  # exact dup WITHIN this batch of 103
+    ]
+
+    def drop_file(name, rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(tmp_path / name))
+        part = [
+            f for f in os.listdir(tmp_path / name) if f.endswith(".parquet")
+        ][0]
+        _sh.copy(str(tmp_path / name / part), f"{src}/{name}.parquet")
+
+    def run():
+        stream = streaming.docs_stream(spark, src, max_files_per_trigger=1)
+        return streaming.streaming_corpus_dedup_run(
+            spark, stream, target_dir=tdir, reset=False
+        )
+
+    drop_file("b1", batch1)
+    drop_file("b2", batch2)
+    corpus = {r.doc_id for r in run().collect()}
+    assert corpus == set(range(10)) | {102, 103}, corpus
+
+    # resume: another drop with one more dup of doc 0 and one fresh doc
+    drop_file("b3", [(200, base[0]), (201, mktext("fresh201"))])
+    corpus2 = {r.doc_id for r in run().collect()}
+    assert corpus2 == corpus | {201}, corpus2
