@@ -553,8 +553,44 @@ def pq_deterministic_top_k(
     - final order: (cosine_sim DESC, id ASC) on raw vectors with the
       ``knn_brute_force`` rounding convention.
     """
+    cw = pq_codebook(vectors, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col)
+    qraw = [float(x) for x in query]
+    if len(qraw) % m:
+        raise ValueError(f"dim {len(qraw)} not divisible by m={m}")
+    codes = pq_encode(vectors, cw, m=m, id_col=id_col, vec_col=vec_col)
+    short = pq_adc_shortlist(codes, cw, qraw, m=m, shortlist=shortlist, id_col=id_col)
+    qlit = F.array(*[F.lit(x) for x in qraw]).cast("array<double>")
+    sim = F.round(cosine_similarity(F.col(vec_col), qlit), 6)
+    return (
+        vectors.join(short, on=id_col)
+        .select(F.col(id_col), F.col("adc_micro"), sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def _norm_seq(vals):
+    """L2-normalize with SEQUENTIAL-order arithmetic — bit-identical to
+    the oracle's list_transform(v, x -> x / sqrt(list_dot_product(v, v)))."""
+    s = 0.0
+    for x in vals:
+        s += x * x
+    nrm = s**0.5
+    return [x / nrm for x in vals]
+
+
+def pq_codebook(
+    vectors: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """The deterministic PQ codebook: the ``n_codes`` collection vectors
+    with smallest md5(id), L2-normalized (sequential order) — returned
+    as an (n_codes × dim) numpy matrix whose per-subspace slices are the
+    codewords. Engine-portable: any md5-capable engine re-derives it."""
     import numpy as np
-    import pandas as pd
 
     cw_rows = (
         vectors.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
@@ -562,41 +598,34 @@ def pq_deterministic_top_k(
         .limit(n_codes)
         .collect()
     )
-    qraw = [float(x) for x in query]
-    dim = len(qraw)
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    sd = dim // m
-
-    # L2-normalize with SEQUENTIAL-order arithmetic — bit-identical to
-    # the oracle's list_transform(v, x -> x / sqrt(list_dot_product(v, v))).
-    def _norm_seq(vals: list[float]) -> list[float]:
-        s = 0.0
-        for x in vals:
-            s += x * x
-        nrm = s**0.5
-        return [x / nrm for x in vals]
-
     cw = np.asarray(
         [_norm_seq([float(x) for x in r["__v"]]) for r in cw_rows], dtype=np.float64
     )
-    qv = _norm_seq(qraw)
+    if cw.shape[1] % m:
+        raise ValueError(f"dim {cw.shape[1]} not divisible by m={m}")
+    return cw
 
-    # LUT in plain sequential-order Python arithmetic: bit-identical to
-    # DuckDB's list_dot_product accumulation, then micro-int truncation
-    # (int() truncates toward zero == SQL trunc()).
-    lut = np.empty((m, n_codes), dtype=np.int64)
-    for j in range(m):
-        for c in range(n_codes):
-            ip = 0.0
-            for t in range(j * sd, (j + 1) * sd):
-                ip += qv[t] * float(cw[c, t])
-            lut[j, c] = int(ip * 1e6)
 
-    code_cols = [f"c{j}" for j in range(m)]
-    schema = "__id long, " + ", ".join(f"{c} int" for c in code_cols) + ", adc_micro long"
+def pq_encode(
+    vectors: DataFrame,
+    codebook,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One-pass PQ encoding: (id, c0..c{m-1}) int codes — the persisted
+    serving artifact (m small ints per vector instead of 4·dim bytes;
+    compute once offline, score many queries). Codeword assignment is
+    squared-L2 argmin on L2-normalized vectors, ties → lowest code id;
+    the codebook matrix rides the task closure (a few KB)."""
+    import numpy as np
+    import pandas as pd
 
-    def encode_score(batches):
+    cw = codebook
+    sd = cw.shape[1] // m
+    schema = "__id long, " + ", ".join(f"c{j} int" for j in range(m))
+
+    def encode(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -605,35 +634,61 @@ def pq_deterministic_top_k(
             # distance gaps are far above summation-order noise)
             mat = mat / np.sqrt((mat * mat).sum(axis=1, keepdims=True))
             out = {"__id": pdf["__id"].to_numpy()}
-            score = np.zeros(len(pdf), dtype=np.int64)
             for j in range(m):
                 sub = mat[:, j * sd : (j + 1) * sd]
                 cws = cw[:, j * sd : (j + 1) * sd]
                 dist = ((sub[:, None, :] - cws[None, :, :]) ** 2).sum(axis=-1)
-                codes = np.argmin(dist, axis=1)  # ties -> lowest code id
-                out[f"c{j}"] = codes.astype(np.int32)
-                score += lut[j][codes]
-            out["adc_micro"] = score
+                out[f"c{j}"] = np.argmin(dist, axis=1).astype(np.int32)
             yield pd.DataFrame(out)
 
-    short = (
+    return (
         vectors.select(
             F.col(id_col).alias("__id"),
             F.col(vec_col).cast("array<double>").alias("__v"),
         )
-        .mapInPandas(encode_score, schema)
+        .mapInPandas(encode, schema)
         .withColumnRenamed("__id", id_col)
+    )
+
+
+def pq_adc_shortlist(
+    codes: DataFrame,
+    codebook,
+    query,
+    m: int = 8,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC scoring of a PQ-coded collection against one query: the
+    (m × n_codes) lookup table is computed driver-side in
+    sequential-order Python arithmetic and truncated to integer
+    micro-units, then the per-row score is m ``element_at`` lookups
+    summed — PURE JVM codegen over the codes table, no Python worker,
+    no float math per candidate. Returns the ``shortlist`` best
+    (adc_micro DESC, id ASC) rows; integer sort, no tie ambiguity."""
+    cw = codebook
+    sd = cw.shape[1] // m
+    qv = _norm_seq([float(x) for x in query])
+    n_codes = cw.shape[0]
+    luts = []
+    for j in range(m):
+        row = []
+        for c in range(n_codes):
+            ip = 0.0
+            for t in range(j * sd, (j + 1) * sd):
+                ip += qv[t] * float(cw[c, t])
+            row.append(int(ip * 1e6))
+        luts.append(row)
+    score = None
+    for j in range(m):
+        lut_arr = F.array(*[F.lit(v) for v in luts[j]])
+        term = F.element_at(lut_arr, F.col(f"c{j}") + 1)
+        score = term if score is None else score + term
+    return (
+        codes.withColumn("adc_micro", score.cast("long"))
+        .select(id_col, "adc_micro")
         .orderBy(F.col("adc_micro").desc(), F.col(id_col).asc())
         .limit(shortlist)
-        .select(id_col, "adc_micro")
-    )
-    qlit = F.array(*[F.lit(x) for x in qraw]).cast("array<double>")
-    sim = F.round(cosine_similarity(F.col(vec_col), qlit), 6)
-    return (
-        vectors.join(short, on=id_col)
-        .select(F.col(id_col), F.col("adc_micro"), sim.alias("cosine_sim"))
-        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
-        .limit(k)
     )
 
 

@@ -378,3 +378,27 @@ def test_multimodal_resize_and_frame_sample_plumbing(spark):
     for did, fr in by_doc.items():
         expected = len(range(0, n_bytes[did] // 64, 3))
         assert len(fr) == expected
+
+
+def test_pq_encode_once_serve_many(spark):
+    """The serving split: encode ONCE (persisted codes), score many
+    queries against the codes with a pure-JVM LUT projection — the
+    shortlist plan must contain no Python stage, and the composed path
+    must equal the one-shot pq_deterministic_top_k result."""
+    from cultural_heritage_bigdata_project_spark.operators import similarity as sim
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    vectors = emb.filter(F.col("vec_id") != 0)
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    cw = sim.pq_codebook(vectors, m=8, n_codes=16)
+    codes = sim.pq_encode(vectors, cw, m=8).localCheckpoint(eager=True)  # "persisted"
+    short = sim.pq_adc_shortlist(codes, cw, q, m=8, shortlist=100)
+    plan = short._jdf.queryExecution().executedPlan().toString()
+    assert "Eval" not in plan and "InPandas" not in plan, plan
+    got = {(r.vec_id, r.adc_micro) for r in short.collect()}
+    one_shot = sim.pq_deterministic_top_k(vectors, q, k=10, m=8, shortlist=100)
+    assert {(r.vec_id, r.adc_micro) for r in one_shot.collect()} <= got
+    # a second query reuses the SAME codes (no re-encode)
+    q2 = [float(x) for x in emb.filter(F.col("vec_id") == 1).select("embedding").first()[0]]
+    short2 = sim.pq_adc_shortlist(codes, cw, q2, m=8, shortlist=100).collect()
+    assert len(short2) == 100
