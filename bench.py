@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "winnow_dup_pairs",
     "pq_ann_topk",
     "pii_scrub",
+    "incremental_dedup_snapshot",
 ]
 
 
