@@ -97,6 +97,42 @@ def weighted_mix(
     return out
 
 
+def domain_cap(
+    df: DataFrame,
+    cap: int,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Per-domain document cap: keep at most ``cap`` rows per domain,
+    chosen by deterministic md5-hash order (seeded, partition-layout
+    independent) with the id as tiebreak.
+
+    The crawl-pipeline staple (C4 and every CommonCrawl derivative cap
+    per-host page counts so no single site dominates the corpus),
+    expressed as one window: hash-rank within domain, keep rank ≤ cap.
+    The hash order makes the *selection* an unbiased reproducible
+    sample rather than "whatever sorted first". One shuffle on the
+    domain key; skewed domains are exactly the rows the cap discards,
+    so the post-filter output is balanced by construction. For a
+    degenerate single mega-domain at 100 TB, pre-aggregate with a
+    count and short-circuit domains under the cap before ranking.
+    """
+    from pyspark.sql import Window as W
+
+    order = F.md5(
+        F.concat(
+            F.lit(f"{seed}:"), F.col(id_col).cast("string")
+        ).cast("binary")
+    )
+    w = W.partitionBy(domain_col).orderBy(order, F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,

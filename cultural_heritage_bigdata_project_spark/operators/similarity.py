@@ -459,6 +459,85 @@ def ivf_ann_top_k(
     )
 
 
+def semdedup_prune(
+    vectors: DataFrame,
+    threshold: float,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    max_cluster: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style cluster-scoped semantic dedup (Abbas et al. 2023,
+    arXiv:2303.09540): coarse-cluster the embeddings, then inside each
+    cluster drop every point that has a smaller-id neighbor with cosine
+    ≥ ``threshold``. Returns the surviving rows of ``vectors``.
+
+    This is the published scale path for embedding dedup: pairwise
+    similarity is only computed *within* clusters, so total work is
+    O(Σ cᵢ²) ≪ O(n²) — at 100 TB you size ``n_lists`` ∝ n/target
+    cluster size and each cluster's GEMM fits one task. The quantizer
+    is the deterministic md5-sample (the ``n_lists`` vectors with
+    smallest md5(id), as in ``ivf_deterministic_top_k``) so the whole
+    operator — assignment, in-cluster pairs, survivor set — replays in
+    SQL and is hash-checked end to end; swap in KMeans centroids
+    (``ivf_ann_top_k``) when auditability matters less than balance.
+
+    Plan shape: one tiny driver collect for centroids → one
+    Arrow-batched GEMM assignment pass → one shuffle on the cluster id
+    → per-cluster normalized GEMM + strict-lower-triangle threshold
+    scan inside ``applyInPandas``. The keep rule (drop iff a
+    smaller-id in-cluster neighbor is ≥ τ) is a deterministic sweep,
+    not a transitive closure — by construction the kept set never
+    contains an in-cluster pair above τ, and the survivor with the
+    minimum id per near-dup group is always kept.
+
+    ``max_cluster``: optional guard against degenerate quantizers — a
+    cluster larger than the cap is pruned to its ``max_cluster``
+    smallest ids before the pairwise pass (mirrors the dedup modules'
+    hot-bucket caps; unset = trust ``n_lists`` sizing).
+    """
+    import numpy as np
+    import pandas as pd
+
+    cent_rows = (
+        vectors.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
+        .orderBy(F.md5(F.col(id_col).cast("string").cast("binary")), F.col(id_col))
+        .limit(n_lists)
+        .collect()
+    )
+    centroids = [list(map(float, r["__v"])) for r in cent_rows]
+    assigned = _assign_lists(vectors, centroids, id_col, vec_col)
+    data = (
+        vectors.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+        )
+        .join(assigned, on=id_col)
+    )
+    thr = float(threshold)
+    rd = round_digits
+    cap = max_cluster
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        if cap is not None and len(pdf) > cap:
+            pdf = pdf.iloc[:cap]
+        ids = pdf[id_col].to_numpy()
+        if len(ids) <= 1:
+            return pd.DataFrame({id_col: ids.astype("int64")})
+        mat = np.stack(pdf["__v"].to_numpy())
+        nrm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = nrm @ nrm.T
+        if rd is not None:
+            sims = np.round(sims, rd)
+        # drop i iff any j < i (strict lower triangle) has sims ≥ τ
+        dup = (np.tril(sims >= thr, k=-1)).any(axis=1)
+        return pd.DataFrame({id_col: ids[~dup].astype("int64")})
+
+    kept = data.groupBy("__list").applyInPandas(prune, f"{id_col} long")
+    return vectors.join(kept, on=id_col, how="leftsemi")
+
+
 def precision_at_k(
     vectors: DataFrame,
     k: int = 10,

@@ -413,3 +413,121 @@ def pii_scrub(
     for _, regex, token in patterns:
         scrubbed = F.regexp_replace(scrubbed, regex, token)
     return out.withColumn("scrubbed", scrubbed)
+
+
+def quality_rule_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 20,
+    max_words: int = 80,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 5.0,
+    min_stop_hits: int = 1,
+    min_distinct_ratio: float = 0.35,
+    stopwords=DEFAULT_STOPWORDS,
+) -> DataFrame:
+    """C4/Gopher-style rule-based quality gate with per-rule verdicts.
+
+    The published heuristic filters (Raffel et al. C4 §2.2, Rae et al.
+    Gopher A1.1) are hard thresholds on cheap document statistics; this
+    operator computes each rule as its own boolean column plus the
+    conjunctive ``keep``, so a pipeline can both filter and audit
+    *which* rule rejected a document (the per-rule reject rates are the
+    first thing to inspect when a corpus shrinks unexpectedly).
+
+    Rules: word count ∈ [min_words, max_words]; mean word length ∈
+    [min_mean_word_len, max_mean_word_len]; ≥ min_stop_hits distinct
+    stopwords present; distinct-token ratio ≥ min_distinct_ratio.
+
+    Every statistic is a built-in expression over one tokenization —
+    single-pass columnar projection, no shuffle, no Python: scan speed
+    at 100 TB. Ratios are int/int divisions (exact doubles), so the
+    whole verdict replays bit-identically in the SQL oracle.
+    """
+    toks = tokenize(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    n1 = F.greatest(n, F.lit(1))
+    # token chars / token count: length with the separators removed
+    chars = F.length(F.regexp_replace(F.trim(F.col(text_col)), " ", ""))
+    mean_len = chars / n1
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    stop_hits = F.size(F.array_intersect(F.array_distinct(toks), sw)).cast("long")
+    distinct_ratio = F.size(F.array_distinct(toks)) / n1
+    n = n.cast("long")
+    words_ok = (n >= min_words) & (n <= max_words)
+    word_len_ok = (mean_len >= min_mean_word_len) & (mean_len <= max_mean_word_len)
+    stop_ok = stop_hits >= min_stop_hits
+    distinct_ok = distinct_ratio >= min_distinct_ratio
+    return df.select(
+        "*",
+        n.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        stop_hits.alias("stop_hits"),
+        distinct_ratio.alias("distinct_ratio"),
+        words_ok.alias("words_ok"),
+        word_len_ok.alias("word_len_ok"),
+        stop_ok.alias("stop_ok"),
+        distinct_ok.alias("distinct_ok"),
+        (words_ok & word_len_ok & stop_ok & distinct_ok).alias("keep"),
+    )
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: list[str],
+    top_k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 ranked retrieval over the corpus for one bag of query terms.
+
+    Classic Robertson/Spärck Jones BM25 shape with a *rational* idf,
+    ``(N - df + 0.5) / (df + 0.5)`` — the standard ``ln(·+1)`` wrapper
+    is monotone, so rankings are preserved, while avoiding the one
+    cross-engine nondeterminism in the formula (libm ``log`` is not
+    guaranteed correctly rounded; every remaining operation is a single
+    IEEE op with identical parenthesization on both engines).
+
+    Plan shape: one stateless tokenize→explode pass keeping only query
+    terms (the explode output is |terms|-bounded per doc, not |doc|),
+    per-(doc, term) tf aggregate, a broadcast-size per-term df
+    aggregate joined back, and a single-row (N, avgdl) corpus aggregate
+    attached as a 1×1 broadcast nested-loop join — no driver collect.
+    Per-term scores are summed as decimal(38,6) (exact addition ⇒
+    fold-order independent) and the top-k carries the id tiebreak.
+    At 100 TB the heavy stage is the tf aggregate, which shuffles only
+    rows that actually contain a query term.
+    """
+    terms = sorted(set(query_terms))
+    toks = tokenize(F.lower(F.col(text_col)))
+    base = df.select(F.col(id_col), toks.alias("__t"), F.size(toks).alias("__dl"))
+    corpus = base.agg(
+        F.count(F.lit(1)).alias("__n_docs"),
+        (F.sum("__dl") / F.count(F.lit(1))).alias("__avgdl"),
+    )
+    hits = (
+        base.select(id_col, "__dl", F.explode("__t").alias("__term"))
+        .filter(F.col("__term").isin(terms))
+        .groupBy(id_col, "__dl", "__term")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    dfreq = hits.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
+    n_docs = F.col("__n_docs").cast("double")
+    idf = (n_docs - F.col("__df") + F.lit(0.5)) / (F.col("__df") + F.lit(0.5))
+    tf = F.col("__tf").cast("double")
+    dl_norm = F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("__dl") / F.col("__avgdl"))
+    term_score = idf * ((tf * F.lit(k1 + 1.0)) / (tf + F.lit(k1) * dl_norm))
+    return (
+        hits.join(F.broadcast(dfreq), on="__term")
+        .crossJoin(F.broadcast(corpus))
+        .select(F.col(id_col), term_score.alias("__s"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("__s").cast("decimal(38,6)")).cast("double").alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+        .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+        .limit(top_k)
+    )

@@ -131,15 +131,19 @@ GROUPS: dict[str, list[str]] = {
         "hash_ordered_sample",
         "winnow_dup_pairs",
         "pii_scrub",
+        "quality_rule_filter",
+        "bm25_search",
     ],
     "corpus_sampling_digest": [
         "hash_split_sets",
         "corpus_mix_weighted",
         "incremental_dedup_snapshot",
+        "domain_cap_sample",
     ],
     "vector_codec_digest": [
         "vector_concat_norm",
         "pq_ann_topk",
+        "semdedup_prune",
     ],
 }
 
@@ -392,6 +396,28 @@ PART_COLS: dict[str, tuple[tuple[str, str], ...]] = {
         ("n_phone", "s"),
         ("scrub_md5", "s"),
     ),
+    "quality_rule_filter": (
+        ("distinct_ok", "s"),
+        ("distinct_ratio", "f"),
+        ("doc_id", "s"),
+        ("keep", "s"),
+        ("mean_word_len", "f"),
+        ("n_words", "s"),
+        ("stop_hits", "s"),
+        ("stop_ok", "s"),
+        ("word_len_ok", "s"),
+        ("words_ok", "s"),
+    ),
+    "bm25_search": (
+        ("bm25", "f"),
+        ("doc_id", "s"),
+        ("n_terms_hit", "s"),
+    ),
+    "domain_cap_sample": (
+        ("doc_id", "s"),
+        ("lang", "s"),
+        ("source", "s"),
+    ),
     "vector_concat_norm": (
         ("combined_dim", "s"),
         ("combined_norm", "f"),
@@ -400,6 +426,10 @@ PART_COLS: dict[str, tuple[tuple[str, str], ...]] = {
     "pq_ann_topk": (
         ("adc_micro", "s"),
         ("cosine_sim", "f"),
+        ("vec_id", "s"),
+    ),
+    "semdedup_prune": (
+        ("label", "s"),
         ("vec_id", "s"),
     ),
     "hash_split_sets": (

@@ -346,3 +346,24 @@ def incremental_dedup_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(survivors, on="doc_id", how="leftsemi").select(
         "doc_id", "lang", "n_chars"
     )
+
+
+@register(
+    "domain_cap_sample",
+    description="Per-domain document cap (the C4/CommonCrawl per-host "
+    "cap): keep at most 10 docs per source, selected by seeded md5-hash "
+    "order with id tiebreak — an unbiased reproducible per-domain "
+    "sample, one window over the domain key",
+    survey_ref="W1,A8,A5",
+    oracle="""
+SELECT doc_id, source, lang FROM (
+  SELECT doc_id, source, lang,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5('5:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+) WHERE rn <= 10
+""",
+)
+def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    return corpus.domain_cap(docs, cap=10, domain_col="source", seed=5)

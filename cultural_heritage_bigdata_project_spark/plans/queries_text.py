@@ -560,3 +560,94 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.pii_scrub(docs).select(
         "doc_id", "n_email", "n_ip", "n_phone", F.md5("scrubbed").alias("scrub_md5")
     )
+
+
+@register(
+    "quality_rule_filter",
+    description="C4/Gopher rule-based quality gate with per-rule "
+    "verdicts: word count in [20,80], mean word length in [3,5], >=1 "
+    "stopword, distinct-token ratio >= 0.35 — each rule its own boolean "
+    "column plus the conjunctive keep, so reject rates are auditable "
+    "per rule; one codegen projection, no shuffle",
+    survey_ref="P3,F4,M1",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks,
+         length(replace(trim(text), ' ', '')) AS chars
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         chars * 1.0 / greatest(len(toks), 1) AS mean_word_len,
+         len(list_intersect(list_distinct(toks), {_STOP_SQL})) AS stop_hits,
+         len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1) AS distinct_ratio
+  FROM t
+)
+SELECT doc_id, n_words, mean_word_len, stop_hits, distinct_ratio,
+       n_words >= 20 AND n_words <= 80 AS words_ok,
+       mean_word_len >= 3.0 AND mean_word_len <= 5.0 AS word_len_ok,
+       stop_hits >= 1 AS stop_ok,
+       distinct_ratio >= 0.35 AS distinct_ok,
+       (n_words >= 20 AND n_words <= 80)
+         AND (mean_word_len >= 3.0 AND mean_word_len <= 5.0)
+         AND stop_hits >= 1 AND distinct_ratio >= 0.35 AS keep
+FROM s
+""",
+)
+def quality_rule_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_rule_filter(_docs(spark, sf_dir)).select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "stop_hits",
+        "distinct_ratio",
+        "words_ok",
+        "word_len_ok",
+        "stop_ok",
+        "distinct_ok",
+        "keep",
+    )
+
+
+@register(
+    "bm25_search",
+    description="BM25 ranked retrieval (top-10 docs for query terms "
+    "merge/spark/window): tf per (doc,term) restricted to query terms, "
+    "broadcast df + corpus-stats joins, rational idf (monotone ln-free "
+    "form — libm log is the one cross-engine nondeterminism in the "
+    "formula), decimal-exact term-score sum; the heavy stage shuffles "
+    "only rows containing a query term",
+    survey_ref="A1,A9,W4,J1",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents
+), base AS (
+  SELECT doc_id, toks, len(toks) AS dl FROM t
+), corpus AS (
+  SELECT count(*) AS n_docs, sum(len(toks)) / count(*) AS avgdl FROM t
+), hits AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM base)
+  WHERE term IN ('merge', 'spark', 'window')
+  GROUP BY doc_id, dl, term
+), dfreq AS (
+  SELECT term, count(*) AS dfr FROM hits GROUP BY term
+), scored AS (
+  SELECT h.doc_id,
+         ((cast(c.n_docs AS DOUBLE) - d.dfr + 0.5) / (d.dfr + 0.5))
+         * ((cast(h.tf AS DOUBLE) * 2.2)
+            / (cast(h.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (h.dl / c.avgdl)))) AS s
+  FROM hits h JOIN dfreq d USING (term), corpus c
+)
+SELECT doc_id,
+       cast(sum(cast(s AS DECIMAL(38, 6))) AS DOUBLE) AS bm25,
+       count(*) AS n_terms_hit
+FROM scored GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 10
+""",
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bm25_search(
+        _docs(spark, sf_dir), ["merge", "spark", "window"], top_k=10
+    )

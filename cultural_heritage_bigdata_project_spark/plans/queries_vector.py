@@ -431,3 +431,45 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_deterministic_top_k(
         vectors, _query_list(spark, sf_dir, 0), k=10, m=8, n_codes=16, shortlist=100
     )
+
+
+@register(
+    "semdedup_prune",
+    description="SemDeDup cluster-scoped semantic dedup (arXiv:2303.09540): "
+    "deterministic md5-sample quantizer (16 lists) → in-cluster pairwise "
+    "cosine only → drop points with a smaller-id neighbor ≥ 0.42 — the "
+    "O(Σc²) scale path for the exact semantic_dedup_canonical beside it; "
+    "assignment, in-cluster pairs, and the survivor set all replay in SQL, "
+    "so corpus membership itself is hash-checked",
+    survey_ref="M3,J9,A5",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+), cent AS (
+  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS list_id, v
+  FROM e ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16
+), assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance(e.v, c.v), c.list_id) AS rn
+    FROM e CROSS JOIN cent c
+  ) WHERE rn = 1
+), n AS (
+  SELECT e.vec_id, e.v, e.label, a.list_id,
+         sqrt(list_dot_product(e.v, e.v)) AS nrm
+  FROM e JOIN assign a USING (vec_id)
+), dup AS (
+  SELECT DISTINCT a.vec_id
+  FROM n a JOIN n b ON a.list_id = b.list_id AND b.vec_id < a.vec_id
+  WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.42
+)
+SELECT vec_id, label FROM n
+WHERE vec_id NOT IN (SELECT vec_id FROM dup)
+""",
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return similarity.semdedup_prune(emb, threshold=0.42, n_lists=16).select(
+        "vec_id", "label"
+    )

@@ -1,0 +1,134 @@
+"""Operator-invariant gate for the round-2 quality/corpus additions:
+SemDeDup cluster pruning, C4/Gopher rule filter, per-domain caps, BM25
+retrieval (operators/similarity.py, text.py, corpus.py). The catalog
+parity tests pin these against DuckDB; here we pin the *semantics*
+against independent Python recomputation and hand-checkable fixtures.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cultural_heritage_bigdata_project_spark.operators import corpus, similarity, text
+from cultural_heritage_bigdata_project_spark.sources.tables import load_table
+
+from .conftest import SF_DIR
+
+
+def _semdedup_reference(rows, n_lists, tau):
+    """Driver-side replay of semdedup_prune's contract: md5-sample
+    centroids, squared-L2 nearest-centroid (ties -> lowest list),
+    in-cluster smaller-id sweep at round(cos, 6) >= tau."""
+    ids = [r[0] for r in rows]
+    vecs = {r[0]: np.asarray(r[1], dtype=np.float64) for r in rows}
+    order = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    cents = np.stack([vecs[i] for i in order[:n_lists]])
+    clusters: dict[int, list[int]] = {}
+    for i in ids:
+        d = ((cents - vecs[i][None, :]) ** 2).sum(axis=1)
+        clusters.setdefault(int(np.argmin(d)), []).append(i)
+    kept = set()
+    for members in clusters.values():
+        members.sort()
+        mat = np.stack([vecs[i] for i in members])
+        nrm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = np.round(nrm @ nrm.T, 6)
+        for a in range(len(members)):
+            if not any(sims[a, b] >= tau for b in range(a)):
+                kept.add(members[a])
+    return kept
+
+
+def test_semdedup_matches_reference_replay(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    got = {
+        r.vec_id
+        for r in similarity.semdedup_prune(emb, threshold=0.42, n_lists=16)
+        .select("vec_id")
+        .collect()
+    }
+    rows = [(r.vec_id, list(r.embedding)) for r in emb.select("vec_id", "embedding").collect()]
+    want = _semdedup_reference(rows, n_lists=16, tau=0.42)
+    assert got == want
+    assert len(got) < len(rows)  # fixtures contain semantic near-dups
+
+
+def test_semdedup_max_cluster_cap(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    capped = similarity.semdedup_prune(
+        emb, threshold=2.0, n_lists=8, max_cluster=1
+    )
+    # tau=2.0 never drops by similarity, so cap=1 keeps exactly the
+    # smallest id of each non-empty cluster
+    assert capped.count() <= 8
+
+
+def test_quality_rule_filter_flags(spark):
+    df = spark.createDataFrame(
+        [
+            # 24 words, stopword 'the', mean len in range
+            (1, " ".join(f"the w{i:02d}ord" for i in range(12))),
+            (2, "tiny doc"),  # fails word count floor
+            (3, " ".join(["dup"] * 30)),  # fails distinct ratio + stopwords
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in text.quality_rule_filter(df).collect()}
+    assert out[1].keep and out[1].words_ok and out[1].stop_ok
+    assert not out[2].words_ok and not out[2].keep
+    assert not out[3].distinct_ok and not out[3].stop_ok and not out[3].keep
+    for r in out.values():
+        assert r.keep == (
+            r.words_ok and r.word_len_ok and r.stop_ok and r.distinct_ok
+        )
+
+
+def test_domain_cap_invariants(spark):
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "source")
+    capped = corpus.domain_cap(docs, cap=7, domain_col="source", seed=3)
+    per = {r.source: r.n for r in capped.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per and all(n <= 7 for n in per.values())
+    # deterministic under repartition
+    a = {(r.doc_id, r.source) for r in capped.collect()}
+    b = {
+        (r.doc_id, r.source)
+        for r in corpus.domain_cap(
+            docs.repartition(13), cap=7, domain_col="source", seed=3
+        ).collect()
+    }
+    assert a == b
+    # a different seed selects a different sample
+    c = {
+        (r.doc_id, r.source)
+        for r in corpus.domain_cap(docs, cap=7, domain_col="source", seed=4).collect()
+    }
+    assert a != c
+
+
+def test_bm25_hand_checked(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spark makes query plans"),
+            (2, "spark spark spark all day"),
+            (3, "nothing relevant here at all"),
+            (4, "plans and more plans"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in text.bm25_search(df, ["spark", "plans"], top_k=10).collect()}
+    assert 3 not in out  # no query term -> no row
+    assert out[1].n_terms_hit == 2 and out[2].n_terms_hit == 1
+    # hand-computed: N=4, avgdl=(4+5+5+4)/4=4.5; df(spark)=2, df(plans)=2
+    def score(tf, dl, dfreq, n=4, avgdl=4.5, k1=1.2, b=0.75):
+        idf = (n - dfreq + 0.5) / (dfreq + 0.5)
+        return idf * (tf * (k1 + 1.0)) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    want1 = round(score(1, 4, 2) + score(1, 4, 2), 6)
+    got1 = round(out[1].bm25, 6)
+    assert abs(got1 - want1) < 2e-6, (got1, want1)
+    # rank: doc1 (two terms) above doc4 (one term, tf=2)
+    assert out[1].bm25 > out[4].bm25
