@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "pq_ann_topk",
     "pii_scrub",
     "incremental_dedup_snapshot",
+    "semdedup_prune",
+    "bm25_search",
 ]
 
 

@@ -59,6 +59,52 @@ def salted_aggregate(
     return phase1.groupBy(*keys).agg(*phase2_aggs)
 
 
+def key_skew_profile(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 10,
+) -> DataFrame:
+    """Key-distribution skew diagnostics: the measurement that decides
+    whether a join/agg on ``key_col`` needs salting, AQE skew handling,
+    or a broadcast — before the straggler shows up in production.
+
+    One row: n_keys, n_rows, max_key_rows, avg_key_rows (exact double),
+    skew_ratio = max/avg (1.0 = uniform; ≥ salt_buckets means one key
+    dominates a reducer even after salting), top_share = fraction of
+    all rows held by the ``top_n`` heaviest keys (deterministic
+    tiebreak on the key).
+
+    Plan: one count-per-key aggregate (map-side partial combine ⇒
+    reducer input is |keys|, not |rows|), then a scalar summary and a
+    top-n TakeOrdered over that — both on the already-tiny per-key
+    frame. At 100 TB this is the cheap pre-flight scan its output
+    saves you from repeating.
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("__c"))
+    summary = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("__c").alias("n_rows"),
+        F.max("__c").alias("max_key_rows"),
+        (F.sum("__c") / F.count(F.lit(1))).alias("avg_key_rows"),
+    )
+    top = (
+        counts.orderBy(F.col("__c").desc(), F.col(key_col).asc())
+        .limit(top_n)
+        .agg(F.sum("__c").alias("__top_rows"))
+    )
+    return (
+        summary.crossJoin(F.broadcast(top))
+        .select(
+            "n_keys",
+            "n_rows",
+            "max_key_rows",
+            "avg_key_rows",
+            (F.col("max_key_rows") / F.col("avg_key_rows")).alias("skew_ratio"),
+            (F.col("__top_rows") / F.col("n_rows")).alias("top_share"),
+        )
+    )
+
+
 def compact_table(
     spark: SparkSession, path: str, target_files: int
 ) -> int:

@@ -472,6 +472,41 @@ def quality_rule_filter(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    size: int = 120,
+    stride: int = 80,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window character chunking with overlap — the
+    context-window preparation step before embedding or training on
+    long documents (stride < size ⇒ consecutive chunks overlap by
+    ``size - stride`` chars, so no boundary-spanning content is lost).
+
+    Chunk ``i`` starts at char ``1 + i*stride`` (1-based); starts run
+    while ≤ len(text), so trailing chunks may be shorter than ``size``
+    but every char is covered. One ``posexplode`` over a generated
+    start sequence — stateless row-local fan-out, no shuffle, output
+    rows ≈ n_chars/stride per doc: scan-bound at 100 TB. Emits the
+    chunk text plus its md5/length so downstream dedup can run on
+    chunks without re-reading the parent document.
+    """
+    n = F.length(F.col(text_col))
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
+    chunk = F.substring(F.col(text_col), F.col("__start"), size)
+    return (
+        df.select(F.col(id_col), F.col(text_col), F.explode(starts).alias("__start"))
+        .select(
+            F.col(id_col),
+            F.expr(f"(__start - 1) div {stride}").cast("long").alias("chunk_idx"),
+            chunk.alias("chunk_text"),
+            F.length(chunk).cast("long").alias("chunk_len"),
+            F.md5(chunk.cast("binary")).alias("chunk_md5"),
+        )
+    )
+
+
 def bm25_search(
     df: DataFrame,
     query_terms: list[str],

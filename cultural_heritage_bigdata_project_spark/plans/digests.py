@@ -124,6 +124,7 @@ GROUPS: dict[str, list[str]] = {
         "skew_salted_agg",
         "bucketed_colocated_join",
         "approx_stats",
+        "key_skew_profile",
     ],
     "text_profile_digest": [
         "text_stats",
@@ -133,6 +134,7 @@ GROUPS: dict[str, list[str]] = {
         "pii_scrub",
         "quality_rule_filter",
         "bm25_search",
+        "chunk_documents",
     ],
     "corpus_sampling_digest": [
         "hash_split_sets",
@@ -395,6 +397,21 @@ PART_COLS: dict[str, tuple[tuple[str, str], ...]] = {
         ("n_ip", "s"),
         ("n_phone", "s"),
         ("scrub_md5", "s"),
+    ),
+    "key_skew_profile": (
+        ("avg_key_rows", "f"),
+        ("max_key_rows", "s"),
+        ("n_keys", "s"),
+        ("n_rows", "s"),
+        ("skew_ratio", "f"),
+        ("top_share", "f"),
+    ),
+    "chunk_documents": (
+        ("chunk_idx", "s"),
+        ("chunk_len", "s"),
+        ("chunk_md5", "s"),
+        ("chunk_text", "s"),
+        ("doc_id", "s"),
     ),
     "quality_rule_filter": (
         ("distinct_ok", "s"),

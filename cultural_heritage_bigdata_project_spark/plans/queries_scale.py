@@ -147,3 +147,34 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_rows",
     )
+
+
+@register(
+    "key_skew_profile",
+    description="Key-distribution skew diagnostics on lineitem.l_orderkey: "
+    "n_keys/max/avg/skew-ratio/top-10-share from ONE count-per-key "
+    "aggregate (map-side combine => reducer input is |keys|) — the "
+    "pre-flight measurement that decides salting vs AQE vs broadcast",
+    survey_ref="A1,A2,W4",
+    oracle="""
+WITH c AS (
+  SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY l_orderkey
+), s AS (
+  SELECT count(*) AS n_keys,
+         cast(sum(cnt) AS BIGINT) AS n_rows,
+         max(cnt) AS max_key_rows,
+         cast(sum(cnt) AS BIGINT) / count(*) AS avg_key_rows
+  FROM c
+), t AS (
+  SELECT cast(sum(cnt) AS BIGINT) AS top_rows
+  FROM (SELECT cnt FROM c ORDER BY cnt DESC, l_orderkey ASC LIMIT 10)
+)
+SELECT n_keys, n_rows, max_key_rows, avg_key_rows,
+       max_key_rows / avg_key_rows AS skew_ratio,
+       top_rows / n_rows AS top_share
+FROM s, t
+""",
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return scale.key_skew_profile(li, "l_orderkey", top_n=10)

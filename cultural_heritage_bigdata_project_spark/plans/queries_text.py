@@ -651,3 +651,30 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bm25_search(
         _docs(spark, sf_dir), ["merge", "spark", "window"], top_k=10
     )
+
+
+@register(
+    "chunk_documents",
+    description="Sliding-window character chunking (size 120, stride 80): "
+    "the context-window prep before embedding/training on long docs — "
+    "overlapping chunks so no boundary content is lost; stateless "
+    "posexplode fan-out, no shuffle, chunk md5/len emitted for "
+    "chunk-level dedup",
+    survey_ref="A9,F8,M1",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, text FROM documents
+), st AS (
+  SELECT doc_id, text, unnest(range(1, greatest(length(text), 1) + 1, 80)) AS start
+  FROM d
+)
+SELECT doc_id,
+       (start - 1) // 80 AS chunk_idx,
+       substring(text, cast(start AS INT), 120) AS chunk_text,
+       length(substring(text, cast(start AS INT), 120)) AS chunk_len,
+       md5(substring(text, cast(start AS INT), 120)) AS chunk_md5
+FROM st
+""",
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.chunk_documents(_docs(spark, sf_dir), size=120, stride=80)

@@ -144,3 +144,37 @@ def test_incremental_dedup_joins_index_not_corpus(spark):
     wide joins key on (band, bkey) or doc ids."""
     plan = _formatted_plan(spark, "incremental_dedup_snapshot")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_quality_rule_filter_scan_speed(spark):
+    """The C4/Gopher rule gate is one codegen projection: no exchange,
+    no Python worker."""
+    plan = _formatted_plan(spark, "quality_rule_filter")
+    assert "Exchange" not in plan, plan
+    assert "Eval" not in plan, plan
+
+
+def test_chunk_documents_scan_speed(spark):
+    """Chunking is a stateless generate (posexplode) over the scan: no
+    exchange, no Python worker."""
+    plan = _formatted_plan(spark, "chunk_documents")
+    assert "Exchange" not in plan, plan
+    assert "Eval" not in plan, plan
+    assert "Generate" in plan, plan
+
+
+def test_bm25_broadcasts_small_sides(spark):
+    """BM25's df and corpus-stats sides are broadcast; the only
+    shuffles key the tf aggregate, never a sort-merge join."""
+    plan = _formatted_plan(spark, "bm25_search")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_key_skew_profile_partial_aggregation(spark):
+    """The count-per-key aggregate must partial-combine map-side
+    (HashAggregate before the exchange), so reducer input is |keys|."""
+    plan = _formatted_plan(spark, "key_skew_profile")
+    first_agg = plan.find("HashAggregate")
+    first_ex = plan.find("Exchange")
+    assert first_agg != -1 and first_ex != -1

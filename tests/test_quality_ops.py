@@ -132,3 +132,43 @@ def test_bm25_hand_checked(spark):
     assert abs(got1 - want1) < 2e-6, (got1, want1)
     # rank: doc1 (two terms) above doc4 (one term, tf=2)
     assert out[1].bm25 > out[4].bm25
+
+
+def test_chunk_documents_coverage(spark):
+    df = spark.createDataFrame(
+        [(1, "a" * 48), (2, "b" * 553), (3, "xyz")], "doc_id int, text string"
+    )
+    out = text.chunk_documents(df, size=120, stride=80)
+    rows = sorted(
+        (r.doc_id, r.chunk_idx, r.chunk_text) for r in out.collect()
+    )
+    by_doc: dict[int, list] = {}
+    for d, i, t in rows:
+        by_doc.setdefault(d, []).append((i, t))
+    texts = {1: "a" * 48, 2: "b" * 553, 3: "xyz"}
+    for d, chunks in by_doc.items():
+        n = len(texts[d])
+        # chunk count: one start per stride step while start <= n
+        assert len(chunks) == (n - 1) // 80 + 1
+        # indices contiguous from 0; reassembling strided prefixes
+        # reconstructs the document exactly
+        assert [i for i, _ in chunks] == list(range(len(chunks)))
+        rebuilt = "".join(t[:80] for _, t in chunks[:-1]) + chunks[-1][1]
+        assert rebuilt == texts[d]
+        # overlap: every non-final chunk is full size (n >= size case)
+        for _, t in chunks[:-1]:
+            assert len(t) == 120
+    # short doc -> a single chunk equal to the text
+    assert by_doc[3] == [(0, "xyz")]
+
+
+def test_key_skew_profile_planted_skew(spark):
+    from cultural_heritage_bigdata_project_spark.operators import scale
+
+    rows = [(1,)] * 900 + [(k,) for k in range(2, 102)]
+    df = spark.createDataFrame(rows, "k long")
+    (r,) = scale.key_skew_profile(df, "k", top_n=10).collect()
+    assert r.n_keys == 101 and r.n_rows == 1000 and r.max_key_rows == 900
+    assert abs(r.skew_ratio - 900 / (1000 / 101)) < 1e-9
+    # top-10 = hot key + 9 singletons
+    assert abs(r.top_share - 909 / 1000) < 1e-12

@@ -233,3 +233,22 @@ def test_incremental_dedup_index_joins_at_20k(spark):
         f"of {n_new_with_sigs}"
     )
     assert elapsed < 150, f"incremental dedup too slow: {elapsed:.0f}s"
+
+
+def test_semdedup_scales_at_40k(spark, big_vectors):
+    """SemDeDup at 40k vectors: n_lists sized for ~300-row clusters
+    keeps per-cluster GEMMs tiny (O(sum c^2) ~ n*c, not n^2); wall
+    clock stays bounded and replicas (identical vectors, cosine 1.0)
+    collapse to one survivor each."""
+    import time
+
+    n = big_vectors.count()
+    t0 = time.perf_counter()
+    kept = similarity.semdedup_prune(
+        big_vectors, threshold=0.999999, n_lists=128
+    ).count()
+    elapsed = time.perf_counter() - t0
+    # every vector appears 20x (identical copies land in one cluster):
+    # at tau ~ 1.0 only the smallest id of each copy-group survives
+    assert kept == n // 20, kept
+    assert elapsed < 120, f"semdedup too slow at 40k: {elapsed:.0f}s"
