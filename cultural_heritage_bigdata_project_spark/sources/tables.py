@@ -43,21 +43,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.ts is parquet INT64 TIMESTAMP(NANOS), which Spark
-        # rejects unless read as nanosecond longs. Set the conf here
-        # (runtime-settable) so the loader also works under a caller's
-        # vanilla SparkSession, not just sessions built by get_spark().
+        # Fixture generations differ: events.ts has shipped both as
+        # parquet INT64 TIMESTAMP(NANOS) (Spark rejects it unless read
+        # as nanosecond longs) and as plain TIMESTAMP(MICROS). Set the
+        # conf here (runtime-settable, no-op for micros files) so the
+        # loader also works under a caller's vanilla SparkSession.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # truncate ns→µs — the same narrowing DuckDB applies — and
-        # restore a timestamp column.
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
-        # integer div: double division would lose ns precision at 1e18
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-        )
+        if isinstance(df.schema["ts"].dataType, LongType):
+            # nanos-as-long generation: truncate ns→µs — the same
+            # narrowing DuckDB applies — and restore a timestamp.
+            # Integer div: double division would lose ns precision at 1e18.
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+            )
+        else:
+            # micros generation: already a timestamp; normalize to NTZ
+            # so downstream plans/oracles see one type either way.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return df
 
 

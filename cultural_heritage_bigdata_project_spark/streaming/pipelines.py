@@ -37,7 +37,7 @@ from ..operators import cleanse, merge, txn
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as ns longs
+        T.StructField("ts", T.LongType()),  # nanos-as-long fixture generation
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -96,13 +96,25 @@ def events_stream(
     progression and cross-batch upserts).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    # Fixture generations differ (ts as INT64 nanos vs TIMESTAMP micros);
+    # a streaming source needs the schema up front, so probe the footer
+    # with a batch read (driver-side metadata only, no scan) and adapt.
+    ts_type = spark.read.parquet(path).schema["ts"].dataType
+    nanos_long = isinstance(ts_type, T.LongType)
+    schema = EVENTS_SCHEMA if nanos_long else T.StructType(
+        [
+            f if f.name != "ts" else T.StructField("ts", ts_type)
+            for f in EVENTS_SCHEMA.fields
+        ]
+    )
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.parquet(path)
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+    ts = (
+        F.timestamp_micros(F.expr("ts div 1000")) if nanos_long else F.col("ts")
     )
+    return raw.withColumn("ts", ts.cast("timestamp_ntz"))
 
 
 def tumbling_window_agg(
