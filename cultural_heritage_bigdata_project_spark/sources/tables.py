@@ -58,14 +58,45 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # nanos-as-long generation: truncate ns→µs — the same
             # narrowing DuckDB applies — and restore a timestamp.
             # Integer div: double division would lose ns precision at 1e18.
+            # timestamp_micros yields TIMESTAMP_LTZ, so route through the
+            # same session-tz-independent NTZ normalization as the micros
+            # branch below.
+            from pyspark.sql.types import TimestampType
+
             df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+                "ts",
+                _ts_to_ntz_utc(
+                    spark,
+                    F.timestamp_micros(F.expr("ts div 1000")),
+                    TimestampType(),
+                ),
             )
         else:
             # micros generation: already a timestamp; normalize to NTZ
             # so downstream plans/oracles see one type either way.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+            df = df.withColumn("ts", _ts_to_ntz_utc(spark, F.col("ts"), df.schema["ts"].dataType))
     return df
+
+
+def _ts_to_ntz_utc(spark: SparkSession, ts, dtype):
+    """Normalize a timestamp column to TIMESTAMP_NTZ carrying the UTC
+    wall-clock, independent of the session timezone.
+
+    A bare ``cast('timestamp_ntz')`` from TIMESTAMP_LTZ renders the
+    instant in the SESSION timezone, so a non-UTC caller would shift
+    every event relative to the UTC-fixed DuckDB oracle (round-2
+    advice). ``to_utc_timestamp(ts, session_tz)`` subtracts the session
+    offset first, so the subsequent session-tz rendering lands on the
+    UTC wall-clock for any session timezone. TIMESTAMP_NTZ input (the
+    common inferTimestampNTZ read) is returned as-is.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType
+
+    if isinstance(dtype, TimestampNTZType):
+        return ts.cast("timestamp_ntz")
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    return F.to_utc_timestamp(ts, tz).cast("timestamp_ntz")
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

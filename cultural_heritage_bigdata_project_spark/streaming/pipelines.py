@@ -99,7 +99,15 @@ def events_stream(
     # Fixture generations differ (ts as INT64 nanos vs TIMESTAMP micros);
     # a streaming source needs the schema up front, so probe the footer
     # with a batch read (driver-side metadata only, no scan) and adapt.
-    ts_type = spark.read.parquet(path).schema["ts"].dataType
+    # A not-yet-populated landing directory has no footer to probe —
+    # fall back to the declared nanos-long default so the stream can be
+    # declared before its first file arrives (round-2 advice).
+    from pyspark.errors import AnalysisException
+
+    try:
+        ts_type = spark.read.parquet(path).schema["ts"].dataType
+    except AnalysisException:
+        ts_type = T.LongType()
     nanos_long = isinstance(ts_type, T.LongType)
     schema = EVENTS_SCHEMA if nanos_long else T.StructType(
         [
@@ -111,10 +119,19 @@ def events_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.parquet(path)
-    ts = (
-        F.timestamp_micros(F.expr("ts div 1000")) if nanos_long else F.col("ts")
-    )
-    return raw.withColumn("ts", ts.cast("timestamp_ntz"))
+    # session-timezone-independent NTZ normalization shared with
+    # sources.tables.load_table, so batch-stream equivalence holds
+    # under any session timezone (round-2 advice). The nanos branch
+    # routes through timestamp_micros (TIMESTAMP_LTZ) first.
+    from ..sources.tables import _ts_to_ntz_utc
+
+    if nanos_long:
+        ts = _ts_to_ntz_utc(
+            spark, F.timestamp_micros(F.expr("ts div 1000")), T.TimestampType()
+        )
+    else:
+        ts = _ts_to_ntz_utc(spark, F.col("ts"), ts_type)
+    return raw.withColumn("ts", ts)
 
 
 def tumbling_window_agg(

@@ -90,11 +90,15 @@ def test_corpus_mix_no_shuffle(spark):
     assert "Exchange" not in plan, plan
 
 
-def test_ann_probe_is_broadcast(spark):
-    """The query's (table, bucket) probe set joins the signature stream
-    by broadcast — no shuffle of the collection on the probe join."""
+def test_ann_lsh_single_pass_no_exchange(spark):
+    """The fused ANN path (signature GEMM + bucket filter + cosine in
+    one Arrow pass) must read the collection ONCE and shuffle nothing:
+    the only cross-partition step is TakeOrdered(k)."""
     plan = _formatted_plan(spark, "ann_lsh_topk")
-    assert "BroadcastExchange" in plan, plan
+    assert "Exchange" not in plan, plan
+    # formatted output names each node twice (tree line + detail block)
+    assert plan.count("Scan parquet") <= 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
 
 
 def test_language_id_profile_broadcasts(spark):

@@ -23,13 +23,23 @@ def split_events_dir(spark, tmp_path_factory):
     of ts), written in order so the file source replays them as
     successive micro-batches."""
     d = str(tmp_path_factory.mktemp("events_splits"))
-    ev = load_table(spark, SF_DIR, "events")
-    # keep raw ns longs so the stream schema matches the fixture's
+    # keep the raw on-disk ts representation so the stream schema matches
+    # the fixture's; both generations (INT64 nanos-as-long, TIMESTAMP
+    # micros) have shipped. approxQuantile needs a numeric column, so
+    # split bounds come from a derived long (unix_micros for the
+    # timestamp generation) while the written files keep raw ts.
     raw = spark.read.parquet(f"{SF_DIR}/events.parquet")
-    bounds = raw.approxQuantile("ts", [0.25, 0.5, 0.75], 0.0)
+    if dict(raw.dtypes)["ts"] in ("bigint", "long"):
+        num = F.col("ts")
+    else:
+        num = F.unix_micros(F.col("ts").cast("timestamp"))
+    raw = raw.withColumn("_ts_num", num)
+    bounds = raw.approxQuantile("_ts_num", [0.25, 0.5, 0.75], 0.0)
     lo = float("-inf")
     for i, hi in enumerate([*bounds, float("inf")]):
-        part = raw.filter((F.col("ts") > lo) & (F.col("ts") <= hi))
+        part = raw.filter(
+            (F.col("_ts_num") > lo) & (F.col("_ts_num") <= hi)
+        ).drop("_ts_num")
         part.coalesce(1).write.mode("overwrite").parquet(f"{d}/part_{i}")
         # flatten: move the parquet file up so the dir is a flat file list
         pdir = f"{d}/part_{i}"
