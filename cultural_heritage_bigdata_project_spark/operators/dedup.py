@@ -516,6 +516,22 @@ def simhash_pairs(
 # ------------------------------------- canonical connected components
 
 
+def _unpersist_local_checkpoint(df: DataFrame) -> None:
+    """Free the block storage behind a ``localCheckpoint(eager=True)``
+    DataFrame once it is superseded. ``DataFrame.unpersist`` only
+    covers ``persist()`` caches; the checkpoint's blocks live on the
+    underlying ``LogicalRDD`` — without this, every iteration of an
+    iterative operator leaks a persistent RDD for the session's
+    lifetime (executor-memory erosion in a long-lived 100 TB job).
+    Best-effort: internal-API drift must degrade to the old leak, not
+    break correctness."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        plan.rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def canonical_components(
     edges: DataFrame,
     nodes: DataFrame,
@@ -586,11 +602,17 @@ def canonical_components(
         # monotone until the fixpoint: an unchanged sum ⟺ convergence.
         # One cheap aggregate per iteration instead of a join+count.
         new_sum = new_labels.agg(F.sum("label")).first()[0]
+        # the superseded round's checkpoint blocks are dead weight now
+        _unpersist_local_checkpoint(labels)
         labels = new_labels
         if new_sum == prev_sum:
             converged = True
             break
         prev_sum = new_sum
+    # the edge checkpoint is only referenced inside the loop; the
+    # returned labels are a materialized (eager) checkpoint, so freeing
+    # sym here cannot recompute anything
+    _unpersist_local_checkpoint(sym)
     if not converged:
         # partially-propagated labels are silently WRONG canonical ids;
         # surface it instead of returning them as if converged

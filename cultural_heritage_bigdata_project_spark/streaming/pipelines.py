@@ -404,55 +404,63 @@ def streaming_corpus_dedup_run(
     def dedup_batch(batch_df: DataFrame, epoch_id: int) -> None:
         cur = txn.current_version_dir(tdir)
         batch_df = batch_df.localCheckpoint(eager=True)
+        idx_ckpt = None
+        # the two eager checkpoints are freed in the finally: a stream
+        # runs this body once per micro-batch, and un-freed checkpoint
+        # blocks would accumulate for the query's whole lifetime
+        try:
+            # exact: first-wins within batch, anti-join vs seen fingerprints
+            fps = batch_df.select("doc_id", fp_expr.alias("f"))
+            kept = fps.groupBy("f").agg(F.min("doc_id").alias("doc_id"))
+            if cur is not None:
+                seen_fps = spark.read.parquet(os.path.join(cur, "fps"))
+                kept = kept.join(seen_fps.select("f"), on="f", how="left_anti")
+            kept_docs = batch_df.join(kept.select("doc_id"), "doc_id", "leftsemi")
 
-        # exact: first-wins within batch, anti-join vs seen fingerprints
-        fps = batch_df.select("doc_id", fp_expr.alias("f"))
-        kept = fps.groupBy("f").agg(F.min("doc_id").alias("doc_id"))
-        if cur is not None:
-            seen_fps = spark.read.parquet(os.path.join(cur, "fps"))
-            kept = kept.join(seen_fps.select("f"), on="f", how="left_anti")
-        kept_docs = batch_df.join(kept.select("doc_id"), "doc_id", "leftsemi")
-
-        # near: signature-estimate within batch (drop larger id of a
-        # verified band-collision pair), then vs the accumulated index
-        idx = batch_index(kept_docs).localCheckpoint(eager=True)
-        within = dedup.incremental_minhash_filter(
-            idx, idx, "doc_id", n_hashes=n_hashes, min_matches=min_matches
-        )
-        # incremental filter joins new x seen; keep only a<b pairs so
-        # the smaller id stays canonical (self-pairs match trivially)
-        within_dropped = (
-            within.filter(F.col("matched_seen_id") < F.col("new_id"))
-            .select(F.col("new_id").alias("doc_id"))
-            .distinct()
-        )
-        survivors = kept_docs.join(within_dropped, "doc_id", "left_anti")
-        idx = idx.join(within_dropped, "doc_id", "left_anti")
-        if cur is not None:
-            seen_idx = spark.read.parquet(os.path.join(cur, "bands"))
-            cross_dropped = dedup.incremental_minhash_filter(
-                idx, seen_idx, "doc_id", n_hashes=n_hashes, min_matches=min_matches
-            ).select(F.col("new_id").alias("doc_id"))
-            survivors = survivors.join(cross_dropped, "doc_id", "left_anti")
-            idx = idx.join(cross_dropped, "doc_id", "left_anti")
-
-        # versioned commit of corpus + index together
-        vname = f"data_v{epoch_id}"
-        vdir = os.path.join(tdir, vname)
-        shutil.rmtree(vdir, ignore_errors=True)
-        new_fps = survivors.select("doc_id", fp_expr.alias("f"))
-        if cur is not None:
-            corpus = spark.read.parquet(os.path.join(cur, "corpus")).unionByName(
-                survivors
+            # near: signature-estimate within batch (drop larger id of a
+            # verified band-collision pair), then vs the accumulated index
+            idx = idx_ckpt = batch_index(kept_docs).localCheckpoint(eager=True)
+            within = dedup.incremental_minhash_filter(
+                idx, idx, "doc_id", n_hashes=n_hashes, min_matches=min_matches
             )
-            all_fps = spark.read.parquet(os.path.join(cur, "fps")).unionByName(new_fps)
-            all_bands = spark.read.parquet(os.path.join(cur, "bands")).unionByName(idx)
-        else:
-            corpus, all_fps, all_bands = survivors, new_fps, idx
-        corpus.write.mode("overwrite").parquet(os.path.join(vdir, "corpus"))
-        all_fps.write.mode("overwrite").parquet(os.path.join(vdir, "fps"))
-        all_bands.write.mode("overwrite").parquet(os.path.join(vdir, "bands"))
-        txn.publish_version(tdir, vname)
+            # incremental filter joins new x seen; keep only a<b pairs so
+            # the smaller id stays canonical (self-pairs match trivially)
+            within_dropped = (
+                within.filter(F.col("matched_seen_id") < F.col("new_id"))
+                .select(F.col("new_id").alias("doc_id"))
+                .distinct()
+            )
+            survivors = kept_docs.join(within_dropped, "doc_id", "left_anti")
+            idx = idx.join(within_dropped, "doc_id", "left_anti")
+            if cur is not None:
+                seen_idx = spark.read.parquet(os.path.join(cur, "bands"))
+                cross_dropped = dedup.incremental_minhash_filter(
+                    idx, seen_idx, "doc_id", n_hashes=n_hashes, min_matches=min_matches
+                ).select(F.col("new_id").alias("doc_id"))
+                survivors = survivors.join(cross_dropped, "doc_id", "left_anti")
+                idx = idx.join(cross_dropped, "doc_id", "left_anti")
+
+            # versioned commit of corpus + index together
+            vname = f"data_v{epoch_id}"
+            vdir = os.path.join(tdir, vname)
+            shutil.rmtree(vdir, ignore_errors=True)
+            new_fps = survivors.select("doc_id", fp_expr.alias("f"))
+            if cur is not None:
+                corpus = spark.read.parquet(os.path.join(cur, "corpus")).unionByName(
+                    survivors
+                )
+                all_fps = spark.read.parquet(os.path.join(cur, "fps")).unionByName(new_fps)
+                all_bands = spark.read.parquet(os.path.join(cur, "bands")).unionByName(idx)
+            else:
+                corpus, all_fps, all_bands = survivors, new_fps, idx
+            corpus.write.mode("overwrite").parquet(os.path.join(vdir, "corpus"))
+            all_fps.write.mode("overwrite").parquet(os.path.join(vdir, "fps"))
+            all_bands.write.mode("overwrite").parquet(os.path.join(vdir, "bands"))
+            txn.publish_version(tdir, vname)
+        finally:
+            dedup._unpersist_local_checkpoint(batch_df)
+            if idx_ckpt is not None:
+                dedup._unpersist_local_checkpoint(idx_ckpt)
 
     writer = stream.writeStream.foreachBatch(dedup_batch).trigger(availableNow=True)
     with _scoped_shuffle_partitions(spark):
