@@ -3,7 +3,9 @@ from .pipelines import (
     events_stream,
     foreach_batch_upsert_run,
     kafka_sink,
+    kafka_sink_options,
     kafka_stream,
+    kafka_stream_options,
     run_to_memory,
     stateful_user_totals,
     stream_dedup_keys,
@@ -17,7 +19,9 @@ __all__ = [
     "events_stream",
     "foreach_batch_upsert_run",
     "kafka_sink",
+    "kafka_sink_options",
     "kafka_stream",
+    "kafka_stream_options",
     "run_to_memory",
     "stream_dedup_keys",
     "streaming_corpus_dedup_run",

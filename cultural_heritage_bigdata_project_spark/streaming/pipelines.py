@@ -46,6 +46,31 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
+def kafka_stream_options(
+    brokers: str, topic: str, starting_offsets: str = "latest"
+) -> dict[str, str]:
+    """The exact reader options ``kafka_stream`` applies — a pure
+    function so the plumbing is unit-testable without a broker
+    (subscribe/offsets/failOnDataLoss mirror the reference's consumer
+    contract, metadata_eu_to_raw.py:53-59)."""
+    return {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": "false",
+    }
+
+
+def kafka_sink_options(brokers: str, topic: str, checkpoint: str) -> dict[str, str]:
+    """The exact writer options ``kafka_sink`` applies (pure,
+    broker-free — see ``kafka_stream_options``)."""
+    return {
+        "kafka.bootstrap.servers": brokers,
+        "topic": topic,
+        "checkpointLocation": checkpoint,
+    }
+
+
 def kafka_stream(
     spark: SparkSession,
     brokers: str,
@@ -58,14 +83,12 @@ def kafka_stream(
     package; the builder is the exact production shape — deployment
     adds ``--packages org.apache.spark:spark-sql-kafka-0-10_2.13``.
     File-source streams (``events_stream``) are the tested stand-in;
-    downstream operators are source-agnostic.
+    downstream operators are source-agnostic. The option dict itself is
+    covered by tests via ``kafka_stream_options``.
     """
     return (
         spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .option("failOnDataLoss", "false")
+        .options(**kafka_stream_options(brokers, topic, starting_offsets))
         .load()
     )
 
@@ -78,9 +101,7 @@ def kafka_sink(df: DataFrame, brokers: str, topic: str, checkpoint: str):
     return (
         df.selectExpr("CAST(value AS STRING) AS value")
         .writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("topic", topic)
-        .option("checkpointLocation", checkpoint)
+        .options(**kafka_sink_options(brokers, topic, checkpoint))
     )
 
 

@@ -69,26 +69,80 @@ def test_float_serialization_parity_adversarial(spark, duck):
     from pyspark.sql import functions as F
     from cultural_heritage_bigdata_project_spark.plans import digests
 
+    import math
+
     vals = [
         0.0, -0.0, 1.5, -1.5, 0.1, -0.1, 1234.56, -1234.56,
         0.0000005, -0.0000005, 25.5286, 311582.535, -311582.535,
         8.9e12, -8.9e12, 1e-7, 123456789.123456, None,
         2.0 / 3.0, -2.0 / 3.0, 0.3000003, 1.0000005,
+        # truncation-boundary stradlers (round-2 advice): one ulp either
+        # side of values whose ×1e6 product sits next to an integer — a
+        # rounding (instead of truncating) engine flips these by 1
+        2.35, math.nextafter(2.35, 0.0), math.nextafter(2.35, 10.0),
+        -2.35, math.nextafter(-2.35, 0.0), math.nextafter(-2.35, -10.0),
+        2.675, math.nextafter(1.0, 0.0), math.nextafter(1.0, 2.0),
+        # ulp(x*1e6) = 2 territory: the integer grid is coarser than 1
+        9007199254.740992, math.nextafter(9007199254.740992, 0.0),
     ]
-    sdf = spark.createDataFrame(pd.DataFrame({"v": pd.array(vals, dtype="float64")}))
+    # feed both engines bit-identical doubles through columns (the
+    # production path). NOT through SQL literals: DuckDB parses a
+    # 16-digit literal as DECIMAL(17,16) and constant-folds the product
+    # in decimal, which rounds differently — a test-methodology trap,
+    # not an engine divergence (columns from parquet never hit it).
+    pdf = pd.DataFrame(
+        {"i": range(len(vals)), "v": pd.array(vals, dtype="float64")}
+    )
+    sdf = spark.createDataFrame(pdf)
     ser = sdf.select(
+        "i",
         F.coalesce(
             (F.col("v").cast("double") * F.lit(1000000.0)).cast("long").cast("string"),
             F.lit(digests.NUL),
-        ).alias("s")
+        ).alias("s"),
     )
-    got_spark = [r.s for r in ser.collect()]
-    got_duck = []
-    for v in vals:
-        lit = "NULL" if v is None else repr(v)
-        (res,) = duck.execute(
-            f"SELECT coalesce(cast(cast(trunc(cast({lit} AS DOUBLE) * 1000000.0)"
-            f" AS BIGINT) AS VARCHAR), chr(30))"
-        ).fetchone()
-        got_duck.append(res)
+    got_spark = [r.s for r in ser.orderBy("i").collect()]
+    duck.register("__ser_vals", pdf)
+    got_duck = [
+        r[0]
+        for r in duck.execute(
+            "SELECT coalesce(cast(cast(trunc(cast(v AS DOUBLE) * 1000000.0)"
+            " AS BIGINT) AS VARCHAR), chr(30)) FROM __ser_vals ORDER BY i"
+        ).fetchall()
+    ]
+    duck.unregister("__ser_vals")
     assert got_spark == got_duck, list(zip(vals, got_spark, got_duck))
+
+
+def test_full_digest_parity_on_boundary_doubles(spark, duck, monkeypatch):
+    """End-to-end digest (serialize → md5 → 40-bit sum) over a part
+    whose double column is ALL truncation-boundary values: the whole
+    pipeline — not just the serialization — must agree across engines
+    on bit-identical inputs."""
+    import math
+
+    import pandas as pd
+
+    from cultural_heritage_bigdata_project_spark.plans import digests
+
+    vals = [
+        2.35, math.nextafter(2.35, 0.0), math.nextafter(2.35, 10.0),
+        -2.35, math.nextafter(-2.35, 0.0), 2.675,
+        math.nextafter(1.0, 0.0), 0.1, -0.0, None,
+        9007199254.740992, math.nextafter(9007199254.740992, 0.0),
+    ]
+    pdf = pd.DataFrame(
+        {"id": range(len(vals)), "value": pd.array(vals, dtype="float64")}
+    )
+    monkeypatch.setitem(
+        digests.PART_COLS, "__boundary", (("id", "s"), ("value", "f"))
+    )
+    sdf = spark.createDataFrame(pdf)
+    got = digests.digest_part_df(sdf, "__boundary").first()
+    duck.register("__boundary_vals", pdf)
+    sql = digests.digest_part_sql(
+        "SELECT id, value FROM __boundary_vals", "__boundary"
+    )
+    part, n_rows, digest = duck.execute(sql).fetchone()
+    duck.unregister("__boundary_vals")
+    assert (got.n_rows, got.digest) == (n_rows, digest)

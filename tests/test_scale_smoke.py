@@ -142,6 +142,45 @@ def test_hot_bucket_cap_adversarial_corpus(spark):
     assert metrics["dropped_members"] >= n, metrics
 
 
+def test_minhash_band_hot_bucket_cap_at_40k(spark):
+    """DEPLOYMENT cap contract: 40k near-identical docs collapse into
+    ONE bucket per band (16 buckets x 40k members → 1.3e10 pair structs
+    uncapped, an executor OOM); with max_bucket on, the degenerate
+    band buckets are pruned and reported, the run completes in bounded
+    time, and a planted DISTINCT near-dup pair still pairs up through
+    its own (cold) band buckets."""
+    from pyspark.sql import Observation
+
+    n = 40_000
+    # ids < n: one shared text (every band bucket hot).
+    # ids n, n+1: a distinct pair sharing 9 of 10 tokens (Jaccard of
+    # 3-shingles ≈ 0.75 > 0.6) — must survive the cap.
+    hot = F.lit("w0 w1 w2 w3 w4 w5 w6 w7 w8 w9")
+    pair_a = F.lit("p0 p1 p2 p3 p4 p5 p6 p7 p8 qa")
+    pair_b = F.lit("p0 p1 p2 p3 p4 p5 p6 p7 p8 qb")
+    text = (
+        F.when(F.col("id") == n, pair_a)
+        .when(F.col("id") == n + 1, pair_b)
+        .otherwise(hot)
+    )
+    docs = spark.range(n + 2).select(
+        F.col("id").alias("doc_id"), F.split(text, " ").alias("t")
+    )
+    shingled = docs.select("doc_id", dedup.shingles_expr("t", 3).alias("sh"))
+    obs = Observation("band_hot")
+    t0 = time.perf_counter()
+    pairs = dedup.minhash_lsh_pairs(
+        shingled, "doc_id", "sh", threshold=0.6, max_bucket=256, observation=obs
+    )
+    got = {(r.a_id, r.b_id) for r in pairs.collect()}
+    elapsed = time.perf_counter() - t0
+    assert (n, n + 1) in got, "distinct planted pair must survive the cap"
+    assert elapsed < 120, f"capped minhash too slow: {elapsed:.0f}s"
+    metrics = obs.get
+    assert metrics["dropped_buckets"] >= 1, metrics
+    assert metrics["dropped_members"] >= n, metrics
+
+
 def test_lsh_candidate_pairs_hot_bucket_cap(spark):
     """5k identical vectors collapse into one LSH bucket per table —
     uncapped that is 12.5M pairs; with the cap the degenerate buckets
