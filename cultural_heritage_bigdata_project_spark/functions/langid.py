@@ -94,3 +94,62 @@ def score_python(text: str) -> dict[str, float]:
     return {
         lang: sum(prof[lang].get(tg, 0) for tg in tgs) / n for lang in LANGS
     }
+
+
+# ---------------------------------------------------------------- char-LM
+#
+# A compact character-trigram language model over the combined sample
+# corpora (all languages pooled as "clean text"): the CCNet/KenLM-style
+# perplexity-proxy quality signal, shrunk to an engine-portable profile.
+# Log weights ship as PRE-COMPUTED nano-scaled integers so neither
+# engine evaluates a transcendental: per-doc scoring is an exact
+# integer sum followed by IEEE divisions on identical operands —
+# bit-identical across Spark, DuckDB and the pure-Python referee.
+
+
+@lru_cache(maxsize=None)
+def lm_rows() -> tuple[tuple[str, int], ...]:
+    """(trigram, ln(count+1)*1e9 as int) over the pooled corpus —
+    add-one-smoothed log weights, nano-quantized."""
+    import math
+
+    counts: Counter[str] = Counter()
+    for lang in LANGS:
+        counts.update(text_trigrams(SAMPLE_CORPUS[lang]))
+    return tuple(
+        (tg, int(round(math.log(w + 1) * 1_000_000_000)))
+        for tg, w in sorted(counts.items())
+    )
+
+
+@lru_cache(maxsize=None)
+def lm_norm_nano() -> int:
+    """ln(T + V)*1e9 as int: T = total pooled trigram count, V =
+    distinct trigrams + 1 (the OOV bucket) — the add-one denominator."""
+    import math
+
+    counts: Counter[str] = Counter()
+    for lang in LANGS:
+        counts.update(text_trigrams(SAMPLE_CORPUS[lang]))
+    t = sum(counts.values())
+    v = len(counts) + 1
+    return int(round(math.log(t + v) * 1_000_000_000))
+
+
+def lm_values_sql() -> str:
+    """The char-LM profile as a DuckDB VALUES list."""
+    parts = []
+    for tg, lnw in lm_rows():
+        tg_sql = tg.replace("'", "''")
+        parts.append(f"('{tg_sql}', {lnw})")
+    return ", ".join(parts)
+
+
+def charlm_score_python(text: str) -> tuple[int, float]:
+    """Pure-Python referee: (n_trigrams, avg_logprob) with the exact
+    integer/IEEE pipeline both engines replay."""
+    prof = dict(lm_rows())
+    tgs = text_trigrams(text)
+    n = max(len(tgs), 1)
+    s_nano = sum(prof.get(tg, 0) for tg in tgs)
+    return len(tgs), round((s_nano / n - lm_norm_nano()) / 1e9, 6)

@@ -130,6 +130,67 @@ def language_id(
     return scored.withColumn("lang_pred", pred).withColumnRenamed("__id", id_col)
 
 
+def charlm_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Char-trigram LM quality score: per-document average add-one-
+    smoothed log-probability under a pooled clean-text profile — the
+    CCNet/KenLM perplexity-proxy quality signal (lower = less like
+    clean text), shrunk to an engine-portable trigram model.
+
+    Plan shape: trigram explode → broadcast profile join → one per-doc
+    integer-sum aggregate → scalar projection. The profile's log
+    weights are PRE-COMPUTED nano-scaled integers
+    (functions.langid.lm_rows), so the per-doc sum is integer-exact and
+    the final score is IEEE divisions on identical operands — the
+    DuckDB oracle matches bit-for-bit with no transcendental drift. At
+    100 TB the plan is unchanged: swap the profile table for a real
+    KenLM-distilled one, same operators (cf. the reference's quality
+    gates being driver-side Python — SURVEY §2.10)."""
+    from ..functions.langid import lm_norm_nano, lm_rows
+
+    spark = df.sparkSession
+    prof = spark.createDataFrame(list(lm_rows()), "tg string, lnw_nano long")
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" ")).alias("__s"),
+    ).withColumn("__n", F.greatest(F.length("__s") - 2, F.lit(0)))
+    tgs = base.select(
+        "__id",
+        F.explode(
+            F.when(
+                F.length("__s") >= 3,
+                F.expr(
+                    "transform(sequence(1, length(__s) - 2), i -> substring(__s, i, 3))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("tg"),
+    )
+    sums = (
+        tgs.join(F.broadcast(prof), on="tg")
+        .groupBy("__id")
+        .agg(F.sum("lnw_nano").alias("__sn"))
+    )
+    return (
+        base.join(sums, on="__id", how="left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__n").cast("long").alias("n_trigrams"),
+            F.round(
+                (
+                    F.coalesce(F.col("__sn"), F.lit(0).cast("long"))
+                    / F.greatest(F.col("__n"), F.lit(1))
+                    - F.lit(lm_norm_nano())
+                )
+                / F.lit(1e9),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
 def repetition_stats(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -135,6 +135,7 @@ GROUPS: dict[str, list[str]] = {
         "quality_rule_filter",
         "bm25_search",
         "chunk_documents",
+        "charlm_quality",
     ],
     "corpus_sampling_digest": [
         "hash_split_sets",
@@ -429,6 +430,11 @@ PART_COLS: dict[str, tuple[tuple[str, str], ...]] = {
         ("bm25", "f"),
         ("doc_id", "s"),
         ("n_terms_hit", "s"),
+    ),
+    "charlm_quality": (
+        ("avg_logprob", "f"),
+        ("doc_id", "s"),
+        ("n_trigrams", "s"),
     ),
     "domain_cap_sample": (
         ("doc_id", "s"),

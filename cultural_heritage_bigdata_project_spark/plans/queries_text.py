@@ -133,6 +133,44 @@ def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _charlm_oracle() -> str:
+    from ..functions.langid import lm_norm_nano, lm_values_sql
+
+    return f"""
+WITH prof(tg, lnw_nano) AS (VALUES {lm_values_sql()}),
+b AS (
+  SELECT doc_id, ' ' || lower(text) || ' ' AS s FROM documents
+), b2 AS (
+  SELECT doc_id, s, greatest(len(s) - 2, 0) AS n FROM b
+), ex AS (
+  SELECT doc_id, unnest([substring(s, i, 3) for i in range(1, greatest(len(s) - 2, 0) + 1)]) AS tg
+  FROM b2
+), w AS (
+  SELECT e.doc_id, sum(p.lnw_nano) AS sn
+  FROM ex e JOIN prof p ON e.tg = p.tg GROUP BY e.doc_id
+)
+SELECT b2.doc_id, b2.n AS n_trigrams,
+       round((coalesce(w.sn, 0) / greatest(b2.n, 1) - {lm_norm_nano()}) / 1e9, 6)
+         AS avg_logprob
+FROM b2 LEFT JOIN w ON b2.doc_id = w.doc_id
+"""
+
+
+@register(
+    "charlm_quality",
+    description="Char-trigram LM quality score (CCNet/KenLM perplexity-"
+    "proxy): per-doc avg add-one-smoothed log-prob under a pooled "
+    "clean-text profile; log weights ship as nano-scaled integers so "
+    "both engines replay an integer sum + IEEE divisions bit-exactly "
+    "(no transcendental drift). Broadcast profile join, one per-doc "
+    "aggregate",
+    survey_ref="M1",
+    oracle=_charlm_oracle(),
+)
+def charlm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.charlm_quality(_docs(spark, sf_dir))
+
+
 @register(
     "fingerprint_dedup",
     description="Document fingerprinting (md5 of 4-token prefix) + exact "

@@ -70,6 +70,59 @@ def partitioned_parquet_landing(
     out.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
 
 
+def jdbc_sink_options(
+    url: str,
+    table: str,
+    user: str | None = None,
+    password: str | None = None,
+    batchsize: int = 10_000,
+    isolation_level: str = "READ_COMMITTED",
+) -> dict[str, str]:
+    """The exact writer options ``jdbc_serving_sink`` applies — a pure
+    function so the S13 plumbing is unit-testable without a database
+    (reference: curated_to_postgres.py:67-75). ``batchsize`` batches
+    executor-side inserts; ``isolation_level`` keeps readers unblocked
+    during the staging load."""
+    opts = {
+        "url": url,
+        "dbtable": table,
+        "batchsize": str(batchsize),
+        "isolationLevel": isolation_level,
+    }
+    if user is not None:
+        opts["user"] = user
+    if password is not None:
+        opts["password"] = password
+    return opts
+
+
+def staging_swap_statements(table: str, staging: str | None = None) -> list[str]:
+    """The transactional staging-swap DDL the serving database runs
+    around a JDBC load (reference S14: curated_to_postgres.py:83-132 —
+    load into a staging table, then an atomic rename swap so readers
+    never see a partial table). Spark writes into ``staging`` between
+    the prepare and swap phases; the list is unit-testable and
+    database-agnostic (ANSI rename syntax).
+
+    Order: [prepare staging] ... spark jdbc write ... [atomic swap +
+    cleanup]. A crash before COMMIT leaves the serving table untouched
+    (same recovery contract as operators/txn.py's CURRENT pointer).
+    """
+    st = staging or f"{table}_staging"
+    old = f"{table}_old"
+    return [
+        f"DROP TABLE IF EXISTS {st}",
+        f"CREATE TABLE {st} (LIKE {table} INCLUDING ALL)",
+        # -- spark jdbc write lands here, into {st} --
+        "BEGIN",
+        f"DROP TABLE IF EXISTS {old}",
+        f"ALTER TABLE {table} RENAME TO {old}",
+        f"ALTER TABLE {st} RENAME TO {table}",
+        "COMMIT",
+        f"DROP TABLE IF EXISTS {old}",
+    ]
+
+
 def jdbc_serving_sink(
     df: DataFrame, url: str, table: str, mode: str = "overwrite", **options
 ) -> None:

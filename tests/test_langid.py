@@ -78,3 +78,62 @@ def test_short_and_empty_text(spark):
         assert r.lang_pred == "und"
         for lang in langid.LANGS:
             assert r[f"score_{lang}"] <= 2.0  # tiny strings, bounded scores
+
+
+def test_charlm_referee_agreement(spark):
+    """Spark charlm_quality must reproduce the pure-Python referee's
+    (n_trigrams, avg_logprob) exactly — same integer sum, same IEEE
+    division pipeline."""
+    from cultural_heritage_bigdata_project_spark.functions.langid import (
+        charlm_score_python,
+    )
+    from cultural_heritage_bigdata_project_spark.operators import text as t
+
+    samples = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "zzz qqq xxx vvv kkk jjj"),  # mostly-OOV garbage
+        (2, "el rapido zorro marron salta sobre el perro"),
+        (3, "ab"),  # shorter than one trigram after padding still has 2
+        (4, ""),
+    ]
+    df = spark.createDataFrame(samples, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_trigrams, r.avg_logprob)
+        for r in t.charlm_quality(df).collect()
+    }
+    for doc_id, s in samples:
+        n_ref, score_ref = charlm_score_python(s)
+        n_got, score_got = got[doc_id]
+        assert n_got == n_ref, (doc_id, n_got, n_ref)
+        assert abs(score_got - score_ref) < 2e-6, (doc_id, score_got, score_ref)
+
+
+def test_charlm_separates_clean_from_garbage(spark):
+    """The score must rank clean English above character garbage —
+    the operator's reason to exist as a quality gate."""
+    from cultural_heritage_bigdata_project_spark.operators import text as t
+
+    df = spark.createDataFrame(
+        [
+            (0, "the old man reads his newspaper in the morning light"),
+            (1, "xjq zvk wpf qqg hzx bnm vvk jjw qzx"),
+        ],
+        "doc_id long, text string",
+    )
+    scores = {r.doc_id: r.avg_logprob for r in t.charlm_quality(df).collect()}
+    assert scores[0] > scores[1] + 1.0, scores
+
+
+def test_charlm_profile_is_broadcast(spark):
+    """The profile join must broadcast (the model table is tiny at any
+    corpus scale); the only shuffle is the per-doc aggregate."""
+    from cultural_heritage_bigdata_project_spark.operators import text as t
+    from cultural_heritage_bigdata_project_spark.sources.tables import load_table
+
+    df = t.charlm_quality(
+        load_table(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastExchange" in plan, plan

@@ -110,3 +110,34 @@ def test_kafka_source_gated(spark):
 
     with pytest.raises(Exception, match="kafka"):
         streaming.kafka_stream(spark, "nohost:9092", "topic")
+
+
+def test_jdbc_sink_options_contract():
+    """S13 option plumbing is a pure dict — testable without a DB."""
+    opts = sinks.jdbc_sink_options(
+        "jdbc:postgresql://db:5432/serving", "curated", user="svc", password="x"
+    )
+    assert opts == {
+        "url": "jdbc:postgresql://db:5432/serving",
+        "dbtable": "curated",
+        "batchsize": "10000",
+        "isolationLevel": "READ_COMMITTED",
+        "user": "svc",
+        "password": "x",
+    }
+
+
+def test_staging_swap_statement_sequence():
+    """S14: the swap must be atomic (rename inside BEGIN/COMMIT) and
+    the serving table untouched until the COMMIT — verify ordering."""
+    stmts = sinks.staging_swap_statements("curated")
+    assert stmts[0] == "DROP TABLE IF EXISTS curated_staging"
+    assert "CREATE TABLE curated_staging (LIKE curated INCLUDING ALL)" in stmts
+    b, c = stmts.index("BEGIN"), stmts.index("COMMIT")
+    renames = [i for i, s in enumerate(stmts) if "RENAME" in s]
+    assert all(b < i < c for i in renames), stmts
+    assert stmts.index("ALTER TABLE curated RENAME TO curated_old") < stmts.index(
+        "ALTER TABLE curated_staging RENAME TO curated"
+    )
+    # cleanup of the old generation happens only after COMMIT
+    assert stmts[-1] == "DROP TABLE IF EXISTS curated_old"
