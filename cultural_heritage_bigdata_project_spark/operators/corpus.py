@@ -97,6 +97,50 @@ def weighted_mix(
     return out
 
 
+def temperature_mix(
+    df: DataFrame,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Multinomial temperature resampling across sources (the
+    multilingual/multi-source LLM recipe: sample prob q_s ∝ p_s^α,
+    α < 1 flattens source shares so big crawls stop drowning small
+    curated sets). Downsample-only normalization: keep fraction
+    f_s = (c_min / c_s)^(1-α), so the smallest source keeps 100% and
+    larger sources shrink toward the flattened distribution — no row
+    duplication (upsampling is the trainer's repeat-epochs knob).
+
+    Fully in-plan: per-source counts (one small agg), broadcast back,
+    deterministic md5-hash thresholding per row — no driver collect,
+    no RNG, layout-independent, engine-replayable. For α = 0.5 the
+    fraction is computed with ``sqrt`` (IEEE correctly rounded →
+    bit-identical across engines, which is what lets the DuckDB oracle
+    replay the exact row selection); other α use ``pow`` (last-ulp
+    engine drift possible — fine for production, not for hash checks).
+    """
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__c"))
+    cmin = counts.agg(F.min("__c").alias("__cmin"))
+    ratio = F.col("__cmin").cast("double") / F.col("__c").cast("double")
+    frac = F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, F.lit(1.0 - alpha))
+    thresholds = counts.crossJoin(F.broadcast(cmin)).select(
+        source_col, F.round(frac * _BUCKETS, 0).cast("long").alias("__thr")
+    )
+    # same md5 layout as weighted_mix: md5("<seed>:<source>:<id>")
+    bucket = _hash_bucket(
+        seed,
+        F.concat(F.col(source_col), F.lit(":"), F.col(id_col).cast("string")),
+    )
+    return (
+        df.join(F.broadcast(thresholds), on=source_col)
+        .filter(bucket < F.col("__thr"))
+        .drop("__thr")
+    )
+
+
 def domain_cap(
     df: DataFrame,
     cap: int,

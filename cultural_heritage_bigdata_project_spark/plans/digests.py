@@ -142,6 +142,7 @@ GROUPS: dict[str, list[str]] = {
         "corpus_mix_weighted",
         "incremental_dedup_snapshot",
         "domain_cap_sample",
+        "corpus_temperature_mix",
     ],
     "vector_codec_digest": [
         "vector_concat_norm",
@@ -468,6 +469,11 @@ PART_COLS: dict[str, tuple[tuple[str, str], ...]] = {
     "corpus_mix_weighted": (
         ("doc_id", "s"),
         ("n_chars", "s"),
+        ("source", "s"),
+    ),
+    "corpus_temperature_mix": (
+        ("doc_id", "s"),
+        ("lang", "s"),
         ("source", "s"),
     ),
 }

@@ -76,6 +76,36 @@ def corpus_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_temperature_mix",
+    description="Multinomial temperature resampling (alpha=0.5): keep "
+    "fraction per source = sqrt(c_min/c_s), so source shares flatten "
+    "toward p^alpha without row duplication — the multilingual LLM "
+    "mixing recipe. sqrt is IEEE-correctly-rounded, so the oracle "
+    "replays the exact row selection; counts/thresholds broadcast, "
+    "selection is seeded md5 thresholding (no RNG)",
+    survey_ref="M1,X1",
+    oracle="""
+WITH c AS (
+  SELECT source, count(*) AS c FROM documents GROUP BY source
+), m AS (
+  SELECT min(c) AS cmin FROM c
+), t AS (
+  SELECT source,
+         CAST(round(10000 * sqrt(CAST(cmin AS DOUBLE) / CAST(c AS DOUBLE))) AS BIGINT) AS thr
+  FROM c, m
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN t ON d.source = t.source
+WHERE ('0x' || substr(md5('11:' || d.source || ':' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 < t.thr
+""",
+)
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    out = corpus.temperature_mix(docs, alpha=0.5, seed=11)
+    return out.select("doc_id", "lang", "source")
+
+
 _MINHASH_CTES = """
 d AS (
   SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM e1

@@ -103,3 +103,49 @@ def test_pack_sequences_deterministic(spark):
         for r in corpus.pack_sequences(docs.repartition(9), 5000, n_groups=4).collect()
     }
     assert a == b
+
+
+def test_temperature_mix_flattens_shares(spark):
+    """alpha=0.5 keep-fractions: the smallest source keeps everything,
+    larger sources keep ~sqrt(c_min*c_s) rows — shares flatten toward
+    the temperature distribution without row duplication."""
+    import math
+
+    rows = (
+        [(i, "big") for i in range(9000)]
+        + [(9000 + i, "mid") for i in range(1000)]
+        + [(10000 + i, "small") for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = (
+        corpus.temperature_mix(df, alpha=0.5, seed=5)
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    got = {r.source: r["count"] for r in kept}
+    assert got["small"] == 100  # c_min keeps 100%
+    for src, c in (("big", 9000), ("mid", 1000)):
+        expect = math.sqrt(100 * c)
+        # md5 thresholding is a uniform draw: allow 5-sigma binomial slack
+        sigma = math.sqrt(c * (expect / c) * (1 - expect / c))
+        assert abs(got[src] - expect) < 5 * sigma + 1, (src, got[src], expect)
+
+
+def test_temperature_mix_alpha_one_is_identity(spark):
+    """alpha=1 keeps every row of every source (no reshaping)."""
+    df = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b") for i in range(300)],
+        "doc_id long, source string",
+    )
+    assert corpus.temperature_mix(df, alpha=1.0).count() == 300
+
+
+def test_temperature_mix_deterministic_across_layouts(spark):
+    """Same rows, different partitioning → identical selection."""
+    rows = [(i, ["x", "y", "z"][i % 3]) for i in range(2000)]
+    df1 = spark.createDataFrame(rows, "doc_id long, source string").repartition(1)
+    df16 = spark.createDataFrame(rows, "doc_id long, source string").repartition(16)
+    ids1 = {r.doc_id for r in corpus.temperature_mix(df1, seed=9).collect()}
+    ids16 = {r.doc_id for r in corpus.temperature_mix(df16, seed=9).collect()}
+    assert ids1 == ids16 and len(ids1) > 0
