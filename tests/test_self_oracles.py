@@ -402,3 +402,33 @@ def test_pq_encode_once_serve_many(spark):
     q2 = [float(x) for x in emb.filter(F.col("vec_id") == 1).select("embedding").first()[0]]
     short2 = sim.pq_adc_shortlist(codes, cw, q2, m=8, shortlist=100).collect()
     assert len(short2) == 100
+
+
+def test_ann_multiprobe_recall_dominates_single_probe(spark):
+    """multiprobe=1 probes every Hamming-1 bucket: its candidate set is
+    a strict superset of multiprobe=0's, so recall vs brute force must
+    be >= — and on this fixture strictly wider candidate coverage."""
+    from cultural_heritage_bigdata_project_spark.sources.tables import load_table as lt
+    from pyspark.sql import functions as F
+
+    emb = lt(spark, SF_DIR, "embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    vectors = emb.filter(F.col("vec_id") != 0)
+    qlit = F.array(*[F.lit(x) for x in q]).cast("array<double>")
+    exact = {
+        r.vec_id
+        for r in similarity.knn_brute_force(vectors, qlit, k=10).collect()
+    }
+
+    def topk_ids(mp):
+        return {
+            r.vec_id
+            for r in similarity.ann_top_k(
+                vectors, q, k=10, n_planes=4, n_tables=8, dim=64, multiprobe=mp
+            ).collect()
+        }
+
+    r0 = len(exact & topk_ids(0)) / len(exact)
+    r1 = len(exact & topk_ids(1)) / len(exact)
+    assert r1 >= r0, (r0, r1)
+    assert r1 >= 0.5, f"multiprobe recall too low: {r1}"
