@@ -61,6 +61,8 @@ BENCH_QUERIES = [
     "incremental_dedup_snapshot",
     "semdedup_prune",
     "bm25_search",
+    "charlm_quality",
+    "corpus_temperature_mix",
     # production-hash-family variants (bench-only, defined below): the
     # catalog queries pin hash_family="md5-portable" so the DuckDB
     # oracle can replay candidate sets, but the path you'd run at

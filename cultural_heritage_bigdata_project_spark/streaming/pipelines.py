@@ -106,7 +106,10 @@ def kafka_sink(df: DataFrame, brokers: str, topic: str, checkpoint: str):
 
 
 def events_stream(
-    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+    ts_type: T.DataType | None = None,
 ) -> DataFrame:
     """File-source stream over an events parquet directory with explicit
     schema (the engine never pays streaming schema inference;
@@ -115,6 +118,13 @@ def events_stream(
     ``max_files_per_trigger`` splits a directory of files into multiple
     micro-batches (tests use time-ordered splits to exercise watermark
     progression and cross-batch upserts).
+
+    ``ts_type`` pins the on-disk ts representation up front
+    (``LongType()`` for the nanos-as-long generation, a timestamp type
+    otherwise). Pass it for directories whose files will arrive later
+    or mix generations — a streaming source holds ONE schema for its
+    lifetime, so the footer probe below can only reflect the files
+    present at declaration time (round-2 advice).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Fixture generations differ (ts as INT64 nanos vs TIMESTAMP micros);
@@ -125,10 +135,11 @@ def events_stream(
     # declared before its first file arrives (round-2 advice).
     from pyspark.errors import AnalysisException
 
-    try:
-        ts_type = spark.read.parquet(path).schema["ts"].dataType
-    except AnalysisException:
-        ts_type = T.LongType()
+    if ts_type is None:
+        try:
+            ts_type = spark.read.parquet(path).schema["ts"].dataType
+        except AnalysisException:
+            ts_type = T.LongType()
     nanos_long = isinstance(ts_type, T.LongType)
     schema = EVENTS_SCHEMA if nanos_long else T.StructType(
         [

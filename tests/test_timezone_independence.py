@@ -79,3 +79,17 @@ def test_events_stream_declarable_on_empty_dir(spark, tmp_path):
     stream = streaming.events_stream(spark, str(tmp_path))
     assert stream.isStreaming
     assert isinstance(stream.schema["ts"].dataType, T.TimestampNTZType)
+
+
+def test_events_stream_explicit_ts_type_skips_probe(spark, tmp_path):
+    """Callers can pin the on-disk ts representation so declaration
+    never depends on which files happen to exist yet."""
+    from pyspark.sql import types as T
+
+    s = streaming.events_stream(spark, str(tmp_path), ts_type=T.LongType())
+    assert s.isStreaming
+    assert isinstance(s.schema["ts"].dataType, T.TimestampNTZType)
+    s2 = streaming.events_stream(
+        spark, str(tmp_path), ts_type=T.TimestampNTZType()
+    )
+    assert isinstance(s2.schema["ts"].dataType, T.TimestampNTZType)
