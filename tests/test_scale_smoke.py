@@ -291,3 +291,54 @@ def test_semdedup_scales_at_40k(spark, big_vectors):
     # at tau ~ 1.0 only the smallest id of each copy-group survives
     assert kept == n // 20, kept
     assert elapsed < 120, f"semdedup too slow at 40k: {elapsed:.0f}s"
+
+
+def test_charlm_quality_at_20k_docs(spark):
+    """The LM scorer is explode-heavy (one row per char trigram):
+    4x the sf0.1 corpus must stay seconds-bounded and the profile join
+    must remain broadcast (never a shuffle of the trigram stream)."""
+    from cultural_heritage_bigdata_project_spark.operators import text as t
+
+    docs = load_table(spark, SF_BIG, "documents").select("doc_id", "text")
+    n = docs.count()
+    reps = spark.range(4).select(F.col("id").alias("rep"))
+    big = docs.crossJoin(reps).select(
+        (F.col("doc_id") + F.col("rep") * n).alias("doc_id"), "text"
+    )
+    t0 = time.perf_counter()
+    out = t.charlm_quality(big)
+    assert out.count() == 4 * n
+    elapsed = time.perf_counter() - t0
+    assert elapsed < 120, f"charlm too slow at 20k docs: {elapsed:.0f}s"
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    # the trigram-stream x profile join must broadcast; the per-doc
+    # sums re-join on doc_id is legitimately a shuffle join at scale
+    assert "BroadcastExchange" in plan
+
+
+def test_temperature_mix_at_40k_rows(spark):
+    """Selection is a broadcast-join + filter over the big side: no
+    sort-merge join, and the only shuffles are the tiny per-source
+    count aggregates."""
+    from cultural_heritage_bigdata_project_spark.operators import corpus
+
+    # skewed shares so the flattening actually drops rows: 30k/9k/1k
+    src = (
+        F.when(F.col("id") < 30_000, F.lit("crawl"))
+        .when(F.col("id") < 39_000, F.lit("web"))
+        .otherwise(F.lit("books"))
+    )
+    big = spark.range(40_000).select(F.col("id").alias("doc_id"), src.alias("source"))
+    out = corpus.temperature_mix(big, alpha=0.5, seed=3)
+    t0 = time.perf_counter()
+    kept = out.count()
+    elapsed = time.perf_counter() - t0
+    assert 0 < kept < 40_000
+    assert elapsed < 60, f"temperature_mix too slow: {elapsed:.0f}s"
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
