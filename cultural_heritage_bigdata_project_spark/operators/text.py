@@ -294,6 +294,66 @@ def ngram_contamination(
     )
 
 
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_spans: int = 3,
+    max_df: int | None = None,
+    observation=None,
+) -> DataFrame:
+    """Exact duplicated-span pair finder (the ExactSubstr-dedup signal
+    of Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better", arXiv:2107.06499 — expressed over word n-grams):
+    document pairs sharing >= ``min_spans`` distinct exact ``n``-token
+    spans, with the shared-span count as evidence. Complements the
+    approximate family: n-gram Jaccard measures SET overlap, winnowing
+    samples fingerprints, this one counts exhaustive exact spans — the
+    signal that catches verbatim boilerplate/quotation reuse between
+    otherwise-different documents.
+
+    Plan shape: distinct span hashes per doc → explode → inverted-index
+    bucket pairing on the span (one shuffle; reuses dedup's
+    collect_list bucketing so upstream evaluates once) → per-pair
+    count >= min_spans. Span join keys are xxhash64 of the span text
+    (64-bit long keys beat strings in the highest-volume stage; the
+    output counts are unaffected modulo 2^-64 collisions). ``max_df``
+    document-frequency-prunes spans appearing in more than that many
+    docs (hot boilerplate), same cap/Observation contract as
+    ``dedup.jaccard_pairs`` — off by default for oracle exactness, ON
+    at corpus scale per DEPLOYMENT.md.
+    """
+    from .dedup import _bucket_pair_occurrences
+
+    toks = F.split(F.trim(F.lower(F.col(text_col))), " +")
+    spans = (
+        df.select(F.col(id_col).alias("__id"), toks.alias("t"))
+        .filter(F.size("t") >= n)
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select(
+            "__id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, size(t) - {n - 1}),"
+                        f" i -> concat_ws(' ', slice(t, i, {n})))"
+                    )
+                )
+            ).alias("__span"),
+        )
+        .select("__id", F.xxhash64("__span").alias("__sp"))
+    )
+    return (
+        _bucket_pair_occurrences(
+            spans, ["__sp"], "__id", max_bucket=max_df, observation=observation
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_spans"))
+        .filter(F.col("n_shared_spans") >= min_spans)
+    )
+
+
 def fingerprint_dedup(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_tokens: int = 4
 ) -> DataFrame:

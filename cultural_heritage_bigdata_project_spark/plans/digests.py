@@ -136,6 +136,7 @@ GROUPS: dict[str, list[str]] = {
         "bm25_search",
         "chunk_documents",
         "charlm_quality",
+        "duplicate_spans",
     ],
     "corpus_sampling_digest": [
         "hash_split_sets",
@@ -436,6 +437,11 @@ PART_COLS: dict[str, tuple[tuple[str, str], ...]] = {
         ("avg_logprob", "f"),
         ("doc_id", "s"),
         ("n_trigrams", "s"),
+    ),
+    "duplicate_spans": (
+        ("a_id", "s"),
+        ("b_id", "s"),
+        ("n_shared_spans", "s"),
     ),
     "domain_cap_sample": (
         ("doc_id", "s"),

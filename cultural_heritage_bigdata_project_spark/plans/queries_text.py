@@ -133,6 +133,38 @@ def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "duplicate_spans",
+    description="Exact duplicated-span pairs (Lee et al. 2022 ExactSubstr "
+    "signal over word 8-grams): doc pairs sharing >= 3 distinct exact "
+    "8-token spans with the shared count as evidence — catches verbatim "
+    "boilerplate reuse that set-overlap misses. Inverted-index bucket "
+    "pairing, one shuffle; df-prune cap available for corpus scale",
+    survey_ref="M3",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+), s AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(t[i:i+7], ' ')
+                        for i in range(1, greatest(len(t) - 6, 1))]) AS sp
+  FROM d WHERE len(t) >= 8
+), ex AS (
+  SELECT doc_id, unnest(sp) AS span FROM s
+), pair AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared_spans
+  FROM ex a JOIN ex b ON a.span = b.span AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT a_id, b_id, n_shared_spans FROM pair WHERE n_shared_spans >= 3
+""",
+)
+def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.duplicate_spans(
+        _docs_parallel(spark, sf_dir).select("doc_id", "text"), n=8, min_spans=3
+    )
+
+
 def _charlm_oracle() -> str:
     from ..functions.langid import lm_norm_nano, lm_values_sql
 

@@ -172,3 +172,23 @@ def test_key_skew_profile_planted_skew(spark):
     assert abs(r.skew_ratio - 900 / (1000 / 101)) < 1e-9
     # top-10 = hot key + 9 singletons
     assert abs(r.top_share - 909 / 1000) < 1e-12
+
+
+def test_duplicate_spans_planted_verbatim_reuse(spark):
+    """Two docs sharing one verbatim 10-token boilerplate block (but
+    different otherwise) must pair with exactly 10-8+1=3 shared 8-token
+    spans; unrelated docs must not pair."""
+    from cultural_heritage_bigdata_project_spark.operators import text as t
+
+    block = "the terms of service grant no warranty of any kind"  # 10 tokens
+    rows = [
+        (0, f"alpha beta gamma {block} delta epsilon"),
+        (1, f"one two three four five six {block} seven"),
+        (2, "completely unrelated text with no shared spans at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.a_id, r.b_id): r.n_shared_spans
+        for r in t.duplicate_spans(df, n=8, min_spans=3).collect()
+    }
+    assert got == {(0, 1): 3}, got
