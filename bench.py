@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "bm25_search",
     "charlm_quality",
     "corpus_temperature_mix",
+    "duplicate_spans",
     # production-hash-family variants (bench-only, defined below): the
     # catalog queries pin hash_family="md5-portable" so the DuckDB
     # oracle can replay candidate sets, but the path you'd run at
