@@ -303,6 +303,12 @@ def minhash_lsh_pairs(
 
         def band_keys(batches):
             i_arr = np.arange(nh, dtype=np.int64)
+            # per-task memo: shingles repeat heavily across docs in
+            # exactly the corpora worth deduping, so each distinct
+            # shingle is md5'd once per partition, not once per
+            # occurrence (bounded by the partition's distinct-shingle
+            # count; freed with the task)
+            memo: dict[str, tuple[int, int]] = {}
             for pdf in batches:
                 out_id, out_band, out_bkey = [], [], []
                 for rid, shingles in zip(pdf["__id"], pdf["__sh"]):
@@ -311,10 +317,18 @@ def minhash_lsh_pairs(
                         continue
                     h1 = np.empty(k, dtype=np.int64)
                     h2 = np.empty(k, dtype=np.int64)
+                    if len(memo) > 1_000_000:
+                        memo.clear()  # bound worker memory on huge partitions
                     for j, s in enumerate(shingles):
-                        hx = hashlib.md5(s.encode("utf-8")).hexdigest()
-                        h1[j] = int(hx[:8], 16) & 0x7FFFFFFF
-                        h2[j] = int(hx[8:16], 16) & 0x7FFFFFFF
+                        hv = memo.get(s)
+                        if hv is None:
+                            hx = hashlib.md5(s.encode("utf-8")).hexdigest()
+                            hv = (
+                                int(hx[:8], 16) & 0x7FFFFFFF,
+                                int(hx[8:16], 16) & 0x7FFFFFFF,
+                            )
+                            memo[s] = hv
+                        h1[j], h2[j] = hv
                     sig = (h1[:, None] + i_arr[None, :] * h2[:, None]).min(axis=0)
                     for b in range(nb):
                         joined = ",".join(
@@ -668,6 +682,7 @@ def minhash_index(
 
     def index_rows(batches):
         i_arr = np.arange(n_hashes, dtype=np.int64)
+        memo: dict[str, tuple[int, int]] = {}  # see minhash_lsh_pairs
         for pdf in batches:
             out_id, out_sig, out_band, out_bkey = [], [], [], []
             for rid, shingles in zip(pdf["__id"], pdf["__sh"]):
@@ -676,10 +691,18 @@ def minhash_index(
                     continue
                 h1 = np.empty(k, dtype=np.int64)
                 h2 = np.empty(k, dtype=np.int64)
+                if len(memo) > 1_000_000:
+                    memo.clear()  # bound worker memory on huge partitions
                 for j, s in enumerate(shingles):
-                    hx = hashlib.md5(s.encode("utf-8")).hexdigest()
-                    h1[j] = int(hx[:8], 16) & 0x7FFFFFFF
-                    h2[j] = int(hx[8:16], 16) & 0x7FFFFFFF
+                    hv = memo.get(s)
+                    if hv is None:
+                        hx = hashlib.md5(s.encode("utf-8")).hexdigest()
+                        hv = (
+                            int(hx[:8], 16) & 0x7FFFFFFF,
+                            int(hx[8:16], 16) & 0x7FFFFFFF,
+                        )
+                        memo[s] = hv
+                    h1[j], h2[j] = hv
                 sig = (h1[:, None] + i_arr[None, :] * h2[:, None]).min(axis=0)
                 sig_list = [int(v) for v in sig]
                 for b in range(bands):
