@@ -89,6 +89,11 @@ def _ts_to_ntz_utc(spark: SparkSession, ts, dtype):
     offset first, so the subsequent session-tz rendering lands on the
     UTC wall-clock for any session timezone. TIMESTAMP_NTZ input (the
     common inferTimestampNTZ read) is returned as-is.
+
+    Caveat: offsets are evaluated per-value, so instants inside a DST
+    transition hour of the session zone can shift by the DST delta.
+    Exact for fixed-offset zones and for UTC sessions (the deployment
+    default — session.get_spark pins spark.sql.session.timeZone=UTC).
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import TimestampNTZType
