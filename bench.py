@@ -74,18 +74,18 @@ BENCH_QUERIES = [
 ]
 
 
-def _docs_shingled(spark, sf_dir):
+def _docs_tokenized(spark, sf_dir):
+    """documents with a tokenized 't' column (NOT shingled — callers
+    shingle where their operator needs it)."""
     from pyspark.sql import functions as F
 
-    from cultural_heritage_bigdata_project_spark.operators import dedup
     from cultural_heritage_bigdata_project_spark.plans.queries_text import (
         _docs_parallel,
     )
 
-    docs = _docs_parallel(spark, sf_dir).select(
+    return _docs_parallel(spark, sf_dir).select(
         "doc_id", F.split(F.trim(F.lower("text")), " +").alias("t")
     )
-    return docs
 
 
 def _minhash_lsh_dedup_xxh(spark, sf_dir):
@@ -95,7 +95,7 @@ def _minhash_lsh_dedup_xxh(spark, sf_dir):
 
     from cultural_heritage_bigdata_project_spark.operators import dedup
 
-    docs = _docs_shingled(spark, sf_dir)
+    docs = _docs_tokenized(spark, sf_dir)
     docs = docs.filter(F.size("t") >= 3).select(
         "doc_id", dedup.shingles_expr("t", 3).alias("sh")
     )
@@ -108,7 +108,7 @@ def _simhash_dedup_xxh(spark, sf_dir):
     """simhash_dedup with the production xxhash64 family."""
     from cultural_heritage_bigdata_project_spark.operators import dedup
 
-    docs = _docs_shingled(spark, sf_dir)
+    docs = _docs_tokenized(spark, sf_dir)
     return dedup.simhash_pairs(docs, "doc_id", "t", max_hamming=3)
 
 

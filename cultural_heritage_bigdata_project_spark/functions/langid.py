@@ -108,17 +108,25 @@ def score_python(text: str) -> dict[str, float]:
 
 
 @lru_cache(maxsize=None)
+def _pooled_counts() -> Counter:
+    """Trigram counts over ALL languages' sample corpora pooled — the
+    single source both the LM weights and the add-one denominator
+    derive from (one definition; they cannot desynchronize)."""
+    counts: Counter[str] = Counter()
+    for lang in LANGS:
+        counts.update(text_trigrams(SAMPLE_CORPUS[lang]))
+    return counts
+
+
+@lru_cache(maxsize=None)
 def lm_rows() -> tuple[tuple[str, int], ...]:
     """(trigram, ln(count+1)*1e9 as int) over the pooled corpus —
     add-one-smoothed log weights, nano-quantized."""
     import math
 
-    counts: Counter[str] = Counter()
-    for lang in LANGS:
-        counts.update(text_trigrams(SAMPLE_CORPUS[lang]))
     return tuple(
         (tg, int(round(math.log(w + 1) * 1_000_000_000)))
-        for tg, w in sorted(counts.items())
+        for tg, w in sorted(_pooled_counts().items())
     )
 
 
@@ -128,9 +136,7 @@ def lm_norm_nano() -> int:
     distinct trigrams + 1 (the OOV bucket) — the add-one denominator."""
     import math
 
-    counts: Counter[str] = Counter()
-    for lang in LANGS:
-        counts.update(text_trigrams(SAMPLE_CORPUS[lang]))
+    counts = _pooled_counts()
     t = sum(counts.values())
     v = len(counts) + 1
     return int(round(math.log(t + v) * 1_000_000_000))

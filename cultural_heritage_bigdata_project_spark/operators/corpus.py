@@ -122,6 +122,13 @@ def temperature_mix(
     """
     if not (0.0 < alpha <= 1.0):
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    # Rows with a NULL source are excluded up front — otherwise the
+    # NULL group's (typically tiny) count would become c_min and poison
+    # every real source's keep fraction, while the rows themselves
+    # silently vanish in the source equi-join below. Cleanse source
+    # metadata before mixing; the exclusion here is explicit, not a
+    # join artifact.
+    df = df.filter(F.col(source_col).isNotNull())
     counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__c"))
     cmin = counts.agg(F.min("__c").alias("__cmin"))
     ratio = F.col("__cmin").cast("double") / F.col("__c").cast("double")

@@ -380,13 +380,18 @@ def ann_top_k(
         F.col(vec_col).cast("array<double>").alias("__v"),
     ).mapInPandas(compute, "__id long, __cos double")
     # round JVM-side with F.round (HALF_UP) — np.round is banker's
-    # rounding and would diverge from the SQL oracle at .5 boundaries
+    # rounding and would diverge from the SQL oracle at .5 boundaries.
+    # Zero-norm vectors (failed/padded embeds) produce 0/0 = NaN in the
+    # numpy division; map NaN back to NULL so they sort LAST under the
+    # descending order (Spark ranks NaN ABOVE all numbers, which would
+    # put junk vectors at rank 1 — the SQL-division path this replaced
+    # yielded NULL, and that contract is kept).
+    cos = F.when(F.isnan(F.col("__cos")), F.lit(None)).otherwise(
+        F.round(F.col("__cos"), 6)
+    )
     return (
-        out.select(
-            F.col("__id").alias(id_col),
-            F.round(F.col("__cos"), 6).alias("cosine_sim"),
-        )
-        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        out.select(F.col("__id").alias(id_col), cos.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc_nulls_last(), F.col(id_col).asc())
         .limit(k)
     )
 

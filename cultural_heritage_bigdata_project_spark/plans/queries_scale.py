@@ -128,13 +128,24 @@ FROM lineitem GROUP BY l_returnflag
 )
 def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
+    # TWO aggregations joined on the (tiny) group key, NOT one: mixing a
+    # DISTINCT aggregate with imperative sketch aggregates (percentile /
+    # HLL) makes Spark rewrite the plan through an Expand keyed by
+    # (group, distinct-col), which materializes a sketch buffer per
+    # DISTINCT KEY instead of per group — measured 25.6 s vs 1.5 s for
+    # the same aggregates run separately at sf0.1 (150k percentile
+    # buffers instead of 3). Two scans of the fact table are strictly
+    # cheaper than that rewrite at every scale.
+    exact = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_orderkey").alias("n_orders_exact"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    sketch = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", 0.02).alias("__approx_orders"),
         F.expr("percentile(l_extendedprice, 0.5)").alias("__median_exact"),
         F.percentile_approx("l_extendedprice", 0.5).alias("__approx_median"),
-        F.count(F.lit(1)).alias("n_rows"),
     )
+    agg = exact.join(sketch, "l_returnflag")
     rel_err = lambda a, b: F.abs(a - b) / F.greatest(F.abs(b), F.lit(1e-9))  # noqa: E731
     return agg.select(
         "l_returnflag",

@@ -160,8 +160,10 @@ SELECT a_id, b_id, n_shared_spans FROM pair WHERE n_shared_spans >= 3
 """,
 )
 def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # plain _docs: the operator repartitions internally — wrapping in
+    # _docs_parallel would pay a second full shuffle for nothing
     return text.duplicate_spans(
-        _docs_parallel(spark, sf_dir).select("doc_id", "text"), n=8, min_spans=3
+        _docs(spark, sf_dir).select("doc_id", "text"), n=8, min_spans=3
     )
 
 

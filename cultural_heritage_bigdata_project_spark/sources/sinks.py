@@ -128,9 +128,14 @@ def jdbc_serving_sink(
 ) -> None:
     """S13: JDBC serving-table write (staging-swap commit is the
     caller's job, as in the reference's S14). GATED: this environment
-    ships no JDBC driver or database; deployment supplies both."""
+    ships no JDBC driver or database; deployment supplies both.
+
+    The option dict comes from ``jdbc_sink_options`` (the contract the
+    unit tests pin), with caller ``**options`` layered on top."""
+    opts = jdbc_sink_options(url, table)
+    opts.update(options)
     try:
-        df.write.mode(mode).options(**options).jdbc(url, table)
+        df.write.format("jdbc").mode(mode).options(**opts).save()
     except Exception as e:  # pragma: no cover - exercised via unit test
         raise RuntimeError(
             "JDBC sink unavailable: no database/driver in this environment "

@@ -94,14 +94,21 @@ def _ts_to_ntz_utc(spark: SparkSession, ts, dtype):
     transition hour of the session zone can shift by the DST delta.
     Exact for fixed-offset zones and for UTC sessions (the deployment
     default — session.get_spark pins spark.sql.session.timeZone=UTC).
+
+    The timezone is resolved with ``current_timezone()`` AT EXECUTION,
+    not captured at plan-construction: the compensating shift and the
+    NTZ cast's rendering then always use the same zone, so building the
+    DataFrame under one session tz and collecting under another cannot
+    desynchronize them.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import TimestampNTZType
 
     if isinstance(dtype, TimestampNTZType):
         return ts.cast("timestamp_ntz")
-    tz = spark.conf.get("spark.sql.session.timeZone")
-    return F.to_utc_timestamp(ts, tz).cast("timestamp_ntz")
+    return F.to_utc_timestamp(ts, F.expr("current_timezone()")).cast(
+        "timestamp_ntz"
+    )
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

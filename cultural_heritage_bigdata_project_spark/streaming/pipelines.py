@@ -139,6 +139,15 @@ def events_stream(
         try:
             ts_type = spark.read.parquet(path).schema["ts"].dataType
         except AnalysisException:
+            import warnings
+
+            warnings.warn(
+                f"events_stream: no parquet footer to probe under {path!r}; "
+                "assuming the nanos-as-long ts generation. If the files "
+                "that arrive carry TIMESTAMP ts, the stream will fail its "
+                "first batch — pass ts_type explicitly to pin the schema.",
+                stacklevel=2,
+            )
             ts_type = T.LongType()
     nanos_long = isinstance(ts_type, T.LongType)
     schema = EVENTS_SCHEMA if nanos_long else T.StructType(

@@ -130,8 +130,10 @@ def test_charlm_profile_is_broadcast(spark):
     from cultural_heritage_bigdata_project_spark.operators import text as t
     from cultural_heritage_bigdata_project_spark.sources.tables import load_table
 
+    from .conftest import SF_DIR
+
     df = t.charlm_quality(
-        load_table(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+        load_table(spark, SF_DIR, "documents").select("doc_id", "text")
     )
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"

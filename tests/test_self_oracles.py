@@ -432,3 +432,30 @@ def test_ann_multiprobe_recall_dominates_single_probe(spark):
     r1 = len(exact & topk_ids(1)) / len(exact)
     assert r1 >= r0, (r0, r1)
     assert r1 >= 0.5, f"multiprobe recall too low: {r1}"
+
+
+def test_ann_zero_norm_vectors_sort_last(spark):
+    """A zero-norm vector (failed/padded embed) lands in the all-ones
+    LSH bucket; its cosine is undefined (0/0). It must surface as NULL
+    and sort LAST — never occupy a top-k slot above a real neighbor
+    (Spark sorts NaN above all numbers, so NaN must not leak out)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    n = 6
+    rows = [(i, [1.0, 0.5, float(i) / 10, 1.0]) for i in range(n)]
+    rows.append((99, [0.0, 0.0, 0.0, 0.0]))  # zero-norm junk
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [1.0, 0.5, 0.2, 1.0]
+    got = similarity.ann_top_k(
+        df, q, k=n + 1, n_planes=2, n_tables=4, dim=4, multiprobe=1
+    ).collect()
+    by_id = {r.vec_id: r.cosine_sim for r in got}
+    if 99 in by_id:  # bucket-matched: must be NULL and ranked last
+        assert by_id[99] is None
+        assert got[-1].vec_id == 99
+    for r in got:
+        if r.vec_id != 99:
+            assert r.cosine_sim is not None
+            assert not math.isnan(r.cosine_sim)
