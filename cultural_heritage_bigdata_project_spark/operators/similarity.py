@@ -381,6 +381,11 @@ def ann_top_k(
     ).mapInPandas(compute, "__id long, __cos double")
     # round JVM-side with F.round (HALF_UP) — np.round is banker's
     # rounding and would diverge from the SQL oracle at .5 boundaries.
+    # The BLAS dot's summation order differs from DuckDB's sequential
+    # list_dot_product, so the pre-round value can drift by ~1 ulp; a
+    # boundary flip at the 6th digit needs the product within 1 ulp of
+    # x.5e-6 (~1e-9 probable) — the same accepted risk class as every
+    # rounded double in this catalog (see queries_vector module doc).
     # Zero-norm vectors (failed/padded embeds) produce 0/0 = NaN in the
     # numpy division; map NaN back to NULL so they sort LAST under the
     # descending order (Spark ranks NaN ABOVE all numbers, which would
