@@ -35,24 +35,86 @@ import shutil
 CURRENT = "CURRENT"
 
 
-def current_version_dir(root: str) -> str | None:
-    """The committed data directory, or None if nothing published."""
+def _read_pointer(root: str) -> list[str]:
+    """The committed-version manifest: first line = current version
+    directory name, subsequent lines = RETAINED older versions (newest
+    first). A round-2-era single-line file reads as a one-entry
+    manifest — fully backward compatible."""
     ptr = os.path.join(root, CURRENT)
     try:
         with open(ptr, encoding="utf-8") as f:
-            name = f.read().strip()
+            return [ln.strip() for ln in f if ln.strip()]
     except FileNotFoundError:
+        return []
+
+
+def current_version_dir(root: str) -> str | None:
+    """The committed data directory, or None if nothing published."""
+    names = _read_pointer(root)
+    if not names:
         return None
-    path = os.path.join(root, name)
+    path = os.path.join(root, names[0])
     return path if os.path.isdir(path) else None
 
 
-def publish_version(root: str, dirname: str) -> str:
+def list_versions(root: str) -> list[str]:
+    """Committed + retained version directory names, newest first —
+    the time-travel surface (Delta's DESCRIBE HISTORY analog for this
+    pointer-file layout)."""
+    return [
+        n for n in _read_pointer(root) if os.path.isdir(os.path.join(root, n))
+    ]
+
+
+def version_dir(root: str, version: str | int) -> str:
+    """Resolve a retained version to its directory path. ``version``
+    is a directory name (``data_v7``) or an integer suffix (``7``).
+    Raises KeyError for versions not retained (vacuumed or never
+    committed) — time travel only reaches what retention kept."""
+    name = f"data_v{version}" if isinstance(version, int) else version
+    if name not in list_versions(root):
+        raise KeyError(
+            f"version {name!r} is not retained under {root!r}; "
+            f"available: {list_versions(root)} (raise keep_last at publish "
+            "time to retain more history)"
+        )
+    return os.path.join(root, name)
+
+
+def read_version(spark, root: str, version: str | int | None = None, subdir: str | None = None):
+    """Time-travel read: the parquet contents of a retained version
+    (default: current). ``subdir`` selects a component of a composite
+    commit (e.g. the streaming corpus dedup publishes corpus/ fps/
+    bands/ together)."""
+    if version is None:
+        path = current_version_dir(root)
+        if path is None:
+            raise FileNotFoundError(f"nothing published under {root!r}")
+    else:
+        path = version_dir(root, version)
+    if subdir is not None:
+        path = os.path.join(path, subdir)
+    return spark.read.parquet(path)
+
+
+def publish_version(root: str, dirname: str, keep_last: int = 1) -> str:
     """Atomically point ``CURRENT`` at ``root/dirname`` (which must be
-    fully written), then garbage-collect unreferenced versions."""
+    fully written), then garbage-collect unreferenced versions.
+
+    ``keep_last`` is the retention knob: the manifest keeps the new
+    version plus the ``keep_last - 1`` most recent predecessors, which
+    stay readable via ``read_version`` (time travel). The default 1
+    keeps only the new version — the original space-frugal behavior.
+    Retention is part of the SAME atomic pointer write, so a crash
+    can never orphan a retained version or retain an orphan.
+    """
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    retained = [dirname] + [n for n in _read_pointer(root) if n != dirname]
+    retained = retained[:keep_last]
     tmp = os.path.join(root, CURRENT + ".tmp")
     with open(tmp, "w", encoding="utf-8") as f:
-        f.write(dirname)
+        f.write("\n".join(retained))
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(root, CURRENT))
@@ -61,15 +123,15 @@ def publish_version(root: str, dirname: str) -> str:
 
 
 def cleanup_unpublished(root: str) -> list[str]:
-    """Remove data_v* directories not referenced by CURRENT (stale
-    partial writes from crashed commits). Returns removed names."""
-    cur = current_version_dir(root)
-    cur_name = os.path.basename(cur) if cur else None
+    """Remove data_v* directories not referenced by the manifest
+    (stale partial writes from crashed commits, or versions aged out
+    of retention). Returns removed names."""
+    keep = set(_read_pointer(root))
     removed = []
     if not os.path.isdir(root):
         return removed
     for name in os.listdir(root):
-        if name.startswith("data_v") and name != cur_name:
+        if name.startswith("data_v") and name not in keep:
             shutil.rmtree(os.path.join(root, name), ignore_errors=True)
             removed.append(name)
     stale_tmp = os.path.join(root, CURRENT + ".tmp")

@@ -306,6 +306,7 @@ def foreach_batch_upsert_run(
     order_desc: list[str],
     target_dir: str | None = None,
     reset: bool = True,
+    keep_last: int = 1,
 ) -> DataFrame:
     """T4+S12: continuous keyed last-write-wins upsert into a parquet
     table via ``foreachBatch``.
@@ -358,7 +359,7 @@ def foreach_batch_upsert_run(
         vdir = os.path.join(tdir, vname)
         shutil.rmtree(vdir, ignore_errors=True)  # partial write from a crash
         result.write.mode("overwrite").parquet(vdir)
-        txn.publish_version(tdir, vname)
+        txn.publish_version(tdir, vname, keep_last=keep_last)
 
     writer = stream.writeStream.foreachBatch(upsert_batch).trigger(availableNow=True)
     with _scoped_shuffle_partitions(spark):
@@ -399,6 +400,7 @@ def streaming_corpus_dedup_run(
     n_hashes: int = 64,
     bands: int = 16,
     min_matches: int = 39,
+    keep_last: int = 1,
 ) -> DataFrame:
     """Continuous corpus ingestion with cross-batch dedup: each
     micro-batch of documents is deduped exactly (md5) AND near-dup
@@ -497,7 +499,7 @@ def streaming_corpus_dedup_run(
             corpus.write.mode("overwrite").parquet(os.path.join(vdir, "corpus"))
             all_fps.write.mode("overwrite").parquet(os.path.join(vdir, "fps"))
             all_bands.write.mode("overwrite").parquet(os.path.join(vdir, "bands"))
-            txn.publish_version(tdir, vname)
+            txn.publish_version(tdir, vname, keep_last=keep_last)
         finally:
             dedup._unpersist_local_checkpoint(batch_df)
             if idx_ckpt is not None:

@@ -116,3 +116,69 @@ def test_upsert_run_no_missing_table_window(spark, tmp_path):
     )
     assert again.count() == n
     assert not os.path.exists(os.path.join(tdir, "data_v999"))
+
+
+def _publish_parquet(spark, root, n, value):
+    vname = f"data_v{n}"
+    spark.range(value).select(F.col("id")).write.mode("overwrite").parquet(
+        os.path.join(str(root), vname)
+    )
+    return vname
+
+
+def test_time_travel_retention(spark, tmp_path):
+    """keep_last retains readable history: older versions stay
+    time-travel-readable until they age out, then vacuum removes them;
+    retention rides the same atomic pointer write."""
+    root = str(tmp_path)
+    for n, rows in [(0, 5), (1, 7), (2, 9)]:
+        vname = _publish_parquet(spark, root, n, rows)
+        txn.publish_version(root, vname, keep_last=2)
+    # v2 current, v1 retained, v0 vacuumed
+    assert txn.list_versions(root) == ["data_v2", "data_v1"]
+    assert txn.read_version(spark, root).count() == 9
+    assert txn.read_version(spark, root, 1).count() == 7
+    assert txn.read_version(spark, root, "data_v1").count() == 7
+    assert not os.path.isdir(os.path.join(root, "data_v0"))
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError, match="not retained"):
+        txn.version_dir(root, 0)
+
+
+def test_time_travel_single_line_pointer_back_compat(spark, tmp_path):
+    """A pointer file from the pre-retention layout (single line) must
+    read as a one-entry manifest."""
+    root = str(tmp_path)
+    _publish_parquet(spark, root, 3, 4)
+    with open(os.path.join(root, "CURRENT"), "w", encoding="utf-8") as f:
+        f.write("data_v3")
+    assert txn.list_versions(root) == ["data_v3"]
+    assert txn.read_version(spark, root).count() == 4
+    # next publish upgrades the manifest in place
+    vname = _publish_parquet(spark, root, 4, 6)
+    txn.publish_version(root, vname, keep_last=2)
+    assert txn.list_versions(root) == ["data_v4", "data_v3"]
+
+
+def test_streaming_upsert_with_history(spark, tmp_path):
+    """foreach_batch_upsert_run(keep_last=2) leaves the previous epoch
+    readable — the corpus-snapshot time-travel story end to end."""
+    ev = load_table(spark, SF_DIR, "events").limit(200)
+    src = str(tmp_path / "src")
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = streaming.events_stream(spark, src).select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    final = streaming.foreach_batch_upsert_run(
+        spark,
+        stream,
+        keys=["user_id"],
+        order_desc=["ts", "event_id"],
+        target_dir=str(tmp_path / "tbl"),
+        keep_last=2,
+    )
+    assert final.count() > 0
+    versions = txn.list_versions(str(tmp_path / "tbl"))
+    assert len(versions) >= 1
+    assert txn.read_version(spark, str(tmp_path / "tbl"), versions[0]).count() == final.count()
