@@ -126,6 +126,35 @@ def compact_table(
     return len([f for f in os.listdir(path) if f.endswith(".parquet")])
 
 
+def clustered_write(
+    df,
+    path: str,
+    cluster_cols: list[str],
+    n_files: int | None = None,
+) -> None:
+    """Range-clustered parquet write: globally range-partition on
+    ``cluster_cols`` then sort within each partition before writing —
+    the liner ZORDER/CLUSTER BY analog for single-dimension scan
+    locality. Each output file then covers a narrow, (near-)disjoint
+    range of the cluster key, so parquet row-group min/max statistics
+    prune file reads for range/point predicates on that key — the
+    difference between scanning 100 TB and scanning the few files a
+    predicate touches.
+
+    One range-exchange shuffle (sampling-based bounds) + local sort;
+    ``n_files`` caps output file count (default: current shuffle
+    parallelism). For multi-dimension locality use a space-filling
+    curve key upstream and cluster on it.
+    """
+    cols = [F.col(c) for c in cluster_cols]
+    part = (
+        df.repartitionByRange(n_files, *cols)
+        if n_files is not None
+        else df.repartitionByRange(*cols)
+    )
+    part.sortWithinPartitions(*cols).write.mode("overwrite").parquet(path)
+
+
 def incremental_cycle(
     spark: SparkSession,
     source: DataFrame,

@@ -182,3 +182,39 @@ def test_streaming_upsert_with_history(spark, tmp_path):
     versions = txn.list_versions(str(tmp_path / "tbl"))
     assert len(versions) >= 1
     assert txn.read_version(spark, str(tmp_path / "tbl"), versions[0]).count() == final.count()
+
+
+def test_clustered_write_prunes_by_minmax(spark, tmp_path):
+    """Range-clustered output files must carry narrow, (near-)disjoint
+    cluster-key ranges so parquet min/max stats prune file reads: a
+    point/range predicate touches a small subset of files, and the
+    pruned scan returns the same rows as the full scan."""
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "clustered")
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    scale.clustered_write(o, out, ["o_orderkey"], n_files=8)
+    files = sorted(
+        os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")
+    )
+    assert len(files) >= 4
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            assert col.path_in_schema == "o_orderkey"
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    # file ranges must be non-overlapping (range partitioner boundary
+    # keys can land on either side, so allow touching endpoints)
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges {(lo1, hi1)} vs {(lo2, hi2)}"
+    # and predicate results must match the unclustered truth
+    mid = ranges[len(ranges) // 2][0]
+    expect = o.filter(F.col("o_orderkey") <= mid).count()
+    got = spark.read.parquet(out).filter(F.col("o_orderkey") <= mid).count()
+    assert got == expect
