@@ -123,3 +123,73 @@ def upsert_full_conditional(
         for c in cols
     ]
     return j.select(*out)
+
+
+def scd2_apply(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    change_cols: Sequence[str],
+    ts_col: str = "ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    is_current: str = "is_current",
+) -> DataFrame:
+    """SCD Type 2 merge: history-tracking upsert (the warehouse pattern
+    Delta expresses as a two-action MERGE; Kimball slowly-changing
+    dimension type 2). The target carries full version history
+    (``valid_from``/``valid_to``/``is_current``); applying a source
+    snapshot:
+
+    - key absent from target          → insert new current version
+    - current row, change_cols differ → close it (valid_to = source
+      ts, is_current = false) AND insert the new current version
+    - current row, identical          → unchanged
+    - historical rows / keys absent from the source → untouched
+      (SCD2 never deletes history)
+
+    Change detection is null-safe per column. The source must be
+    unique per key (dedup first, as with ``upsert_full``). Plan: one
+    shuffle on the keys for the current-rows join; history passes
+    through without joining — at 100 TB the join side is only the
+    CURRENT generation, not the full history.
+    """
+    _assert_unique_keys(source, keys)
+    out_cols = [*keys, *change_cols, valid_from, valid_to, is_current]
+    cur = target.filter(F.col(is_current)).alias("__mt")
+    hist = target.filter(~F.col(is_current)).select(*out_cols)
+    src = source.alias("__ms")
+
+    cond = None
+    for k in keys:
+        c = F.col(f"__mt.{k}").eqNullSafe(F.col(f"__ms.{k}"))
+        cond = c if cond is None else (cond & c)
+    j = cur.join(src, on=cond, how="full_outer")
+    matched = F.col(f"__mt.{is_current}").isNotNull() & F.col(
+        f"__ms.{ts_col}"
+    ).isNotNull()
+    differs = None
+    for c in change_cols:
+        d = ~F.col(f"__mt.{c}").eqNullSafe(F.col(f"__ms.{c}"))
+        differs = d if differs is None else (differs | d)
+
+    # surviving current rows (unchanged, or key not in source)
+    kept = j.filter(
+        F.col(f"__mt.{is_current}").isNotNull() & ~(matched & differs)
+    ).select(*[F.col(f"__mt.{c}").alias(c) for c in out_cols])
+    # closed-out versions of changed rows
+    closed = j.filter(matched & differs).select(
+        *[F.col(f"__mt.{c}").alias(c) for c in [*keys, *change_cols, valid_from]],
+        F.col(f"__ms.{ts_col}").alias(valid_to),
+        F.lit(False).alias(is_current),
+    )
+    # new current versions: changed keys + brand-new keys
+    fresh = j.filter(
+        (matched & differs) | F.col(f"__mt.{is_current}").isNull()
+    ).select(
+        *[F.col(f"__ms.{c}").alias(c) for c in [*keys, *change_cols]],
+        F.col(f"__ms.{ts_col}").alias(valid_from),
+        F.lit(None).cast(target.schema[valid_to].dataType).alias(valid_to),
+        F.lit(True).alias(is_current),
+    )
+    return hist.unionByName(kept).unionByName(closed).unionByName(fresh)

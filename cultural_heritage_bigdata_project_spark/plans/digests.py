@@ -93,6 +93,7 @@ GROUPS: dict[str, list[str]] = {
         "table_profile",
         "right_join_orders",
         "cube_status_priority",
+        "scd2_orders",
     ],
     "analytic_windows_digest": [
         "ntile_quartiles",
@@ -266,6 +267,14 @@ PART_COLS: dict[str, tuple[tuple[str, str], ...]] = {
         ("n_orders", "s"),
         ("o_orderpriority", "s"),
         ("o_orderstatus", "s"),
+    ),
+    "scd2_orders": (
+        ("is_current", "s"),
+        ("o_orderkey", "s"),
+        ("o_orderstatus", "s"),
+        ("o_totalprice", "f"),
+        ("valid_from", "s"),
+        ("valid_to", "s"),
     ),
     "ntile_quartiles": (
         ("o_orderkey", "s"),

@@ -469,3 +469,77 @@ def rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pr"),
         F.cume_dist().over(w).alias("cd"),
     )
+
+
+@register(
+    "scd2_orders",
+    description="SCD Type 2 merge (Kimball history-tracking upsert, the "
+    "two-action Delta MERGE pattern): a changed orders snapshot closes "
+    "current versions (valid_to = snapshot ts) and inserts new ones; "
+    "unchanged/absent keys untouched, history never deleted. One "
+    "current-rows-only shuffle; full hash-checked output "
+    "(operators/merge.py:scd2_apply)",
+    survey_ref="S12,S14",
+    oracle="""
+WITH tgt AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+         0::BIGINT AS valid_from, CAST(NULL AS BIGINT) AS valid_to,
+         TRUE AS is_current
+  FROM orders
+), src AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+         o_totalprice + CASE WHEN o_orderkey % 4 = 0 THEN 10.0 ELSE 0.0 END AS o_totalprice,
+         1000::BIGINT AS ts
+  FROM orders WHERE o_orderkey % 5 = 0
+), chg AS (
+  SELECT s.o_orderkey, s.o_orderstatus, s.o_totalprice, s.ts
+  FROM src s JOIN tgt t ON s.o_orderkey = t.o_orderkey
+  WHERE s.o_orderstatus IS DISTINCT FROM t.o_orderstatus
+     OR s.o_totalprice IS DISTINCT FROM t.o_totalprice
+)
+SELECT t.o_orderkey, t.o_orderstatus, t.o_totalprice, t.valid_from,
+       t.valid_to, t.is_current
+FROM tgt t LEFT JOIN chg c USING (o_orderkey) WHERE c.o_orderkey IS NULL
+UNION ALL
+SELECT t.o_orderkey, t.o_orderstatus, t.o_totalprice, t.valid_from,
+       c.ts AS valid_to, FALSE AS is_current
+FROM tgt t JOIN chg c USING (o_orderkey)
+UNION ALL
+SELECT o_orderkey, o_orderstatus, o_totalprice, ts AS valid_from,
+       CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current
+FROM chg
+""",
+)
+def scd2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import merge
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    target = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    source = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        (
+            F.col("o_totalprice")
+            + F.when(F.col("o_orderkey") % 4 == 0, F.lit(10.0)).otherwise(F.lit(0.0))
+        ).alias("o_totalprice"),
+        F.lit(1000).cast("long").alias("ts"),
+    )
+    return merge.scd2_apply(
+        target,
+        source,
+        keys=["o_orderkey"],
+        change_cols=["o_orderstatus", "o_totalprice"],
+        ts_col="ts",
+    )
