@@ -134,6 +134,8 @@ def scd2_apply(
     valid_from: str = "valid_from",
     valid_to: str = "valid_to",
     is_current: str = "is_current",
+    check_unique_source: bool = True,
+    check_order: bool = False,
 ) -> DataFrame:
     """SCD Type 2 merge: history-tracking upsert (the warehouse pattern
     Delta expresses as a two-action MERGE; Kimball slowly-changing
@@ -145,37 +147,81 @@ def scd2_apply(
     - current row, change_cols differ → close it (valid_to = source
       ts, is_current = false) AND insert the new current version
     - current row, identical          → unchanged
-    - historical rows / keys absent from the source → untouched
-      (SCD2 never deletes history)
+    - historical rows (is_current false OR NULL) and keys absent from
+      the source → untouched (SCD2 never deletes history; a NULL
+      is_current is treated as history, not dropped)
 
-    Change detection is null-safe per column. The source must be
-    unique per key (dedup first, as with ``upsert_full``). Plan: one
-    shuffle on the keys for the current-rows join; history passes
-    through without joining — at 100 TB the join side is only the
-    CURRENT generation, not the full history.
+    Change detection is null-safe per column; row presence on each
+    join side is tracked with explicit marker columns (a NULL
+    ``ts_col`` in the source cannot masquerade as absence). Every
+    target column must be a key, a change column, or an SCD
+    bookkeeping column — anything else raises instead of silently
+    vanishing from the output.
+
+    PRECONDITION: snapshots must be applied in non-decreasing ts
+    order. A late snapshot older than a row's ``valid_from`` would
+    write an inverted interval and promote stale data;
+    ``check_order=True`` runs an assertion job that raises in that
+    case (an extra aggregate over the changed rows — enable it in
+    backfills and tests, skip it on hot paths with trusted ordering).
+
+    The source must be unique per key (``check_unique_source=False``
+    skips the assertion job when the caller already deduped, as with
+    ``upsert_full_conditional``). Plan: one shuffle on the keys for
+    the current-rows join; history passes through without joining —
+    at 100 TB the join side is only the CURRENT generation, not the
+    full history.
     """
-    _assert_unique_keys(source, keys)
+    if not change_cols:
+        raise ValueError("scd2_apply needs at least one change column")
     out_cols = [*keys, *change_cols, valid_from, valid_to, is_current]
-    cur = target.filter(F.col(is_current)).alias("__mt")
-    hist = target.filter(~F.col(is_current)).select(*out_cols)
-    src = source.alias("__ms")
+    extra = [c for c in target.columns if c not in out_cols]
+    if extra:
+        raise ValueError(
+            f"target columns {extra} are neither keys, change_cols, nor "
+            "SCD bookkeeping columns; scd2_apply would silently drop "
+            "them — add them to change_cols or project them away first"
+        )
+    if check_unique_source:
+        _assert_unique_keys(source, keys)
+    cur = (
+        target.filter(F.col(is_current))
+        .withColumn("__t_present", F.lit(1))
+        .alias("__mt")
+    )
+    # NULL is_current rows route to history (pass-through), never drop
+    hist = target.filter(
+        ~F.coalesce(F.col(is_current), F.lit(False))
+    ).select(*out_cols)
+    src = source.withColumn("__s_present", F.lit(1)).alias("__ms")
 
     cond = None
     for k in keys:
         c = F.col(f"__mt.{k}").eqNullSafe(F.col(f"__ms.{k}"))
         cond = c if cond is None else (cond & c)
     j = cur.join(src, on=cond, how="full_outer")
-    matched = F.col(f"__mt.{is_current}").isNotNull() & F.col(
-        f"__ms.{ts_col}"
+    matched = F.col("__mt.__t_present").isNotNull() & F.col(
+        "__ms.__s_present"
     ).isNotNull()
     differs = None
     for c in change_cols:
         d = ~F.col(f"__mt.{c}").eqNullSafe(F.col(f"__ms.{c}"))
         differs = d if differs is None else (differs | d)
 
+    if check_order:
+        stale = j.filter(
+            matched & differs & (F.col(f"__ms.{ts_col}") < F.col(f"__mt.{valid_from}"))
+        ).limit(1)
+        bad = stale.select(*[F.col(f"__mt.{k}") for k in keys]).collect()
+        if bad:
+            raise ValueError(
+                f"out-of-order snapshot: source ts predates valid_from for "
+                f"key {tuple(bad[0])} — apply snapshots in ts order"
+            )
+
     # surviving current rows (unchanged, or key not in source)
     kept = j.filter(
-        F.col(f"__mt.{is_current}").isNotNull() & ~(matched & differs)
+        F.col("__mt.__t_present").isNotNull() & ~(matched & differs)
     ).select(*[F.col(f"__mt.{c}").alias(c) for c in out_cols])
     # closed-out versions of changed rows
     closed = j.filter(matched & differs).select(
@@ -185,7 +231,7 @@ def scd2_apply(
     )
     # new current versions: changed keys + brand-new keys
     fresh = j.filter(
-        (matched & differs) | F.col(f"__mt.{is_current}").isNull()
+        (matched & differs) | F.col("__mt.__t_present").isNull()
     ).select(
         *[F.col(f"__ms.{c}").alias(c) for c in [*keys, *change_cols]],
         F.col(f"__ms.{ts_col}").alias(valid_from),

@@ -341,8 +341,17 @@ def foreach_batch_upsert_run(
     )
 
     def upsert_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        latest = cleanse.dedup_first_wins(batch_df, keys, order_cols)
         cur = txn.current_version_dir(tdir)
+        vname = f"data_v{epoch_id}"
+        if cur is not None and os.path.basename(cur) == vname:
+            # crash window replay: this epoch's version is ALREADY the
+            # committed current (the crash happened between our publish
+            # and Spark's checkpoint commit). Re-running would rmtree
+            # the directory the upsert plan lazily reads from —
+            # destroying the committed table. The epoch is durable;
+            # the replay is a no-op.
+            return
+        latest = cleanse.dedup_first_wins(batch_df, keys, order_cols)
         if cur is not None:
             target = spark.read.parquet(cur)
             result = merge.upsert_full_conditional(
@@ -354,8 +363,8 @@ def foreach_batch_upsert_run(
         # versioned commit (no missing-table window — see operators/txn):
         # write the full new version, then atomically repoint CURRENT.
         # A crash anywhere leaves the previous version committed, so a
-        # checkpoint resume re-running this epoch is idempotent.
-        vname = f"data_v{epoch_id}"
+        # checkpoint resume re-running this epoch is idempotent (the
+        # already-published case short-circuits above).
         vdir = os.path.join(tdir, vname)
         shutil.rmtree(vdir, ignore_errors=True)  # partial write from a crash
         result.write.mode("overwrite").parquet(vdir)
@@ -446,6 +455,12 @@ def streaming_corpus_dedup_run(
 
     def dedup_batch(batch_df: DataFrame, epoch_id: int) -> None:
         cur = txn.current_version_dir(tdir)
+        vname = f"data_v{epoch_id}"
+        if cur is not None and os.path.basename(cur) == vname:
+            # epoch already published; a replay after a crash between
+            # publish and checkpoint commit must not rewrite (and first
+            # rmtree) the committed current version — see upsert_batch
+            return
         batch_df = batch_df.localCheckpoint(eager=True)
         idx_ckpt = None
         # the two eager checkpoints are freed in the finally: a stream
@@ -484,7 +499,6 @@ def streaming_corpus_dedup_run(
                 idx = idx.join(cross_dropped, "doc_id", "left_anti")
 
             # versioned commit of corpus + index together
-            vname = f"data_v{epoch_id}"
             vdir = os.path.join(tdir, vname)
             shutil.rmtree(vdir, ignore_errors=True)
             new_fps = survivors.select("doc_id", fp_expr.alias("f"))

@@ -79,3 +79,50 @@ def test_scd2_rejects_duplicate_source_keys(spark):
     source = [(1, "x", 10), (1, "y", 10)]
     with pytest.raises(ValueError, match="duplicate"):
         _apply(spark, target, source)
+
+
+def test_scd2_guards(spark):
+    import pytest
+
+    target = spark.createDataFrame([(1, "a", 0, None, True)], SCHEMA)
+    source = spark.createDataFrame([(1, "b", 10)], "k long, attr string, ts long")
+    # empty change_cols would silently drop matched rows — must raise
+    with pytest.raises(ValueError, match="at least one change column"):
+        merge.scd2_apply(target, source, keys=["k"], change_cols=[], ts_col="ts")
+    # untracked target columns would silently vanish — must raise
+    t2 = target.withColumn("untracked", F.lit("x"))
+    with pytest.raises(ValueError, match="untracked"):
+        merge.scd2_apply(t2, source, keys=["k"], change_cols=["attr"], ts_col="ts")
+
+
+def test_scd2_null_ts_and_null_is_current(spark):
+    """A NULL source ts must not read as row-absence (presence markers,
+    not ts IS NOT NULL), and NULL is_current rows route to history —
+    never silently dropped."""
+    target = spark.createDataFrame(
+        [(1, "a", 0, None, True), (9, "ghost", 0, None, None)], SCHEMA
+    )
+    source = spark.createDataFrame(
+        [(1, "changed", None)], "k long, attr string, ts long"
+    )
+    out = merge.scd2_apply(
+        target, source, keys=["k"], change_cols=["attr"], ts_col="ts"
+    )
+    rows = {(r.k, r.attr): (r.valid_to, r.is_current) for r in out.collect()}
+    # the change IS captured (NULL ts means an unknown close time, not absence)
+    assert (1, "changed") in rows and rows[(1, "changed")][1] is True
+    assert (1, "a") in rows and rows[(1, "a")][1] is False
+    # NULL-is_current row preserved as history
+    assert (9, "ghost") in rows
+
+
+def test_scd2_check_order_rejects_stale_snapshot(spark):
+    import pytest
+
+    target = spark.createDataFrame([(1, "v2", 100, None, True)], SCHEMA)
+    stale = spark.createDataFrame([(1, "v1", 50)], "k long, attr string, ts long")
+    with pytest.raises(ValueError, match="out-of-order"):
+        merge.scd2_apply(
+            target, stale, keys=["k"], change_cols=["attr"], ts_col="ts",
+            check_order=True,
+        )

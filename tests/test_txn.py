@@ -163,13 +163,27 @@ def test_time_travel_single_line_pointer_back_compat(spark, tmp_path):
 
 def test_streaming_upsert_with_history(spark, tmp_path):
     """foreach_batch_upsert_run(keep_last=2) leaves the previous epoch
-    readable — the corpus-snapshot time-travel story end to end."""
+    readable — the corpus-snapshot time-travel story end to end. Two
+    source files + maxFilesPerTrigger=1 force TWO epochs, so retention
+    is actually exercised (one epoch would pass even if keep_last were
+    ignored)."""
+    import time as _time
+
     ev = load_table(spark, SF_DIR, "events").limit(200)
-    src = str(tmp_path / "src")
-    ev.coalesce(1).write.mode("overwrite").parquet(src)
-    stream = streaming.events_stream(spark, src).select(
-        "user_id", "event_id", "ts", "event_type", "value"
-    )
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, frac in enumerate([0.5, 1.0]):
+        part = ev.limit(int(200 * frac))
+        pdir = str(tmp_path / f"part{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(pdir)
+        pfile = next(
+            f for f in os.listdir(pdir) if f.endswith(".parquet")
+        )
+        os.replace(os.path.join(pdir, pfile), str(src / f"f{i}.parquet"))
+        _time.sleep(1.1)  # distinct mtimes -> deterministic epoch order
+    stream = streaming.events_stream(
+        spark, str(src), max_files_per_trigger=1
+    ).select("user_id", "event_id", "ts", "event_type", "value")
     final = streaming.foreach_batch_upsert_run(
         spark,
         stream,
@@ -180,8 +194,11 @@ def test_streaming_upsert_with_history(spark, tmp_path):
     )
     assert final.count() > 0
     versions = txn.list_versions(str(tmp_path / "tbl"))
-    assert len(versions) >= 1
+    assert len(versions) == 2, versions
+    # current epoch == final state; previous epoch is a strict subset
     assert txn.read_version(spark, str(tmp_path / "tbl"), versions[0]).count() == final.count()
+    prev = txn.read_version(spark, str(tmp_path / "tbl"), versions[1])
+    assert 0 < prev.count() <= final.count()
 
 
 def test_clustered_write_prunes_by_minmax(spark, tmp_path):
