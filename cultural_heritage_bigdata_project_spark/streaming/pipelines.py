@@ -382,6 +382,87 @@ def foreach_batch_upsert_run(
     return spark.read.parquet(txn.current_version_dir(tdir))
 
 
+def foreach_batch_scd2_run(
+    spark: SparkSession,
+    stream: DataFrame,
+    keys: list[str],
+    change_cols: list[str],
+    ts_col: str = "ts_us",
+    target_dir: str | None = None,
+    reset: bool = True,
+    keep_last: int = 1,
+) -> DataFrame:
+    """Streaming SCD Type 2 sink: each micro-batch is a snapshot
+    increment applied with ``merge.scd2_apply`` — changed keys close
+    their current version (valid_to = row ts) and open a new one,
+    unchanged/absent keys are untouched, history is never deleted.
+    The dimension-table maintenance loop the reference would need for
+    its serving layer, as one streaming query.
+
+    Per micro-batch: collapse the batch to its latest row per key
+    (max ``ts_col``; intra-batch intermediate values are not
+    historized — a micro-batch is one snapshot), then SCD2-merge into
+    the versioned table. Commit/crash semantics are identical to
+    ``foreach_batch_upsert_run`` (versioned publish, replayed-epoch
+    short-circuit, ``keep_last`` time travel). Batches must arrive in
+    non-decreasing ``ts_col`` order per key (file-source streams over
+    time-ordered landings satisfy this); enable
+    ``scd2_apply(check_order=True)`` semantics for backfills by
+    pre-sorting the landing instead.
+
+    Returns the final SCD table as a batch DataFrame.
+    """
+    tdir = target_dir or os.path.join(
+        tempfile.gettempdir(), f"spark_graft_scd2_{uuid.uuid4().hex[:8]}"
+    )
+    if reset:
+        shutil.rmtree(tdir, ignore_errors=True)
+    os.makedirs(tdir, exist_ok=True)
+    txn.cleanup_unpublished(tdir)
+    order_cols = [F.col(ts_col).desc()]
+
+    def scd2_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        cur = txn.current_version_dir(tdir)
+        vname = f"data_v{epoch_id}"
+        if cur is not None and os.path.basename(cur) == vname:
+            return  # already-published epoch replay — see upsert_batch
+        latest = cleanse.dedup_first_wins(batch_df, keys, order_cols)
+        ts_type = latest.schema[ts_col].dataType
+        if cur is None:
+            result = latest.select(
+                *keys,
+                *change_cols,
+                F.col(ts_col).alias("valid_from"),
+                F.lit(None).cast(ts_type).alias("valid_to"),
+                F.lit(True).alias("is_current"),
+            )
+        else:
+            target = spark.read.parquet(cur)
+            result = merge.scd2_apply(
+                target,
+                latest.select(*keys, *change_cols, ts_col),
+                keys=keys,
+                change_cols=change_cols,
+                ts_col=ts_col,
+                check_unique_source=False,  # dedup_first_wins guarantees it
+            )
+        vdir = os.path.join(tdir, vname)
+        shutil.rmtree(vdir, ignore_errors=True)
+        result.write.mode("overwrite").parquet(vdir)
+        txn.publish_version(tdir, vname, keep_last=keep_last)
+
+    writer = stream.writeStream.foreachBatch(scd2_batch).trigger(availableNow=True)
+    with _scoped_shuffle_partitions(spark):
+        q = writer.option(
+            "checkpointLocation", os.path.join(tdir, "_checkpoint")
+        ).start()
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    return spark.read.parquet(txn.current_version_dir(tdir))
+
+
 DOCS_STREAM_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

@@ -126,3 +126,65 @@ def test_scd2_check_order_rejects_stale_snapshot(spark):
             target, stale, keys=["k"], change_cols=["attr"], ts_col="ts",
             check_order=True,
         )
+
+
+def test_streaming_scd2_matches_batch_history(spark, tmp_path):
+    """Two time-ordered micro-batches of a changing dimension must
+    produce: current rows = each key's latest value, closed rows for
+    every key whose value changed between the two snapshots, and a
+    readable previous version under keep_last=2."""
+    import os
+    import time as _time
+
+    from cultural_heritage_bigdata_project_spark import streaming
+    from cultural_heritage_bigdata_project_spark.operators import txn
+
+    # snapshot 0: keys 0..9 value "v0"; snapshot 1 (later ts): keys
+    # 0..4 change to "v1", keys 5..7 resent unchanged, 8..9 absent,
+    # key 10 is new
+    snap0 = [(k, "v0", 100) for k in range(10)]
+    snap1 = (
+        [(k, "v1", 200) for k in range(5)]
+        + [(k, "v0", 200) for k in range(5, 8)]
+        + [(10, "v1", 200)]
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate([snap0, snap1]):
+        df = spark.createDataFrame(rows, "k long, attr string, ts_us long")
+        pdir = str(tmp_path / f"p{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(pdir)
+        pf = next(f for f in os.listdir(pdir) if f.endswith(".parquet"))
+        os.replace(os.path.join(pdir, pf), str(src / f"f{i}.parquet"))
+        _time.sleep(1.1)
+    reader = spark.readStream.schema("k long, attr string, ts_us long").option(
+        "maxFilesPerTrigger", 1
+    )
+    stream = reader.parquet(str(src))
+    tbl = str(tmp_path / "dim")
+    final = streaming.foreach_batch_scd2_run(
+        spark,
+        stream,
+        keys=["k"],
+        change_cols=["attr"],
+        ts_col="ts_us",
+        target_dir=tbl,
+        keep_last=2,
+    )
+    rows = {(r.k, r.attr, r.is_current): (r.valid_from, r.valid_to) for r in final.collect()}
+    # changed keys: closed v0 + current v1
+    for k in range(5):
+        assert rows[(k, "v0", False)] == (100, 200)
+        assert rows[(k, "v1", True)] == (200, None)
+    # unchanged / absent keys: single open version from snapshot 0
+    for k in range(5, 10):
+        assert rows[(k, "v0", True)] == (100, None)
+    # new key
+    assert rows[(10, "v1", True)] == (200, None)
+    assert len(rows) == 5 * 2 + 5 + 1
+    # time travel: the pre-change snapshot is retained and has no history
+    versions = txn.list_versions(tbl)
+    assert len(versions) == 2
+    prev = txn.read_version(spark, tbl, versions[1])
+    assert prev.filter(~prev.is_current).count() == 0
+    assert prev.count() == 10
