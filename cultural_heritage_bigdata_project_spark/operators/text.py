@@ -687,3 +687,48 @@ def bm25_search(
         .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
         .limit(top_k)
     )
+
+
+def nfc_normalize(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unicode NFC normalization — the canonical-composition pass every
+    corpus pipeline runs before hashing/dedup (decomposed and
+    precomposed renderings of the same character otherwise hash apart
+    and defeat exact dedup). Returns (id, text_nfc, changed).
+
+    Spark SQL has no Unicode-normalize builtin, so this is an
+    Arrow-batched mapInPandas over ``unicodedata.normalize`` (CPython's
+    C implementation) — vectorized batches, not per-row Python. Plan:
+    one narrow pass, no shuffle. The DuckDB oracle replays with its
+    native ``nfc_normalize`` (agreement verified in tests on combining
+    characters, not just ASCII).
+    """
+    import unicodedata
+
+    import pandas as pd
+
+    def norm(batches):
+        for pdf in batches:
+            texts = pdf["__t"]
+            out = [
+                unicodedata.normalize("NFC", t) if t is not None else None
+                for t in texts
+            ]
+            yield pd.DataFrame(
+                {
+                    "__id": pdf["__id"],
+                    "text_nfc": out,
+                    "changed": [
+                        (t is not None and o != t) for t, o in zip(texts, out)
+                    ],
+                }
+            )
+
+    return (
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+        .mapInPandas(norm, "__id long, text_nfc string, changed boolean")
+        .withColumnRenamed("__id", id_col)
+    )

@@ -138,6 +138,7 @@ GROUPS: dict[str, list[str]] = {
         "chunk_documents",
         "charlm_quality",
         "duplicate_spans",
+        "nfc_normalize_docs",
     ],
     "corpus_sampling_digest": [
         "hash_split_sets",
@@ -451,6 +452,11 @@ PART_COLS: dict[str, tuple[tuple[str, str], ...]] = {
         ("a_id", "s"),
         ("b_id", "s"),
         ("n_shared_spans", "s"),
+    ),
+    "nfc_normalize_docs": (
+        ("changed", "s"),
+        ("doc_id", "s"),
+        ("text_nfc", "s"),
     ),
     "domain_cap_sample": (
         ("doc_id", "s"),

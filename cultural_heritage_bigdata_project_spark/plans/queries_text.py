@@ -167,6 +167,24 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "nfc_normalize_docs",
+    description="Unicode NFC canonical-composition pass (the corpus "
+    "normalization step that keeps decomposed/precomposed renderings "
+    "of the same character from hashing apart in dedup): Arrow-batched "
+    "unicodedata.normalize, one narrow pass, no shuffle; oracle = "
+    "DuckDB's native nfc_normalize",
+    survey_ref="P4,M3",
+    oracle="""
+SELECT doc_id, nfc_normalize(text) AS text_nfc,
+       nfc_normalize(text) <> text AS changed
+FROM documents
+""",
+)
+def nfc_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.nfc_normalize(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
 def _charlm_oracle() -> str:
     from ..functions.langid import lm_norm_nano, lm_values_sql
 

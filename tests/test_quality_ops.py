@@ -192,3 +192,33 @@ def test_duplicate_spans_planted_verbatim_reuse(spark):
         for r in t.duplicate_spans(df, n=8, min_spans=3).collect()
     }
     assert got == {(0, 1): 3}, got
+
+
+def test_nfc_normalize_combining_characters(spark):
+    """NFC must compose decomposed characters (e + U+0301 -> é), flag
+    the change, and agree with DuckDB's native nfc_normalize — on real
+    combining marks, not just the fixture's ASCII."""
+    import duckdb
+    import pandas as pd
+
+    from cultural_heritage_bigdata_project_spark.operators import text as t
+
+    decomposed = "café naïve"   # e+COMBINING ACUTE, i+COMBINING DIAERESIS
+    composed = "café naïve"
+    rows = [(0, decomposed), (1, composed), (2, "plain ascii"), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.text_nfc, r.changed) for r in t.nfc_normalize(df).collect()}
+    assert got[0] == (composed, True)
+    assert got[1] == (composed, False)
+    assert got[2] == ("plain ascii", False)
+    assert got[3] == (None, False)
+    con = duckdb.connect()
+    con.register("d", pd.DataFrame({"doc_id": [0, 1, 2], "text": [decomposed, composed, "plain ascii"]}))
+    oracle = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            "SELECT doc_id, nfc_normalize(text), nfc_normalize(text) <> text FROM d"
+        ).fetchall()
+    }
+    for k, v in oracle.items():
+        assert got[k] == v, (k, got[k], v)
