@@ -125,6 +125,117 @@ def upsert_full_conditional(
     return j.select(*out)
 
 
+def scd2_delta(
+    current: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    change_cols: Sequence[str],
+    ts_col: str = "ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    is_current: str = "is_current",
+    check_unique_source: bool = True,
+    check_order: bool = False,
+    check_ts: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """The incremental core of the SCD Type 2 merge: apply a source
+    snapshot against the CURRENT generation only and return
+    ``(new_current, newly_closed)`` — the two deltas a history-bounded
+    sink materializes separately (closed rows are immutable once
+    written, so a streaming sink appends them instead of rewriting the
+    accumulated history every epoch; see
+    ``streaming.foreach_batch_scd2_run``).
+
+    ``current`` must hold only open rows (``is_current`` true) with
+    the full SCD column set. Semantics, guards, and the one-shuffle
+    plan are those of ``scd2_apply``, which is this function plus the
+    history pass-through union.
+
+    ``check_ts=True`` (default) raises when the source carries a NULL
+    ``ts_col`` for a row that would change or insert a key: a NULL
+    close timestamp writes ``valid_to = NULL`` on the closed row —
+    indistinguishable from an open interval under the
+    valid_to-IS-NULL convention — and ``valid_from = NULL`` on the new
+    one, silently corrupting interval semantics. Unchanged/absent keys
+    tolerate NULL ts (nothing is written for them). Set False only
+    when upstream guarantees non-NULL snapshot timestamps and the
+    extra ``limit(1)`` assertion probe matters.
+    """
+    if not change_cols:
+        raise ValueError("scd2_apply needs at least one change column")
+    out_cols = [*keys, *change_cols, valid_from, valid_to, is_current]
+    if check_unique_source:
+        _assert_unique_keys(source, keys)
+    cur = current.withColumn("__t_present", F.lit(1)).alias("__mt")
+    src = source.withColumn("__s_present", F.lit(1)).alias("__ms")
+
+    cond = None
+    for k in keys:
+        c = F.col(f"__mt.{k}").eqNullSafe(F.col(f"__ms.{k}"))
+        cond = c if cond is None else (cond & c)
+    j = cur.join(src, on=cond, how="full_outer")
+    matched = F.col("__mt.__t_present").isNotNull() & F.col(
+        "__ms.__s_present"
+    ).isNotNull()
+    differs = None
+    for c in change_cols:
+        d = ~F.col(f"__mt.{c}").eqNullSafe(F.col(f"__ms.{c}"))
+        differs = d if differs is None else (differs | d)
+    # rows the merge would write: changed keys + brand-new keys
+    writes = (matched & differs) | F.col("__mt.__t_present").isNull()
+
+    violation = None
+    if check_ts:
+        violation = writes & F.col(f"__ms.{ts_col}").isNull()
+    if check_order:
+        stale = matched & differs & (
+            F.col(f"__ms.{ts_col}") < F.col(f"__mt.{valid_from}")
+        )
+        violation = stale if violation is None else (violation | stale)
+    if violation is not None:
+        bad = (
+            j.filter(violation)
+            .select(
+                F.col(f"__ms.{ts_col}").alias("__ts"),
+                *[F.col(f"__ms.{k}") for k in keys],
+            )
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            key_vals = tuple(bad[0][1:])
+            if bad[0]["__ts"] is None:
+                raise ValueError(
+                    f"NULL source {ts_col!r} for changed/new key {key_vals} — "
+                    "a NULL close/open timestamp corrupts SCD2 interval "
+                    "semantics (valid_to=NULL reads as an open interval); "
+                    "supply snapshot timestamps or pass check_ts=False"
+                )
+            raise ValueError(
+                f"out-of-order snapshot: source ts predates valid_from for "
+                f"key {key_vals} — apply snapshots in ts order"
+            )
+
+    # surviving current rows (unchanged, or key not in source)
+    kept = j.filter(
+        F.col("__mt.__t_present").isNotNull() & ~(matched & differs)
+    ).select(*[F.col(f"__mt.{c}").alias(c) for c in out_cols])
+    # new current versions: changed keys + brand-new keys
+    fresh = j.filter(writes).select(
+        *[F.col(f"__ms.{c}").alias(c) for c in [*keys, *change_cols]],
+        F.col(f"__ms.{ts_col}").alias(valid_from),
+        F.lit(None).cast(current.schema[valid_to].dataType).alias(valid_to),
+        F.lit(True).alias(is_current),
+    )
+    # closed-out versions of changed rows (immutable once emitted)
+    closed = j.filter(matched & differs).select(
+        *[F.col(f"__mt.{c}").alias(c) for c in [*keys, *change_cols, valid_from]],
+        F.col(f"__ms.{ts_col}").alias(valid_to),
+        F.lit(False).alias(is_current),
+    )
+    return kept.unionByName(fresh), closed
+
+
 def scd2_apply(
     target: DataFrame,
     source: DataFrame,
@@ -136,6 +247,7 @@ def scd2_apply(
     is_current: str = "is_current",
     check_unique_source: bool = True,
     check_order: bool = False,
+    check_ts: bool = True,
 ) -> DataFrame:
     """SCD Type 2 merge: history-tracking upsert (the warehouse pattern
     Delta expresses as a two-action MERGE; Kimball slowly-changing
@@ -164,13 +276,16 @@ def scd2_apply(
     ``check_order=True`` runs an assertion job that raises in that
     case (an extra aggregate over the changed rows — enable it in
     backfills and tests, skip it on hot paths with trusted ordering).
+    A NULL source ts on a changed/new key raises by default
+    (``check_ts`` — see ``scd2_delta``).
 
     The source must be unique per key (``check_unique_source=False``
     skips the assertion job when the caller already deduped, as with
     ``upsert_full_conditional``). Plan: one shuffle on the keys for
     the current-rows join; history passes through without joining —
     at 100 TB the join side is only the CURRENT generation, not the
-    full history.
+    full history (and the streaming sink doesn't even rewrite it —
+    ``scd2_delta`` exposes the closed rows for append-only storage).
     """
     if not change_cols:
         raise ValueError("scd2_apply needs at least one change column")
@@ -182,60 +297,22 @@ def scd2_apply(
             "SCD bookkeeping columns; scd2_apply would silently drop "
             "them — add them to change_cols or project them away first"
         )
-    if check_unique_source:
-        _assert_unique_keys(source, keys)
-    cur = (
-        target.filter(F.col(is_current))
-        .withColumn("__t_present", F.lit(1))
-        .alias("__mt")
-    )
+    cur = target.filter(F.col(is_current)).select(*out_cols)
     # NULL is_current rows route to history (pass-through), never drop
     hist = target.filter(
         ~F.coalesce(F.col(is_current), F.lit(False))
     ).select(*out_cols)
-    src = source.withColumn("__s_present", F.lit(1)).alias("__ms")
-
-    cond = None
-    for k in keys:
-        c = F.col(f"__mt.{k}").eqNullSafe(F.col(f"__ms.{k}"))
-        cond = c if cond is None else (cond & c)
-    j = cur.join(src, on=cond, how="full_outer")
-    matched = F.col("__mt.__t_present").isNotNull() & F.col(
-        "__ms.__s_present"
-    ).isNotNull()
-    differs = None
-    for c in change_cols:
-        d = ~F.col(f"__mt.{c}").eqNullSafe(F.col(f"__ms.{c}"))
-        differs = d if differs is None else (differs | d)
-
-    if check_order:
-        stale = j.filter(
-            matched & differs & (F.col(f"__ms.{ts_col}") < F.col(f"__mt.{valid_from}"))
-        ).limit(1)
-        bad = stale.select(*[F.col(f"__mt.{k}") for k in keys]).collect()
-        if bad:
-            raise ValueError(
-                f"out-of-order snapshot: source ts predates valid_from for "
-                f"key {tuple(bad[0])} — apply snapshots in ts order"
-            )
-
-    # surviving current rows (unchanged, or key not in source)
-    kept = j.filter(
-        F.col("__mt.__t_present").isNotNull() & ~(matched & differs)
-    ).select(*[F.col(f"__mt.{c}").alias(c) for c in out_cols])
-    # closed-out versions of changed rows
-    closed = j.filter(matched & differs).select(
-        *[F.col(f"__mt.{c}").alias(c) for c in [*keys, *change_cols, valid_from]],
-        F.col(f"__ms.{ts_col}").alias(valid_to),
-        F.lit(False).alias(is_current),
+    new_current, closed = scd2_delta(
+        cur,
+        source,
+        keys,
+        change_cols,
+        ts_col=ts_col,
+        valid_from=valid_from,
+        valid_to=valid_to,
+        is_current=is_current,
+        check_unique_source=check_unique_source,
+        check_order=check_order,
+        check_ts=check_ts,
     )
-    # new current versions: changed keys + brand-new keys
-    fresh = j.filter(
-        (matched & differs) | F.col("__mt.__t_present").isNull()
-    ).select(
-        *[F.col(f"__ms.{c}").alias(c) for c in [*keys, *change_cols]],
-        F.col(f"__ms.{ts_col}").alias(valid_from),
-        F.lit(None).cast(target.schema[valid_to].dataType).alias(valid_to),
-        F.lit(True).alias(is_current),
-    )
-    return hist.unionByName(kept).unionByName(closed).unionByName(fresh)
+    return hist.unionByName(new_current).unionByName(closed)

@@ -29,10 +29,13 @@ Two remedies, both POSIX-rename-atomic:
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
 CURRENT = "CURRENT"
+MANIFEST = "MANIFEST.json"
+SEGMENTS_DIR = "segments"
 
 
 def _read_pointer(root: str) -> list[str]:
@@ -81,20 +84,113 @@ def version_dir(root: str, version: str | int) -> str:
     return os.path.join(root, name)
 
 
+def segment_path(root: str, name: str) -> str:
+    """An immutable segment directory under the shared segment store.
+    Segments are written once and then only ever referenced by version
+    manifests — the file-layout move that bounds streaming-sink write
+    amplification to O(batch), not O(table) (Delta/Iceberg data files
+    play the same role under their commit logs)."""
+    return os.path.join(root, SEGMENTS_DIR, name)
+
+
+def _has_parquet(path: str) -> bool:
+    """True if the directory holds at least one parquet part file.
+    Spark writes no part file for an empty DataFrame, and reading such
+    a directory fails schema inference — writers use this to drop
+    empty segments from manifests instead of publishing unreadable
+    references."""
+    try:
+        return any(f.endswith(".parquet") for f in os.listdir(path))
+    except FileNotFoundError:
+        return False
+
+
+def write_manifest(root: str, dirname: str, components: dict) -> None:
+    """Write a version's component manifest (fsync'd; the version is
+    not visible until ``publish_version`` repoints CURRENT, so no
+    atomicity is needed here).
+
+    ``components`` maps a component name ('' for the default table) to
+    ``{"base": <subdir of the version dir or None>,
+       "segments": [<names under root/segments>],
+       "reconstruct": <None or a latest-by-key spec>}``.
+    """
+    path = os.path.join(root, dirname, MANIFEST)
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump({"components": components}, f)
+        f.flush()
+        os.fsync(f.fileno())
+
+
+def read_manifest(root: str, dirname: str) -> dict | None:
+    """The component manifest of a version directory, or None for a
+    plain (pre-manifest) parquet version."""
+    try:
+        with open(os.path.join(root, dirname, MANIFEST), encoding="utf-8") as f:
+            return json.load(f)["components"]
+    except FileNotFoundError:
+        return None
+
+
+def reconstruct_latest(df, spec: dict, keep_seq: bool = False):
+    """Merge-on-read reconstruction for delta-segmented upsert tables:
+    latest row per key across base+delta segments. The winning row is
+    the one a strict left-fold of conditional upserts would keep — max
+    ``order_desc`` key, ties broken toward the EARLIEST segment (the
+    incumbent wins a tie, matching ``upsert_full_conditional``'s
+    strict ``>``). NULL order keys sort last under ``desc`` and so
+    never displace a non-NULL incumbent."""
+    from pyspark.sql import functions as F
+
+    from . import cleanse
+
+    order = [F.col(c).desc() for c in spec["order_desc"]] + [
+        F.col(spec["seq_col"]).asc()
+    ]
+    out = cleanse.dedup_first_wins(df, spec["keys"], order)
+    return out if keep_seq else out.drop(spec["seq_col"])
+
+
 def read_version(spark, root: str, version: str | int | None = None, subdir: str | None = None):
     """Time-travel read: the parquet contents of a retained version
     (default: current). ``subdir`` selects a component of a composite
     commit (e.g. the streaming corpus dedup publishes corpus/ fps/
-    bands/ together)."""
+    bands/ together).
+
+    Manifest-bearing versions (the segmented streaming-sink layout)
+    resolve to the union of the version's base component and its
+    referenced immutable segments; a ``reconstruct`` spec additionally
+    applies the latest-by-key merge-on-read collapse. Plain parquet
+    version directories read as before."""
     if version is None:
         path = current_version_dir(root)
         if path is None:
             raise FileNotFoundError(f"nothing published under {root!r}")
     else:
         path = version_dir(root, version)
-    if subdir is not None:
-        path = os.path.join(path, subdir)
-    return spark.read.parquet(path)
+    components = read_manifest(root, os.path.basename(path))
+    if components is None:
+        if subdir is not None:
+            path = os.path.join(path, subdir)
+        return spark.read.parquet(path)
+    name = subdir or ""
+    if name not in components:
+        raise KeyError(
+            f"component {name!r} not in version manifest; available: "
+            f"{sorted(components)}"
+        )
+    comp = components[name]
+    paths = []
+    if comp.get("base"):
+        paths.append(os.path.join(path, comp["base"]))
+    paths.extend(segment_path(root, s) for s in comp.get("segments", []))
+    if not paths:
+        raise FileNotFoundError(
+            f"version {os.path.basename(path)!r} component {name!r} is empty"
+        )
+    df = spark.read.parquet(*paths)
+    spec = comp.get("reconstruct")
+    return reconstruct_latest(df, spec) if spec else df
 
 
 def publish_version(root: str, dirname: str, keep_last: int = 1) -> str:
@@ -123,9 +219,12 @@ def publish_version(root: str, dirname: str, keep_last: int = 1) -> str:
 
 
 def cleanup_unpublished(root: str) -> list[str]:
-    """Remove data_v* directories not referenced by the manifest
-    (stale partial writes from crashed commits, or versions aged out
-    of retention). Returns removed names."""
+    """Remove data_v* directories not referenced by the pointer
+    manifest (stale partial writes from crashed commits, or versions
+    aged out of retention), then segment directories referenced by no
+    retained version (orphans of a crash between segment write and
+    publish, or segments whose last referencing version aged out).
+    Returns removed names."""
     keep = set(_read_pointer(root))
     removed = []
     if not os.path.isdir(root):
@@ -134,6 +233,17 @@ def cleanup_unpublished(root: str) -> list[str]:
         if name.startswith("data_v") and name not in keep:
             shutil.rmtree(os.path.join(root, name), ignore_errors=True)
             removed.append(name)
+    seg_root = os.path.join(root, SEGMENTS_DIR)
+    if os.path.isdir(seg_root):
+        referenced: set[str] = set()
+        for name in keep:
+            components = read_manifest(root, name)
+            for comp in (components or {}).values():
+                referenced.update(comp.get("segments", []))
+        for name in os.listdir(seg_root):
+            if name not in referenced:
+                shutil.rmtree(os.path.join(seg_root, name), ignore_errors=True)
+                removed.append(os.path.join(SEGMENTS_DIR, name))
     stale_tmp = os.path.join(root, CURRENT + ".tmp")
     if os.path.exists(stale_tmp):
         os.remove(stale_tmp)

@@ -95,10 +95,33 @@ def test_scd2_guards(spark):
         merge.scd2_apply(t2, source, keys=["k"], change_cols=["attr"], ts_col="ts")
 
 
+def test_scd2_null_ts_raises_by_default(spark):
+    """A NULL source ts on a changed/new key corrupts interval
+    semantics (valid_to=NULL on a CLOSED row reads as an open
+    interval) — the default must raise, not silently write it
+    (round-3 advice)."""
+    import pytest
+
+    target = spark.createDataFrame([(1, "a", 0, None, True)], SCHEMA)
+    source = spark.createDataFrame(
+        [(1, "changed", None)], "k long, attr string, ts long"
+    )
+    with pytest.raises(ValueError, match="NULL source"):
+        merge.scd2_apply(
+            target, source, keys=["k"], change_cols=["attr"], ts_col="ts"
+        )
+    # a NULL ts on an UNCHANGED key writes nothing — no raise
+    same = spark.createDataFrame([(1, "a", None)], "k long, attr string, ts long")
+    out = merge.scd2_apply(
+        target, same, keys=["k"], change_cols=["attr"], ts_col="ts"
+    )
+    assert [(r.k, r.attr, r.is_current) for r in out.collect()] == [(1, "a", True)]
+
+
 def test_scd2_null_ts_and_null_is_current(spark):
-    """A NULL source ts must not read as row-absence (presence markers,
-    not ts IS NOT NULL), and NULL is_current rows route to history —
-    never silently dropped."""
+    """With the guard opted out, a NULL source ts must not read as
+    row-absence (presence markers, not ts IS NOT NULL), and NULL
+    is_current rows route to history — never silently dropped."""
     target = spark.createDataFrame(
         [(1, "a", 0, None, True), (9, "ghost", 0, None, None)], SCHEMA
     )
@@ -106,7 +129,8 @@ def test_scd2_null_ts_and_null_is_current(spark):
         [(1, "changed", None)], "k long, attr string, ts long"
     )
     out = merge.scd2_apply(
-        target, source, keys=["k"], change_cols=["attr"], ts_col="ts"
+        target, source, keys=["k"], change_cols=["attr"], ts_col="ts",
+        check_ts=False,
     )
     rows = {(r.k, r.attr): (r.valid_to, r.is_current) for r in out.collect()}
     # the change IS captured (NULL ts means an unknown close time, not absence)
