@@ -101,8 +101,15 @@ def staging_swap_statements(table: str, staging: str | None = None) -> list[str]
     around a JDBC load (reference S14: curated_to_postgres.py:83-132 —
     load into a staging table, then an atomic rename swap so readers
     never see a partial table). Spark writes into ``staging`` between
-    the prepare and swap phases; the list is unit-testable and
-    database-agnostic (ANSI rename syntax).
+    the prepare and swap phases; the list is unit-testable.
+
+    PostgreSQL dialect, matching the reference's serving target:
+    ``CREATE TABLE (LIKE ... INCLUDING ALL)`` and transactional DDL
+    (BEGIN/COMMIT around ALTER) are PostgreSQL features — MySQL
+    auto-commits DDL and Oracle spells the clone differently, so
+    targeting another database means swapping this statement list,
+    not just the JDBC URL (round-3 advice scoped the former
+    "database-agnostic ANSI" claim).
 
     Order: [prepare staging] ... spark jdbc write ... [atomic swap +
     cleanup]. A crash before COMMIT leaves the serving table untouched

@@ -121,34 +121,32 @@ def events_stream(
 
     ``ts_type`` pins the on-disk ts representation up front
     (``LongType()`` for the nanos-as-long generation, a timestamp type
-    otherwise). Pass it for directories whose files will arrive later
-    or mix generations — a streaming source holds ONE schema for its
-    lifetime, so the footer probe below can only reflect the files
-    present at declaration time (round-2 advice).
+    otherwise). It is REQUIRED for a directory with no parquet footer
+    to probe (not yet populated): a streaming source holds ONE schema
+    for its lifetime, and a guessed schema would fail the first batch
+    at runtime if the files that eventually arrive carry the other ts
+    generation — declaration is the only safe place to fail (round-2
+    advice made the guess a warning; round-3 advice hardened it into
+    this error).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Fixture generations differ (ts as INT64 nanos vs TIMESTAMP micros);
     # a streaming source needs the schema up front, so probe the footer
     # with a batch read (driver-side metadata only, no scan) and adapt.
-    # A not-yet-populated landing directory has no footer to probe —
-    # fall back to the declared nanos-long default so the stream can be
-    # declared before its first file arrives (round-2 advice).
     from pyspark.errors import AnalysisException
 
     if ts_type is None:
         try:
             ts_type = spark.read.parquet(path).schema["ts"].dataType
-        except AnalysisException:
-            import warnings
-
-            warnings.warn(
-                f"events_stream: no parquet footer to probe under {path!r}; "
-                "assuming the nanos-as-long ts generation. If the files "
-                "that arrive carry TIMESTAMP ts, the stream will fail its "
-                "first batch — pass ts_type explicitly to pin the schema.",
-                stacklevel=2,
-            )
-            ts_type = T.LongType()
+        except AnalysisException as e:
+            raise ValueError(
+                f"events_stream: no parquet footer to probe under {path!r} "
+                "(empty or not-yet-populated landing directory). Pass "
+                "ts_type explicitly (LongType() for the nanos-as-long "
+                "generation, TimestampType()/TimestampNTZType() for the "
+                "TIMESTAMP generation) — a guessed stream schema fails at "
+                "first batch, not at declaration."
+            ) from e
     nanos_long = isinstance(ts_type, T.LongType)
     schema = EVENTS_SCHEMA if nanos_long else T.StructType(
         [

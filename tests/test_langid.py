@@ -124,9 +124,12 @@ def test_charlm_separates_clean_from_garbage(spark):
     assert scores[0] > scores[1] + 1.0, scores
 
 
-def test_charlm_profile_is_broadcast(spark):
-    """The profile join must broadcast (the model table is tiny at any
-    corpus scale); the only shuffle is the per-doc aggregate."""
+def test_charlm_plan_is_shuffle_free(spark):
+    """The score must compute as ONE projection over the scan — the
+    656-entry profile is a constant map literal folded into the
+    expression, so there is no exchange of ANY kind (no explode
+    shuffle, no broadcast, no aggregate): the per-doc fold runs at
+    scan speed and scales embarrassingly (round-3 verdict item #2)."""
     from cultural_heritage_bigdata_project_spark.operators import text as t
     from cultural_heritage_bigdata_project_spark.sources.tables import load_table
 
@@ -138,4 +141,6 @@ def test_charlm_profile_is_broadcast(spark):
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
-    assert "BroadcastExchange" in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Generate" not in plan, plan  # no explode

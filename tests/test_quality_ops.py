@@ -211,9 +211,12 @@ def test_nfc_normalize_combining_characters(spark):
     assert got[0] == (composed, True)
     assert got[1] == (composed, False)
     assert got[2] == ("plain ascii", False)
-    assert got[3] == (None, False)
+    # SQL three-valued semantics: NULL text -> NULL changed, matching
+    # the oracle's nfc_normalize(text) <> text (round-3 advice; was
+    # False, a latent cross-engine hash divergence)
+    assert got[3] == (None, None)
     con = duckdb.connect()
-    con.register("d", pd.DataFrame({"doc_id": [0, 1, 2], "text": [decomposed, composed, "plain ascii"]}))
+    con.register("d", pd.DataFrame({"doc_id": [0, 1, 2, 3], "text": [decomposed, composed, "plain ascii", None]}))
     oracle = {
         r[0]: (r[1], r[2])
         for r in con.execute(

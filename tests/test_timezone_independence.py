@@ -73,12 +73,16 @@ def test_ntz_utc_normalization_of_ltz_column(spark):
     assert rendered("Asia/Tokyo") == "2024-06-01 12:00:00"
 
 
-def test_events_stream_declarable_on_empty_dir(spark, tmp_path):
-    """A landing directory with no files yet must still accept a stream
-    declaration (falls back to the nanos-long default schema)."""
-    stream = streaming.events_stream(spark, str(tmp_path))
-    assert stream.isStreaming
-    assert isinstance(stream.schema["ts"].dataType, T.TimestampNTZType)
+def test_events_stream_empty_dir_requires_ts_type(spark, tmp_path):
+    """A landing directory with no files must REFUSE a declaration
+    without an explicit ts_type: a guessed schema would fail the
+    stream's first batch at runtime if the other ts generation arrives
+    (round-3 advice — was a warn-and-guess). With ts_type pinned the
+    declaration succeeds (next test)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="ts_type"):
+        streaming.events_stream(spark, str(tmp_path))
 
 
 def test_events_stream_explicit_ts_type_skips_probe(spark, tmp_path):
