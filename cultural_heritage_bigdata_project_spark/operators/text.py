@@ -452,6 +452,7 @@ def winnow_dup_pairs(
     k: int = 8,
     window: int = 4,
     max_df: int = 16,
+    observation=None,
 ) -> DataFrame:
     """Near-dup pairs by winnowing-fingerprint overlap: pairs whose
     shared fingerprints cover >= half their fingerprint union
@@ -464,6 +465,11 @@ def winnow_dup_pairs(
     corpus a single fingerprint reaches df=328 of 500 docs ⇒ 94M pair
     expansions uncapped vs ~25 real pairs capped). Per-doc fingerprint
     counts are taken AFTER pruning so the overlap ratio is consistent.
+    ``observation`` (a ``pyspark.sql.Observation``) reports the prune
+    volume when the plan executes — ``dropped_occurrences`` (pruned
+    (id, fp) rows) and ``max_fp_df`` — the same observability contract
+    as ``dedup.jaccard_pairs``'s hot-bucket cap, so production can
+    alert on runaway boilerplate instead of silently pruning.
 
     Plan: fingerprints (mapInPandas, no shuffle) → window count over fp
     (1 shuffle) → in-bucket pair expansion reusing that partitioning →
@@ -475,11 +481,26 @@ def winnow_dup_pairs(
     # df-prune with a window count: one shuffle on fp, and the bucket
     # groupBy below reuses the resulting hash partitioning (no second
     # exchange on fp).
+    flagged = ex.withColumn(
+        "__df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    )
+    if observation is not None:
+        flagged = flagged.observe(
+            observation,
+            F.sum(
+                F.when(F.col("__df") > max_df, F.lit(1)).otherwise(F.lit(0))
+            ).alias("dropped_occurrences"),
+            F.max("__df").alias("max_fp_df"),
+        )
+    # reused by nfp AND pair branches; with an observation the
+    # checkpoint must be EAGER — a lazy checkpoint's RDD
+    # materialization path never reports CollectMetrics, so the
+    # Observation would block/return empty (and without a checkpoint
+    # the doubly-referenced subtree could double-count the metrics)
     kept = (
-        ex.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("fp")))
-        .filter(F.col("__df") <= max_df)
+        flagged.filter(F.col("__df") <= max_df)
         .drop("__df")
-        .localCheckpoint(eager=False)  # reused by nfp AND pair branches
+        .localCheckpoint(eager=observation is not None)
     )
     nfp = kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
     from .dedup import _bucket_pair_occurrences

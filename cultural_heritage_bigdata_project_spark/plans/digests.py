@@ -126,6 +126,7 @@ GROUPS: dict[str, list[str]] = {
         "bucketed_colocated_join",
         "approx_stats",
         "key_skew_profile",
+        "time_travel_versions",
     ],
     "text_profile_digest": [
         "text_stats",
@@ -418,6 +419,11 @@ PART_COLS: dict[str, tuple[tuple[str, str], ...]] = {
         ("n_rows", "s"),
         ("skew_ratio", "f"),
         ("top_share", "f"),
+    ),
+    "time_travel_versions": (
+        ("n_orders", "s"),
+        ("o_orderstatus", "s"),
+        ("version", "s"),
     ),
     "chunk_documents": (
         ("chunk_idx", "s"),

@@ -189,3 +189,52 @@ FROM s, t
 def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return scale.key_skew_profile(li, "l_orderkey", top_n=10)
+
+
+@register(
+    "time_travel_versions",
+    description="Versioned-commit time travel (the Delta VERSION AS OF "
+    "analog, operators/txn.py): publish two versions of an orders "
+    "snapshot with keep_last=2, read BOTH back through the CURRENT "
+    "pointer manifest (read_version), and return per-version status "
+    "counts — the digest hash covers the full contents of the retained "
+    "historical version AND the current one, so a retention/GC bug that "
+    "corrupts either read flips the hash",
+    survey_ref="S14",
+    oracle="""
+SELECT 0 AS version, o_orderstatus, count(*) AS n_orders
+FROM orders WHERE year(o_orderdate) < 1995 GROUP BY o_orderstatus
+UNION ALL
+SELECT 1 AS version, o_orderstatus, count(*) AS n_orders
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def time_travel_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from ..operators import txn
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_tt_{uuid.uuid4().hex[:8]}"
+    )
+    os.makedirs(root)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_orderdate")
+    # version 0: the pre-1995 snapshot; version 1: the full table —
+    # deterministic functions of the fixture, so both reads are
+    # oracle-replayable from `orders` alone
+    o.filter(F.year("o_orderdate") < 1995).write.parquet(
+        os.path.join(root, "data_v0")
+    )
+    txn.publish_version(root, "data_v0", keep_last=2)
+    o.write.parquet(os.path.join(root, "data_v1"))
+    txn.publish_version(root, "data_v1", keep_last=2)
+    prev = txn.read_version(spark, root, 0)  # retained historical version
+    cur = txn.read_version(spark, root)      # CURRENT
+    tagged = prev.withColumn("version", F.lit(0)).unionByName(
+        cur.withColumn("version", F.lit(1))
+    )
+    return tagged.groupBy("version", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )

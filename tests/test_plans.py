@@ -182,3 +182,38 @@ def test_key_skew_profile_partial_aggregation(spark):
     first_agg = plan.find("HashAggregate")
     first_ex = plan.find("Exchange")
     assert first_agg != -1 and first_ex != -1
+
+
+def test_no_aggregate_mixes_distinct_with_sketches(spark):
+    """Regression guard for the distinct-rewrite Expand pathology: a
+    single Aggregate mixing a DISTINCT aggregate with percentile/HLL
+    sketch functions makes RewriteDistinctAggregates build a sketch
+    buffer per distinct KEY over Expand-multiplied rows (a 25.6s -> 1.8s
+    fix in the full-catalog stats sweep — split into two aggregates
+    joined on the group key instead). Walks EVERY catalog query's
+    analyzed logical plan; an Aggregate node renders as one line, so a
+    line carrying both patterns is a real mix, not a coincidence
+    across operators."""
+    qs = catalog_queries()
+    sketch = re.compile(
+        r"percentile|approx_count_distinct|hyperloglog|hll_", re.IGNORECASE
+    )
+    # `count(distinct x#1)` etc.; does NOT match approx_count_distinct's
+    # own name (the paren must directly precede the distinct keyword)
+    distinct = re.compile(r"\w+\(distinct ", re.IGNORECASE)
+    offenders = []
+    for name in sorted(qs):
+        df = qs[name](spark, SF_DIR)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        for line in analyzed.splitlines():
+            body = line.lstrip(" +-:")
+            if (
+                body.startswith("Aggregate")
+                and distinct.search(body)
+                and sketch.search(body)
+            ):
+                offenders.append((name, body[:160]))
+    assert not offenders, (
+        "distinct aggregate mixed with sketch aggregate in one Aggregate "
+        f"node (Expand blowup): {offenders}"
+    )

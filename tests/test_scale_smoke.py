@@ -342,3 +342,67 @@ def test_temperature_mix_at_40k_rows(spark):
     )
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_duplicate_spans_hot_span_cap_at_40k(spark):
+    """VERDICT r3 #4: adversarial corpus for the exact-span pair op —
+    10 boilerplate tokens shared by ALL 40k docs yield three 8-token
+    spans whose inverted-index buckets hold 40k members each (~2.4e9
+    pair structs uncapped). With max_df on, the hot buckets drop with
+    observable counts and every planted pair is still found via its
+    pair-distinctive spans."""
+    from pyspark.sql import Observation
+
+    from cultural_heritage_bigdata_project_spark.operators.text import duplicate_spans
+
+    n = 40_000
+    k = (F.col("id") / 2).cast("long")
+    text = F.concat_ws(
+        " ",
+        F.lit("h0 h1 h2 h3 h4 h5 h6 h7 h8 h9"),  # hot: shared by ALL docs
+        *[F.concat(F.lit(f"a{i}_"), k) for i in range(10)],  # df=2 spans
+        F.concat(F.lit("u"), F.col("id")),  # differs within a pair
+    )
+    docs = spark.range(n).select(F.col("id").alias("doc_id"), text.alias("text"))
+    obs = Observation("hot_spans")
+    t0 = time.perf_counter()
+    pairs = duplicate_spans(docs, n=8, min_spans=3, max_df=16, observation=obs)
+    got = pairs.count()
+    elapsed = time.perf_counter() - t0
+    assert got == n // 2, f"expected {n // 2} planted pairs, got {got}"
+    m = obs.get
+    assert m["dropped_buckets"] >= 3, m
+    assert m["dropped_members"] >= 3 * n, m
+    assert elapsed < 120, f"too slow under cap: {elapsed:.0f}s"
+
+
+def test_winnow_pairs_hot_fingerprint_cap_at_40k(spark):
+    """VERDICT r3 #4, winnowing variant: a 40-char boilerplate prefix
+    shared by ALL 40k docs makes every boilerplate fingerprint a
+    40k-df bucket. The df-prune must drop them with observable counts
+    while the pair-distinctive middle (df=2 fingerprints, much longer
+    than the unique tail) still clears the half-union overlap bar for
+    every planted pair."""
+    from pyspark.sql import Observation
+
+    from cultural_heritage_bigdata_project_spark.operators.text import winnow_dup_pairs
+
+    n = 40_000
+    k = (F.col("id") / 2).cast("long")
+    text = F.concat(
+        F.lit("all documents start with this exact boilerplate "),  # hot
+        *[F.concat(F.lit(f" p{i}x"), k) for i in range(9)],  # pair middle
+        F.lit(" u"),
+        F.col("id"),  # short unique tail
+    )
+    docs = spark.range(n).select(F.col("id").alias("doc_id"), text.alias("text"))
+    obs = Observation("hot_fps")
+    t0 = time.perf_counter()
+    pairs = winnow_dup_pairs(docs, k=8, window=4, max_df=16, observation=obs)
+    got = pairs.count()
+    elapsed = time.perf_counter() - t0
+    assert got == n // 2, f"expected {n // 2} planted pairs, got {got}"
+    m = obs.get
+    assert m["dropped_occurrences"] >= n, m
+    assert m["max_fp_df"] >= n, m
+    assert elapsed < 180, f"too slow under cap: {elapsed:.0f}s"
