@@ -32,10 +32,13 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
+from contextlib import contextmanager
 
 CURRENT = "CURRENT"
 MANIFEST = "MANIFEST.json"
 SEGMENTS_DIR = "segments"
+COMMIT_LOCK = "COMMIT.lock"
 
 
 def _read_pointer(root: str) -> list[str]:
@@ -218,20 +221,36 @@ def publish_version(root: str, dirname: str, keep_last: int = 1) -> str:
     return os.path.join(root, dirname)
 
 
-def cleanup_unpublished(root: str) -> list[str]:
+def cleanup_unpublished(root: str, grace_seconds: float = 0.0) -> list[str]:
     """Remove data_v* directories not referenced by the pointer
     manifest (stale partial writes from crashed commits, or versions
     aged out of retention), then segment directories referenced by no
     retained version (orphans of a crash between segment write and
     publish, or segments whose last referencing version aged out).
-    Returns removed names."""
+    Returns removed names.
+
+    ``grace_seconds`` skips unreferenced version directories modified
+    within the window — REQUIRED when multiple writers race commits
+    (`commit_with_retry`): a competitor's fully-written-but-not-yet-
+    published version dir is indistinguishable from a crashed one by
+    name alone, and deleting it would fail a commit that was about to
+    succeed. This is the same young-file protection as Delta/Iceberg
+    vacuum retention; 0 keeps the original single-writer behavior."""
     keep = set(_read_pointer(root))
     removed = []
     if not os.path.isdir(root):
         return removed
+    now = time.time()
     for name in os.listdir(root):
         if name.startswith("data_v") and name not in keep:
-            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+            path = os.path.join(root, name)
+            if grace_seconds > 0:
+                try:
+                    if now - os.path.getmtime(path) < grace_seconds:
+                        continue
+                except OSError:
+                    continue
+            shutil.rmtree(path, ignore_errors=True)
             removed.append(name)
     seg_root = os.path.join(root, SEGMENTS_DIR)
     if os.path.isdir(seg_root):
@@ -242,12 +261,161 @@ def cleanup_unpublished(root: str) -> list[str]:
                 referenced.update(comp.get("segments", []))
         for name in os.listdir(seg_root):
             if name not in referenced:
-                shutil.rmtree(os.path.join(seg_root, name), ignore_errors=True)
+                spath = os.path.join(seg_root, name)
+                if grace_seconds > 0:
+                    try:
+                        if now - os.path.getmtime(spath) < grace_seconds:
+                            continue
+                    except OSError:
+                        continue
+                shutil.rmtree(spath, ignore_errors=True)
                 removed.append(os.path.join(SEGMENTS_DIR, name))
     stale_tmp = os.path.join(root, CURRENT + ".tmp")
     if os.path.exists(stale_tmp):
         os.remove(stale_tmp)
     return removed
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed between this writer's read of CURRENT
+    and its publish attempt. Carries the version the loser observed and
+    the one actually committed so callers can rebase and retry."""
+
+    def __init__(self, expected: str | None, actual: str | None):
+        self.expected = expected
+        self.actual = actual
+        super().__init__(
+            f"commit conflict: expected current version {expected!r}, "
+            f"found {actual!r} — rebase on the new current and retry"
+        )
+
+
+@contextmanager
+def _commit_lock(root: str, timeout: float = 30.0):
+    """Serialize the read-compare-rename critical section of a CAS
+    publish. Advisory `flock` on a lock file: released automatically
+    if the holder dies, so a crashed committer can never wedge the
+    table. Single-node analog of the conditional-put (If-Match ETag)
+    an object store provides natively — on S3/GCS/ABFS the lock
+    disappears and `try_publish_version` becomes one conditional PUT
+    of the pointer object (exactly how Delta coordinates S3 commits)."""
+    import fcntl
+
+    os.makedirs(root, exist_ok=True)
+    fd = os.open(os.path.join(root, COMMIT_LOCK), os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        deadline = time.monotonic() + timeout
+        while True:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                break
+            except BlockingIOError:
+                if time.monotonic() >= deadline:
+                    raise TimeoutError(
+                        f"commit lock on {root!r} not acquired in {timeout}s"
+                    )
+                time.sleep(0.005)
+        yield
+        fcntl.flock(fd, fcntl.LOCK_UN)
+    finally:
+        os.close(fd)
+
+
+def try_publish_version(
+    root: str,
+    dirname: str,
+    expected_current: str | None,
+    keep_last: int = 1,
+    grace_seconds: float = 3600.0,
+) -> str:
+    """Optimistic-concurrency publish: atomically repoint ``CURRENT``
+    at ``root/dirname`` ONLY if the committed version is still
+    ``expected_current`` (None = table not yet published). Raises
+    `CommitConflict` otherwise — the caller re-reads the new current,
+    rebases its work, and retries (`commit_with_retry` wraps the loop).
+
+    This closes the one table-format gap `publish_version` left open:
+    two independent writers (a streaming sink + a nightly compaction,
+    two backfill jobs) can now both commit safely — the loser LOSES
+    (detects the conflict) instead of silently clobbering the winner's
+    version, the lost-update anomaly last-writer-wins allows.
+
+    GC uses ``grace_seconds`` (default 1h) so a competitor's freshly
+    written, not-yet-published version directory survives this
+    writer's cleanup; pass 0 only in single-writer contexts.
+    """
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    with _commit_lock(root):
+        names = _read_pointer(root)
+        actual = names[0] if names else None
+        if actual != expected_current:
+            raise CommitConflict(expected_current, actual)
+        retained = ([dirname] + [n for n in names if n != dirname])[:keep_last]
+        tmp = os.path.join(root, CURRENT + ".tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write("\n".join(retained))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(root, CURRENT))
+    cleanup_unpublished(root, grace_seconds=grace_seconds)
+    return os.path.join(root, dirname)
+
+
+def next_version_name(root: str) -> str:
+    """A fresh ``data_v{N}`` name strictly above every version name on
+    disk (published, retained, or in flight) — racing writers may both
+    pick the same N, but only one's CAS publish can win it."""
+    n = -1
+    if os.path.isdir(root):
+        for name in os.listdir(root):
+            if name.startswith("data_v"):
+                suffix = name[len("data_v"):]
+                if suffix.isdigit():
+                    n = max(n, int(suffix))
+    return f"data_v{n + 1}"
+
+
+def commit_with_retry(
+    root: str,
+    build,
+    keep_last: int = 1,
+    max_attempts: int = 10,
+    grace_seconds: float = 3600.0,
+) -> str:
+    """Serializable read-modify-write commit loop over the versioned
+    table: ``build(current_dir_or_None, new_dir)`` must write the new
+    version's full contents into ``new_dir`` derived from the current
+    version it was shown; the CAS publish then succeeds only if that
+    current is STILL current. On conflict the half-built directory is
+    removed and ``build`` re-runs against the new current — every
+    committed version is therefore derived from its immediate
+    predecessor (no lost updates), the OCC loop of every log-structured
+    table format. Returns the committed version directory."""
+    for _ in range(max_attempts):
+        with _commit_lock(root):
+            names = _read_pointer(root)
+            expected = names[0] if names else None
+            dirname = next_version_name(root)
+            new_dir = os.path.join(root, dirname)
+            os.makedirs(new_dir)
+        try:
+            build(
+                os.path.join(root, expected) if expected else None, new_dir
+            )
+            return try_publish_version(
+                root,
+                dirname,
+                expected,
+                keep_last=keep_last,
+                grace_seconds=grace_seconds,
+            )
+        except CommitConflict:
+            shutil.rmtree(new_dir, ignore_errors=True)
+    raise RuntimeError(
+        f"commit on {root!r} lost {max_attempts} consecutive races; "
+        "raise max_attempts or serialize the writers"
+    )
 
 
 def recover_swap(path: str, staging_suffixes: tuple[str, ...] = ("__staging",)) -> None:

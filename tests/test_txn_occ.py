@@ -1,0 +1,158 @@
+"""Optimistic-concurrency commits (operators/txn.py CAS surface).
+
+The reference delegates multi-writer isolation to Postgres transactions
+(curated_to_postgres.py staging swap) and would delegate it to Delta on
+a lake; the engine's versioned-pointer layout previously documented the
+gap ("concurrent-writer isolation remains the table format's job").
+`try_publish_version` / `commit_with_retry` close it natively: a CAS on
+the CURRENT pointer under an flock critical section — the single-node
+analog of the conditional-put object-store commit Delta uses on S3.
+
+The money test races N threads x K read-modify-write commits on one
+table and asserts NO lost update: the committed value equals N*K, which
+last-writer-wins `publish_version` cannot guarantee.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+
+import pytest
+
+from cultural_heritage_bigdata_project_spark.operators import txn
+
+
+def _write_value(dirname: str, value: int) -> None:
+    with open(os.path.join(dirname, "value.json"), "w", encoding="utf-8") as f:
+        json.dump({"value": value}, f)
+
+
+def _read_value(dirname: str | None) -> int:
+    if dirname is None:
+        return 0
+    with open(os.path.join(dirname, "value.json"), encoding="utf-8") as f:
+        return json.load(f)["value"]
+
+
+def test_try_publish_happy_path_and_conflict(tmp_path):
+    root = str(tmp_path / "t")
+    os.makedirs(os.path.join(root, "data_v0"))
+    _write_value(os.path.join(root, "data_v0"), 1)
+    txn.try_publish_version(root, "data_v0", expected_current=None)
+    assert txn.current_version_dir(root).endswith("data_v0")
+
+    # stale expectation (None, but v0 is now current) must conflict
+    os.makedirs(os.path.join(root, "data_v1"))
+    _write_value(os.path.join(root, "data_v1"), 2)
+    with pytest.raises(txn.CommitConflict) as ei:
+        txn.try_publish_version(root, "data_v1", expected_current=None)
+    assert ei.value.expected is None and ei.value.actual == "data_v0"
+    # correct expectation succeeds
+    txn.try_publish_version(root, "data_v1", expected_current="data_v0")
+    assert txn.current_version_dir(root).endswith("data_v1")
+
+
+def test_commit_with_retry_no_lost_updates(tmp_path):
+    """8 writers x 6 increments each, all racing: OCC must serialize
+    them into exactly 48 applied increments."""
+    root = str(tmp_path / "counter")
+    n_threads, n_commits = 8, 6
+    errors: list[BaseException] = []
+
+    def build(current_dir, new_dir):
+        _write_value(new_dir, _read_value(current_dir) + 1)
+
+    def worker():
+        try:
+            for _ in range(n_commits):
+                txn.commit_with_retry(root, build, max_attempts=200)
+        except BaseException as e:  # noqa: BLE001 - surfaced below
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker) for _ in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert _read_value(txn.current_version_dir(root)) == n_threads * n_commits
+
+
+def test_commit_with_retry_versions_chain_from_predecessor(tmp_path):
+    """Each committed version must be derived from its immediate
+    predecessor (build re-runs after a conflict, never publishes work
+    based on a stale read)."""
+    root = str(tmp_path / "chain")
+    seen_bases: list[int] = []
+
+    def build(current_dir, new_dir):
+        base = _read_value(current_dir)
+        seen_bases.append(base)
+        _write_value(new_dir, base + 1)
+
+    for _ in range(5):
+        txn.commit_with_retry(root, build)
+    assert _read_value(txn.current_version_dir(root)) == 5
+
+
+def test_cleanup_grace_protects_inflight_dirs(tmp_path):
+    root = str(tmp_path / "g")
+    os.makedirs(os.path.join(root, "data_v0"))
+    _write_value(os.path.join(root, "data_v0"), 1)
+    txn.publish_version(root, "data_v0")
+    # a competitor's freshly-written, unpublished version
+    os.makedirs(os.path.join(root, "data_v1"))
+    _write_value(os.path.join(root, "data_v1"), 2)
+    removed = txn.cleanup_unpublished(root, grace_seconds=3600)
+    assert removed == [] and os.path.isdir(os.path.join(root, "data_v1"))
+    # without grace (single-writer mode) it is garbage
+    removed = txn.cleanup_unpublished(root, grace_seconds=0)
+    assert "data_v1" in removed
+
+
+def test_cleanup_grace_protects_young_segments(tmp_path):
+    root = str(tmp_path / "s")
+    seg = txn.segment_path(root, "seg-000")
+    os.makedirs(seg)
+    _write_value(seg, 7)
+    os.makedirs(os.path.join(root, "data_v0"))
+    txn.write_manifest(root, "data_v0", {"": {"base": None, "segments": []}})
+    txn.publish_version(root, "data_v0")  # grace 0: young orphan segment dies
+    assert not os.path.isdir(seg)
+    os.makedirs(seg)
+    _write_value(seg, 7)
+    removed = txn.cleanup_unpublished(root, grace_seconds=3600)
+    assert removed == [] and os.path.isdir(seg)
+
+
+def test_next_version_name_skips_inflight(tmp_path):
+    root = str(tmp_path / "n")
+    assert txn.next_version_name(root) == "data_v0"
+    os.makedirs(os.path.join(root, "data_v3"))  # in flight, unpublished
+    assert txn.next_version_name(root) == "data_v4"
+
+
+def test_commit_lock_times_out(tmp_path):
+    root = str(tmp_path / "lk")
+    os.makedirs(root)
+    hold = threading.Event()
+    release = threading.Event()
+
+    def holder():
+        with txn._commit_lock(root):
+            hold.set()
+            release.wait(5)
+
+    t = threading.Thread(target=holder)
+    t.start()
+    assert hold.wait(5)
+    t0 = time.monotonic()
+    with pytest.raises(TimeoutError):
+        with txn._commit_lock(root, timeout=0.2):
+            pass
+    assert time.monotonic() - t0 < 3
+    release.set()
+    t.join()
