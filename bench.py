@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "charlm_quality",
     "corpus_temperature_mix",
     "duplicate_spans",
+    "line_quality_filter",
+    "paragraph_dedup",
     # production-hash-family variants (bench-only, defined below): the
     # catalog queries pin hash_family="md5-portable" so the DuckDB
     # oracle can replay candidate sets, but the path you'd run at

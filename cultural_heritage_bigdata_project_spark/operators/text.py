@@ -762,3 +762,148 @@ def nfc_normalize(
         .mapInPandas(norm, "__id long, text_nfc string, changed boolean")
         .withColumnRenamed("__id", id_col)
     )
+
+
+def lines_from_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    tokens_per_line: int = 5,
+) -> DataFrame:
+    """Re-chunk whitespace text into newline-separated lines of
+    ``tokens_per_line`` tokens — the deterministic line synthesizer the
+    line-level catalog queries share (the parquet fixtures carry no
+    newlines, so line structure is derived identically on both
+    engines: DuckDB replays it with a list-comprehension slice).
+    Pure HOF projection, no shuffle."""
+    tk = F.split(F.trim(F.col(text_col)), " ")
+    n_lines = F.ceil(F.size(tk) / F.lit(float(tokens_per_line))).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_lines, F.lit(1))),
+        lambda i: F.array_join(
+            F.slice(tk, (i - F.lit(1)) * tokens_per_line + 1, tokens_per_line),
+            " ",
+        ),
+    )
+    return df.withColumn(text_col, F.array_join(lines, "\n"))
+
+
+def _line_word_count(ln):
+    """Words in a line, '' counting as zero — identical on both
+    engines (split('') yields [''], so the empty case is special)."""
+    return (
+        F.when(F.trim(ln) == "", F.lit(0))
+        .otherwise(F.size(F.split(F.trim(ln), " +")))
+    )
+
+
+def line_quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 3,
+    deny_substrings: tuple[str, ...] = ("lorem ipsum", "javascript", "{"),
+    require_terminal_punct: bool = False,
+) -> DataFrame:
+    """C4-style LINE-level cleanup (Raffel et al. 2020 §2.2 — the rules
+    C4 applies before any document-level filter): drop lines with fewer
+    than ``min_words`` words, lines containing any deny substring
+    (C4 drops 'javascript'/'lorem ipsum'/curly-brace lines), and —
+    when ``require_terminal_punct`` — lines not ending in terminal
+    punctuation. Documents are reassembled from their surviving lines;
+    per-doc ``n_lines``/``n_lines_kept`` make reject rates auditable.
+
+    Scale design: the whole operator is ONE higher-order-function
+    projection (split → filter → array_join) inside whole-stage
+    codegen — no explode, no shuffle, no Python. At 100 TB it runs at
+    scan speed, which matters because line cleanup is the FIRST pass
+    of a C4-shaped pipeline and therefore sees every byte of the raw
+    corpus. (The obvious explode → filter → groupBy(doc) reassembly
+    shape would shuffle ~every line of the corpus twice for the same
+    answer.)
+    """
+    def keep(ln):
+        cond = _line_word_count(ln) >= min_words
+        low = F.lower(ln)
+        for d in deny_substrings:
+            cond = cond & ~low.contains(d.lower())
+        if require_terminal_punct:
+            cond = cond & ln.rlike('[.!?"]\\s*$')
+        return cond
+
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(lines, keep)
+    return df.select(
+        "*",
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_lines_kept"),
+        F.array_join(kept, "\n").alias("text_clean"),
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style corpus-wide PARAGRAPH deduplication (Wenzek et al.
+    2020 §3.1: hash every paragraph, drop re-occurrences corpus-wide —
+    boilerplate headers/footers/licenses vanish while each unique
+    paragraph survives exactly once). Paragraphs are newline-separated;
+    a paragraph is kept only in the document with the MINIMUM id among
+    all documents containing it (the repo's deterministic
+    first-occurrence convention — CCNet's own 'seen before' rule
+    depends on processing order). Blank lines are structural, not
+    content: they are never deduplicated (hashing them would collapse
+    every document's blank lines into one arbitrary winner).
+
+    Returns (id, n_lines, n_lines_kept, text_clean) with surviving
+    lines rejoined in original order; documents losing every line
+    yield ''.
+
+    Scale design: explode to (id, pos, line) → two-phase
+    groupBy(hash).min(id) (map-side combine collapses hot boilerplate
+    hashes BEFORE the shuffle — the skew-safe shape; a window over the
+    hash would sort entire hot-key partitions) → equi-join back on the
+    hash (AQE skew-join splits any residual hot hash) → one
+    groupBy(id) reassembly. Three line-granularity shuffles total, all
+    on co-located keys, no Python.
+    """
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__ln"),
+    ).withColumn("__h", F.md5(F.lower(F.trim(F.col("__ln")))))
+    first = lines.filter(F.trim(F.col("__ln")) != "").groupBy("__h").agg(
+        F.min("__id").alias("__first_id")
+    )
+    kept = (
+        lines.join(first, on="__h", how="left")
+        .filter(
+            (F.trim(F.col("__ln")) == "") | (F.col("__id") == F.col("__first_id"))
+        )
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("__pos"), F.col("__ln")))
+                    ),
+                    lambda s: s["__ln"],
+                ),
+                "\n",
+            ).alias("text_clean"),
+        )
+    )
+    base = df.select(
+        F.col(id_col),
+        F.col(id_col).alias("__id"),
+        F.size(F.split(F.col(text_col), "\n")).alias("n_lines"),
+    )
+    return (
+        base.join(kept, on="__id", how="left")
+        .select(
+            id_col,
+            "n_lines",
+            F.coalesce(F.col("n_lines_kept"), F.lit(0)).alias("n_lines_kept"),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        )
+    )

@@ -140,6 +140,8 @@ GROUPS: dict[str, list[str]] = {
         "charlm_quality",
         "duplicate_spans",
         "nfc_normalize_docs",
+        "line_quality_filter",
+        "paragraph_dedup",
     ],
     "corpus_sampling_digest": [
         "hash_split_sets",
@@ -463,6 +465,18 @@ PART_COLS: dict[str, tuple[tuple[str, str], ...]] = {
         ("changed", "s"),
         ("doc_id", "s"),
         ("text_nfc", "s"),
+    ),
+    "line_quality_filter": (
+        ("doc_id", "s"),
+        ("n_lines", "s"),
+        ("n_lines_kept", "s"),
+        ("text_clean", "s"),
+    ),
+    "paragraph_dedup": (
+        ("doc_id", "s"),
+        ("n_lines", "s"),
+        ("n_lines_kept", "s"),
+        ("text_clean", "s"),
     ),
     "domain_cap_sample": (
         ("doc_id", "s"),

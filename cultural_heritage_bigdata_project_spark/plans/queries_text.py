@@ -768,3 +768,99 @@ FROM st
 )
 def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.chunk_documents(_docs(spark, sf_dir), size=120, stride=80)
+
+
+# Deterministic line synthesis shared by the line-level queries: the
+# fixtures carry no newlines, so line structure is derived (5 tokens
+# per line) identically on both engines — same move as the queries
+# that deterministically dirty 'part'.
+_LINES_SQL = """
+t AS (SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents),
+lns AS (
+  SELECT doc_id,
+         [array_to_string(tk[(i-1)*5+1:(i-1)*5+5], ' ')
+          for i in range(1, greatest(cast(ceil(len(tk)/5.0) AS int), 1) + 1)]
+           AS ls
+  FROM t
+)
+"""
+
+
+@register(
+    "line_quality_filter",
+    description="C4-style line-level cleanup (Raffel et al. 2020 "
+    "§2.2): drop lines with < 5 words or containing a deny "
+    "substring, reassemble docs from surviving lines with auditable "
+    "per-doc line counts. ONE HOF projection (split → filter "
+    "→ array_join) in whole-stage codegen — no explode, no "
+    "shuffle, no Python: the first pass of a C4 pipeline sees every "
+    "raw byte, so it must run at scan speed",
+    survey_ref="P3,M1,F4",
+    oracle=f"""
+WITH {_LINES_SQL},
+f AS (
+  SELECT doc_id, CAST(len(ls) AS INTEGER) AS n_lines,
+         [l for l in ls
+          if (CASE WHEN trim(l) = '' THEN 0
+              ELSE len(string_split_regex(trim(l), ' +')) END) >= 5
+             AND NOT contains(lower(l), 'vector')] AS ks
+  FROM lns
+)
+SELECT doc_id, n_lines, CAST(len(ks) AS INTEGER) AS n_lines_kept,
+       coalesce(array_to_string(ks, chr(10)), '') AS text_clean
+FROM f
+""",
+)
+def line_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = text.lines_from_tokens(
+        _docs(spark, sf_dir).select("doc_id", "text"), tokens_per_line=5
+    )
+    return text.line_quality_filter(
+        docs, min_words=5, deny_substrings=("vector",)
+    ).select("doc_id", "n_lines", "n_lines_kept", "text_clean")
+
+
+@register(
+    "paragraph_dedup",
+    description="CCNet-style corpus-wide paragraph dedup (Wenzek et "
+    "al. 2020 §3.1): md5 every line, keep each distinct line only "
+    "in its min-doc_id holder — boilerplate headers/footers "
+    "vanish corpus-wide while unique content survives once. Skew-safe "
+    "shape: two-phase groupBy(hash).min (map-side combine collapses "
+    "hot boilerplate keys pre-shuffle) → AQE-skew equi-join back "
+    "→ one reassembly groupBy",
+    survey_ref="M3,A5,P4",
+    oracle=f"""
+WITH {_LINES_SQL},
+d AS (SELECT doc_id, array_to_string(ls, chr(10)) AS text FROM lns),
+l AS (
+  SELECT d.doc_id, i AS pos, string_split(d.text, chr(10))[i] AS ln
+  FROM d, unnest(generate_series(1, len(string_split(d.text, chr(10)))))
+         AS u(i)
+),
+f AS (
+  SELECT md5(lower(trim(ln))) AS h, min(doc_id) AS first_id
+  FROM l WHERE trim(ln) <> '' GROUP BY 1
+),
+k AS (
+  SELECT l.doc_id, l.pos, l.ln
+  FROM l LEFT JOIN f ON md5(lower(trim(l.ln))) = f.h
+  WHERE trim(l.ln) = '' OR l.doc_id = f.first_id
+),
+k2 AS (
+  SELECT doc_id, count(*) AS n,
+         array_to_string(list(ln ORDER BY pos), chr(10)) AS tc
+  FROM k GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, chr(10))) AS INTEGER) AS n_lines,
+       coalesce(k2.n, 0) AS n_lines_kept,
+       coalesce(k2.tc, '') AS text_clean
+FROM d LEFT JOIN k2 USING (doc_id)
+""",
+)
+def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = text.lines_from_tokens(
+        _docs(spark, sf_dir).select("doc_id", "text"), tokens_per_line=5
+    )
+    return text.paragraph_dedup(docs)

@@ -217,3 +217,24 @@ def test_no_aggregate_mixes_distinct_with_sketches(spark):
         "distinct aggregate mixed with sketch aggregate in one Aggregate "
         f"node (Expand blowup): {offenders}"
     )
+
+
+def test_line_quality_filter_scan_speed(spark):
+    """C4 line cleanup is ONE HOF projection (split -> filter ->
+    array_join): no explode, no exchange, no Python worker — it sees
+    every raw corpus byte, so it must run at scan speed."""
+    plan = _formatted_plan(spark, "line_quality_filter")
+    assert "Exchange" not in plan, plan
+    assert "Eval" not in plan, plan
+    assert "Generate" not in plan, plan
+
+
+def test_paragraph_dedup_skew_safe_shape(spark):
+    """CCNet paragraph dedup: the hash-frequency side must two-phase
+    aggregate (map-side partial HashAggregate collapses hot boilerplate
+    hashes BEFORE its exchange), and no nested-loop/cartesian join
+    appears anywhere."""
+    plan = _formatted_plan(spark, "paragraph_dedup")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
