@@ -140,55 +140,63 @@ def charlm_quality(
     CCNet/KenLM perplexity-proxy quality signal (lower = less like
     clean text), shrunk to an engine-portable trigram model.
 
-    Plan shape: ONE shuffle-free projection. The 656-entry profile is
-    a constant ``map_from_arrays`` literal and the per-doc sum is an
-    ``aggregate(transform(sequence(...)))`` higher-order fold — no
-    explode, no join, no groupBy, zero exchanges: the score computes
-    at scan speed and scales embarrassingly (round-3 verdict item #2;
-    the previous explode→broadcast-join→agg shape shuffled
-    ~len(text) rows per doc just to re-aggregate on doc_id). The
+    Plan shape: ONE shuffle-free Arrow pass. The 656-entry profile
+    ships as a closure dict into a ``mapInPandas`` stage that emits
+    per-doc (n_trigrams, integer weight sum) — a Python dict lookup is
+    O(1) per trigram. Measured history at sf0.1: the round-3
+    ``map_from_arrays`` literal + ``aggregate(transform(...))`` fold
+    ran 7.5 s because Spark's ``element_at`` on a map LITERAL is a
+    LINEAR SCAN (656 string comparisons per character); the round-2
+    explode→broadcast-join→agg shape ran 3.2 s because it shuffled
+    ~len(text) rows per doc; this shape runs the corpus in one Arrow
+    pass with no explode, no join, no groupBy, zero exchanges. The
     profile's log weights are PRE-COMPUTED nano-scaled integers
     (functions.langid.lm_rows), so the per-doc sum is integer-exact
-    (fold order immaterial) and the final score is IEEE divisions on
-    identical operands — the DuckDB oracle matches bit-for-bit with no
-    transcendental drift. At 100 TB the plan is unchanged: swap the
-    profile literal for a real KenLM-distilled one (or a broadcast
-    join once the profile outgrows a literal), same semantics (cf. the
-    reference's quality gates being driver-side Python — SURVEY
-    §2.10)."""
+    (fold order immaterial); the FINAL division/round stays in Spark
+    SQL so both engines run the same IEEE ops on identical operands —
+    the DuckDB oracle matches bit-for-bit with no transcendental
+    drift. At 100 TB the plan is unchanged: the dict rides the task
+    closure (a real KenLM-distilled profile ships the same way, loaded
+    once per executor Python worker)."""
+    import pandas as pd
+
     from ..functions.langid import lm_norm_nano, lm_rows
 
-    rows = lm_rows()
-    # constant-foldable map literal: every task gets the profile with
-    # no broadcast exchange; a map MISS (element_at → NULL → 0)
-    # reproduces the old inner join dropping unknown trigrams
-    prof_map = F.map_from_arrays(
-        F.array(*[F.lit(t) for t, _ in rows]),
-        F.array(*[F.lit(w) for _, w in rows]),
-    )
+    prof = dict(lm_rows())
+
+    def score(batches):
+        get = prof.get
+        for pdf in batches:
+            ns: list[int | None] = []
+            sums: list[int | None] = []
+            for t in pdf["__t"]:
+                if t is None:
+                    ns.append(None)
+                    sums.append(None)
+                    continue
+                s = " " + t.lower() + " "
+                n = max(len(s) - 2, 0)
+                ns.append(n)
+                sums.append(sum(get(s[i : i + 3], 0) for i in range(n)))
+            yield pd.DataFrame(
+                {
+                    "__id": pdf["__id"],
+                    "__n": pd.array(ns, dtype="Int64"),
+                    "__sn": pd.array(sums, dtype="Int64"),
+                }
+            )
+
     base = df.select(
-        F.col(id_col).alias("__id"),
-        F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" ")).alias("__s"),
-    ).withColumn("__n", F.greatest(F.length("__s") - 2, F.lit(0)))
-    tri_sum = F.aggregate(
-        F.transform(
-            F.sequence(F.lit(1), F.length("__s") - 2),
-            lambda i: F.coalesce(
-                F.element_at(prof_map, F.substring(F.col("__s"), i, F.lit(3))),
-                F.lit(0).cast("long"),
-            ),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    # guard: sequence(1, len-2) with len < 3 would COUNT DOWN ([1, 0]);
-    # texts too short for a trigram contribute an exact 0 sum instead
-    sn = F.when(F.length("__s") >= 3, tri_sum).otherwise(F.lit(0).cast("long"))
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__t")
+    ).mapInPandas(score, "__id long, __n long, __sn long")
     return base.select(
         F.col("__id").alias(id_col),
-        F.col("__n").cast("long").alias("n_trigrams"),
+        F.col("__n").alias("n_trigrams"),
         F.round(
-            (sn / F.greatest(F.col("__n"), F.lit(1)) - F.lit(lm_norm_nano()))
+            (
+                F.col("__sn") / F.greatest(F.col("__n"), F.lit(1))
+                - F.lit(lm_norm_nano())
+            )
             / F.lit(1e9),
             6,
         ).alias("avg_logprob"),

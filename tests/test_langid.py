@@ -125,11 +125,12 @@ def test_charlm_separates_clean_from_garbage(spark):
 
 
 def test_charlm_plan_is_shuffle_free(spark):
-    """The score must compute as ONE projection over the scan — the
-    656-entry profile is a constant map literal folded into the
-    expression, so there is no exchange of ANY kind (no explode
-    shuffle, no broadcast, no aggregate): the per-doc fold runs at
-    scan speed and scales embarrassingly (round-3 verdict item #2)."""
+    """The score must compute as ONE Arrow pass over the scan — the
+    656-entry profile rides the mapInPandas closure as an O(1) dict,
+    so there is no exchange of ANY kind (no explode shuffle, no
+    broadcast, no aggregate): the per-doc sum runs at scan parallelism
+    and scales embarrassingly (round-3 verdict item #2; the map-literal
+    variant this replaced was a 656-way linear scan per character)."""
     from cultural_heritage_bigdata_project_spark.operators import text as t
     from cultural_heritage_bigdata_project_spark.sources.tables import load_table
 
