@@ -159,3 +159,88 @@ def charlm_score_python(text: str) -> tuple[int, float]:
     n = max(len(tgs), 1)
     s_nano = sum(prof.get(tg, 0) for tg in tgs)
     return len(tgs), round((s_nano / n - lm_norm_nano()) / 1e9, 6)
+
+
+# --- DSIR importance weights (Xie et al. 2023, arXiv:2302.03169) ----
+#
+# Data Selection via Importance Resampling scores each raw document by
+# the log-likelihood RATIO between a target-domain LM and a background
+# LM over hashed n-gram features. Here the target is one language's
+# trigram LM and the background is the pooled LM above — both static
+# integer tables, so the ratio is an exact integer sum both engines
+# (and the Python referee) replay identically. Selection is the
+# deterministic top-k by importance (the paper resamples with Gumbel
+# noise; top-k is the reproducible variant an audited pipeline wants).
+
+
+@lru_cache(maxsize=None)
+def _lang_counts(lang: str) -> Counter:
+    counts: Counter[str] = Counter()
+    counts.update(text_trigrams(SAMPLE_CORPUS[lang]))
+    return counts
+
+
+@lru_cache(maxsize=None)
+def dsir_rows(target_lang: str = "en") -> tuple[tuple[str, int], ...]:
+    """(trigram, nano(ln(c_target+1)) - nano(ln(c_background+1))) over
+    the UNION vocabulary — each side individually nano-rounded exactly
+    like lm_rows, so the diff table is derivable from published
+    per-profile tables."""
+    import math
+
+    tgt = _lang_counts(target_lang)
+    bg = _pooled_counts()
+    vocab = sorted(set(tgt) | set(bg))
+    return tuple(
+        (
+            tg,
+            int(round(math.log(tgt.get(tg, 0) + 1) * 1_000_000_000))
+            - int(round(math.log(bg.get(tg, 0) + 1) * 1_000_000_000)),
+        )
+        for tg in vocab
+    )
+
+
+@lru_cache(maxsize=None)
+def dsir_norm_nano(target_lang: str = "en") -> int:
+    """nano(ln(T_t + V_t)) - nano(ln(T_b + V_b)): the add-one
+    denominator difference of the two LMs."""
+    import math
+
+    tgt = _lang_counts(target_lang)
+    t_t, v_t = sum(tgt.values()), len(tgt) + 1
+    return int(round(math.log(t_t + v_t) * 1_000_000_000)) - lm_norm_nano()
+
+
+def dsir_values_sql(target_lang: str = "en") -> str:
+    """The DSIR diff table as a DuckDB VALUES list."""
+    parts = []
+    for tg, w in dsir_rows(target_lang):
+        tg_sql = tg.replace("'", "''")
+        parts.append(f"('{tg_sql}', {w})")
+    return ", ".join(parts)
+
+
+def dsir_score_python(
+    text: str, target_lang: str = "en"
+) -> tuple[int, int, float | None]:
+    """Pure-Python referee: (n_trigrams, n_matched, avg_log_ratio)
+    with the exact integer/IEEE pipeline both engines replay.
+
+    Scoring is restricted to IN-VOCAB trigrams (present in either LM's
+    training counts): under naive add-one scoring an all-OOV garbage
+    document would get score = -(norm_t - norm_b) > 0 purely from the
+    smaller target corpus's smoothing denominator and outrank genuine
+    target-language text. A document with NO in-vocab trigram carries
+    no evidence either way → score None (ranked last)."""
+    prof = dict(dsir_rows(target_lang))
+    tgs = text_trigrams(text)
+    hits = [prof[tg] for tg in tgs if tg in prof]
+    if not hits:
+        return len(tgs), 0, None
+    s_nano = sum(hits)
+    return (
+        len(tgs),
+        len(hits),
+        round((s_nano / len(hits) - dsir_norm_nano(target_lang)) / 1e9, 6),
+    )

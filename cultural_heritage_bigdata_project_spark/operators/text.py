@@ -915,3 +915,96 @@ def paragraph_dedup(
             F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
         )
     )
+
+
+def dsir_select(
+    df: DataFrame,
+    top_k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    target_lang: str = "en",
+) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169): score
+    every raw document by the log-likelihood ratio between a
+    target-domain char-trigram LM and the pooled background LM, then
+    keep the top-k by importance — the importance-resampling pass that
+    picks domain-matched pretraining data out of a raw crawl. The
+    paper resamples with Gumbel noise; this is the deterministic top-k
+    variant (rank by rounded score, id tiebreak), so corpus membership
+    is reproducible and engine-portable.
+
+    Scoring is restricted to IN-VOCAB trigrams: naive add-one scoring
+    hands every OOV trigram the constant bonus ln(T_b+V_b)-ln(T_t+V_t)
+    (> 0 whenever the target corpus is smaller), so an all-OOV garbage
+    document would OUTRANK genuine target-language text. In-vocab-only
+    scoring is what hashed-feature DSIR does implicitly (every hashed
+    bucket is in-vocab); a document with no in-vocab trigram carries no
+    evidence and gets a NULL score, ranked last.
+
+    Plan shape: the same single Arrow ``mapInPandas`` pass as
+    `charlm_quality` (O(1) closure-dict lookups, exact integer
+    log-ratio sums — functions.langid.dsir_rows), then ONE global
+    TakeOrderedAndProject for the top-k: per-partition heaps, no full
+    sort, no shuffle beyond the k-row reduction. Both profiles are
+    static nano-int tables, so the DuckDB oracle replays score AND
+    selection exactly.
+    """
+    import pandas as pd
+
+    from ..functions.langid import dsir_norm_nano, dsir_rows
+
+    prof = dict(dsir_rows(target_lang))
+
+    def score(batches):
+        for pdf in batches:
+            ns: list[int | None] = []
+            nms: list[int | None] = []
+            sums: list[int | None] = []
+            for t in pdf["__t"]:
+                if t is None:
+                    ns.append(None)
+                    nms.append(None)
+                    sums.append(None)
+                    continue
+                s = " " + t.lower() + " "
+                n = max(len(s) - 2, 0)
+                hits = [
+                    prof[tg]
+                    for tg in (s[i : i + 3] for i in range(n))
+                    if tg in prof
+                ]
+                ns.append(n)
+                nms.append(len(hits))
+                sums.append(sum(hits))
+            yield pd.DataFrame(
+                {
+                    "__id": pdf["__id"],
+                    "__n": pd.array(ns, dtype="Int64"),
+                    "__nm": pd.array(nms, dtype="Int64"),
+                    "__sn": pd.array(sums, dtype="Int64"),
+                }
+            )
+
+    scored = (
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+        .mapInPandas(score, "__id long, __n long, __nm long, __sn long")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__n").alias("n_trigrams"),
+            F.col("__nm").alias("n_matched"),
+            F.when(
+                F.col("__nm") > 0,
+                F.round(
+                    (
+                        F.col("__sn") / F.col("__nm")
+                        - F.lit(dsir_norm_nano(target_lang))
+                    )
+                    / F.lit(1e9),
+                    6,
+                ),
+            ).alias("avg_log_ratio"),
+        )
+    )
+    return scored.orderBy(
+        F.col("avg_log_ratio").desc_nulls_last(), F.col(id_col).asc()
+    ).limit(top_k)

@@ -149,6 +149,7 @@ GROUPS: dict[str, list[str]] = {
         "incremental_dedup_snapshot",
         "domain_cap_sample",
         "corpus_temperature_mix",
+        "dsir_select",
     ],
     "vector_codec_digest": [
         "vector_concat_norm",
@@ -482,6 +483,12 @@ PART_COLS: dict[str, tuple[tuple[str, str], ...]] = {
         ("doc_id", "s"),
         ("lang", "s"),
         ("source", "s"),
+    ),
+    "dsir_select": (
+        ("avg_log_ratio", "f"),
+        ("doc_id", "s"),
+        ("n_matched", "s"),
+        ("n_trigrams", "s"),
     ),
     "vector_concat_norm": (
         ("combined_dim", "s"),

@@ -864,3 +864,50 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir).select("doc_id", "text"), tokens_per_line=5
     )
     return text.paragraph_dedup(docs)
+
+
+def _dsir_oracle() -> str:
+    from ..functions.langid import dsir_norm_nano, dsir_values_sql
+
+    return f"""
+WITH prof(tg, w_nano) AS (VALUES {dsir_values_sql("en")}),
+b AS (
+  SELECT doc_id, ' ' || lower(text) || ' ' AS s FROM documents
+), b2 AS (
+  SELECT doc_id, s, greatest(len(s) - 2, 0) AS n FROM b
+), ex AS (
+  SELECT doc_id,
+         unnest([substring(s, i, 3)
+                 for i in range(1, greatest(len(s) - 2, 0) + 1)]) AS tg
+  FROM b2
+), w AS (
+  SELECT e.doc_id, count(*) AS nm, sum(p.w_nano) AS sn
+  FROM ex e JOIN prof p ON e.tg = p.tg GROUP BY e.doc_id
+), scored AS (
+  SELECT b2.doc_id, b2.n AS n_trigrams, coalesce(w.nm, 0) AS n_matched,
+         CASE WHEN w.nm > 0 THEN
+           round((w.sn / w.nm - {dsir_norm_nano("en")}) / 1e9, 6)
+         END AS avg_log_ratio
+  FROM b2 LEFT JOIN w ON b2.doc_id = w.doc_id
+)
+SELECT doc_id, n_trigrams, n_matched, avg_log_ratio
+FROM scored ORDER BY avg_log_ratio DESC NULLS LAST, doc_id LIMIT 120
+"""
+
+
+@register(
+    "dsir_select",
+    description="DSIR data selection (Xie et al. 2023, arXiv:"
+    "2302.03169): score every doc by the log-likelihood RATIO between "
+    "an English target char-trigram LM and the pooled background LM, "
+    "keep the top-120 by importance — the importance-resampling pass "
+    "that picks domain-matched pretraining data from a raw crawl, "
+    "made deterministic (rank + id tiebreak instead of Gumbel noise). "
+    "Same single Arrow-pass shape as charlm_quality (exact nano-int "
+    "log-ratio sums) + one TakeOrderedAndProject; both profiles are "
+    "static int tables so score AND selection replay exactly in SQL",
+    survey_ref="M1,W4",
+    oracle=_dsir_oracle(),
+)
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.dsir_select(_docs(spark, sf_dir), top_k=120, target_lang="en")

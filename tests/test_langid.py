@@ -145,3 +145,38 @@ def test_charlm_plan_is_shuffle_free(spark):
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
     assert "Generate" not in plan, plan  # no explode
+
+
+def test_dsir_referee_agreement_and_ranking(spark):
+    """dsir_select must reproduce the pure-Python referee's
+    (n_trigrams, avg_log_ratio) exactly AND rank target-language text
+    above off-target text (its reason to exist)."""
+    from cultural_heritage_bigdata_project_spark.functions.langid import (
+        dsir_score_python,
+    )
+    from cultural_heritage_bigdata_project_spark.operators import text as t
+
+    samples = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "el rapido zorro marron salta sobre el perro"),
+        (2, "der schnelle braune fuchs springt uber den hund"),
+        (3, "zzz qqq xxx vvv"),
+    ]
+    df = spark.createDataFrame(samples, "doc_id long, text string")
+    rows = t.dsir_select(df, top_k=4).collect()
+    got = {
+        r.doc_id: (r.n_trigrams, r.n_matched, r.avg_log_ratio) for r in rows
+    }
+    for doc_id, s in samples:
+        n_ref, nm_ref, score_ref = dsir_score_python(s)
+        assert got[doc_id][0] == n_ref
+        assert got[doc_id][1] == nm_ref
+        if score_ref is None:
+            assert got[doc_id][2] is None
+        else:
+            assert abs(got[doc_id][2] - score_ref) < 2e-6
+    # ranking: English first, OOV garbage (no in-vocab evidence) last
+    assert rows[0].doc_id == 0
+    assert rows[-1].doc_id == 3 and rows[-1].avg_log_ratio is None
+    top2 = {r.doc_id for r in t.dsir_select(df, top_k=2).collect()}
+    assert 0 in top2 and 3 not in top2
