@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "duplicate_spans",
     "line_quality_filter",
     "paragraph_dedup",
+    "dsir_select",
     # production-hash-family variants (bench-only, defined below): the
     # catalog queries pin hash_family="md5-portable" so the DuckDB
     # oracle can replay candidate sets, but the path you'd run at

@@ -162,9 +162,12 @@ def read_version(spark, root: str, version: str | int | None = None, subdir: str
 
     Manifest-bearing versions (the segmented streaming-sink layout)
     resolve to the union of the version's base component and its
-    referenced immutable segments; a ``reconstruct`` spec additionally
-    applies the latest-by-key merge-on-read collapse. Plain parquet
-    version directories read as before."""
+    referenced immutable segments — read with ``mergeSchema`` so a
+    segment written after a schema-evolving batch (new column) unions
+    cleanly with older segments (missing column → NULL), the Delta
+    ``mergeSchema`` automatic-evolution analog; a ``reconstruct`` spec
+    additionally applies the latest-by-key merge-on-read collapse.
+    Plain parquet version directories read as before."""
     if version is None:
         path = current_version_dir(root)
         if path is None:
@@ -191,7 +194,7 @@ def read_version(spark, root: str, version: str | int | None = None, subdir: str
         raise FileNotFoundError(
             f"version {os.path.basename(path)!r} component {name!r} is empty"
         )
-    df = spark.read.parquet(*paths)
+    df = spark.read.option("mergeSchema", "true").parquet(*paths)
     spec = comp.get("reconstruct")
     return reconstruct_latest(df, spec) if spec else df
 

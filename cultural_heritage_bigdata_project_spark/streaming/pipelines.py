@@ -334,6 +334,13 @@ def foreach_batch_upsert_run(
     to the batch, not to the accumulated table (round-3 verdict item
     #1); commits stay atomic via the CURRENT pointer (S14).
 
+    Schema evolution (Delta ``mergeSchema`` analog): a resumed run
+    whose batches carry NEW columns appends them as-is; reads and
+    compactions merge segment schemas, so pre-evolution rows surface
+    the new columns as NULL. Evolved ``keys``/``order_desc`` columns
+    are NOT supported (a NULL order key in old segments sorts last —
+    documented in ``txn.reconstruct_latest``).
+
     Returns the final table as a batch DataFrame.
     """
     tdir = target_dir or os.path.join(
@@ -393,7 +400,9 @@ def foreach_batch_upsert_run(
             segments.append(seg)
         if len(segments) > compact_every:
             merged = txn.reconstruct_latest(
-                spark.read.parquet(
+                # mergeSchema: segments written after a schema-evolving
+                # batch union with older ones (missing column → NULL)
+                spark.read.option("mergeSchema", "true").parquet(
                     *[txn.segment_path(tdir, s) for s in segments]
                 ),
                 spec,

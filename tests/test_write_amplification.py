@@ -225,3 +225,84 @@ def test_segment_gc_keeps_referenced_drops_orphans(tmp_path):
     assert os.path.isdir(txn.segment_path(root, "s_live"))
     assert not os.path.isdir(txn.segment_path(root, "s_orphan"))
     assert os.path.join(txn.SEGMENTS_DIR, "s_orphan") in removed
+
+
+def test_upsert_schema_evolution_on_resume(spark, tmp_path):
+    """Delta mergeSchema analog: a resumed run whose batches add a new
+    column must append it, with pre-evolution rows surfacing NULL —
+    and latest-per-key semantics intact across the schema change."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t0 = time.time() - 1000
+    schema_v1 = "user_id long, ts long, event_id long, val string"
+    for e in range(2):
+        rows = [(k, (e + 1) * 100, k, f"e{e}") for k in range(50)]
+        _drop_file(spark, tmp_path, src, f"f{e}", rows, schema_v1, t0 + e)
+    tbl = str(tmp_path / "tbl")
+    stream = (
+        spark.readStream.schema(schema_v1).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    streaming.foreach_batch_upsert_run(
+        spark, stream, keys=["user_id"], order_desc=["ts", "event_id"],
+        target_dir=tbl, compact_every=100,
+    )
+    # evolution: only HALF the keys get a newer row with the new column
+    schema_v2 = "user_id long, ts long, event_id long, val string, score long"
+    _drop_file(
+        spark, tmp_path, src, "f2",
+        [(k, 300, k, "e2", k * 10) for k in range(25)], schema_v2, t0 + 2,
+    )
+    stream2 = (
+        spark.readStream.schema(schema_v2).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    final = streaming.foreach_batch_upsert_run(
+        spark, stream2, keys=["user_id"], order_desc=["ts", "event_id"],
+        target_dir=tbl, reset=False, compact_every=100,
+    )
+    rows = {r.user_id: (r.ts, r.val, r.score) for r in final.collect()}
+    assert len(rows) == 50
+    for k in range(25):
+        assert rows[k] == (300, "e2", k * 10)
+    for k in range(25, 50):
+        assert rows[k] == (200, "e1", None)  # pre-evolution rows: NULL
+
+
+def test_upsert_schema_evolution_survives_compaction(spark, tmp_path):
+    """Compaction reads segments with mergeSchema too: after the log
+    collapses, evolved columns and NULL backfill must be unchanged."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t0 = time.time() - 1000
+    schema_v1 = "user_id long, ts long, event_id long, val string"
+    _drop_file(
+        spark, tmp_path, src, "f0",
+        [(k, 100, k, "e0") for k in range(50)], schema_v1, t0,
+    )
+    tbl = str(tmp_path / "tbl")
+    stream = (
+        spark.readStream.schema(schema_v1).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    streaming.foreach_batch_upsert_run(
+        spark, stream, keys=["user_id"], order_desc=["ts", "event_id"],
+        target_dir=tbl, compact_every=100,
+    )
+    schema_v2 = "user_id long, ts long, event_id long, val string, score long"
+    for e in (1, 2):
+        _drop_file(
+            spark, tmp_path, src, f"f{e}",
+            [(k, (e + 1) * 100, k, f"e{e}", k) for k in range(25)],
+            schema_v2, t0 + e,
+        )
+    stream2 = (
+        spark.readStream.schema(schema_v2).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    final = streaming.foreach_batch_upsert_run(
+        spark, stream2, keys=["user_id"], order_desc=["ts", "event_id"],
+        target_dir=tbl, reset=False, compact_every=1,  # force compaction
+    )
+    rows = {r.user_id: (r.ts, r.val, r.score) for r in final.collect()}
+    assert rows[0] == (300, "e2", 0)
+    assert rows[49] == (100, "e0", None)
+    cur = txn.current_version_dir(tbl)
+    live = txn.read_manifest(tbl, os.path.basename(cur))[""]["segments"]
+    assert len(live) <= 2, live  # compaction actually ran
