@@ -184,6 +184,144 @@ def domain_cap(
     )
 
 
+def shard_assign(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic global corpus shuffle + shard assignment: every
+    row gets a ``shard`` in [0, n_shards) and a 0-based ``pos`` within
+    its shard, both derived solely from md5(seed ':' id) — the step
+    that turns a filtered corpus into the fixed set of shuffled shards
+    a training job streams (data order is part of the training recipe,
+    so it must be reproducible bit-for-bit, on any cluster layout).
+
+    Scale shape: a *global* sort + ntile would funnel 100 TB through
+    one range-partitioned total order; instead the shard is the hash
+    value mod n_shards (statistically equal shard sizes, zero
+    coordination) and the within-shard order is the hash key itself —
+    so the only shuffle is one hash partition on ``shard`` and the
+    per-shard row_number windows run in parallel. Shard-internal order
+    is uniform-random with respect to any corpus attribute, which is
+    exactly the i.i.d.-like stream training wants.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from pyspark.sql import Window as W
+
+    key = F.md5(
+        F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")).cast("binary")
+    )
+    h60 = F.conv(F.substring(key, 1, 15), 16, 10).cast("long")
+    out = df.withColumn("__key", key).withColumn(
+        shard_col, (h60 % n_shards).cast("int")
+    )
+    w = W.partitionBy(shard_col).orderBy("__key", id_col)
+    return (
+        out.withColumn(pos_col, (F.row_number().over(w) - 1).cast("long"))
+        .drop("__key")
+    )
+
+
+def shard_write(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> None:
+    """Materialize ``shard_assign`` output as one parquet directory per
+    shard (``shard=K/``), each shard's rows stored in shuffled order.
+    ``repartition(n_shards, shard)`` + ``sortWithinPartitions`` lines
+    the physical layout up with the logical shards so a trainer reads
+    shard K as one sequential scan in the exact deterministic order —
+    no per-epoch shuffle at read time."""
+    out = shard_assign(df, n_shards, id_col=id_col, seed=seed)
+    (
+        out.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
+def token_budget_select(
+    df: DataFrame,
+    budget: int,
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    cum_col: str = "cum_tokens",
+) -> DataFrame:
+    """Token-budget subset: walk the corpus in seeded md5-shuffled
+    order and keep documents until the running token total reaches
+    ``budget`` — "give me an unbiased 1B-token slice of this corpus",
+    the sizing step of every scaling-law / ablation run. Deterministic:
+    same seed -> same subset, on any engine or layout.
+
+    Scale shape — distributed exact prefix sum. The naive form is one
+    ``SUM() OVER (ORDER BY key)`` window, which range-partitions a
+    total order and then computes the running sum in a single sequential
+    pass — a non-starter at 100 TB. Instead:
+
+    1. bucket each row by the first byte of its hash key (256 buckets
+       that form a *prefix decomposition* of the global order);
+    2. aggregate per-bucket token totals — one small agg, 256 rows to
+       the driver (bounded, in line with the repo's collect policy);
+    3. compute exclusive bucket offsets on the driver and broadcast
+       them back; buckets whose offset already exceeds the budget are
+       pruned before any window work;
+    4. within each surviving bucket, a per-bucket running-sum window
+       (parallel across buckets) + its offset = the exact global
+       cumulative sum.
+
+    Keeps rows whose inclusive cumulative total is <= budget. Output:
+    input columns + ``cum_col`` (the row's global running total).
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    from pyspark.sql import Window as W
+
+    spark = df.sparkSession
+    key = F.md5(
+        F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")).cast("binary")
+    )
+    base = df.withColumn("__key", key).withColumn(
+        "__b", F.conv(F.substring("__key", 1, 2), 16, 10).cast("int")
+    )
+    totals = {
+        r["__b"]: r["t"]
+        for r in base.groupBy("__b")
+        .agg(F.sum(F.col(tokens_col).cast("long")).alias("t"))
+        .collect()  # <= 256 rows: bounded driver work by construction
+    }
+    offsets, running = [], 0
+    for b in sorted(totals):
+        offsets.append((b, running))
+        running += totals[b]
+    off_df = spark.createDataFrame(offsets, "__b int, __off long")
+    w = (
+        W.partitionBy("__b")
+        .orderBy("__key", id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        base.join(F.broadcast(off_df), on="__b")
+        # prune whole buckets past the budget before any window work
+        .filter(F.col("__off") < F.lit(int(budget)))
+        .withColumn(
+            cum_col,
+            F.col("__off") + F.sum(F.col(tokens_col).cast("long")).over(w),
+        )
+        .filter(F.col(cum_col) <= F.lit(int(budget)))
+        .drop("__b", "__key", "__off")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,

@@ -150,6 +150,8 @@ GROUPS: dict[str, list[str]] = {
         "domain_cap_sample",
         "corpus_temperature_mix",
         "dsir_select",
+        "corpus_shard_assign",
+        "token_budget_select",
     ],
     "vector_codec_digest": [
         "vector_concat_norm",
@@ -489,6 +491,16 @@ PART_COLS: dict[str, tuple[tuple[str, str], ...]] = {
         ("doc_id", "s"),
         ("n_matched", "s"),
         ("n_trigrams", "s"),
+    ),
+    "corpus_shard_assign": (
+        ("doc_id", "s"),
+        ("pos", "s"),
+        ("shard", "s"),
+    ),
+    "token_budget_select": (
+        ("cum_tokens", "s"),
+        ("doc_id", "s"),
+        ("n_tokens", "s"),
     ),
     "vector_concat_norm": (
         ("combined_dim", "s"),

@@ -397,3 +397,65 @@ SELECT doc_id, source, lang FROM (
 def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "lang")
     return corpus.domain_cap(docs, cap=10, domain_col="source", seed=5)
+
+
+@register(
+    "corpus_shard_assign",
+    description="Deterministic global corpus shuffle + shard "
+    "assignment: shard = md5-hash mod 8, pos = rank of the hash key "
+    "within the shard — the reproducible shuffled-shard layout a "
+    "training job streams. Scale shape: no global total order; one hash "
+    "partition on shard, per-shard row_number windows in parallel",
+    survey_ref="W2,W5,M1",
+    oracle="""
+WITH k AS (
+  SELECT doc_id, md5('11:' || CAST(doc_id AS VARCHAR)) AS key
+  FROM documents
+), s AS (
+  SELECT doc_id, key,
+         CAST(('0x' || substr(key, 1, 15))::BIGINT % 8 AS INT) AS shard
+  FROM k
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id) - 1
+            AS BIGINT) AS pos
+FROM s
+""",
+)
+def corpus_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return corpus.shard_assign(docs, n_shards=8, seed=11)
+
+
+@register(
+    "token_budget_select",
+    description="Token-budget subset: walk the corpus in seeded "
+    "md5-shuffled order, keep docs until the running token total "
+    "reaches 20k — the corpus-sizing step of a scaling-law/ablation "
+    "run. Scale shape: distributed exact prefix sum (256 hash-prefix "
+    "buckets -> bounded 256-row driver offset pass -> parallel "
+    "per-bucket running-sum windows), NOT a single-partition global "
+    "ORDER BY window; buckets past the budget are pruned before any "
+    "window work",
+    survey_ref="W5,A1,M1",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tokens,
+         md5('13:' || CAST(doc_id AS VARCHAR)) AS key
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY key, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 20000
+""",
+)
+def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim(F.lower("text")), " +")).cast("long").alias("n_tokens"),
+    )
+    return corpus.token_budget_select(docs, budget=20_000, seed=13)

@@ -149,3 +149,90 @@ def test_temperature_mix_deterministic_across_layouts(spark):
     ids1 = {r.doc_id for r in corpus.temperature_mix(df1, seed=9).collect()}
     ids16 = {r.doc_id for r in corpus.temperature_mix(df16, seed=9).collect()}
     assert ids1 == ids16 and len(ids1) > 0
+
+
+def test_shard_assign_invariants(spark):
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id")
+    n = docs.count()
+    out = corpus.shard_assign(docs, n_shards=8, seed=11).collect()
+    assert len(out) == n  # one row in, one row out
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= set(range(8))
+    # positions within a shard are exactly 0..len-1 (dense, 0-based)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss))), shard
+    # hash sharding keeps shards statistically balanced
+    sizes = [len(p) for p in by_shard.values()]
+    assert max(sizes) < 2.5 * (n / 8)
+    # layout-independent: repartitioned input → identical assignment
+    out2 = corpus.shard_assign(docs.repartition(13), n_shards=8, seed=11).collect()
+    assert {(r.doc_id, r.shard, r.pos) for r in out} == {
+        (r.doc_id, r.shard, r.pos) for r in out2
+    }
+    with pytest.raises(ValueError, match="n_shards"):
+        corpus.shard_assign(docs, n_shards=0)
+
+
+def test_shard_write_roundtrip(spark, tmp_path):
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "n_chars")
+    path = str(tmp_path / "shards")
+    corpus.shard_write(docs, path, n_shards=4, seed=2)
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+    assert set(back.columns) == {"doc_id", "n_chars", "pos", "shard"}
+    # each shard directory exists and replays the logical assignment
+    expect = {
+        (r.doc_id, r.shard, r.pos)
+        for r in corpus.shard_assign(docs, n_shards=4, seed=2).collect()
+    }
+    got = {(r.doc_id, r.shard, r.pos) for r in back.collect()}
+    assert got == expect
+    # physical file order within a shard IS the logical pos order:
+    # a trainer reads the shard sequentially with zero read-time sort
+    one = spark.read.parquet(f"{path}/shard=0")
+    poss = [r.pos for r in one.select("pos").collect()]
+    assert poss == sorted(poss)
+
+
+def test_token_budget_select_boundary(spark):
+    rows = [(i, 10) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = corpus.token_budget_select(df, budget=1005, seed=1).collect()
+    # 100 docs of 10 tokens fit in 1005; the 101st would exceed it
+    assert len(out) == 100
+    assert max(r.cum_tokens for r in out) == 1000
+    # cum is the exact inclusive prefix sum in (hash, id) order
+    assert sorted(r.cum_tokens for r in out) == [10 * k for k in range(1, 101)]
+    # budget 0 and negative
+    assert corpus.token_budget_select(df, budget=0).count() == 0
+    with pytest.raises(ValueError, match="budget"):
+        corpus.token_budget_select(df, budget=-1)
+
+
+def test_token_budget_select_matches_single_window(spark):
+    """The distributed (bucketed prefix-sum) path must equal the naive
+    single-window ORDER BY formulation row-for-row."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_tokens")
+    )
+    got = {
+        (r.doc_id, r.cum_tokens)
+        for r in corpus.token_budget_select(
+            docs.repartition(16), budget=50_000, seed=4
+        ).collect()
+    }
+    key = F.md5(F.concat(F.lit("4:"), F.col("doc_id").cast("string")).cast("binary"))
+    w = (
+        W.orderBy(key, "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    naive = (
+        docs.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= 50_000)
+    )
+    expect = {(r.doc_id, r.cum_tokens) for r in naive.collect()}
+    assert got == expect and len(got) > 0
