@@ -256,6 +256,7 @@ def token_budget_select(
     id_col: str = "doc_id",
     seed: int = 0,
     cum_col: str = "cum_tokens",
+    prefix_chars: int = 2,
 ) -> DataFrame:
     """Token-budget subset: walk the corpus in seeded md5-shuffled
     order and keep documents until the running token total reaches
@@ -268,9 +269,10 @@ def token_budget_select(
     total order and then computes the running sum in a single sequential
     pass — a non-starter at 100 TB. Instead:
 
-    1. bucket each row by the first byte of its hash key (256 buckets
-       that form a *prefix decomposition* of the global order);
-    2. aggregate per-bucket token totals — one small agg, 256 rows to
+    1. bucket each row by the first ``prefix_chars`` hex chars of its
+       hash key (16^prefix_chars buckets that form a *prefix
+       decomposition* of the global order);
+    2. aggregate per-bucket token totals — one small agg, 16^p rows to
        the driver (bounded, in line with the repo's collect policy);
     3. compute exclusive bucket offsets on the driver and broadcast
        them back; buckets whose offset already exceeds the budget are
@@ -279,11 +281,20 @@ def token_budget_select(
        (parallel across buckets) + its offset = the exact global
        cumulative sum.
 
+    Each surviving bucket's window runs as ONE task, so size the bucket
+    count to the data: the default 2 (256 buckets) suits up to ~10^8
+    rows; at 100 TB use 4 (65 536 buckets, ~1.5 GB of corpus each — a
+    65k-row driver pass is still trivially bounded). The budget prune
+    usually collapses the window stage to the few buckets that straddle
+    the budget frontier anyway.
+
     Keeps rows whose inclusive cumulative total is <= budget. Output:
     input columns + ``cum_col`` (the row's global running total).
     """
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
+    if not (1 <= prefix_chars <= 8):
+        raise ValueError(f"prefix_chars must be in [1, 8], got {prefix_chars}")
     from pyspark.sql import Window as W
 
     spark = df.sparkSession
@@ -291,13 +302,13 @@ def token_budget_select(
         F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")).cast("binary")
     )
     base = df.withColumn("__key", key).withColumn(
-        "__b", F.conv(F.substring("__key", 1, 2), 16, 10).cast("int")
+        "__b", F.conv(F.substring("__key", 1, prefix_chars), 16, 10).cast("int")
     )
     totals = {
         r["__b"]: r["t"]
         for r in base.groupBy("__b")
         .agg(F.sum(F.col(tokens_col).cast("long")).alias("t"))
-        .collect()  # <= 256 rows: bounded driver work by construction
+        .collect()  # <= 16^prefix_chars rows: bounded by construction
     }
     offsets, running = [], 0
     for b in sorted(totals):

@@ -611,11 +611,18 @@ def canonical_components(
                 ).alias("label"),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
         # labels only ever decrease, so the label sum is strictly
         # monotone until the fixpoint: an unchanged sum ⟺ convergence.
-        # One cheap aggregate per iteration instead of a join+count.
-        new_sum = new_labels.agg(F.sum("label")).first()[0]
+        # The probe rides the eager checkpoint's own materialization job
+        # via observe() — one Spark job per round, not two (the probe
+        # was ~half of each round's wall time at small scale, and at
+        # cluster scale it saves a full scheduler round-trip per round).
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        new_labels = new_labels.observe(obs, F.sum("label").alias("s"))
+        new_labels = new_labels.localCheckpoint(eager=True)
+        new_sum = obs.get["s"]
         # the superseded round's checkpoint blocks are dead weight now
         _unpersist_local_checkpoint(labels)
         labels = new_labels

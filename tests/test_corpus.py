@@ -236,3 +236,22 @@ def test_token_budget_select_matches_single_window(spark):
     )
     expect = {(r.doc_id, r.cum_tokens) for r in naive.collect()}
     assert got == expect and len(got) > 0
+
+
+def test_token_budget_select_prefix_width_invariant(spark):
+    """The subset must be identical at any prefix decomposition width
+    (bucketing is an execution detail, not a semantic one)."""
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_tokens")
+    )
+    sel = {}
+    for p in (1, 2, 3):
+        sel[p] = {
+            (r.doc_id, r.cum_tokens)
+            for r in corpus.token_budget_select(
+                docs, budget=30_000, seed=6, prefix_chars=p
+            ).collect()
+        }
+    assert sel[1] == sel[2] == sel[3] and len(sel[1]) > 0
+    with pytest.raises(ValueError, match="prefix_chars"):
+        corpus.token_budget_select(docs, budget=10, prefix_chars=0)
