@@ -67,6 +67,9 @@ BENCH_QUERIES = [
     "line_quality_filter",
     "paragraph_dedup",
     "dsir_select",
+    "corpus_shard_assign",
+    "token_budget_select",
+    "hard_negative_mining",
     # production-hash-family variants (bench-only, defined below): the
     # catalog queries pin hash_family="md5-portable" so the DuckDB
     # oracle can replay candidate sets, but the path you'd run at

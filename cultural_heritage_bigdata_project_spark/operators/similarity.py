@@ -653,6 +653,59 @@ def precision_at_k(
     )
 
 
+def hard_negative_mining(
+    vectors: DataFrame,
+    k: int = 10,
+    n_queries: int = 20,
+    min_sim: float | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding-model training:
+    for each anchor (the first ``n_queries`` vectors), the ``k``
+    *different-label* vectors most similar to it — the near-miss
+    negatives that carry the training signal (easy negatives are
+    already far away; a random negative teaches ~nothing once training
+    has started). Optional ``min_sim`` floors the band so trivially-easy
+    negatives never enter the ranking.
+
+    Shape mirrors ``precision_at_k``: one broadcast of the anchor set
+    against the collection — a single scan of the big side, a per-anchor
+    top-k window on the anti-label side. At full-corpus scale (every
+    vector an anchor) this becomes the all-pairs ANN problem: compose
+    with the IVF/LSH operators instead — mine negatives within each
+    anchor's IVF cell / LSH bucket (the near vectors are by construction
+    the only hard-negative candidates), which is exactly what
+    ``ivf_assign`` + this ranking per cell gives.
+
+    Output: (q_id, vec_id, label, cosine_sim, rank) — rank 1 is the
+    hardest negative.
+    """
+    q = vectors.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col(label_col).alias("q_label"),
+    )
+    sim = F.round(cosine_similarity(F.col("q_vec"), F.col(vec_col)), 6)
+    scored = (
+        vectors.join(F.broadcast(q), F.col(label_col) != F.col("q_label"))
+        .select(
+            "q_id",
+            F.col(id_col),
+            F.col(label_col),
+            sim.alias("cosine_sim"),
+        )
+    )
+    if min_sim is not None:
+        scored = scored.filter(F.col("cosine_sim") >= float(min_sim))
+    w = W.partitionBy("q_id").orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def pq_deterministic_top_k(
     vectors: DataFrame,
     query,

@@ -157,6 +157,7 @@ GROUPS: dict[str, list[str]] = {
         "vector_concat_norm",
         "pq_ann_topk",
         "semdedup_prune",
+        "hard_negative_mining",
     ],
 }
 
@@ -505,6 +506,13 @@ PART_COLS: dict[str, tuple[tuple[str, str], ...]] = {
     "vector_concat_norm": (
         ("combined_dim", "s"),
         ("combined_norm", "f"),
+        ("vec_id", "s"),
+    ),
+    "hard_negative_mining": (
+        ("cosine_sim", "f"),
+        ("label", "s"),
+        ("q_id", "s"),
+        ("rank", "s"),
         ("vec_id", "s"),
     ),
     "pq_ann_topk": (

@@ -142,6 +142,37 @@ def precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hard_negative_mining",
+    description="Hard-negative mining for contrastive training: per "
+    "anchor (first 20 vectors), the 10 most-similar DIFFERENT-label "
+    "vectors ranked hardest-first — the near-miss negatives that carry "
+    "the training signal. Broadcast anchor set, one scan of the "
+    "collection, per-anchor top-k window; at full-corpus scale compose "
+    "with IVF/LSH cells instead of all-pairs",
+    survey_ref="J8,M5,W4",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+n AS (SELECT vec_id, v, label, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+q AS (SELECT vec_id AS q_id, v AS qv, label AS q_label, nrm AS qnrm
+      FROM n WHERE vec_id < 20),
+scored AS (
+  SELECT q.q_id, n.vec_id, n.label,
+         round(list_dot_product(n.v, q.qv) / (n.nrm * q.qnrm), 6) AS cosine_sim,
+         row_number() OVER (PARTITION BY q.q_id
+                            ORDER BY round(list_dot_product(n.v, q.qv)
+                                           / (n.nrm * q.qnrm), 6) DESC,
+                                     n.vec_id ASC) AS rn
+  FROM n JOIN q ON n.label <> q.q_label
+)
+SELECT q_id, vec_id, label, cosine_sim, CAST(rn AS INT) AS rank
+FROM scored WHERE rn <= 10
+""",
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.hard_negative_mining(_emb(spark, sf_dir), k=10, n_queries=20)
+
+
+@register(
     "ann_lsh_topk",
     description="Approximate kNN: random-hyperplane LSH buckets (8 tables "
     "x 4 bits — tuned for this fixture's weakly-correlated vectors; real "

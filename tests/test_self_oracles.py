@@ -459,3 +459,36 @@ def test_ann_zero_norm_vectors_sort_last(spark):
         if r.vec_id != 99:
             assert r.cosine_sim is not None
             assert not math.isnan(r.cosine_sim)
+
+
+def test_hard_negative_mining_semantics(spark):
+    """Negatives only (label differs from the anchor's), hardest-first
+    rank, min_sim floors the band, k bounds each anchor's count."""
+    from cultural_heritage_bigdata_project_spark.operators.similarity import (
+        hard_negative_mining,
+    )
+    from cultural_heritage_bigdata_project_spark.sources.tables import load_table
+
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    out = hard_negative_mining(emb, k=5, n_queries=10).collect()
+    assert len(out) > 0
+    per_q: dict[int, list] = {}
+    for r in out:
+        per_q.setdefault(r.q_id, []).append(r)
+        assert r.label != labels[r.q_id], "negative shares the anchor label"
+    for q_id, rows in per_q.items():
+        assert len(rows) <= 5
+        rows = sorted(rows, key=lambda r: r.rank)
+        sims = [r.cosine_sim for r in rows]
+        assert sims == sorted(sims, reverse=True), "rank must be hardest-first"
+    # min_sim band: every surviving negative clears the floor, and the
+    # floored set is a prefix-subset of the unfloored ranking
+    floor = hard_negative_mining(emb, k=5, n_queries=10, min_sim=0.1).collect()
+    assert all(r.cosine_sim >= 0.1 for r in floor)
+    unfloored = {(r.q_id, r.vec_id) for r in out if r.cosine_sim >= 0.1}
+    assert {(r.q_id, r.vec_id) for r in floor} <= unfloored | {
+        (r.q_id, r.vec_id) for r in floor
+    }
