@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "dsir_select",
     "corpus_shard_assign",
     "token_budget_select",
+    "epoch_upsample",
     "hard_negative_mining",
     # production-hash-family variants (bench-only, defined below): the
     # catalog queries pin hash_family="md5-portable" so the DuckDB

@@ -184,6 +184,59 @@ def domain_cap(
     )
 
 
+def epoch_upsample(
+    df: DataFrame,
+    repeats: Mapping[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Repeat-factor upsampling: materialize ``repeats[s]`` epochs of
+    each source — floor(w) full copies plus a deterministic md5-selected
+    fraction for the final partial epoch. The trainer's "see curated
+    data 2.3 times per crawl epoch" knob (``weighted_mix`` /
+    ``temperature_mix`` are downsample-only by design; this is the
+    other half), made explicit and auditable: the output carries an
+    ``epoch`` column, and membership of the partial epoch is the same
+    seeded hash-threshold selection the rest of the corpus stack uses —
+    reproducible on any layout or engine, no RNG.
+
+    One broadcast join (per-source full/partial thresholds — a handful
+    of rows) + one explode; rows needing zero epochs (w < bucket draw)
+    disappear through the non-outer explode of an empty sequence. No
+    shuffle: output partitioning follows the input, and the explode
+    multiplies rows map-side — at 100 TB the write amplification IS the
+    requested upsampling, nothing more.
+    """
+    for name, w in repeats.items():
+        if w < 0:
+            raise ValueError(f"repeat for {name!r} must be >= 0, got {w}")
+    spark = df.sparkSession
+    plan = [
+        (name, int(w), int(round((w - int(w)) * _BUCKETS)))
+        for name, w in repeats.items()
+    ]
+    plan_df = spark.createDataFrame(
+        plan, f"{source_col} string, __full int, __thr int"
+    )
+    bucket = _hash_bucket(
+        seed,
+        F.concat(F.col(source_col), F.lit(":"), F.col(id_col).cast("string")),
+    )
+    n_epochs = F.col("__full") + (bucket < F.col("__thr")).cast("int")
+    # sequence(1, 0) would generate a DESCENDING [1, 0] — guard with an
+    # empty array so zero-epoch rows vanish through the explode
+    seq = F.when(n_epochs >= 1, F.sequence(F.lit(1), n_epochs)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return (
+        df.join(F.broadcast(plan_df), on=source_col)
+        .withColumn(epoch_col, F.explode(seq))
+        .drop("__full", "__thr")
+    )
+
+
 def shard_assign(
     df: DataFrame,
     n_shards: int,

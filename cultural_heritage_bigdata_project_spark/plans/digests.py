@@ -152,6 +152,7 @@ GROUPS: dict[str, list[str]] = {
         "dsir_select",
         "corpus_shard_assign",
         "token_budget_select",
+        "epoch_upsample",
     ],
     "vector_codec_digest": [
         "vector_concat_norm",
@@ -492,6 +493,11 @@ PART_COLS: dict[str, tuple[tuple[str, str], ...]] = {
         ("doc_id", "s"),
         ("n_matched", "s"),
         ("n_trigrams", "s"),
+    ),
+    "epoch_upsample": (
+        ("doc_id", "s"),
+        ("epoch", "s"),
+        ("lang", "s"),
     ),
     "corpus_shard_assign": (
         ("doc_id", "s"),

@@ -400,6 +400,37 @@ def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "epoch_upsample",
+    description="Repeat-factor upsampling (the trainer's repeat-epochs "
+    "knob, the complement of downsample-only temperature mixing): "
+    "en x1.6, de x2.25, fr x0.5 epochs per language — floor(w) full "
+    "copies + seeded md5-selected partial epoch, epoch column carried "
+    "for audit. Broadcast threshold join + one map-side explode, no "
+    "shuffle; write amplification IS the requested upsampling",
+    survey_ref="M1,X1,A5,U1",
+    oracle="""
+WITH plan(lang, n_full, thr) AS (VALUES ('en', 1, 6000), ('de', 2, 2500), ('fr', 0, 5000)),
+b AS (
+  SELECT d.doc_id, d.lang, p.n_full, p.thr,
+         ('0x' || substr(md5('17:' || d.lang || ':' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 AS bk
+  FROM documents d JOIN plan p ON d.lang = p.lang
+)
+SELECT doc_id, lang,
+       CAST(unnest(generate_series(1, n_full + CASE WHEN bk < thr THEN 1 ELSE 0 END)) AS INT) AS epoch
+FROM b
+""",
+)
+def epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return corpus.epoch_upsample(
+        docs,
+        {"en": 1.6, "de": 2.25, "fr": 0.5},
+        source_col="lang",
+        seed=17,
+    )
+
+
+@register(
     "corpus_shard_assign",
     description="Deterministic global corpus shuffle + shard "
     "assignment: shard = md5-hash mod 8, pos = rank of the hash key "

@@ -255,3 +255,43 @@ def test_token_budget_select_prefix_width_invariant(spark):
     assert sel[1] == sel[2] == sel[3] and len(sel[1]) > 0
     with pytest.raises(ValueError, match="prefix_chars"):
         corpus.token_budget_select(docs, budget=10, prefix_chars=0)
+
+
+def test_epoch_upsample_invariants(spark):
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = corpus.epoch_upsample(
+        df, {"a": 2.0, "b": 0.5, "c": 1.25}, seed=3
+    ).collect()
+    from collections import Counter
+
+    per_doc = Counter()
+    for r in out:
+        per_doc[(r.doc_id, r.source)] += 1
+        assert r.epoch >= 1
+    # integer repeat: every 'a' doc appears exactly twice (epochs 1,2)
+    a_counts = {k: v for k, v in per_doc.items() if k[1] == "a"}
+    assert len(a_counts) == 1000 and set(a_counts.values()) == {2}
+    # fractional-only repeat: 'b' docs appear 0 or 1 times, ~50% kept
+    b_total = sum(v for k, v in per_doc.items() if k[1] == "b")
+    assert set(v for k, v in per_doc.items() if k[1] == "b") <= {1}
+    assert abs(b_total - 500) < 80, b_total
+    # mixed: every 'c' doc appears at least once, ~25% twice
+    c_counts = [v for k, v in per_doc.items() if k[1] == "c"]
+    assert len(c_counts) == 1000 and set(c_counts) <= {1, 2}
+    assert abs(sum(c_counts) - 1250) < 80
+    # epochs are dense 1..n per doc
+    epochs: dict = {}
+    for r in out:
+        epochs.setdefault((r.doc_id, r.source), []).append(r.epoch)
+    for k, es in epochs.items():
+        assert sorted(es) == list(range(1, len(es) + 1)), (k, es)
+    # layout-independence
+    out16 = corpus.epoch_upsample(
+        df.repartition(16), {"a": 2.0, "b": 0.5, "c": 1.25}, seed=3
+    ).collect()
+    assert sorted((r.doc_id, r.epoch) for r in out) == sorted(
+        (r.doc_id, r.epoch) for r in out16
+    )
+    with pytest.raises(ValueError, match="repeat"):
+        corpus.epoch_upsample(df, {"a": -0.1})
