@@ -676,8 +676,9 @@ def hard_negative_mining(
     vector an anchor) this becomes the all-pairs ANN problem: compose
     with the IVF/LSH operators instead — mine negatives within each
     anchor's IVF cell / LSH bucket (the near vectors are by construction
-    the only hard-negative candidates), which is exactly what
-    ``ivf_assign`` + this ranking per cell gives.
+    the only hard-negative candidates), i.e. the IVF list assignment
+    (``_assign_lists``, as used by ``ivf_deterministic_top_k``)
+    followed by this ranking within each cell.
 
     Output: (q_id, vec_id, label, cosine_sim, rank) — rank 1 is the
     hardest negative.
