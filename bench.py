@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "corpus_shard_assign",
     "token_budget_select",
     "epoch_upsample",
+    "ccnet_buckets",
     "hard_negative_mining",
     # production-hash-family variants (bench-only, defined below): the
     # catalog queries pin hash_family="md5-portable" so the DuckDB

@@ -134,6 +134,7 @@ def charlm_quality(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Char-trigram LM quality score: per-document average add-one-
     smoothed log-probability under a pooled clean-text profile — the
@@ -157,7 +158,11 @@ def charlm_quality(
     the DuckDB oracle matches bit-for-bit with no transcendental
     drift. At 100 TB the plan is unchanged: the dict rides the task
     closure (a real KenLM-distilled profile ships the same way, loaded
-    once per executor Python worker)."""
+    once per executor Python worker).
+
+    ``passthrough``: extra input columns carried through the Arrow pass
+    unchanged (so downstream per-group logic — e.g. per-language
+    bucketing — needs no join back against the corpus)."""
     import pandas as pd
 
     from ..functions.langid import lm_norm_nano, lm_rows
@@ -178,19 +183,24 @@ def charlm_quality(
                 n = max(len(s) - 2, 0)
                 ns.append(n)
                 sums.append(sum(get(s[i : i + 3], 0) for i in range(n)))
-            yield pd.DataFrame(
-                {
-                    "__id": pdf["__id"],
-                    "__n": pd.array(ns, dtype="Int64"),
-                    "__sn": pd.array(sums, dtype="Int64"),
-                }
-            )
+            out = {
+                "__id": pdf["__id"],
+                "__n": pd.array(ns, dtype="Int64"),
+                "__sn": pd.array(sums, dtype="Int64"),
+            }
+            for c in passthrough:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
+    pass_schema = "".join(
+        f", {c} {df.schema[c].dataType.simpleString()}" for c in passthrough
+    )
     base = df.select(
-        F.col(id_col).alias("__id"), F.col(text_col).alias("__t")
-    ).mapInPandas(score, "__id long, __n long, __sn long")
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__t"), *passthrough
+    ).mapInPandas(score, "__id long, __n long, __sn long" + pass_schema)
     return base.select(
         F.col("__id").alias(id_col),
+        *passthrough,
         F.col("__n").alias("n_trigrams"),
         F.round(
             (
@@ -200,6 +210,48 @@ def charlm_quality(
             / F.lit(1e9),
             6,
         ).alias("avg_logprob"),
+    )
+
+
+def ccnet_perplexity_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet head/middle/tail quality bucketing (Wenzek et al. 2020
+    §3.2): score every document with the char-LM perplexity proxy
+    (``charlm_quality``), then split each language at the terciles of
+    its score distribution — ``head`` (most clean-like third),
+    ``middle``, ``tail``. CCNet trains on head+middle and discards
+    tail; the bucket column keeps that decision auditable instead of
+    baked in.
+
+    Plan: the scoring Arrow pass carries ``lang`` through (no join back
+    against the corpus), then per-language exact tercile thresholds are
+    ONE tiny aggregate (2 percentiles × n_languages rows) broadcast
+    back — two passes over the corpus total, no window over a global
+    order. Thresholds compare the ROUNDED score, so the same documents
+    land in the same buckets on any engine; CCNet production freezes
+    thresholds from a held-out sample, which is this same shape with
+    the aggregate replaced by a literal table.
+    """
+    scored = charlm_quality(
+        df, text_col=text_col, id_col=id_col, passthrough=(lang_col,)
+    )
+    thr = scored.groupBy(lang_col).agg(
+        F.percentile("avg_logprob", 1.0 / 3).alias("__t1"),
+        F.percentile("avg_logprob", 2.0 / 3).alias("__t2"),
+    )
+    return (
+        scored.join(F.broadcast(thr), on=lang_col)
+        .withColumn(
+            "bucket",
+            F.when(F.col("avg_logprob") >= F.col("__t2"), F.lit("head"))
+            .when(F.col("avg_logprob") >= F.col("__t1"), F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        )
+        .drop("__t1", "__t2")
     )
 
 

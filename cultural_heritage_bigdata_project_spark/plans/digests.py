@@ -142,6 +142,7 @@ GROUPS: dict[str, list[str]] = {
         "nfc_normalize_docs",
         "line_quality_filter",
         "paragraph_dedup",
+        "ccnet_buckets",
     ],
     "corpus_sampling_digest": [
         "hash_split_sets",
@@ -492,6 +493,13 @@ PART_COLS: dict[str, tuple[tuple[str, str], ...]] = {
         ("avg_log_ratio", "f"),
         ("doc_id", "s"),
         ("n_matched", "s"),
+        ("n_trigrams", "s"),
+    ),
+    "ccnet_buckets": (
+        ("avg_logprob", "f"),
+        ("bucket", "s"),
+        ("doc_id", "s"),
+        ("lang", "s"),
         ("n_trigrams", "s"),
     ),
     "epoch_upsample": (

@@ -223,6 +223,53 @@ def charlm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.charlm_quality(_docs(spark, sf_dir))
 
 
+def _ccnet_buckets_oracle() -> str:
+    from ..functions.langid import lm_norm_nano, lm_values_sql
+
+    return f"""
+WITH prof(tg, lnw_nano) AS (VALUES {lm_values_sql()}),
+b AS (
+  SELECT doc_id, lang, ' ' || lower(text) || ' ' AS s FROM documents
+), b2 AS (
+  SELECT doc_id, lang, s, greatest(len(s) - 2, 0) AS n FROM b
+), ex AS (
+  SELECT doc_id, unnest([substring(s, i, 3) for i in range(1, greatest(len(s) - 2, 0) + 1)]) AS tg
+  FROM b2
+), w AS (
+  SELECT e.doc_id, sum(p.lnw_nano) AS sn
+  FROM ex e JOIN prof p ON e.tg = p.tg GROUP BY e.doc_id
+), sc AS (
+  SELECT b2.doc_id, b2.lang, b2.n AS n_trigrams,
+         round((coalesce(w.sn, 0) / greatest(b2.n, 1) - {lm_norm_nano()}) / 1e9, 6)
+           AS avg_logprob
+  FROM b2 LEFT JOIN w ON b2.doc_id = w.doc_id
+), thr AS (
+  SELECT lang, quantile_cont(avg_logprob, 1.0/3) AS t1,
+         quantile_cont(avg_logprob, 2.0/3) AS t2
+  FROM sc GROUP BY lang
+)
+SELECT sc.doc_id, sc.lang, sc.n_trigrams, sc.avg_logprob,
+       CASE WHEN sc.avg_logprob >= thr.t2 THEN 'head'
+            WHEN sc.avg_logprob >= thr.t1 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM sc JOIN thr ON sc.lang = thr.lang
+"""
+
+
+@register(
+    "ccnet_buckets",
+    description="CCNet head/middle/tail bucketing (Wenzek et al. 2020 "
+    "§3.2): per-language terciles of the char-LM perplexity-proxy score "
+    "— head = most clean-like third; CCNet trains on head+middle. One "
+    "Arrow scoring pass carrying lang, one tiny per-language percentile "
+    "aggregate broadcast back; no global-order window",
+    survey_ref="M1,A1,U2",
+    oracle=_ccnet_buckets_oracle(),
+)
+def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.ccnet_perplexity_buckets(_docs(spark, sf_dir))
+
+
 @register(
     "fingerprint_dedup",
     description="Document fingerprinting (md5 of 4-token prefix) + exact "

@@ -225,3 +225,33 @@ def test_nfc_normalize_combining_characters(spark):
     }
     for k, v in oracle.items():
         assert got[k] == v, (k, got[k], v)
+
+
+def test_ccnet_buckets_tercile_invariants(spark):
+    """Per language: bucket sizes within one of n/3, and every head
+    score >= every middle score >= every tail score."""
+    from cultural_heritage_bigdata_project_spark.operators import text as t
+    from cultural_heritage_bigdata_project_spark.sources.tables import load_table
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang", "text")
+    out = t.ccnet_perplexity_buckets(docs).collect()
+    assert len(out) == docs.count()
+    by_lang: dict = {}
+    for r in out:
+        by_lang.setdefault(r.lang, {}).setdefault(r.bucket, []).append(r.avg_logprob)
+    for lang, buckets in by_lang.items():
+        assert set(buckets) <= {"head", "middle", "tail"}
+        n = sum(len(v) for v in buckets.values())
+        for b, v in buckets.items():
+            # terciles: each bucket within ~a third (ties can spill)
+            assert abs(len(v) - n / 3) <= max(3, 0.15 * n), (lang, b, len(v), n)
+        if {"head", "middle", "tail"} <= set(buckets):
+            assert min(buckets["head"]) >= max(buckets["middle"])
+            assert min(buckets["middle"]) >= max(buckets["tail"])
+    # deterministic across layouts
+    out16 = t.ccnet_perplexity_buckets(docs.repartition(16)).collect()
+    assert {(r.doc_id, r.bucket) for r in out} == {
+        (r.doc_id, r.bucket) for r in out16
+    }
