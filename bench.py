@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "token_budget_select",
     "epoch_upsample",
     "ccnet_buckets",
+    "train_charlm_profile",
     "hard_negative_mining",
     # production-hash-family variants (bench-only, defined below): the
     # catalog queries pin hash_family="md5-portable" so the DuckDB

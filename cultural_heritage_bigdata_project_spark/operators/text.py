@@ -130,11 +130,69 @@ def language_id(
     return scored.withColumn("lang_pred", pred).withColumnRenamed("__id", id_col)
 
 
+def train_charlm_profile(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train the char-trigram LM quality profile IN-ENGINE from a clean
+    subcorpus — the missing half of ``charlm_quality``'s loop (its
+    shipped profile is a static table; a real 100 TB pipeline re-trains
+    the profile from its own curated slice every refresh, exactly like
+    CCNet trains KenLM on Wikipedia).
+
+    Output: (trigram, cnt, lnw_nano) with lnw_nano =
+    round(ln(cnt+1)·1e9) — the same add-one-smoothed nano-int encoding
+    as ``functions.langid.lm_rows``, so the trained rows are
+    plug-compatible with ``charlm_quality(profile=...)``.
+
+    Plan: one projection exploding each doc's ~n_chars trigrams
+    (whole-stage codegen, no Python) into ONE groupBy(trigram) count —
+    map-side combine collapses the (tiny, ~|alphabet|³-bounded) key
+    space before the shuffle, so the exchanged volume is per-task
+    distinct trigrams, not corpus characters.
+    """
+    base = df.select(
+        F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" ")).alias("__s")
+    ).filter(F.col("__s").isNotNull())
+    tg = F.expr(
+        # sequence(1, 0) would generate DESCENDING [1, 0]; guard short docs
+        "explode(CASE WHEN length(__s) >= 3 THEN"
+        " transform(sequence(1, length(__s) - 2), i -> substring(__s, i, 3))"
+        " ELSE array() END)"
+    )
+    counts = base.select(tg.alias("trigram")).groupBy("trigram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return counts.select(
+        "trigram",
+        "cnt",
+        F.round(F.log(F.col("cnt") + 1) * 1e9, 0).cast("long").alias("lnw_nano"),
+    )
+
+
+def trained_profile(profile_df: DataFrame) -> tuple[dict, int]:
+    """Collect a ``train_charlm_profile`` result into the (dict,
+    norm_nano) pair ``charlm_quality(profile=..., norm_nano=...)``
+    scores with. Bounded driver work by construction: the key space is
+    distinct trigrams (≈|alphabet|³ worst case, hundreds-to-thousands
+    in practice) — the same "model ships to workers" size class as the
+    static profile."""
+    import math
+
+    rows = profile_df.select("trigram", "cnt", "lnw_nano").collect()
+    prof = {r["trigram"]: r["lnw_nano"] for r in rows}
+    t = sum(r["cnt"] for r in rows)
+    v = len(rows) + 1
+    return prof, int(round(math.log(t + v) * 1_000_000_000))
+
+
 def charlm_quality(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     passthrough: tuple[str, ...] = (),
+    profile: dict | None = None,
+    norm_nano: int | None = None,
 ) -> DataFrame:
     """Char-trigram LM quality score: per-document average add-one-
     smoothed log-probability under a pooled clean-text profile — the
@@ -162,12 +220,20 @@ def charlm_quality(
 
     ``passthrough``: extra input columns carried through the Arrow pass
     unchanged (so downstream per-group logic — e.g. per-language
-    bucketing — needs no join back against the corpus)."""
+    bucketing — needs no join back against the corpus).
+
+    ``profile``/``norm_nano``: score under a custom trigram profile
+    (e.g. one trained in-engine by ``train_charlm_profile`` +
+    ``trained_profile``) instead of the shipped static table; pass
+    both or neither."""
     import pandas as pd
 
     from ..functions.langid import lm_norm_nano, lm_rows
 
-    prof = dict(lm_rows())
+    if (profile is None) != (norm_nano is None):
+        raise ValueError("pass both profile and norm_nano, or neither")
+    prof = dict(lm_rows()) if profile is None else dict(profile)
+    norm = lm_norm_nano() if norm_nano is None else int(norm_nano)
 
     def score(batches):
         get = prof.get
@@ -205,7 +271,7 @@ def charlm_quality(
         F.round(
             (
                 F.col("__sn") / F.greatest(F.col("__n"), F.lit(1))
-                - F.lit(lm_norm_nano())
+                - F.lit(norm)
             )
             / F.lit(1e9),
             6,

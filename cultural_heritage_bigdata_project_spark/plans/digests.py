@@ -143,6 +143,7 @@ GROUPS: dict[str, list[str]] = {
         "line_quality_filter",
         "paragraph_dedup",
         "ccnet_buckets",
+        "train_charlm_profile",
     ],
     "corpus_sampling_digest": [
         "hash_split_sets",
@@ -494,6 +495,11 @@ PART_COLS: dict[str, tuple[tuple[str, str], ...]] = {
         ("doc_id", "s"),
         ("n_matched", "s"),
         ("n_trigrams", "s"),
+    ),
+    "train_charlm_profile": (
+        ("cnt", "s"),
+        ("lnw_nano", "s"),
+        ("trigram", "s"),
     ),
     "ccnet_buckets": (
         ("avg_logprob", "f"),

@@ -257,6 +257,33 @@ FROM sc JOIN thr ON sc.lang = thr.lang
 
 
 @register(
+    "train_charlm_profile",
+    description="In-engine char-LM profile training (the missing half "
+    "of charlm_quality's loop — CCNet re-trains its KenLM on the "
+    "curated slice): trigram counts + add-one nano-int log weights "
+    "over the English subcorpus, plug-compatible with "
+    "charlm_quality(profile=...). One codegen trigram explode into one "
+    "map-combined groupBy — shuffle volume is distinct trigrams, not "
+    "corpus characters",
+    survey_ref="M1,A1,A9",
+    oracle="""
+WITH b AS (
+  SELECT ' ' || lower(text) || ' ' AS s FROM documents WHERE lang = 'en'
+), ex AS (
+  SELECT unnest([substring(s, i, 3) for i in range(1, greatest(len(s) - 2, 0) + 1)]) AS trigram
+  FROM b
+)
+SELECT trigram, count(*) AS cnt,
+       CAST(round(ln(count(*) + 1) * 1e9, 0) AS BIGINT) AS lnw_nano
+FROM ex GROUP BY trigram
+""",
+)
+def train_charlm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).filter(F.col("lang") == "en")
+    return text.train_charlm_profile(docs)
+
+
+@register(
     "ccnet_buckets",
     description="CCNet head/middle/tail bucketing (Wenzek et al. 2020 "
     "§3.2): per-language terciles of the char-LM perplexity-proxy score "

@@ -255,3 +255,54 @@ def test_ccnet_buckets_tercile_invariants(spark):
     assert {(r.doc_id, r.bucket) for r in out} == {
         (r.doc_id, r.bucket) for r in out16
     }
+
+
+def test_train_charlm_profile_closes_the_loop(spark):
+    """Train a profile in-engine, score with it, and match a pure-
+    Python referee that re-derives both the profile and the scores."""
+    import math
+
+    from cultural_heritage_bigdata_project_spark.operators import text as t
+    from cultural_heritage_bigdata_project_spark.sources.tables import load_table
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang", "text")
+    clean = docs.filter(F.col("lang") == "en")
+    prof_df = t.train_charlm_profile(clean)
+    prof, norm = t.trained_profile(prof_df)
+
+    # referee: recount trigrams in plain Python
+    ref_counts: dict = {}
+    for r in clean.select("text").collect():
+        s = " " + r.text.lower() + " "
+        for i in range(max(len(s) - 2, 0)):
+            tg = s[i : i + 3]
+            ref_counts[tg] = ref_counts.get(tg, 0) + 1
+    assert prof == {
+        tg: int(round(math.log(c + 1) * 1_000_000_000))
+        for tg, c in ref_counts.items()
+    }
+    assert norm == int(
+        round(
+            math.log(sum(ref_counts.values()) + len(ref_counts) + 1)
+            * 1_000_000_000
+        )
+    )
+
+    # scoring with the trained profile replays the same integer/IEEE
+    # pipeline as the static-profile path
+    sample = docs.limit(50)
+    got = {
+        r.doc_id: (r.n_trigrams, r.avg_logprob)
+        for r in t.charlm_quality(sample, profile=prof, norm_nano=norm).collect()
+    }
+    for r in sample.select("doc_id", "text").collect():
+        s = " " + r.text.lower() + " "
+        n = max(len(s) - 2, 0)
+        sn = sum(prof.get(s[i : i + 3], 0) for i in range(n))
+        expect = round((sn / max(n, 1) - norm) / 1e9, 6)
+        assert got[r.doc_id] == (n, expect), r.doc_id
+
+    with pytest.raises(ValueError, match="both profile and norm_nano"):
+        t.charlm_quality(sample, profile=prof)
