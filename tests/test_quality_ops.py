@@ -306,3 +306,73 @@ def test_train_charlm_profile_closes_the_loop(spark):
 
     with pytest.raises(ValueError, match="both profile and norm_nano"):
         t.charlm_quality(sample, profile=prof)
+
+
+def _bpe_referee(word_counts: dict, n_merges: int, min_pair_count: int = 2):
+    """Pure-Python BPE (Sennrich et al. 2016 alg. 1) with the same
+    deterministic tiebreak: count desc, then (left, right) asc."""
+    segs = {w: list(w) + ["</w>"] for w in word_counts}
+    merges = []
+    for _ in range(n_merges):
+        pairs: dict = {}
+        for w, syms in segs.items():
+            c = word_counts[w]
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = pairs.get((syms[i], syms[i + 1]), 0) + c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_pair_count:
+            break
+        (l, r), n = best
+        merges.append((l, r, n))
+        for w, syms in segs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            segs[w] = out
+    return merges
+
+
+def test_bpe_train_matches_referee(spark):
+    from cultural_heritage_bigdata_project_spark.operators import text as t
+    from cultural_heritage_bigdata_project_spark.sources.tables import load_table
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("text").limit(200)
+    wc_df = t.bpe_word_counts(docs)
+    wc = {r.word: r.cnt for r in wc_df.collect()}
+    assert len(wc) > 20
+    got = t.bpe_train_merges(wc_df, n_merges=12)
+    assert got == _bpe_referee(wc, 12)
+    # layout-independence
+    got16 = t.bpe_train_merges(wc_df.repartition(16), n_merges=12)
+    assert got16 == got
+
+
+def test_bpe_segment_hand_checked(spark):
+    from cultural_heritage_bigdata_project_spark.operators import text as t
+
+    # classic example: low/lower family
+    rows = [(0, "low low low lower lowest")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    wc = t.bpe_word_counts(df)
+    merges = t.bpe_train_merges(wc, n_merges=4, min_pair_count=2)
+    # 'l o' appears in every word (5 occurrences) and wins round 1
+    assert merges[0][:2] == ("l", "o") and merges[0][2] == 5
+    out = {r.doc_id: r for r in t.bpe_segment(df, merges).collect()}
+    toks = out[0].bpe_tokens
+    assert out[0].n_bpe_tokens == len(toks)
+    # reconstruction: stripping the end-of-word markers re-yields text
+    rejoined = "".join(toks).replace("</w>", " ").strip()
+    assert rejoined == "low low low lower lowest"
+    # NULL text propagates
+    df2 = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    r = t.bpe_segment(df2, merges).collect()[0]
+    assert r.bpe_tokens is None and r.n_bpe_tokens is None
