@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "epoch_upsample",
     "ccnet_buckets",
     "train_charlm_profile",
+    "version_diff",
+    "zorder_keys",
     "hard_negative_mining",
     # production-hash-family variants (bench-only, defined below): the
     # catalog queries pin hash_family="md5-portable" so the DuckDB

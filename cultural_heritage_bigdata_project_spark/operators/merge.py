@@ -316,3 +316,64 @@ def scd2_apply(
         check_ts=check_ts,
     )
     return hist.unionByName(new_current).unionByName(closed)
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    status_col: str = "change",
+) -> DataFrame:
+    """CDC-style table diff: classify every key as ``added`` /
+    ``removed`` / ``changed`` / ``unchanged`` between two snapshots —
+    the audit companion of the versioned-commit layout (what changed
+    between ``read_version(N-1)`` and ``read_version(N)``?) and the
+    change feed Delta's CDF exposes.
+
+    Output: key columns + ``change`` + every non-key column twice
+    (``old_<c>``, ``new_<c>``; NULL on the absent side). ``changed``
+    means any non-key column differs under null-safe comparison.
+
+    One full-outer null-safe join on the keys — the same single
+    exchange MERGE itself costs; at 100 TB run it on two versions
+    pruned to the partitions of interest first.
+    """
+    val_cols = [c for c in old.columns if c not in keys]
+    if set(old.columns) != set(new.columns):
+        raise ValueError(
+            f"schema mismatch: {sorted(old.columns)} vs {sorted(new.columns)}"
+        )
+    o = old.select(
+        *[F.col(k).alias(f"__ok_{k}") for k in keys],
+        *[F.col(c).alias(f"old_{c}") for c in val_cols],
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__nk_{k}") for k in keys],
+        *[F.col(c).alias(f"new_{c}") for c in val_cols],
+        F.lit(True).alias("__in_new"),
+    )
+    cond = None
+    for k in keys:
+        c = F.col(f"__ok_{k}").eqNullSafe(F.col(f"__nk_{k}"))
+        cond = c if cond is None else cond & c
+    joined = o.join(n, cond, "full_outer")
+    diff_any = None
+    for c in val_cols:
+        d = ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        diff_any = d if diff_any is None else diff_any | d
+    status = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(diff_any if diff_any is not None else F.lit(False), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(
+        *[
+            F.coalesce(F.col(f"__ok_{k}"), F.col(f"__nk_{k}")).alias(k)
+            for k in keys
+        ],
+        status.alias(status_col),
+        *[F.col(f"old_{c}") for c in val_cols],
+        *[F.col(f"new_{c}") for c in val_cols],
+    )

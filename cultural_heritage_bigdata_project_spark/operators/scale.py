@@ -126,6 +126,35 @@ def compact_table(
     return len([f for f in os.listdir(path) if f.endswith(".parquet")])
 
 
+def zorder_key(c1, c2, bits: int = 16):
+    """Morton / Z-order key: interleave the low ``bits`` bits of two
+    non-negative integer columns — the space-filling-curve key that
+    gives ``clustered_write`` MULTI-dimension file pruning (the Delta
+    ``ZORDER BY (a, b)`` analog): range-clustering on the interleaved
+    key keeps rows close in BOTH dimensions inside the same files, so
+    parquet min/max statistics prune 2-D box predicates instead of
+    only a prefix column.
+
+    Pure integer shift/mask expression (one codegen projection, no
+    shuffle, replayable by any engine with bit ops — the DuckDB oracle
+    re-derives identical keys). Callers bucket unbounded/signed/non-int
+    dimensions into [0, 2^bits) first (e.g. ``pmod(hash, 2^bits)`` or
+    value scaling); values wider than ``bits`` are masked.
+    """
+    if not (1 <= bits <= 31):
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
+    a = c1.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+    b = c2.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = (
+            out
+            + F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return out
+
+
 def clustered_write(
     df,
     path: str,

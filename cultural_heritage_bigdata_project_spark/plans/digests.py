@@ -127,6 +127,8 @@ GROUPS: dict[str, list[str]] = {
         "approx_stats",
         "key_skew_profile",
         "time_travel_versions",
+        "version_diff",
+        "zorder_keys",
     ],
     "text_profile_digest": [
         "text_stats",
@@ -495,6 +497,20 @@ PART_COLS: dict[str, tuple[tuple[str, str], ...]] = {
         ("doc_id", "s"),
         ("n_matched", "s"),
         ("n_trigrams", "s"),
+    ),
+    "zorder_keys": (
+        ("d1", "s"),
+        ("d2", "s"),
+        ("o_orderkey", "s"),
+        ("zkey", "s"),
+    ),
+    "version_diff": (
+        ("change", "s"),
+        ("new_o_orderstatus", "s"),
+        ("new_o_totalprice", "f"),
+        ("o_orderkey", "s"),
+        ("old_o_orderstatus", "s"),
+        ("old_o_totalprice", "f"),
     ),
     "train_charlm_profile": (
         ("cnt", "s"),

@@ -238,3 +238,103 @@ def time_travel_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tagged.groupBy("version", "o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders")
     )
+
+
+@register(
+    "version_diff",
+    description="CDC-style snapshot diff (the Delta Change Data Feed "
+    "analog, audit companion of time_travel_versions): classify every "
+    "order key as added/removed/changed/unchanged between two "
+    "deterministic snapshots — old = keys not div by 13, new = keys "
+    "not div by 17 with prices bumped on keys div by 5. One null-safe "
+    "full-outer join on the key, the same single exchange MERGE costs",
+    survey_ref="S12,J4,A1",
+    oracle="""
+WITH old_t AS (
+  SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+  FROM orders WHERE o_orderkey % 13 <> 0
+), new_t AS (
+  SELECT o_orderkey, o_orderstatus,
+         round(o_totalprice + CASE WHEN o_orderkey % 5 = 0 THEN 1.0 ELSE 0.0 END, 2)
+           AS o_totalprice
+  FROM orders WHERE o_orderkey % 17 <> 0
+)
+SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'added'
+            WHEN n.o_orderkey IS NULL THEN 'removed'
+            WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+              OR o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'changed'
+            ELSE 'unchanged' END AS change,
+       o.o_orderstatus AS old_o_orderstatus,
+       o.o_totalprice AS old_o_totalprice,
+       n.o_orderstatus AS new_o_orderstatus,
+       n.o_totalprice AS new_o_totalprice
+FROM old_t o FULL OUTER JOIN new_t n ON o.o_orderkey = n.o_orderkey
+""",
+)
+def version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import merge
+
+    ok = F.col("o_orderkey")
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = base.filter(ok % 13 != 0).withColumn(
+        "o_totalprice", F.round(F.col("o_totalprice"), 2)
+    )
+    new = base.filter(ok % 17 != 0).withColumn(
+        "o_totalprice",
+        F.round(
+            F.col("o_totalprice")
+            + F.when(ok % 5 == 0, F.lit(1.0)).otherwise(F.lit(0.0)),
+            2,
+        ),
+    )
+    return merge.table_diff(old, new, keys=["o_orderkey"])
+
+
+@register(
+    "zorder_keys",
+    description="Morton/Z-order clustering key (the Delta ZORDER BY "
+    "analog): interleave the low 8 bits of two bucketed dimensions — "
+    "range-clustering on this key gives parquet min/max pruning for "
+    "2-D box predicates. Pure integer shift/mask projection, no "
+    "shuffle, engine-replayable bit arithmetic",
+    survey_ref="F7,A1",
+    oracle="""
+WITH b AS (
+  SELECT o_orderkey,
+         o_custkey % 256 AS d1,
+         o_orderkey % 256 AS d2
+  FROM orders
+), z AS (
+  SELECT o_orderkey, d1, d2,
+         (
+           ((d1 >> 0) & 1) * 1    + ((d2 >> 0) & 1) * 2 +
+           ((d1 >> 1) & 1) * 4    + ((d2 >> 1) & 1) * 8 +
+           ((d1 >> 2) & 1) * 16   + ((d2 >> 2) & 1) * 32 +
+           ((d1 >> 3) & 1) * 64   + ((d2 >> 3) & 1) * 128 +
+           ((d1 >> 4) & 1) * 256  + ((d2 >> 4) & 1) * 512 +
+           ((d1 >> 5) & 1) * 1024 + ((d2 >> 5) & 1) * 2048 +
+           ((d1 >> 6) & 1) * 4096 + ((d2 >> 6) & 1) * 8192 +
+           ((d1 >> 7) & 1) * 16384 + ((d2 >> 7) & 1) * 32768
+         ) AS zkey
+  FROM b
+)
+SELECT o_orderkey, CAST(d1 AS BIGINT) AS d1, CAST(d2 AS BIGINT) AS d2,
+       CAST(zkey AS BIGINT) AS zkey
+FROM z
+""",
+)
+def zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scale import zorder_key
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 256).cast("long").alias("d1"),
+        (F.col("o_orderkey") % 256).cast("long").alias("d2"),
+    )
+    return o.select(
+        "o_orderkey", "d1", "d2",
+        zorder_key(F.col("d1"), F.col("d2"), bits=8).alias("zkey"),
+    )

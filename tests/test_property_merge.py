@@ -191,3 +191,29 @@ def test_range_join_matches_brute_force(spark, rows):
             if ka == kb and 0 < tb - ta <= 5:
                 expected.add((ia, ib, tb - ta))
     assert got == expected
+
+
+def test_table_diff_classification(spark):
+    """Hand-built snapshots: every change class, null-safe values, and
+    the partition law (old keys ∪ new keys, each exactly once)."""
+    from cultural_heritage_bigdata_project_spark.operators.merge import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, None, 40.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", None), (3, "CHANGED", 30.0), (4, None, 40.0), (5, "e", 50.0)],
+        "k long, s string, v double",
+    )
+    out = {r.k: r for r in table_diff(old, new, keys=["k"]).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[1].change == "removed" and out[1].new_s is None
+    assert out[2].change == "unchanged"  # NULL == NULL under null-safe
+    assert out[3].change == "changed" and out[3].old_s == "c"
+    assert out[4].change == "unchanged"  # NULL value col matches
+    assert out[5].change == "added" and out[5].old_s is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="schema mismatch"):
+        table_diff(old, new.drop("v"), keys=["k"])

@@ -235,3 +235,58 @@ def test_clustered_write_prunes_by_minmax(spark, tmp_path):
     expect = o.filter(F.col("o_orderkey") <= mid).count()
     got = spark.read.parquet(out).filter(F.col("o_orderkey") <= mid).count()
     assert got == expect
+
+
+def test_zorder_clustering_bounds_both_dimensions(spark, tmp_path):
+    """Range-clustering on the Morton key must bound BOTH dimensions
+    per file: every file's (d1, d2) min/max box is far smaller than
+    the global domain (the 2-D pruning property), while clustering on
+    d1 alone leaves d2 unconstrained (full-range in every file)."""
+    import pyarrow.parquet as pq
+
+    o = load_table(spark, SF_DIR, "orders").select(
+        (F.col("o_custkey") % 256).cast("long").alias("d1"),
+        (F.col("o_orderkey") % 256).cast("long").alias("d2"),
+    )
+    z = o.withColumn("zkey", scale.zorder_key(F.col("d1"), F.col("d2"), bits=8))
+
+    def file_boxes(path, col_idx):
+        boxes = []
+        for f in sorted(os.listdir(path)):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                c = md.row_group(rg).column(col_idx)
+                mins.append(c.statistics.min)
+                maxs.append(c.statistics.max)
+            boxes.append((min(mins), max(maxs)))
+        return boxes
+
+    out_z = str(tmp_path / "zorder")
+    scale.clustered_write(z, out_z, ["zkey"], n_files=16)
+    out_lin = str(tmp_path / "linear")
+    scale.clustered_write(o, out_lin, ["d1"], n_files=16)
+
+    # column order after clustered_write: d1, d2, (zkey)
+    z_d1 = file_boxes(out_z, 0)
+    z_d2 = file_boxes(out_z, 1)
+    lin_d2 = file_boxes(out_lin, 1)
+    avg = lambda boxes: sum(hi - lo for lo, hi in boxes) / len(boxes)
+    # z-order: BOTH dims' per-file spans are a fraction of the 0..255
+    # domain; 8 bits over 16 files → top 4 z-bits fixed per file →
+    # each dim constrained to ~1/4 of its range (allow slack for
+    # range-partitioner boundaries)
+    assert avg(z_d1) < 0.55 * 255, avg(z_d1)
+    assert avg(z_d2) < 0.55 * 255, avg(z_d2)
+    # linear clustering leaves the second dimension unconstrained
+    assert avg(lin_d2) > 0.9 * 255, avg(lin_d2)
+    # and the z-ordered table still returns exact box-predicate results
+    got = (
+        spark.read.parquet(out_z)
+        .filter((F.col("d1") < 64) & (F.col("d2") < 64))
+        .count()
+    )
+    expect = o.filter((F.col("d1") < 64) & (F.col("d2") < 64)).count()
+    assert got == expect
