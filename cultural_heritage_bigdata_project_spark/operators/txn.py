@@ -262,6 +262,10 @@ def cleanup_unpublished(root: str, grace_seconds: float = 0.0) -> list[str]:
             components = read_manifest(root, name)
             for comp in (components or {}).values():
                 referenced.update(comp.get("segments", []))
+                # change-feed records survive rewrites: a compaction may
+                # drop an epoch's delta from `segments` while its
+                # `changes` entry still backs txn.change_feed reads
+                referenced.update(comp.get("changes", []))
         for name in os.listdir(seg_root):
             if name not in referenced:
                 spath = os.path.join(seg_root, name)
@@ -431,3 +435,99 @@ def recover_swap(path: str, staging_suffixes: tuple[str, ...] = ("__staging",)) 
     shutil.rmtree(old, ignore_errors=True)
     for suf in staging_suffixes:
         shutil.rmtree(path.rstrip("/") + suf, ignore_errors=True)
+
+
+def change_feed(
+    spark,
+    root: str,
+    from_version: str | int,
+    to_version: str | int | None = None,
+    component: str = "",
+) -> "object":
+    """Change-feed read for delta-segmented tables (the Delta Change
+    Data Feed analog): every row upserted in the commits AFTER
+    ``from_version`` up to and including ``to_version`` (default:
+    current), read from ONLY those epochs' recorded delta segments —
+    O(changes) I/O, never a table scan, which is the whole point of a
+    change feed over a 100 TB table.
+
+    Each manifest records its epoch's delta under ``changes`` — a
+    record that SURVIVES compaction (a compaction replaces the read
+    list ``segments`` with a rewritten state segment, but a rewrite is
+    not a change, and the feed must still surface the epoch's actual
+    upserts; GC protects ``changes`` references exactly like
+    ``segments``). Rows keep the sink's per-row sequence column — the
+    commit epoch that produced them (the CDF ``_commit_version``
+    analog). Manifests written before the ``changes`` field fall back
+    to the added-segments diff, skipping rewrite segments (suffix
+    ``_c*``/``_m*``).
+
+    Retention is the pointer's last-``keep_last`` contiguous commits,
+    so a feed over a partially-vacuumed range is detectable: every
+    version in (from, to] must still be retained or this raises
+    KeyError — a silently-partial change feed is worse than no feed.
+    """
+    to_name = (
+        os.path.basename(current_version_dir(root))
+        if to_version is None
+        else os.path.basename(version_dir(root, to_version))
+    )
+    from_name = os.path.basename(version_dir(root, from_version))
+
+    def _epoch(name: str) -> int:
+        return int(name.rsplit("v", 1)[-1])
+
+    lo, hi = _epoch(from_name), _epoch(to_name)
+    if lo > hi:
+        raise ValueError(f"from_version {from_name!r} is newer than {to_name!r}")
+    retained = {_epoch(n): n for n in list_versions(root)}
+
+    def _component(name: str) -> dict:
+        components = read_manifest(root, name)
+        if components is None:
+            raise ValueError(
+                f"version {name!r} is a plain parquet version (no manifest); "
+                "change_feed requires the delta-segmented layout"
+            )
+        if component not in components:
+            raise KeyError(
+                f"component {component!r} not in version manifest; "
+                f"available: {sorted(components)}"
+            )
+        return components[component]
+
+    feed_segments: list[str] = []
+    prev_read_list = set(_component(from_name).get("segments", []))
+    for e in sorted(k for k in retained if lo < k <= hi):
+        comp = _component(retained[e])
+        if "changes" in comp:
+            feed_segments.extend(comp["changes"])
+        else:  # pre-`changes` manifests: added non-rewrite segments
+            feed_segments.extend(
+                s
+                for s in comp.get("segments", [])
+                if s not in prev_read_list
+                and not s.rsplit("_", 1)[-1].startswith(("c", "m"))
+            )
+        prev_read_list = set(comp.get("segments", []))
+    n_expected = hi - lo
+    n_walked = sum(1 for k in retained if lo < k <= hi)
+    if n_walked != n_expected:
+        raise KeyError(
+            f"change feed {from_name!r} -> {to_name!r} spans {n_expected} "
+            f"commits but only {n_walked} are retained — intermediate "
+            "versions were vacuumed; raise keep_last to keep a readable feed"
+        )
+    if not feed_segments:
+        live = _component(to_name).get("segments", [])
+        if live:  # schema (incl. the seq column) from the live segments
+            return (
+                spark.read.option("mergeSchema", "true")
+                .parquet(*[segment_path(root, s) for s in live])
+                .limit(0)
+            )
+        schema_src = read_version(spark, root, to_version, subdir=component or None)
+        return spark.createDataFrame([], schema_src.schema)
+    return spark.read.option("mergeSchema", "true").parquet(
+        *[segment_path(root, s) for s in feed_segments]
+    )

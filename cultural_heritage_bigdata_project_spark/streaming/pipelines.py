@@ -396,8 +396,12 @@ def foreach_batch_upsert_run(
             _SEQ_COL, F.lit(int(epoch_id)).cast("long")
         )
         seg = f"upsert_v{epoch_id}"
-        if _write_segment(latest, seg):
-            segments.append(seg)
+        # the epoch's delta is recorded as the version's change set even
+        # when a compaction replaces it in the READ list below — the
+        # Change-Data-Feed record (txn.change_feed) must survive
+        # rewrites, and GC protects `changes` references like `segments`
+        changes = [seg] if _write_segment(latest, seg) else []
+        segments.extend(changes)
         if len(segments) > compact_every:
             merged = txn.reconstruct_latest(
                 # mergeSchema: segments written after a schema-evolving
@@ -418,7 +422,16 @@ def foreach_batch_upsert_run(
         shutil.rmtree(vdir, ignore_errors=True)
         os.makedirs(vdir)
         txn.write_manifest(
-            tdir, vname, {"": {"base": None, "segments": segments, "reconstruct": spec}}
+            tdir,
+            vname,
+            {
+                "": {
+                    "base": None,
+                    "segments": segments,
+                    "changes": changes,
+                    "reconstruct": spec,
+                }
+            },
         )
         txn.publish_version(tdir, vname, keep_last=keep_last)
 

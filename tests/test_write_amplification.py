@@ -13,6 +13,8 @@ from __future__ import annotations
 import os
 import time
 
+from pyspark.sql import functions as F
+
 from cultural_heritage_bigdata_project_spark.operators import txn
 from cultural_heritage_bigdata_project_spark.streaming import pipelines as streaming
 
@@ -170,9 +172,12 @@ def test_upsert_compaction_bounds_read_fanin(spark, tmp_path):
     components = txn.read_manifest(tbl, os.path.basename(cur))
     live = components[""]["segments"]
     assert len(live) <= 2, live  # compaction collapsed the log
-    # GC: only live segments remain on disk (keep_last=1)
+    # GC: only segments referenced by a retained manifest survive —
+    # the read list (`segments`) plus the retained epochs' change-feed
+    # records (`changes`, which outlive compaction by design)
+    protected = set(live) | set(components[""].get("changes", []))
     on_disk = set(os.listdir(os.path.join(tbl, txn.SEGMENTS_DIR)))
-    assert on_disk == set(live), (on_disk, live)
+    assert on_disk == protected, (on_disk, protected)
 
 
 def test_corpus_dedup_segments_append_only(spark, tmp_path):
@@ -306,3 +311,64 @@ def test_upsert_schema_evolution_survives_compaction(spark, tmp_path):
     cur = txn.current_version_dir(tbl)
     live = txn.read_manifest(tbl, os.path.basename(cur))[""]["segments"]
     assert len(live) <= 2, live  # compaction actually ran
+
+
+def test_change_feed_reads_only_added_deltas(spark, tmp_path):
+    """change_feed(from, to) returns exactly the rows upserted in the
+    intervening epochs, read from the added delta segments only; a
+    compaction epoch contributes NOTHING (rewrites are not changes);
+    vacuumed versions raise instead of returning a silently-partial
+    feed."""
+    import pytest
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t0 = time.time() - 1000
+    schema = "user_id long, ts long, val string"
+    for e in range(4):
+        rows = [(k, (e + 1) * 100, f"e{e}") for k in range(N_KEYS)]
+        _drop_file(spark, tmp_path, src, f"f{e}", rows, schema, t0 + e)
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    tbl = str(tmp_path / "tbl")
+    streaming.foreach_batch_upsert_run(
+        spark, stream, keys=["user_id"], order_desc=["ts"],
+        target_dir=tbl, compact_every=100, keep_last=10,
+    )
+    # feed from v0 to v2: exactly epochs 1 and 2, with their epochs
+    feed = txn.change_feed(spark, tbl, 0, 2)
+    got = [(r.user_id, r.ts, r.val) for r in feed.collect()]
+    assert len(got) == 2 * N_KEYS
+    assert {r[2] for r in got} == {"e1", "e2"}
+    epochs = {r[0] for r in feed.select(F.col("__sg_seq")).collect()}
+    assert epochs == {1, 2}
+    # adjacent identical versions → empty feed with the same schema
+    same = txn.change_feed(spark, tbl, 3, 3)
+    assert same.count() == 0 and set(same.columns) == set(feed.columns)
+
+    # now a run whose LAST epoch compacts: the compaction segment must
+    # not surface as changes
+    src2 = str(tmp_path / "src2")
+    os.makedirs(src2)
+    for e in range(3):
+        rows = [(k, (e + 1) * 100, f"e{e}") for k in range(50)]
+        _drop_file(spark, tmp_path, src2, f"g{e}", rows, schema, t0 + e)
+    tbl2 = str(tmp_path / "tbl2")
+    stream2 = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src2)
+    )
+    streaming.foreach_batch_upsert_run(
+        spark, stream2, keys=["user_id"], order_desc=["ts"],
+        target_dir=tbl2, compact_every=2, keep_last=10,
+    )
+    names = {os.path.basename(txn.version_dir(tbl2, v)) for v in txn.list_versions(tbl2)}
+    assert len(names) >= 3
+    # from the pre-compaction version to current: only the post-
+    # compaction DELTAS appear (epoch 2's rows), not the rewrite
+    feed2 = txn.change_feed(spark, tbl2, 1, 2)
+    vals = {r.val for r in feed2.collect()}
+    assert vals == {"e2"}, vals
+    # vacuumed history raises
+    with pytest.raises(KeyError, match="not retained"):
+        txn.change_feed(spark, tbl2, 99)
