@@ -372,3 +372,65 @@ def test_change_feed_reads_only_added_deltas(spark, tmp_path):
     # vacuumed history raises
     with pytest.raises(KeyError, match="not retained"):
         txn.change_feed(spark, tbl2, 99)
+
+
+def test_incremental_agg_maintain_matches_full_reaggregation(spark, tmp_path):
+    """End-to-end IVM: maintain a per-group sum/count view through two
+    change-feed windows of the upsert sink; after each window the
+    maintained state must EQUAL a from-scratch aggregation of the
+    corresponding snapshot."""
+    from cultural_heritage_bigdata_project_spark.operators import merge
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t0 = time.time() - 1000
+    schema = "user_id long, ts long, grp string, amount double"
+    # epochs 0-1: initial rows; epochs 2-3: updates that MOVE keys
+    # between groups and change amounts (the retract-sensitive case)
+    rows_by_epoch = [
+        [(k, 100, f"g{k % 3}", float(k)) for k in range(60)],
+        [(k, 200, f"g{k % 3}", float(k) + 0.5) for k in range(60, 90)],
+        [(k, 300, f"g{(k + 1) % 3}", float(k) * 2) for k in range(0, 30)],
+        [(k, 400, f"g{k % 3}", 1.0) for k in range(85, 110)],
+    ]
+    for e, rows in enumerate(rows_by_epoch):
+        _drop_file(spark, tmp_path, src, f"f{e}", rows, schema, t0 + e)
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    tbl = str(tmp_path / "tbl")
+    streaming.foreach_batch_upsert_run(
+        spark, stream, keys=["user_id"], order_desc=["ts"],
+        target_dir=tbl, compact_every=100, keep_last=10,
+    )
+
+    def full_agg(snapshot):
+        return {
+            r.grp: (round(r.amount, 6), r.n_rows)
+            for r in snapshot.groupBy("grp")
+            .agg(F.sum("amount").alias("amount"), F.count(F.lit(1)).alias("n_rows"))
+            .collect()
+        }
+
+    def as_dict(state):
+        return {r.grp: (round(r.amount, 6), r.n_rows) for r in state.collect()}
+
+    # cold start through epoch 1
+    feed01 = txn.change_feed(spark, tbl, 0, 1).unionByName(
+        spark.read.option("mergeSchema", "true").parquet(
+            txn.segment_path(tbl, "upsert_v0")
+        )
+    )
+    state1 = merge.incremental_agg_maintain(
+        None, feed01, None, keys=["user_id"],
+        group_cols=["grp"], sum_cols=["amount"],
+    ).localCheckpoint(eager=True)
+    assert as_dict(state1) == full_agg(txn.read_version(spark, tbl, 1))
+
+    # maintain through epochs 2-3 with retraction against snapshot v1
+    feed23 = txn.change_feed(spark, tbl, 1, 3)
+    state3 = merge.incremental_agg_maintain(
+        state1, feed23, txn.read_version(spark, tbl, 1),
+        keys=["user_id"], group_cols=["grp"], sum_cols=["amount"],
+    )
+    assert as_dict(state3) == full_agg(txn.read_version(spark, tbl, 3))
