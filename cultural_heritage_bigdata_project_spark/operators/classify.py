@@ -98,3 +98,32 @@ def classifier_filter(
     return score_quality_classifier(df, model, text_col=text_col).filter(
         F.col("quality_prob") >= float(threshold)
     )
+
+
+def classifier_filter_pareto(
+    df: DataFrame,
+    model,
+    alpha: float = 9.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 0,
+) -> DataFrame:
+    """GPT-3's stochastic acceptance (appendix A): keep a document iff
+    ``pareto(alpha) > 1 - score`` — high scorers are near-certain
+    keeps, low scorers survive with small probability, so the filtered
+    corpus keeps a long tail of crawl diversity instead of a hard
+    cliff. The paper draws ``np.random.pareto``; here the draw is the
+    repo's deterministic seeded-hash uniform pushed through the Pareto
+    inverse CDF (``(1-u)^(-1/alpha) - 1``), so corpus membership is
+    reproducible on any layout — same contract as every other
+    stochastic keep in the corpus stack.
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    scored = score_quality_classifier(df, model, text_col=text_col)
+    s = F.concat(F.lit(f"{seed}:pareto:"), F.col(id_col).cast("string"))
+    h60 = F.conv(F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
+    # u in [0, 1): 60-bit hash scaled; 1-u in (0, 1] so the power is finite
+    u = h60.cast("double") / F.lit(float(1 << 60))
+    pareto = F.pow(F.lit(1.0) - u, F.lit(-1.0 / alpha)) - F.lit(1.0)
+    return scored.filter(pareto > (F.lit(1.0) - F.col("quality_prob")))

@@ -60,3 +60,32 @@ def test_classifier_filter_threshold_monotone(spark):
     assert n_low >= n_mid >= n_high
     # at 0.5 the filter keeps ~the clean half of the separable mix
     assert abs(n_mid - 120) <= 6, n_mid
+
+
+def test_classifier_filter_pareto_properties(spark):
+    """Stochastic acceptance: deterministic across layouts, keeps
+    essentially all high scorers, a small minority of low scorers, and
+    the keep rate rises with score."""
+    import pytest
+
+    clean, crawl = _corpora(spark)
+    model = classify.train_quality_classifier(clean, crawl)
+    mixed = clean.unionByName(crawl)
+    kept = {
+        r.doc_id
+        for r in classify.classifier_filter_pareto(mixed, model, alpha=2).collect()
+    }
+    kept2 = {
+        r.doc_id
+        for r in classify.classifier_filter_pareto(
+            mixed.repartition(16), model, alpha=2
+        ).collect()
+    }
+    assert kept == kept2  # layout-independent membership
+    n_clean_kept = sum(1 for d in kept if d < 1000)
+    n_crawl_kept = sum(1 for d in kept if d >= 1000)
+    assert n_clean_kept >= 115  # near-certain keeps
+    # alpha=2: P(pareto > 1) = 0.25 -> ~30 of 120 near-zero scorers
+    assert 5 < n_crawl_kept < 80  # long tail survives, cliff does not
+    with pytest.raises(ValueError, match="alpha"):
+        classify.classifier_filter_pareto(mixed, model, alpha=0)
