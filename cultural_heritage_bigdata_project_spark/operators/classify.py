@@ -22,6 +22,8 @@ keep-fraction monotone in threshold) are tested directly.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -62,7 +64,29 @@ def train_quality_classifier(
     lr = LogisticRegression(
         maxIter=max_iter, regParam=reg_param, featuresCol="features"
     )
-    return lr.fit(feats)
+    model = lr.fit(feats)
+    # Strip the training summary before the model ever reaches a task
+    # closure: the summary holds a SparkSession reference, and a
+    # session whose (lazy) observationManager has been touched — by
+    # ANY Observation use anywhere in the session, e.g. the iterative
+    # dedup convergence probe — is not Java-serializable, failing every
+    # later model.transform with "Task not serializable". A save/load
+    # round trip is the public-API way to get a summary-free model
+    # (and doubles as the persist-beside-the-corpus pattern).
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.ml.classification import LogisticRegressionModel
+
+    tmp = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_qclf_{uuid.uuid4().hex[:8]}"
+    )
+    try:
+        model.write().overwrite().save(tmp)
+        return LogisticRegressionModel.load(tmp)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def score_quality_classifier(

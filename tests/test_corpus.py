@@ -295,3 +295,32 @@ def test_epoch_upsample_invariants(spark):
     )
     with pytest.raises(ValueError, match="repeat"):
         corpus.epoch_upsample(df, {"a": -0.1})
+
+
+def test_bpe_tokenize_then_pack_composition(spark):
+    """The full tokenizer-to-trainer chain: learn BPE merges from the
+    corpus, count real subword tokens per doc, pack docs into
+    fixed-budget bins — bins respect the budget measured in LEARNED
+    tokens, and every doc is packed exactly once."""
+    from cultural_heritage_bigdata_project_spark.operators import text as t
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").limit(300)
+    merges = t.bpe_train_merges(t.bpe_word_counts(docs), n_merges=15)
+    assert len(merges) > 0
+    counted = t.bpe_segment(docs, merges).select("doc_id", "n_bpe_tokens")
+    budget = 512
+    packed = corpus.pack_sequences(
+        counted, budget=budget, tokens_col="n_bpe_tokens"
+    )
+    rows = packed.collect()
+    assert sorted(r.doc_id for r in rows) == sorted(
+        r.doc_id for r in counted.collect()
+    )
+    toks = {r.doc_id: r.n_bpe_tokens for r in counted.collect()}
+    bins: dict = {}
+    for r in rows:
+        bins.setdefault(r.bin_id, []).append(r.doc_id)
+    for b, members in bins.items():
+        total = sum(toks[d] for d in members)
+        # a bin exceeds the budget only as a single oversized doc
+        assert total <= budget or len(members) == 1, (b, total)
