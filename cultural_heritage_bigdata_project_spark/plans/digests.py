@@ -146,6 +146,7 @@ GROUPS: dict[str, list[str]] = {
         "paragraph_dedup",
         "ccnet_buckets",
         "train_charlm_profile",
+        "bpe_word_counts",
     ],
     "corpus_sampling_digest": [
         "hash_split_sets",
@@ -516,6 +517,10 @@ PART_COLS: dict[str, tuple[tuple[str, str], ...]] = {
         ("cnt", "s"),
         ("lnw_nano", "s"),
         ("trigram", "s"),
+    ),
+    "bpe_word_counts": (
+        ("cnt", "s"),
+        ("word", "s"),
     ),
     "ccnet_buckets": (
         ("avg_logprob", "f"),

@@ -284,6 +284,28 @@ def train_charlm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bpe_word_counts",
+    description="BPE training's corpus-sized pass (Sennrich et al. "
+    "2016): the (word, count) table every merge round then operates on "
+    "— one explode + one map-combined groupBy; the iterative merge "
+    "learning itself (text.bpe_train_merges) is driver-coordinated and "
+    "referee-tested, with this pass as its driver-checked foundation",
+    survey_ref="A9,A1,M1",
+    oracle="""
+SELECT word, count(*) AS cnt
+FROM (
+  SELECT unnest(string_split(lower(trim(text)), ' ')) AS word
+  FROM documents
+)
+WHERE word <> ''
+GROUP BY word
+""",
+)
+def bpe_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bpe_word_counts(_docs_parallel(spark, sf_dir))
+
+
+@register(
     "ccnet_buckets",
     description="CCNet head/middle/tail bucketing (Wenzek et al. 2020 "
     "§3.2): per-language terciles of the char-LM perplexity-proxy score "
