@@ -387,6 +387,7 @@ def incremental_agg_maintain(
     group_cols: Sequence[str],
     sum_cols: Sequence[str],
     count_col: str = "n_rows",
+    delete_col: str | None = None,
 ) -> DataFrame:
     """Incremental materialized-view maintenance (IVM) for sum/count
     aggregates over a last-write-wins table: apply an O(changes)
@@ -419,6 +420,12 @@ def incremental_agg_maintain(
         cleanse.dedup_first_wins(feed, list(keys), order) if order else feed
     ).drop(seq)
     changed_keys = final_rows.select(*keys).distinct()
+    # tombstones (``delete_col`` true, see the upsert sink): the key's
+    # old contribution retracts like any change, but nothing is added
+    if delete_col is not None and delete_col in final_rows.columns:
+        final_rows = final_rows.filter(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        )
     contrib_new = final_rows.groupBy(*group_cols).agg(
         *[F.sum(F.col(c).cast("double")).alias(f"__n_{c}") for c in sum_cols],
         F.count(F.lit(1)).alias("__n_cnt"),

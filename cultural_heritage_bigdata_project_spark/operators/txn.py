@@ -142,7 +142,16 @@ def reconstruct_latest(df, spec: dict, keep_seq: bool = False):
     ``order_desc`` key, ties broken toward the EARLIEST segment (the
     incumbent wins a tie, matching ``upsert_full_conditional``'s
     strict ``>``). NULL order keys sort last under ``desc`` and so
-    never displace a non-NULL incumbent."""
+    never displace a non-NULL incumbent.
+
+    Tombstone deletes (``spec["delete_col"]``, optional): a delete is a
+    row whose flag column is true; it competes in the same
+    latest-per-key fold, and a key whose WINNING row is a tombstone is
+    absent from the reconstructed table (the Delta MERGE ``WHEN MATCHED
+    DELETE`` / merge-on-read delete-vector analog). A later upsert with
+    a newer order key resurrects the key. ``keep_seq=True`` (the
+    compaction path) keeps winning tombstones as physical rows so the
+    deletion survives compaction; the read path filters them."""
     from pyspark.sql import functions as F
 
     from . import cleanse
@@ -151,6 +160,9 @@ def reconstruct_latest(df, spec: dict, keep_seq: bool = False):
         F.col(spec["seq_col"]).asc()
     ]
     out = cleanse.dedup_first_wins(df, spec["keys"], order)
+    dcol = spec.get("delete_col")
+    if dcol is not None and dcol in out.columns and not keep_seq:
+        out = out.filter(~F.coalesce(F.col(dcol), F.lit(False)))
     return out if keep_seq else out.drop(spec["seq_col"])
 
 

@@ -309,10 +309,20 @@ def foreach_batch_upsert_run(
     reset: bool = True,
     keep_last: int = 1,
     compact_every: int = 8,
+    delete_col: str | None = None,
 ) -> DataFrame:
     """T4+S12: continuous keyed last-write-wins upsert into a parquet
     table via ``foreachBatch``, as a DELTA LOG with merge-on-read —
     each micro-batch writes O(batch) bytes, never the whole table.
+
+    ``delete_col`` enables tombstone deletes (the MERGE ``WHEN MATCHED
+    DELETE`` clause): a batch row whose ``delete_col`` is true competes
+    in the same latest-per-key fold and, when it wins, removes the key
+    from every read — an O(1-row) delete, no table rewrite. A newer
+    upsert resurrects the key. Tombstones survive compaction as
+    physical rows (filtered at read) so the deletion cannot be
+    forgotten, and they flow through ``txn.change_feed`` so downstream
+    consumers (e.g. ``merge.incremental_agg_maintain``) can retract.
 
     ``reset=False`` keeps an existing target + checkpoint so a later
     invocation RESUMES from the committed offsets (T3 checkpoint
@@ -360,6 +370,8 @@ def foreach_batch_upsert_run(
         "order_desc": list(order_desc),
         "seq_col": _SEQ_COL,
     }
+    if delete_col is not None:
+        spec["delete_col"] = delete_col
 
     def _write_segment(df: DataFrame, name: str) -> bool:
         """Write an immutable segment; False (and no reference) when

@@ -434,3 +434,110 @@ def test_incremental_agg_maintain_matches_full_reaggregation(spark, tmp_path):
         keys=["user_id"], group_cols=["grp"], sum_cols=["amount"],
     )
     assert as_dict(state3) == full_agg(txn.read_version(spark, tbl, 3))
+
+
+def test_tombstone_deletes_and_resurrection(spark, tmp_path):
+    """Tombstone deletes through the segmented sink: a winning delete
+    removes the key from reads (O(1-row), no rewrite); a newer upsert
+    resurrects it; the deletion survives compaction; the change feed
+    exposes the tombstone; IVM retracts deleted keys exactly."""
+    from cultural_heritage_bigdata_project_spark.operators import merge
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t0 = time.time() - 1000
+    schema = "user_id long, ts long, grp string, amount double, is_deleted boolean"
+    rows_by_epoch = [
+        [(k, 100, f"g{k % 2}", float(k), False) for k in range(40)],
+        # epoch 1: delete keys 0-9, update 10-19
+        [(k, 200, f"g{k % 2}", 0.0, True) for k in range(10)]
+        + [(k, 200, f"g{k % 2}", 1000.0 + k, False) for k in range(10, 20)],
+        # epoch 2: resurrect keys 0-4
+        [(k, 300, f"g{k % 2}", 7.0, False) for k in range(5)],
+    ]
+    for e, rows in enumerate(rows_by_epoch):
+        _drop_file(spark, tmp_path, src, f"f{e}", rows, schema, t0 + e)
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    tbl = str(tmp_path / "tbl")
+    final = streaming.foreach_batch_upsert_run(
+        spark, stream, keys=["user_id"], order_desc=["ts"],
+        target_dir=tbl, compact_every=100, keep_last=10,
+        delete_col="is_deleted",
+    )
+    got = {r.user_id: (r.ts, r.amount) for r in final.collect()}
+    # keys 5-9 deleted and never resurrected -> absent
+    assert all(k not in got for k in range(5, 10))
+    # keys 0-4 resurrected at ts=300
+    assert all(got[k] == (300, 7.0) for k in range(5))
+    # keys 10-19 updated, 20-39 untouched
+    assert all(got[k] == (200, 1000.0 + k) for k in range(10, 20))
+    assert all(got[k] == (100, float(k)) for k in range(20, 40))
+
+    # change feed for epoch 1 exposes the tombstones
+    feed1 = txn.change_feed(spark, tbl, 0, 1)
+    dels = {r.user_id for r in feed1.filter("is_deleted").collect()}
+    assert dels == set(range(10))
+
+    # IVM with deletes == full re-aggregation at every epoch boundary
+    def full_agg(snapshot):
+        return {
+            r.grp: (round(r.amount, 6), r.n_rows)
+            for r in snapshot.groupBy("grp")
+            .agg(F.sum("amount").alias("amount"), F.count(F.lit(1)).alias("n_rows"))
+            .collect()
+        }
+
+    state0 = merge.incremental_agg_maintain(
+        None,
+        spark.read.parquet(txn.segment_path(tbl, "upsert_v0")),
+        None, keys=["user_id"], group_cols=["grp"], sum_cols=["amount"],
+        delete_col="is_deleted",
+    ).localCheckpoint(eager=True)
+    assert {r.grp: (round(r.amount, 6), r.n_rows) for r in state0.collect()} == \
+        full_agg(txn.read_version(spark, tbl, 0))
+    state2 = merge.incremental_agg_maintain(
+        state0, txn.change_feed(spark, tbl, 0, 2),
+        txn.read_version(spark, tbl, 0),
+        keys=["user_id"], group_cols=["grp"], sum_cols=["amount"],
+        delete_col="is_deleted",
+    )
+    assert {r.grp: (round(r.amount, 6), r.n_rows) for r in state2.collect()} == \
+        full_agg(txn.read_version(spark, tbl, 2))
+
+
+def test_tombstones_survive_compaction(spark, tmp_path):
+    """A compaction epoch must not forget deletions: the compacted
+    segment carries winning tombstones as physical rows, reads still
+    exclude them."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t0 = time.time() - 1000
+    schema = "user_id long, ts long, val string, is_deleted boolean"
+    seqs = [
+        [(k, 100, "a", False) for k in range(30)],
+        [(k, 200, "x", True) for k in range(10)],  # delete 0-9
+        [(k, 300, "b", False) for k in range(20, 25)],  # trigger compaction
+    ]
+    for e, rows in enumerate(seqs):
+        _drop_file(spark, tmp_path, src, f"f{e}", rows, schema, t0 + e)
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    tbl = str(tmp_path / "tbl")
+    final = streaming.foreach_batch_upsert_run(
+        spark, stream, keys=["user_id"], order_desc=["ts"],
+        target_dir=tbl, compact_every=2, keep_last=10,
+        delete_col="is_deleted",
+    )
+    got = {r.user_id for r in final.collect()}
+    assert got == set(range(10, 30))
+    # the live read list is compacted, and re-reading the published
+    # version (merge-on-read over the compacted segment) still excludes
+    # the deleted keys
+    cur = txn.current_version_dir(tbl)
+    comp = txn.read_manifest(tbl, os.path.basename(cur))[""]["segments"]
+    assert len(comp) <= 2
+    again = {r.user_id for r in txn.read_version(spark, tbl).collect()}
+    assert again == set(range(10, 30))
