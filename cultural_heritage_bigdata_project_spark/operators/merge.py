@@ -89,6 +89,38 @@ def upsert_full(
     return kept_target.unionByName(source.select(*target.columns))
 
 
+def upsert_full_with_delete(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    delete_col: str,
+    check_unique_source: bool = True,
+) -> DataFrame:
+    """Full MERGE with a delete clause (Delta's ``WHEN MATCHED [AND
+    cond] THEN DELETE`` beside update-all/insert-all): source rows
+    whose ``delete_col`` is true remove their matched target key;
+    other source rows upsert as in ``upsert_full``. A delete for an
+    absent key is a no-op (MERGE semantics). The delete flag column is
+    not part of the output schema.
+
+    Same single null-safe key exchange as ``upsert_full`` — the delete
+    clause adds no extra shuffle, only a filter on each side of it.
+    """
+    if check_unique_source:
+        _assert_unique_keys(source, keys)
+    flag = F.coalesce(F.col(delete_col), F.lit(False))
+    upserts = source.filter(~flag).drop(delete_col)
+    t = target.alias("__mt")
+    s = source.alias("__ms")
+    cond = None
+    for k in keys:
+        c = F.col(f"__mt.{k}").eqNullSafe(F.col(f"__ms.{k}"))
+        cond = c if cond is None else (cond & c)
+    # target rows not matched by ANY source row (upsert or delete) stay
+    kept_target = t.join(s, on=cond, how="left_anti")
+    return kept_target.unionByName(upserts.select(*target.columns))
+
+
 def upsert_full_conditional(
     target: DataFrame,
     source: DataFrame,

@@ -94,6 +94,7 @@ GROUPS: dict[str, list[str]] = {
         "right_join_orders",
         "cube_status_priority",
         "scd2_orders",
+        "merge_with_delete",
     ],
     "analytic_windows_digest": [
         "ntile_quartiles",
@@ -538,6 +539,11 @@ PART_COLS: dict[str, tuple[tuple[str, str], ...]] = {
         ("doc_id", "s"),
         ("pos", "s"),
         ("shard", "s"),
+    ),
+    "merge_with_delete": (
+        ("o_orderkey", "s"),
+        ("origin", "s"),
+        ("price", "f"),
     ),
     "token_budget_select": (
         ("cum_tokens", "s"),

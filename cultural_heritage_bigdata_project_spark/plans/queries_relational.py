@@ -831,6 +831,51 @@ def merge_full_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge.upsert_full(target, source, ["o_orderkey"])
 
 
+@register(
+    "merge_with_delete",
+    description="Full MERGE with a delete clause (Delta WHEN MATCHED "
+    "DELETE beside update-all/insert-all): source rows flagged deleted "
+    "remove their matched target key, the rest upsert; one null-safe "
+    "key exchange, the delete clause adds no extra shuffle",
+    survey_ref="S12,J4,A5",
+    oracle="""
+WITH target AS (
+  SELECT o_orderkey, o_totalprice AS price, 'target' AS origin FROM orders
+  WHERE o_orderkey % 2 = 0
+), source AS (
+  SELECT o_orderkey,
+         o_totalprice + 1000.0 AS price,
+         'source' AS origin,
+         (o_orderkey % 11 = 0) AS is_deleted
+  FROM orders WHERE o_orderdate > TIMESTAMP '2000-06-01 00:00:00'
+)
+SELECT t.* FROM target t
+WHERE NOT EXISTS (SELECT 1 FROM source s
+                  WHERE s.o_orderkey IS NOT DISTINCT FROM t.o_orderkey)
+UNION ALL
+SELECT o_orderkey, price, origin FROM source WHERE NOT is_deleted
+""",
+)
+def merge_with_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    target = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.lit("target").alias("origin"),
+    )
+    source = o.filter(
+        F.col("o_orderdate") > F.lit("2000-06-01 00:00:00").cast("timestamp")
+    ).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 1000.0).alias("price"),
+        F.lit("source").alias("origin"),
+        (F.col("o_orderkey") % 11 == 0).alias("is_deleted"),
+    )
+    return merge.upsert_full_with_delete(
+        target, source, ["o_orderkey"], delete_col="is_deleted"
+    )
+
+
 # =================================================================
 # Flagship: the reference's pipeline shape end-to-end (entry())
 # =================================================================
