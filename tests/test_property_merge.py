@@ -217,3 +217,93 @@ def test_table_diff_classification(spark):
 
     with _pytest.raises(ValueError, match="schema mismatch"):
         table_diff(old, new.drop("v"), keys=["k"])
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    old_rows=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 3), st.one_of(st.none(), st.integers(0, 5))),
+        max_size=25, unique_by=lambda r: r[0],
+    ),
+    new_rows=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 3), st.one_of(st.none(), st.integers(0, 5))),
+        max_size=25, unique_by=lambda r: r[0],
+    ),
+)
+def test_table_diff_laws(spark, old_rows, new_rows):
+    """Partition + classification laws over random snapshots: keys are
+    the union, each classified once, and the label matches a
+    dict-based referee under null-safe comparison."""
+    from cultural_heritage_bigdata_project_spark.operators.merge import table_diff
+
+    schema = "k long, a long, b long"
+    old = spark.createDataFrame(old_rows, schema) if old_rows else spark.createDataFrame([], schema)
+    new = spark.createDataFrame(new_rows, schema) if new_rows else spark.createDataFrame([], schema)
+    out = {r.k: r for r in table_diff(old, new, keys=["k"]).collect()}
+    od = {r[0]: (r[1], r[2]) for r in old_rows}
+    nd = {r[0]: (r[1], r[2]) for r in new_rows}
+    assert set(out) == set(od) | set(nd)
+    for k, r in out.items():
+        if k not in od:
+            assert r.change == "added"
+        elif k not in nd:
+            assert r.change == "removed"
+        elif od[k] == nd[k]:  # python tuple equality IS null-safe
+            assert r.change == "unchanged"
+        else:
+            assert r.change == "changed"
+        # old_/new_ values surface the underlying rows (None off-side)
+        assert (r.old_a, r.old_b) == (od.get(k) or (None, None))
+        assert (r.new_a, r.new_b) == (nd.get(k) or (None, None))
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    base=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 2), st.integers(0, 100)),
+        min_size=1, max_size=20, unique_by=lambda r: r[0],
+    ),
+    updates=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 2), st.integers(0, 100), st.booleans()),
+        max_size=15, unique_by=lambda r: r[0],
+    ),
+)
+def test_incremental_agg_maintain_random_feeds(spark, base, updates):
+    """IVM == full re-aggregation for arbitrary update/delete feeds."""
+    from cultural_heritage_bigdata_project_spark.operators.merge import (
+        incremental_agg_maintain,
+    )
+
+    old = spark.createDataFrame(base, "k long, g long, v long")
+    feed = spark.createDataFrame(
+        updates, "k long, g long, v long, is_deleted boolean"
+    ) if updates else spark.createDataFrame([], "k long, g long, v long, is_deleted boolean")
+    state0 = incremental_agg_maintain(
+        None, old.withColumn("is_deleted", F.lit(False)), None,
+        keys=["k"], group_cols=["g"], sum_cols=["v"], delete_col="is_deleted",
+    )
+    state1 = incremental_agg_maintain(
+        state0, feed, old, keys=["k"], group_cols=["g"], sum_cols=["v"],
+        delete_col="is_deleted",
+    )
+    # referee: apply the feed to a dict, re-aggregate from scratch
+    tbl = {r[0]: (r[1], r[2]) for r in base}
+    for k, g, v, dele in updates:
+        if dele:
+            tbl.pop(k, None)
+        else:
+            tbl[k] = (g, v)
+    expect: dict = {}
+    for g, v in tbl.values():
+        s, c = expect.get(g, (0.0, 0))
+        expect[g] = (s + v, c + 1)
+    got = {r.g: (r.v, r.n_rows) for r in state1.collect()}
+    assert got == expect
