@@ -244,6 +244,7 @@ def shard_assign(
     seed: int = 0,
     shard_col: str = "shard",
     pos_col: str = "pos",
+    curriculum: Sequence[Column | str] = (),
 ) -> DataFrame:
     """Deterministic global corpus shuffle + shard assignment: every
     row gets a ``shard`` in [0, n_shards) and a 0-based ``pos`` within
@@ -260,6 +261,12 @@ def shard_assign(
     per-shard row_number windows run in parallel. Shard-internal order
     is uniform-random with respect to any corpus attribute, which is
     exactly the i.i.d.-like stream training wants.
+
+    ``curriculum``: optional leading sort columns for the within-shard
+    order (e.g. a quality bucket, ascending difficulty) — each shard
+    then streams easy→hard while shard MEMBERSHIP stays hash-uniform,
+    the standard curriculum-training layout. The hash key stays the
+    tiebreak, so equal-curriculum rows remain shuffled.
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
@@ -272,7 +279,8 @@ def shard_assign(
     out = df.withColumn("__key", key).withColumn(
         shard_col, (h60 % n_shards).cast("int")
     )
-    w = W.partitionBy(shard_col).orderBy("__key", id_col)
+    cur = [F.col(c) if isinstance(c, str) else c for c in curriculum]
+    w = W.partitionBy(shard_col).orderBy(*cur, "__key", id_col)
     return (
         out.withColumn(pos_col, (F.row_number().over(w) - 1).cast("long"))
         .drop("__key")

@@ -324,3 +324,22 @@ def test_bpe_tokenize_then_pack_composition(spark):
         total = sum(toks[d] for d in members)
         # a bin exceeds the budget only as a single oversized doc
         assert total <= budget or len(members) == 1, (b, total)
+
+
+def test_shard_assign_curriculum_order(spark):
+    """Curriculum columns lead the within-shard order while shard
+    membership stays identical to the plain hash assignment."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "n_chars")
+    plain = corpus.shard_assign(docs, n_shards=4, seed=3).collect()
+    curr = corpus.shard_assign(
+        docs, n_shards=4, seed=3, curriculum=["n_chars"]
+    ).collect()
+    assert {(r.doc_id, r.shard) for r in plain} == {
+        (r.doc_id, r.shard) for r in curr
+    }
+    by_shard: dict = {}
+    for r in curr:
+        by_shard.setdefault(r.shard, []).append((r.pos, r.n_chars))
+    for shard, rows in by_shard.items():
+        lens = [c for _, c in sorted(rows)]
+        assert lens == sorted(lens), f"shard {shard} not in curriculum order"

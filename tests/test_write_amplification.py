@@ -541,3 +541,37 @@ def test_tombstones_survive_compaction(spark, tmp_path):
     assert len(comp) <= 2
     again = {r.user_id for r in txn.read_version(spark, tbl).collect()}
     assert again == set(range(10, 30))
+
+
+def test_change_feed_over_scd2_history(spark, tmp_path):
+    """On an SCD2 table, the change feed between versions surfaces
+    exactly the rows CLOSED in the window (the append-only history
+    deltas; the rewritten current generation is state, not changes)."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t0 = time.time() - 1000
+    schema = "user_id long, ts_us long, val string"
+    seqs = [
+        [(k, 100, "a") for k in range(30)],
+        [(k, 200, "b") for k in range(10)],      # change 0-9 -> closes 10 rows
+        [(k, 300, "c") for k in range(5, 15)],   # change 5-14 -> closes 10 rows
+    ]
+    for e, rows in enumerate(seqs):
+        _drop_file(spark, tmp_path, src, f"f{e}", rows, schema, t0 + e)
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    tbl = str(tmp_path / "tbl")
+    streaming.foreach_batch_scd2_run(
+        spark, stream, keys=["user_id"], change_cols=["val"],
+        target_dir=tbl, keep_last=10,
+    )
+    feed12 = txn.change_feed(spark, tbl, 1, 2)
+    closed = [(r.user_id, r.val) for r in feed12.collect()]
+    # epoch 2 closed the then-current rows of keys 5-14: 'b' for 5-9
+    # (changed in epoch 1), 'a' for 10-14 (unchanged since epoch 0)
+    assert sorted(closed) == sorted(
+        [(k, "b") for k in range(5, 10)] + [(k, "a") for k in range(10, 15)]
+    )
+    # every fed row is a CLOSED interval (valid_to set)
+    assert feed12.filter("valid_to IS NULL").count() == 0
