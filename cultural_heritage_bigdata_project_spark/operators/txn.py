@@ -479,20 +479,36 @@ def change_feed(
     version in (from, to] must still be retained or this raises
     KeyError — a silently-partial change feed is worse than no feed.
     """
-    to_name = (
-        os.path.basename(current_version_dir(root))
-        if to_version is None
-        else os.path.basename(version_dir(root, to_version))
-    )
+    def _epoch(name: str) -> int | None:
+        """Numeric commit epoch, or None for maintenance versions
+        (e.g. tombstone-expiry rewrites named data_vx<millis>) — those
+        carry no changes by construction and are skipped by feeds."""
+        suffix = name.rsplit("v", 1)[-1]
+        return int(suffix) if suffix.isdigit() else None
+
+    numeric = {
+        e: n for n in list_versions(root) if (e := _epoch(n)) is not None
+    }
+    if to_version is None:
+        if not numeric:
+            raise FileNotFoundError(
+                f"no numeric commit versions retained under {root!r}"
+            )
+        hi = max(numeric)
+        to_name = numeric[hi]
+    else:
+        to_name = os.path.basename(version_dir(root, to_version))
+        hi = _epoch(to_name)
     from_name = os.path.basename(version_dir(root, from_version))
-
-    def _epoch(name: str) -> int:
-        return int(name.rsplit("v", 1)[-1])
-
-    lo, hi = _epoch(from_name), _epoch(to_name)
+    lo = _epoch(from_name)
+    if lo is None or hi is None:
+        raise ValueError(
+            f"change_feed endpoints must be numeric commit versions, got "
+            f"{from_name!r} -> {to_name!r}"
+        )
     if lo > hi:
         raise ValueError(f"from_version {from_name!r} is newer than {to_name!r}")
-    retained = {_epoch(n): n for n in list_versions(root)}
+    retained = numeric
 
     def _component(name: str) -> dict:
         components = read_manifest(root, name)
@@ -543,3 +559,83 @@ def change_feed(
     return spark.read.option("mergeSchema", "true").parquet(
         *[segment_path(root, s) for s in feed_segments]
     )
+
+
+def expire_tombstones(
+    spark,
+    root: str,
+    min_epoch_to_keep: int,
+    component: str = "",
+) -> int:
+    """Tombstone-expiry maintenance for delta-segmented tables (the
+    deletion-vector vacuum analog): rewrite the table's collapsed state
+    WITHOUT tombstones older than ``min_epoch_to_keep`` and publish it
+    as a one-segment version. Tombstones persist through normal
+    compaction by design (a deletion must not be forgotten while older
+    segments — or change-feed consumers — may still reference the
+    key); once every retained segment and every consumer is past an
+    epoch, its tombstones are pure reclaimable weight. Run with
+    ``min_epoch_to_keep`` = the oldest epoch any consumer could still
+    replay (e.g. the change-feed retention horizon).
+
+    Returns the number of tombstone rows reclaimed. The publish is the
+    same atomic pointer commit as every other version; change-feed
+    ``changes`` records of RETAINED versions are untouched (the expiry
+    segment is a rewrite, invisible to feeds).
+    """
+    from pyspark.sql import functions as F
+
+    cur = current_version_dir(root)
+    if cur is None:
+        raise FileNotFoundError(f"nothing published under {root!r}")
+    cur_name = os.path.basename(cur)
+    components = read_manifest(root, cur_name)
+    if components is None or component not in components:
+        raise ValueError(
+            f"version {cur_name!r} has no segmented component {component!r}"
+        )
+    comp = components[component]
+    spec = comp.get("reconstruct")
+    if not spec or "delete_col" not in spec:
+        raise ValueError(
+            "expire_tombstones requires a latest-by-key component with a "
+            "delete_col in its reconstruct spec"
+        )
+    paths = []
+    if comp.get("base"):
+        paths.append(os.path.join(cur, comp["base"]))
+    paths.extend(segment_path(root, s) for s in comp.get("segments", []))
+    df = spark.read.option("mergeSchema", "true").parquet(*paths)
+    collapsed = reconstruct_latest(df, spec, keep_seq=True)
+    dcol, seq = spec["delete_col"], spec["seq_col"]
+    is_dead = F.coalesce(F.col(dcol), F.lit(False)) & (
+        F.col(seq) < int(min_epoch_to_keep)
+    )
+    reclaimed = collapsed.filter(is_dead).count()
+    kept = collapsed.filter(~is_dead)
+    epoch_tag = f"x{int(time.time() * 1000)}"
+    seg = f"expire_{epoch_tag}"  # '_x...' suffix: a rewrite, never a change
+    sdir = segment_path(root, seg)
+    shutil.rmtree(sdir, ignore_errors=True)
+    kept.write.mode("overwrite").parquet(sdir)
+    vname = f"data_v{epoch_tag}"
+    vdir = os.path.join(root, vname)
+    shutil.rmtree(vdir, ignore_errors=True)
+    os.makedirs(vdir)
+    segments = [seg] if _has_parquet(sdir) else []
+    write_manifest(
+        root,
+        vname,
+        {
+            component: {
+                "base": None,
+                "segments": segments,
+                "changes": [],
+                "reconstruct": spec,
+            }
+        },
+    )
+    # preserve the caller's retention: prior versions (and their
+    # change-feed records) stay readable; only the tombstones go
+    publish_version(root, vname, keep_last=len(list_versions(root)) + 1)
+    return int(reclaimed)

@@ -575,3 +575,49 @@ def test_change_feed_over_scd2_history(spark, tmp_path):
     )
     # every fed row is a CLOSED interval (valid_to set)
     assert feed12.filter("valid_to IS NULL").count() == 0
+
+
+def test_expire_tombstones_reclaims_and_preserves_reads(spark, tmp_path):
+    """Tombstone expiry: reclaims exactly the expired tombstone rows,
+    reads are unchanged, the expiry version is invisible to change
+    feeds, and a too-early horizon keeps live tombstones."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t0 = time.time() - 1000
+    schema = "user_id long, ts long, val string, is_deleted boolean"
+    seqs = [
+        [(k, 100, "a", False) for k in range(30)],
+        [(k, 200, "x", True) for k in range(10)],   # delete 0-9 at epoch 1
+        [(k, 300, "b", False) for k in range(3)],   # resurrect 0-2
+    ]
+    for e, rows in enumerate(seqs):
+        _drop_file(spark, tmp_path, src, f"f{e}", rows, schema, t0 + e)
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    tbl = str(tmp_path / "tbl")
+    before = streaming.foreach_batch_upsert_run(
+        spark, stream, keys=["user_id"], order_desc=["ts"],
+        target_dir=tbl, compact_every=100, keep_last=10,
+        delete_col="is_deleted",
+    )
+    rows_before = {(r.user_id, r.val) for r in before.collect()}
+    # keys 3-9 hold winning tombstones (epoch 1); 0-2 were resurrected
+    # horizon epoch 1: tombstones AT epoch 1 are not yet expired
+    assert txn.expire_tombstones(spark, tbl, min_epoch_to_keep=1) == 0
+    # horizon epoch 2: epoch-1 tombstones (keys 3-9) reclaim
+    n = txn.expire_tombstones(spark, tbl, min_epoch_to_keep=2)
+    assert n == 7, n
+    after = {(r.user_id, r.val) for r in txn.read_version(spark, tbl).collect()}
+    assert after == rows_before
+    # the physical state no longer holds any expired tombstone row
+    cur = txn.current_version_dir(tbl)
+    comp = txn.read_manifest(tbl, os.path.basename(cur))[""]
+    live = spark.read.parquet(
+        *[txn.segment_path(tbl, s) for s in comp["segments"]]
+    )
+    assert live.filter("is_deleted").count() == 0
+    # feeds still resolve: current is a maintenance version, so the
+    # feed walks up to the newest NUMERIC commit and raises nowhere
+    feed = txn.change_feed(spark, tbl, 0)
+    assert feed.count() > 0
