@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "semi_join_hot_orders",
     "running_total",
     "merge_full_upsert",
+    "merge_with_delete",
     "from_json_extract",
     "text_stats",
     "ngram_jaccard_pairs",
