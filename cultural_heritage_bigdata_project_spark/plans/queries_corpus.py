@@ -472,7 +472,8 @@ def corpus_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH t AS (
   SELECT doc_id,
-         CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(string_split(lower(trim(text)), ' '),
+                              x -> x <> '')) AS BIGINT) AS n_tokens,
          md5('13:' || CAST(doc_id AS VARCHAR)) AS key
   FROM documents
 ), c AS (
@@ -487,6 +488,12 @@ SELECT doc_id, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 20000
 def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
-        F.size(F.split(F.trim(F.lower("text")), " +")).cast("long").alias("n_tokens"),
+        # array_remove drops the one empty token a whitespace-only text
+        # yields, matching the oracle's list_filter(x <> '') exactly —
+        # split(' +') and string_split(' ') otherwise count differently
+        # on runs of spaces (round-5 ADVICE parity fix)
+        F.size(F.array_remove(F.split(F.trim(F.lower("text")), " +"), ""))
+        .cast("long")
+        .alias("n_tokens"),
     )
     return corpus.token_budget_select(docs, budget=20_000, seed=13)

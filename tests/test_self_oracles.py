@@ -489,6 +489,4 @@ def test_hard_negative_mining_semantics(spark):
     floor = hard_negative_mining(emb, k=5, n_queries=10, min_sim=0.1).collect()
     assert all(r.cosine_sim >= 0.1 for r in floor)
     unfloored = {(r.q_id, r.vec_id) for r in out if r.cosine_sim >= 0.1}
-    assert {(r.q_id, r.vec_id) for r in floor} <= unfloored | {
-        (r.q_id, r.vec_id) for r in floor
-    }
+    assert {(r.q_id, r.vec_id) for r in floor} <= unfloored
