@@ -411,6 +411,31 @@ def table_diff(
     )
 
 
+def _nullsafe_outer_combine(
+    left: DataFrame, right: DataFrame, on: Sequence[str]
+) -> DataFrame:
+    """Full-outer join on NULL-SAFE equality of ``on`` with the join
+    columns coalesced back to single columns. ``join(on=list)`` uses
+    plain ``=``: a NULL grouping value then never matches its own
+    counterpart and the output carries two unmerged rows with split
+    aggregates (round-5 ADVICE). ``<=>`` keeps this an equi-join, so
+    Catalyst still plans a hash join. Non-join column names must be
+    disjoint between the two sides (true at both call sites)."""
+    renamed = right
+    for c in on:
+        renamed = renamed.withColumnRenamed(c, f"__r_{c}")
+    cond = None
+    for c in on:
+        eq = left[c].eqNullSafe(renamed[f"__r_{c}"])
+        cond = eq if cond is None else (cond & eq)
+    joined = left.join(renamed, on=cond, how="full_outer")
+    return joined.select(
+        *[F.coalesce(left[c], renamed[f"__r_{c}"]).alias(c) for c in on],
+        *[left[c] for c in left.columns if c not in on],
+        *[renamed[c] for c in renamed.columns if not c.startswith("__r_")],
+    )
+
+
 def incremental_agg_maintain(
     agg_state: DataFrame | None,
     feed: DataFrame,
@@ -420,6 +445,7 @@ def incremental_agg_maintain(
     sum_cols: Sequence[str],
     count_col: str = "n_rows",
     delete_col: str | None = None,
+    order_desc: Sequence[str] | None = None,
 ) -> DataFrame:
     """Incremental materialized-view maintenance (IVM) for sum/count
     aggregates over a last-write-wins table: apply an O(changes)
@@ -430,28 +456,67 @@ def incremental_agg_maintain(
     costs O(changes) + O(|groups|).
 
     Semantics: ``feed`` holds the upserted rows (possibly several per
-    key across epochs — only each key's LAST version counts, resolved
-    by ``__sg_seq`` when present); ``old_snapshot`` is the table AS OF
-    the feed's start (None for a cold start). For every changed key the
-    old row's contribution is retracted and the new row's added; new
-    keys add a count of 1. ``agg_state`` (group_cols + sum_cols +
-    count) is merged with the per-group net delta via one full-outer
-    combine. Exact for sums/counts (any retractable aggregate).
+    key across epochs); ``old_snapshot`` is the table AS OF the feed's
+    start (None for a cold start). Each changed key's POST-FEED table
+    row is resolved with the SAME ordering the table itself uses
+    (``txn.reconstruct_latest``: max ``order_desc``, ties to the
+    earliest epoch) — pass the sink's ``order_desc`` so a late-arriving
+    feed row with an older order key loses to the snapshot's incumbent
+    here exactly as it does in the table (round-5 ADVICE: resolving by
+    ``__sg_seq desc`` alone silently diverged on late arrivals). When
+    ``order_desc`` is omitted, resolution falls back to last-epoch-wins
+    (``__sg_seq desc``), which is exact ONLY if the order key is
+    monotone in the commit epoch (no late arrivals). For every changed
+    key the old row's contribution is retracted and the resolved row's
+    added; new keys add a count of 1. ``agg_state`` (group_cols +
+    sum_cols + count) is merged with the per-group net delta via one
+    null-safe full-outer combine (NULL grouping values form one group,
+    as in SQL GROUP BY). Exact for sums/counts (any retractable
+    aggregate).
+
+    Known limit: ``old_snapshot`` is the tombstone-FILTERED read, so a
+    late feed row older than a still-physical tombstone is treated as
+    an insert here while the table keeps the key deleted — with
+    ``order_desc`` monotone per key across epochs (the upsert sink's
+    contract for deletes) the case cannot arise.
 
     Shapes: the retract lookup is a semi-join of the old snapshot
     against the changed keys — O(changes) probe rows; with the base
     range-clustered on the key it prunes to the files holding changed
-    keys. The final combine touches only groups present in state or
-    delta.
+    keys. The incumbent-vs-feed resolution adds only O(changes) rows to
+    the window. The final combine touches only groups present in state
+    or delta.
     """
     seq = "__sg_seq"
-    order = [F.col(seq).desc()] if seq in feed.columns else []
     from . import cleanse
 
+    has_seq = seq in feed.columns
+    if order_desc:
+        order = [F.col(c).desc() for c in order_desc] + (
+            [F.col(seq).asc()] if has_seq else []
+        )
+    else:
+        order = [F.col(seq).desc()] if has_seq else []
+    changed_keys = feed.select(*keys).distinct()
+    old_rows = (
+        old_snapshot.join(changed_keys, on=list(keys), how="leftsemi")
+        if old_snapshot is not None
+        else None
+    )
+    pool = feed
+    if order_desc and old_rows is not None:
+        # snapshot incumbents compete under the table's ordering; they
+        # predate every feed epoch, so they carry the minimal seq (an
+        # order-key tie resolves to the incumbent, as in the table)
+        incumbent = old_rows
+        if has_seq:
+            incumbent = incumbent.withColumn(
+                seq, F.lit(-(1 << 62)).cast("long")
+            )
+        pool = incumbent.unionByName(feed, allowMissingColumns=True)
     final_rows = (
-        cleanse.dedup_first_wins(feed, list(keys), order) if order else feed
+        cleanse.dedup_first_wins(pool, list(keys), order) if order else pool
     ).drop(seq)
-    changed_keys = final_rows.select(*keys).distinct()
     # tombstones (``delete_col`` true, see the upsert sink): the key's
     # old contribution retracts like any change, but nothing is added
     if delete_col is not None and delete_col in final_rows.columns:
@@ -462,8 +527,7 @@ def incremental_agg_maintain(
         *[F.sum(F.col(c).cast("double")).alias(f"__n_{c}") for c in sum_cols],
         F.count(F.lit(1)).alias("__n_cnt"),
     )
-    if old_snapshot is not None:
-        old_rows = old_snapshot.join(changed_keys, on=list(keys), how="leftsemi")
+    if old_rows is not None:
         contrib_old = old_rows.groupBy(*group_cols).agg(
             *[F.sum(F.col(c).cast("double")).alias(f"__o_{c}") for c in sum_cols],
             F.count(F.lit(1)).alias("__o_cnt"),
@@ -473,7 +537,7 @@ def incremental_agg_maintain(
     delta = (
         contrib_new
         if contrib_old is None
-        else contrib_new.join(contrib_old, on=list(group_cols), how="full_outer")
+        else _nullsafe_outer_combine(contrib_new, contrib_old, list(group_cols))
     )
     zero = F.lit(0.0)
     net_cols = [
@@ -498,7 +562,7 @@ def incremental_agg_maintain(
             *[F.col(f"__d_{c}").alias(c) for c in sum_cols],
             F.col("__d_cnt").cast("long").alias(count_col),
         ).filter(F.col(count_col) > 0)
-    merged = agg_state.join(delta, on=list(group_cols), how="full_outer")
+    merged = _nullsafe_outer_combine(agg_state, delta, list(group_cols))
     out = merged.select(
         *group_cols,
         *[

@@ -307,3 +307,71 @@ def test_incremental_agg_maintain_random_feeds(spark, base, updates):
         expect[g] = (s + v, c + 1)
     got = {r.g: (r.v, r.n_rows) for r in state1.collect()}
     assert got == expect
+
+
+def test_incremental_agg_maintain_late_arrival(spark):
+    """A feed row with an OLDER order key than the snapshot's incumbent
+    must lose in the maintained view exactly as it loses in the table
+    (round-5 ADVICE: seq-desc-only resolution let it win)."""
+    from cultural_heritage_bigdata_project_spark.operators.merge import (
+        incremental_agg_maintain,
+    )
+
+    old = spark.createDataFrame(
+        [(1, 200, "g0", 10.0), (2, 200, "g1", 20.0)],
+        "k long, ts long, g string, v double",
+    )
+    # key 1: late arrival (ts=100 < incumbent's 200) -> table unchanged;
+    # key 2: genuine update (ts=300) -> table moves to v=99
+    feed = spark.createDataFrame(
+        [(1, 100, "g0", 777.0, 5), (2, 300, "g1", 99.0, 5)],
+        "k long, ts long, g string, v double, __sg_seq long",
+    )
+    state0 = incremental_agg_maintain(
+        None, old, None, keys=["k"], group_cols=["g"], sum_cols=["v"]
+    )
+    state1 = incremental_agg_maintain(
+        state0, feed, old, keys=["k"], group_cols=["g"], sum_cols=["v"],
+        order_desc=["ts"],
+    )
+    got = {r.g: (r.v, r.n_rows) for r in state1.collect()}
+    assert got == {"g0": (10.0, 1), "g1": (99.0, 1)}
+    # order-key TIE resolves to the incumbent (earliest seq), like the
+    # table's strict-> upsert fold
+    tie = spark.createDataFrame(
+        [(1, 200, "g0", 555.0, 6)],
+        "k long, ts long, g string, v double, __sg_seq long",
+    )
+    state2 = incremental_agg_maintain(
+        state1, tie, old, keys=["k"], group_cols=["g"], sum_cols=["v"],
+        order_desc=["ts"],
+    )
+    got2 = {r.g: (r.v, r.n_rows) for r in state2.collect()}
+    assert got2["g0"] == (10.0, 1)
+
+
+def test_incremental_agg_maintain_null_group(spark):
+    """NULL grouping values must form ONE group (SQL GROUP BY), not two
+    unmerged rows with split sums (round-5 ADVICE: null-unsafe
+    full-outer combines)."""
+    from cultural_heritage_bigdata_project_spark.operators.merge import (
+        incremental_agg_maintain,
+    )
+
+    old = spark.createDataFrame(
+        [(1, None, 10.0), (2, None, 20.0), (3, "g1", 5.0)],
+        "k long, g string, v double",
+    )
+    feed = spark.createDataFrame(
+        [(2, None, 21.0), (4, None, 4.0)], "k long, g string, v double"
+    )
+    state0 = incremental_agg_maintain(
+        None, old, None, keys=["k"], group_cols=["g"], sum_cols=["v"]
+    )
+    state1 = incremental_agg_maintain(
+        state0, feed, old, keys=["k"], group_cols=["g"], sum_cols=["v"]
+    )
+    rows = state1.collect()
+    assert len(rows) == 2, rows  # exactly one NULL group + one g1 group
+    got = {r.g: (round(r.v, 6), r.n_rows) for r in rows}
+    assert got == {None: (35.0, 3), "g1": (5.0, 1)}
