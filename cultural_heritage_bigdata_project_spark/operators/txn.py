@@ -208,6 +208,21 @@ def read_version(spark, root: str, version: str | int | None = None, subdir: str
         )
     df = spark.read.option("mergeSchema", "true").parquet(*paths)
     spec = comp.get("reconstruct")
+    if spec and comp.get("collapsed"):
+        # The component's one segment is already one-row-per-key by
+        # construction (a compaction/expiry rewrite IS the latest-by-key
+        # fold), so the merge-on-read window — an O(table) hash exchange
+        # on EVERY read — is provably redundant: tombstone-filter and
+        # drop the seq column, nothing else. At 100 TB this is the
+        # difference between a scan and a full shuffle per consumer
+        # (round-4 verdict #1; Delta's read-optimized-after-compaction
+        # analog). tests/test_plans.py pins the no-Exchange plan.
+        from pyspark.sql import functions as F
+
+        dcol = spec.get("delete_col")
+        if dcol is not None and dcol in df.columns:
+            df = df.filter(~F.coalesce(F.col(dcol), F.lit(False)))
+        return df.drop(spec["seq_col"])
     return reconstruct_latest(df, spec) if spec else df
 
 
@@ -606,7 +621,10 @@ def expire_tombstones(
         paths.append(os.path.join(cur, comp["base"]))
     paths.extend(segment_path(root, s) for s in comp.get("segments", []))
     df = spark.read.option("mergeSchema", "true").parquet(*paths)
-    collapsed = reconstruct_latest(df, spec, keep_seq=True)
+    # a collapsed component is already one-row-per-key: no fold needed
+    collapsed = (
+        df if comp.get("collapsed") else reconstruct_latest(df, spec, keep_seq=True)
+    )
     dcol, seq = spec["delete_col"], spec["seq_col"]
     is_dead = F.coalesce(F.col(dcol), F.lit(False)) & (
         F.col(seq) < int(min_epoch_to_keep)
@@ -623,19 +641,94 @@ def expire_tombstones(
     shutil.rmtree(vdir, ignore_errors=True)
     os.makedirs(vdir)
     segments = [seg] if _has_parquet(sdir) else []
-    write_manifest(
-        root,
-        vname,
-        {
-            component: {
-                "base": None,
-                "segments": segments,
-                "changes": [],
-                "reconstruct": spec,
-            }
-        },
-    )
+    # sibling components of a composite commit carry over verbatim —
+    # only the expired component's read list changes. A sibling whose
+    # base lives INSIDE the old version dir cannot carry over (its
+    # relative path would resolve against the new dir); segment-backed
+    # components (the sink's layout) always can.
+    for name, sib in components.items():
+        if name != component and sib.get("base"):
+            raise ValueError(
+                f"component {name!r} has a version-local base and cannot "
+                "carry across a maintenance rewrite; compact it into "
+                "segments first"
+            )
+    new_components = dict(components)
+    new_components[component] = {
+        "base": None,
+        "segments": segments,
+        "changes": [],
+        "reconstruct": spec,
+        "collapsed": True,
+    }
+    write_manifest(root, vname, new_components)
     # preserve the caller's retention: prior versions (and their
     # change-feed records) stay readable; only the tombstones go
     publish_version(root, vname, keep_last=len(list_versions(root)) + 1)
     return int(reclaimed)
+
+
+def compact_component(spark, root: str, component: str = "") -> str:
+    """On-demand read-optimization maintenance for a delta-segmented
+    component (Delta OPTIMIZE analog): fold the current base+segments to
+    the latest row per key ONCE, publish it as a single segment marked
+    ``collapsed`` in the manifest, and every subsequent ``read_version``
+    skips the merge-on-read key window entirely — a scan instead of an
+    O(table) hash exchange per consumer. Run it before read-heavy
+    windows (a training job about to stream the table N times) when the
+    sink's periodic ``compact_every`` epoch hasn't just fired.
+
+    Tombstones survive as physical rows (``keep_seq=True`` fold) so the
+    deletion record outlives the rewrite; collapsed reads still filter
+    them. The publish is the standard atomic pointer commit; the
+    version carries no ``changes`` (a rewrite is not a change, so
+    change feeds skip it). Returns the committed version directory.
+    """
+    cur = current_version_dir(root)
+    if cur is None:
+        raise FileNotFoundError(f"nothing published under {root!r}")
+    components = read_manifest(root, os.path.basename(cur))
+    if components is None or component not in components:
+        raise ValueError(
+            f"current version has no segmented component {component!r}"
+        )
+    comp = components[component]
+    spec = comp.get("reconstruct")
+    if not spec:
+        raise ValueError(
+            "compact_component requires a latest-by-key reconstruct spec"
+        )
+    paths = []
+    if comp.get("base"):
+        paths.append(os.path.join(cur, comp["base"]))
+    paths.extend(segment_path(root, s) for s in comp.get("segments", []))
+    df = spark.read.option("mergeSchema", "true").parquet(*paths)
+    folded = (
+        df if comp.get("collapsed") else reconstruct_latest(df, spec, keep_seq=True)
+    )
+    epoch_tag = f"x{int(time.time() * 1000)}"
+    seg = f"compact_{epoch_tag}"  # '_x...' suffix: a rewrite, never a change
+    sdir = segment_path(root, seg)
+    shutil.rmtree(sdir, ignore_errors=True)
+    folded.write.mode("overwrite").parquet(sdir)
+    vname = f"data_v{epoch_tag}"
+    vdir = os.path.join(root, vname)
+    shutil.rmtree(vdir, ignore_errors=True)
+    os.makedirs(vdir)
+    for name, sib in components.items():
+        if name != component and sib.get("base"):
+            raise ValueError(
+                f"component {name!r} has a version-local base and cannot "
+                "carry across a maintenance rewrite; compact it into "
+                "segments first"
+            )
+    new_components = dict(components)
+    new_components[component] = {
+        "base": None,
+        "segments": [seg] if _has_parquet(sdir) else [],
+        "changes": [],
+        "reconstruct": spec,
+        "collapsed": True,
+    }
+    write_manifest(root, vname, new_components)
+    return publish_version(root, vname, keep_last=len(list_versions(root)) + 1)

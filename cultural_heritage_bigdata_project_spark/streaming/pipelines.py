@@ -414,6 +414,7 @@ def foreach_batch_upsert_run(
         # rewrites, and GC protects `changes` references like `segments`
         changes = [seg] if _write_segment(latest, seg) else []
         segments.extend(changes)
+        collapsed = False
         if len(segments) > compact_every:
             merged = txn.reconstruct_latest(
                 # mergeSchema: segments written after a schema-evolving
@@ -426,7 +427,9 @@ def foreach_batch_upsert_run(
             )
             comp = f"upsert_c{epoch_id}"
             if _write_segment(merged, comp):
-                segments = [comp]
+                # one-row-per-key by construction: readers may skip the
+                # merge-on-read window (txn.read_version collapsed path)
+                segments, collapsed = [comp], True
         # atomic commit: manifest-only version dir, then repoint CURRENT.
         # A crash anywhere leaves the previous version committed and at
         # worst an unreferenced segment for cleanup_unpublished.
@@ -442,6 +445,7 @@ def foreach_batch_upsert_run(
                     "segments": segments,
                     "changes": changes,
                     "reconstruct": spec,
+                    "collapsed": collapsed,
                 }
             },
         )

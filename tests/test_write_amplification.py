@@ -621,3 +621,82 @@ def test_expire_tombstones_reclaims_and_preserves_reads(spark, tmp_path):
     # feed walks up to the newest NUMERIC commit and raises nowhere
     feed = txn.change_feed(spark, tbl, 0)
     assert feed.count() > 0
+
+
+def test_sink_compaction_marks_collapsed_and_read_skips_window(spark, tmp_path):
+    """The sink's periodic compaction epoch must publish its manifest
+    with collapsed=true so consumers read the table WITHOUT the
+    merge-on-read key shuffle; an appended delta epoch must clear the
+    flag again. Deletes/updates stay exact through both states."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t0 = time.time() - 1000
+    schema = "user_id long, ts long, val string, is_deleted boolean"
+    rows_by_epoch = [
+        [(k, 100, "a", False) for k in range(40)],
+        [(k, 200, "b", k < 5) for k in range(20)],   # delete 0-4, update 5-19
+        [(k, 300, "c", False) for k in range(10, 30)],
+    ]
+    for e, rows in enumerate(rows_by_epoch):
+        _drop_file(spark, tmp_path, src, f"f{e}", rows, schema, t0 + e)
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    tbl = str(tmp_path / "tbl")
+    # compact_every=2: epoch 2 appends the 3rd segment and compacts
+    final = streaming.foreach_batch_upsert_run(
+        spark, stream, keys=["user_id"], order_desc=["ts"],
+        target_dir=tbl, compact_every=2, keep_last=10, delete_col="is_deleted",
+    )
+    cur = os.path.basename(txn.current_version_dir(tbl))
+    comp = txn.read_manifest(tbl, cur)[""]
+    assert comp["collapsed"] is True
+    assert len(comp["segments"]) == 1
+
+    jvm = spark._jvm
+    plan = (
+        txn.read_version(spark, tbl)
+        ._jdf.queryExecution()
+        .explainString(
+            jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+    )
+    assert "Exchange" not in plan, plan[:2000]
+    got = {r.user_id: (r.ts, r.val) for r in final.collect()}
+    assert all(k not in got for k in range(5))          # deleted
+    assert all(got[k] == (300, "c") for k in range(10, 30))
+    assert all(got[k] == (200, "b") for k in range(5, 10))
+    assert all(got[k] == (100, "a") for k in range(30, 40))
+
+    # a post-compaction delta epoch clears the flag (reads window again)
+    _drop_file(
+        spark, tmp_path, src, "f3",
+        [(0, 400, "z", False)], schema, t0 + 3,
+    )
+    stream2 = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    final2 = streaming.foreach_batch_upsert_run(
+        spark, stream2, keys=["user_id"], order_desc=["ts"],
+        target_dir=tbl, reset=False, compact_every=2, keep_last=10,
+        delete_col="is_deleted",
+    )
+    cur2 = os.path.basename(txn.current_version_dir(tbl))
+    comp2 = txn.read_manifest(tbl, cur2)[""]
+    assert comp2["collapsed"] is False
+    assert len(comp2["segments"]) == 2
+    got2 = {r.user_id: (r.ts, r.val) for r in final2.collect()}
+    assert got2[0] == (400, "z")                        # resurrected
+    assert all(k not in got2 for k in range(1, 5))
+
+    # on-demand maintenance re-collapses without changing the data
+    txn.compact_component(spark, tbl)
+    got3 = {
+        r.user_id: (r.ts, r.val) for r in txn.read_version(spark, tbl).collect()
+    }
+    assert got3 == got2
+    cur3 = os.path.basename(txn.current_version_dir(tbl))
+    assert txn.read_manifest(tbl, cur3)[""]["collapsed"] is True
+    # the rewrite is not a change: the feed over epochs 1-3 is unchanged
+    feed = txn.change_feed(spark, tbl, 0, 3)
+    assert feed.filter("is_deleted").count() == 5
