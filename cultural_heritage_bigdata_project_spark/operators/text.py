@@ -1159,22 +1159,47 @@ def bpe_train_merges(
     words: DataFrame,
     n_merges: int = 20,
     min_pair_count: int = 2,
+    batch_k: int = 64,
+    stats: dict | None = None,
 ) -> list[tuple[str, str, int]]:
     """Learn ``n_merges`` BPE merges from a (word, cnt) table.
     Returns [(left, right, pair_count), ...] in merge order —
     deterministic: ties on count break lexicographically, so any
     engine/layout learns the identical merge list.
 
-    Each round over the vocab table: adjacent-pair counts (one small
-    agg), argmax (a bounded ONE-row driver collect — the merge decision
-    IS driver state, exactly like IVF centroids), then re-segmentation
-    of the symbol arrays in one Arrow pass. Rounds cost O(vocab), not
-    O(corpus); the table is checkpointed per round and superseded
-    checkpoint blocks are freed (same hygiene as canonical_components).
+    BATCHED rounds (round-4 verdict #3): one aggregation + one driver
+    round-trip used to buy exactly ONE merge, so a 32k-merge vocab
+    meant 32k Spark jobs. Each round now collects the top ``batch_k``
+    pairs and accepts the longest rank-prefix that is PROVABLY the
+    same sequence sequential BPE would pick:
+
+    - mutually symbol-disjoint (pair i's count is then unchanged by
+      applying pairs 1..i-1 — no shared symbol means no destroyed or
+      created adjacency);
+    - every accepted count strictly > G, the best count among pairs
+      NOT accepted (first overlapping pair / first uncollected pair):
+      any pair a prior merge creates or decreases is bounded by an
+      overlapping pre-merge pair's count <= G, so nothing outside the
+      prefix can outrank its tail mid-sequence;
+    - no accepted merged string collides with an existing vocab symbol
+      or another accepted pair's merged string (aliasing could grow a
+      pre-existing pair's count past G, breaking the bound; on
+      collision the batch truncates before the offender).
+
+    If the rules trim the batch to nothing, the round falls back to
+    the classic single top-1 merge, which is trivially sequential.
+    Identity with the reference algorithm is pinned by the referee
+    test (tests/test_quality_ops.py); ``stats["rounds"]`` (optional)
+    reports how many aggregation rounds the merges cost.
+
+    Each round costs O(vocab), not O(corpus) — a bounded
+    ``limit(batch_k+1)`` driver collect plus one small membership
+    probe, then ONE Arrow re-segmentation pass applying the whole
+    batch in rank order; the table is checkpointed per round and
+    superseded checkpoint blocks are freed.
     """
     import pandas as pd
 
-    spark = words.sparkSession
     seg = words.select(
         F.concat(
             F.split(F.col("word"), ""), F.array(F.lit(_BPE_EOW))
@@ -1185,6 +1210,7 @@ def bpe_train_merges(
     from ..operators.dedup import _unpersist_local_checkpoint
 
     merges: list[tuple[str, str, int]] = []
+    rounds = 0
     # CASE-guard: a fully-merged word has ONE symbol, and
     # sequence(1, 0) would generate a DESCENDING [1, 0]
     pair_expr = F.expr(
@@ -1193,47 +1219,95 @@ def bpe_train_merges(
         " i -> struct(syms[i - 1] AS l, syms[i] AS r))"
         " ELSE array() END"
     )
-    for _ in range(n_merges):
-        best = (
+    while len(merges) < n_merges:
+        rounds += 1
+        top = (
             seg.select(F.explode(pair_expr).alias("p"), "cnt")
             .groupBy("p.l", "p.r")
             .agg(F.sum("cnt").alias("n"))
             .orderBy(F.col("n").desc(), F.col("l").asc(), F.col("r").asc())
-            .limit(1)
+            .limit(batch_k + 1)
             .collect()
         )
-        if not best or best[0]["n"] < min_pair_count:
+        if not top or top[0]["n"] < min_pair_count:
             break
-        left, right, n = best[0]["l"], best[0]["r"], int(best[0]["n"])
-        merges.append((left, right, n))
+        # G: best count sequential BPE could see OUTSIDE the accepted
+        # prefix — uncollected pairs are bounded by the overflow row
+        overflow = top[batch_k]["n"] if len(top) > batch_k else 0
+        bound = int(overflow)
+        used: set[str] = set()
+        accepted: list[tuple[str, str, int]] = []
+        for row in top[:batch_k]:
+            l, r, n = row["l"], row["r"], int(row["n"])
+            if n < min_pair_count:
+                break
+            if l in used or r in used:
+                bound = max(bound, n)
+                break
+            accepted.append((l, r, n))
+            used.update((l, r))
+        while accepted and accepted[-1][2] <= bound:
+            accepted.pop()
+        if len(accepted) > 1:
+            # aliasing probe: merged strings that equal a live vocab
+            # symbol (bounded result: <= len(accepted) rows)
+            cand = [l + r for l, r, _ in accepted]
+            vocab_hits = {
+                row["s"]
+                for row in seg.select(F.explode("syms").alias("s"))
+                .filter(F.col("s").isin(cand))
+                .distinct()
+                .collect()
+            }
+            seen: set[str] = set()
+            cut = len(accepted)
+            for i, (l, r, n) in enumerate(accepted):
+                a = l + r
+                if a in vocab_hits or a in seen or a in used:
+                    cut = i
+                    break
+                seen.add(a)
+            accepted = accepted[:cut]
+        if not accepted:
+            l, r, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
+            accepted = [(l, r, n)]
+        accepted = accepted[: n_merges - len(merges)]
+        merges.extend(accepted)
 
-        def apply_merge(batches, _l=left, _r=right):
+        def apply_merges(batches, _ms=tuple((l, r) for l, r, _ in accepted)):
+            touch = {s for p in _ms for s in p}
             for pdf in batches:
                 out = []
                 for syms in pdf["syms"]:
                     syms = list(syms)
-                    merged = []
-                    i = 0
-                    while i < len(syms):
-                        if (
-                            i + 1 < len(syms)
-                            and syms[i] == _l
-                            and syms[i + 1] == _r
-                        ):
-                            merged.append(_l + _r)
-                            i += 2
-                        else:
-                            merged.append(syms[i])
-                            i += 1
-                    out.append(merged)
+                    if touch.isdisjoint(syms):
+                        out.append(syms)
+                        continue
+                    for _l, _r in _ms:  # rank order == sequential order
+                        merged, i, ln = [], 0, len(syms)
+                        while i < ln:
+                            if (
+                                i + 1 < ln
+                                and syms[i] == _l
+                                and syms[i + 1] == _r
+                            ):
+                                merged.append(_l + _r)
+                                i += 2
+                            else:
+                                merged.append(syms[i])
+                                i += 1
+                        syms = merged
+                    out.append(syms)
                 yield pd.DataFrame({"syms": out, "cnt": pdf["cnt"]})
 
         new_seg = seg.mapInPandas(
-            apply_merge, "syms array<string>, cnt long"
+            apply_merges, "syms array<string>, cnt long"
         ).localCheckpoint(eager=True)
         _unpersist_local_checkpoint(seg)
         seg = new_seg
     _unpersist_local_checkpoint(seg)
+    if stats is not None:
+        stats["rounds"] = rounds
     return merges
 
 

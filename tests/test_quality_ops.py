@@ -354,6 +354,42 @@ def test_bpe_train_matches_referee(spark):
     # layout-independence
     got16 = t.bpe_train_merges(wc_df.repartition(16), n_merges=12)
     assert got16 == got
+    # batched learning is EXACT at depth (where merges interact and the
+    # per-round batch rules — disjointness, count bound, alias probe —
+    # all get exercised) and must beat one-round-per-merge
+    stats: dict = {}
+    got40 = t.bpe_train_merges(wc_df, n_merges=40, stats=stats)
+    assert got40 == _bpe_referee(wc, 40)
+    assert 0 < stats["rounds"] < 40, stats
+    # a tiny batch_k degrades to near-sequential but stays exact
+    got_k2 = t.bpe_train_merges(wc_df, n_merges=15, batch_k=2)
+    assert got_k2 == _bpe_referee(wc, 15)
+
+
+def test_bpe_batch_exact_on_adversarial_vocab(spark):
+    """Hand-built vocab where naive batching diverges: overlapping
+    top pairs, an aliasing merge ('ab' re-created next to c while
+    'ab c' pairs pre-exist), and count ties — every trap must resolve
+    to the sequential answer."""
+    from cultural_heritage_bigdata_project_spark.operators import text as t
+
+    words = {
+        # 'ab' token will be created by merging a+b; the literal word
+        # 'ab' also exists, so the merged string aliases a vocab symbol
+        "abcabc": 30,
+        "ab": 25,
+        "abc": 20,
+        "bc": 18,
+        "xyxy": 17,
+        "xy": 16,
+        "aabb": 9,
+        "yy": 9,
+        "zqzq": 8,
+    }
+    wc_df = spark.createDataFrame(list(words.items()), "word string, cnt long")
+    for n, k in [(6, 64), (10, 64), (10, 3), (14, 8)]:
+        got = t.bpe_train_merges(wc_df, n_merges=n, batch_k=k, min_pair_count=2)
+        assert got == _bpe_referee(words, n), (n, k, got)
 
 
 def test_bpe_segment_hand_checked(spark):
