@@ -185,16 +185,36 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save()
     )
 
+    # round-4 verdict #2 instrumentation: the flagship drifted
+    # 3.86->4.72s across rounds with its implementation untouched —
+    # suspected bench-session pressure (46 queries sharing one JVM),
+    # not a plan change. Time it ONCE here, first-in-session right
+    # after warmup, so the artifact itself separates session context
+    # from regression: flagship_first ≈ warm median -> context;
+    # flagship_first ≈ old medians while warm grew -> session pressure.
+    t0 = time.perf_counter()
+    qs["reference_curated_flow"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    flagship_first = round(time.perf_counter() - t0, 3)
+
     n_repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+    # sub-second queries get 5 samples: median-of-3 is fragile under
+    # contention there (round-4 verdict #6: a [0.28, 1.59, 0.21]
+    # sample set hides a 7x outlier behind the median)
+    short_repeats = max(n_repeats, 5)
     timings: dict[str, float] = {}
     repeats: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
         samples: list[float] = []
-        for _ in range(n_repeats):
+        target = n_repeats
+        while len(samples) < target:
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             samples.append(round(time.perf_counter() - t0, 3))
+            if len(samples) == 1 and samples[0] < 1.5:
+                target = short_repeats
         repeats[name] = samples
         timings[name] = round(statistics.median(samples), 3)
 
@@ -207,6 +227,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "repeats": repeats,
+                "flagship_first_run_sec": flagship_first,
                 "sf": sf,
             }
         )

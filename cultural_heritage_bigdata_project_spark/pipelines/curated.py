@@ -186,6 +186,10 @@ def curated_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("rep_guid").isNotNull())
 
     # J1/J3: annotations joined to the representative's metadata.
+    # (No checkpoint here: the P8 split's two branches duplicate this
+    # subtree in the plan, but ReuseExchange computes the underlying
+    # shuffles once — a measured localCheckpoint attempt was NET SLOWER
+    # at sf0.1, round-5 drift diagnosis.)
     joined = ann.join(eu, ann.rep_guid == eu.guid).select(
         ann.rep_guid.alias("guid"),
         "user_id",
