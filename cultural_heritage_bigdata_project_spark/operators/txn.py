@@ -310,6 +310,77 @@ def cleanup_unpublished(root: str, grace_seconds: float = 0.0) -> list[str]:
     return removed
 
 
+class PointerConflict(RuntimeError):
+    """The pointer object changed between read and conditional write —
+    the store-level signal a ConditionalPutStore raises; publish code
+    translates it into CommitConflict for the OCC retry loop."""
+
+
+class ConditionalPutStore:
+    """Pointer-store contract for object stores WITHOUT atomic rename
+    but WITH conditional writes (S3 ``If-None-Match``/``If-Match``, GCS
+    ``x-goog-if-generation-match``, ABFS ETags) — the Delta LogStore
+    analog for this layout's single CURRENT pointer.
+
+    ``read()`` returns ``(lines, tag)`` where ``tag`` identifies the
+    exact pointer generation observed (``None`` = pointer absent);
+    ``put_if(lines, expected_tag)`` atomically replaces the pointer
+    ONLY if it still carries ``expected_tag`` (``None`` = must not
+    exist yet), raising `PointerConflict` otherwise. With those two
+    primitives the whole flock critical section in `_commit_lock`
+    disappears: the compare-and-swap happens inside the store's one
+    conditional PUT. See DEPLOYMENT.md "Object-store commits".
+    """
+
+    def read(self) -> tuple[list[str], object]:
+        raise NotImplementedError
+
+    def put_if(self, lines: list[str], expected_tag: object) -> None:
+        raise NotImplementedError
+
+
+class FileConditionalPutStore(ConditionalPutStore):
+    """Reference ConditionalPutStore over the local CURRENT file. NOT
+    itself a concurrency primitive — POSIX has no compare-and-swap on
+    file content, so two simultaneous put_if calls could both pass the
+    tag check (real deployments get atomicity from the object store's
+    conditional write; local/HDFS deployments should keep the default
+    flock path instead). It exists to pin the protocol for the S3-class
+    implementation and to let tests inject races deterministically."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def _path(self) -> str:
+        return os.path.join(self.root, CURRENT)
+
+    def read(self) -> tuple[list[str], object]:
+        import hashlib
+
+        try:
+            with open(self._path(), encoding="utf-8") as f:
+                content = f.read()
+        except FileNotFoundError:
+            return [], None
+        lines = [ln.strip() for ln in content.splitlines() if ln.strip()]
+        return lines, hashlib.sha256(content.encode("utf-8")).hexdigest()
+
+    def put_if(self, lines: list[str], expected_tag: object) -> None:
+        _cur, tag = self.read()
+        if tag != expected_tag:
+            raise PointerConflict(
+                f"pointer generation changed: expected {expected_tag!r}, "
+                f"found {tag!r}"
+            )
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self._path() + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write("\n".join(lines))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._path())
+
+
 class CommitConflict(RuntimeError):
     """Another writer committed between this writer's read of CURRENT
     and its publish attempt. Carries the version the loser observed and
@@ -361,6 +432,7 @@ def try_publish_version(
     expected_current: str | None,
     keep_last: int = 1,
     grace_seconds: float = 3600.0,
+    pointer_store: ConditionalPutStore | None = None,
 ) -> str:
     """Optimistic-concurrency publish: atomically repoint ``CURRENT``
     at ``root/dirname`` ONLY if the committed version is still
@@ -377,21 +449,43 @@ def try_publish_version(
     GC uses ``grace_seconds`` (default 1h) so a competitor's freshly
     written, not-yet-published version directory survives this
     writer's cleanup; pass 0 only in single-writer contexts.
+
+    ``pointer_store`` selects the commit mechanism: ``None`` (default)
+    uses the flock + atomic-rename critical section — correct on
+    local/HDFS, NOT on S3-class object stores (no atomic rename, no
+    mutual exclusion). Passing a `ConditionalPutStore` replaces the
+    lock with one conditional PUT of the pointer: the store's own
+    compare-and-swap serializes racing committers (Delta LogStore
+    style), with `PointerConflict` surfacing here as `CommitConflict`.
     """
     if keep_last < 1:
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
-    with _commit_lock(root):
-        names = _read_pointer(root)
+    if pointer_store is None:
+        with _commit_lock(root):
+            names = _read_pointer(root)
+            actual = names[0] if names else None
+            if actual != expected_current:
+                raise CommitConflict(expected_current, actual)
+            retained = ([dirname] + [n for n in names if n != dirname])[:keep_last]
+            tmp = os.path.join(root, CURRENT + ".tmp")
+            with open(tmp, "w", encoding="utf-8") as f:
+                f.write("\n".join(retained))
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, os.path.join(root, CURRENT))
+    else:
+        names, tag = pointer_store.read()
         actual = names[0] if names else None
         if actual != expected_current:
             raise CommitConflict(expected_current, actual)
         retained = ([dirname] + [n for n in names if n != dirname])[:keep_last]
-        tmp = os.path.join(root, CURRENT + ".tmp")
-        with open(tmp, "w", encoding="utf-8") as f:
-            f.write("\n".join(retained))
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, os.path.join(root, CURRENT))
+        try:
+            pointer_store.put_if(retained, tag)
+        except PointerConflict:
+            now_names, _ = pointer_store.read()
+            raise CommitConflict(
+                expected_current, now_names[0] if now_names else None
+            ) from None
     cleanup_unpublished(root, grace_seconds=grace_seconds)
     return os.path.join(root, dirname)
 
@@ -416,6 +510,7 @@ def commit_with_retry(
     keep_last: int = 1,
     max_attempts: int = 10,
     grace_seconds: float = 3600.0,
+    pointer_store: ConditionalPutStore | None = None,
 ) -> str:
     """Serializable read-modify-write commit loop over the versioned
     table: ``build(current_dir_or_None, new_dir)`` must write the new
@@ -427,12 +522,22 @@ def commit_with_retry(
     predecessor (no lost updates), the OCC loop of every log-structured
     table format. Returns the committed version directory."""
     for _ in range(max_attempts):
-        with _commit_lock(root):
-            names = _read_pointer(root)
+        if pointer_store is None:
+            with _commit_lock(root):
+                names = _read_pointer(root)
+                expected = names[0] if names else None
+                dirname = next_version_name(root)
+                new_dir = os.path.join(root, dirname)
+                os.makedirs(new_dir)
+        else:
+            # no lock needed for the read: a stale read just loses the
+            # CAS publish below; a name collision likewise (the dir
+            # write is keyed by the publish, not the mkdir)
+            names, _tag = pointer_store.read()
             expected = names[0] if names else None
             dirname = next_version_name(root)
             new_dir = os.path.join(root, dirname)
-            os.makedirs(new_dir)
+            os.makedirs(new_dir, exist_ok=True)
         try:
             build(
                 os.path.join(root, expected) if expected else None, new_dir
@@ -443,6 +548,7 @@ def commit_with_retry(
                 expected,
                 keep_last=keep_last,
                 grace_seconds=grace_seconds,
+                pointer_store=pointer_store,
             )
         except CommitConflict:
             shutil.rmtree(new_dir, ignore_errors=True)

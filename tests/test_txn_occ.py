@@ -156,3 +156,83 @@ def test_commit_lock_times_out(tmp_path):
     assert time.monotonic() - t0 < 3
     release.set()
     t.join()
+
+
+class _RacingStore(txn.FileConditionalPutStore):
+    """Conditional-put store that injects a competing writer's commit
+    between this writer's read and its put_if on the first N attempts —
+    the exact interleaving S3's If-Match exists to catch (a local flock
+    cannot exist there; the conditional PUT is the only serializer)."""
+
+    def __init__(self, root: str, races: int):
+        super().__init__(root)
+        self.races_left = races
+        self.put_attempts = 0
+
+    def put_if(self, lines, expected_tag):
+        self.put_attempts += 1
+        if self.races_left > 0:
+            self.races_left -= 1
+            # competitor lands its own commit first, bumping the tag
+            competitor = txn.FileConditionalPutStore(self.root)
+            cur, tag = competitor.read()
+            rival = txn.next_version_name(self.root)
+            os.makedirs(os.path.join(self.root, rival))
+            _write_value(
+                os.path.join(self.root, rival),
+                _read_value(txn.current_version_dir(self.root)) + 1,
+            )
+            competitor.put_if([rival] + cur, tag)
+        return super().put_if(lines, expected_tag)
+
+
+def test_conditional_put_store_protocol(tmp_path):
+    root = str(tmp_path / "t")
+    store = txn.FileConditionalPutStore(root)
+    lines, tag = store.read()
+    assert (lines, tag) == ([], None)
+    store.put_if(["data_v0"], None)
+    lines2, tag2 = store.read()
+    assert lines2 == ["data_v0"] and tag2 is not None
+    # stale tag (None = must-not-exist) is rejected once it exists
+    with pytest.raises(txn.PointerConflict):
+        store.put_if(["data_v1"], None)
+    store.put_if(["data_v1", "data_v0"], tag2)
+    assert store.read()[0] == ["data_v1", "data_v0"]
+
+
+def test_try_publish_with_conditional_put_conflict(tmp_path):
+    root = str(tmp_path / "t")
+    os.makedirs(os.path.join(root, "data_v0"))
+    _write_value(os.path.join(root, "data_v0"), 1)
+    store = txn.FileConditionalPutStore(root)
+    txn.try_publish_version(root, "data_v0", None, pointer_store=store)
+    assert txn.current_version_dir(root).endswith("data_v0")
+    # a PointerConflict mid-put surfaces as CommitConflict carrying the
+    # actually-committed version
+    os.makedirs(os.path.join(root, "data_v1"))
+    _write_value(os.path.join(root, "data_v1"), 2)
+    racing = _RacingStore(root, races=1)
+    with pytest.raises(txn.CommitConflict):
+        txn.try_publish_version(
+            root, "data_v1", "data_v0", keep_last=5, pointer_store=racing
+        )
+
+
+def test_commit_with_retry_conditional_put_rebases_after_race(tmp_path):
+    """The OCC loop over a conditional-put store: the first put_if
+    races with a competing commit and fails; the retry must REBASE on
+    the competitor's version (its increment is not lost) and land."""
+    root = str(tmp_path / "t")
+    racing = _RacingStore(root, races=2)
+
+    def build(cur_dir, new_dir):
+        _write_value(new_dir, _read_value(cur_dir) + 1)
+
+    txn.commit_with_retry(
+        root, build, keep_last=10, grace_seconds=3600.0, pointer_store=racing
+    )
+    # 2 injected competitor commits (+1 each) + our commit (+1) = 3,
+    # and our put_if ran once per race plus the final success
+    assert _read_value(txn.current_version_dir(root)) == 3
+    assert racing.put_attempts == 3
