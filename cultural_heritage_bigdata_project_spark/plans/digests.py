@@ -130,6 +130,7 @@ GROUPS: dict[str, list[str]] = {
         "time_travel_versions",
         "version_diff",
         "zorder_keys",
+        "change_feed_ivm",
     ],
     "text_profile_digest": [
         "text_stats",
@@ -513,6 +514,11 @@ PART_COLS: dict[str, tuple[tuple[str, str], ...]] = {
         ("o_orderkey", "s"),
         ("old_o_orderstatus", "s"),
         ("old_o_totalprice", "f"),
+    ),
+    "change_feed_ivm": (
+        ("n_rows", "s"),
+        ("o_orderpriority", "s"),
+        ("units", "f"),
     ),
     "train_charlm_profile": (
         ("cnt", "s"),

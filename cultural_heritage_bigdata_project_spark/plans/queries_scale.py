@@ -241,6 +241,108 @@ def time_travel_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "change_feed_ivm",
+    description="Change feed + incremental view maintenance, driver-"
+    "gated end to end (the Delta CDF -> streaming-agg consumer shape): "
+    "three deterministic upsert epochs (orders sliced by key mod 3, "
+    "latest order per customer) commit into a delta-segmented table; "
+    "the maintained per-priority sum/count view is built from the "
+    "epoch-0 segment plus txn.change_feed(0,2) with retraction against "
+    "the v0 merge-on-read snapshot — O(changes) maintenance, never a "
+    "re-scan. The oracle re-derives the final table's latest-row-per-"
+    "key fold (order date desc, epoch asc, key desc) in one window and "
+    "re-aggregates from scratch, so ANY drift between the incremental "
+    "and full answer flips the hash",
+    survey_ref="S14,T4,S12,A1",
+    oracle="""
+WITH rows AS (
+  SELECT o_custkey AS k, o_orderpriority,
+         CAST(o_orderkey % 1000 AS DOUBLE) AS units,
+         o_orderdate, o_orderkey, o_orderkey % 3 AS epoch
+  FROM orders
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY k
+    ORDER BY o_orderdate DESC, epoch ASC, o_orderkey DESC) AS rn
+  FROM rows
+)
+SELECT o_orderpriority, CAST(sum(units) AS DOUBLE) AS units,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM ranked WHERE rn = 1 GROUP BY o_orderpriority
+""",
+)
+def change_feed_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from ..operators import cleanse, merge, txn
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_cf_{uuid.uuid4().hex[:8]}"
+    )
+    os.makedirs(root)
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        "o_orderpriority",
+        # integral double: incremental add/retract stays bit-exact, so
+        # the digest cannot straddle a truncation boundary
+        (F.col("o_orderkey") % 1000).cast("double").alias("units"),
+        "o_orderdate",
+        "o_orderkey",
+    )
+    spec = {
+        "kind": "latest_by_key",
+        "keys": ["k"],
+        "order_desc": ["o_orderdate"],
+        "seq_col": "__sg_seq",
+    }
+    segments: list[str] = []
+    for e in range(3):
+        batch = o.filter(F.col("o_orderkey") % 3 == e)
+        latest = cleanse.dedup_first_wins(
+            batch, ["k"], [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()]
+        ).withColumn("__sg_seq", F.lit(e).cast("long"))
+        seg = f"upsert_v{e}"
+        latest.write.parquet(txn.segment_path(root, seg))
+        segments.append(seg)
+        vname = f"data_v{e}"
+        os.makedirs(os.path.join(root, vname))
+        txn.write_manifest(
+            root,
+            vname,
+            {
+                "": {
+                    "base": None,
+                    "segments": list(segments),
+                    "changes": [seg],
+                    "reconstruct": spec,
+                }
+            },
+        )
+        txn.publish_version(root, vname, keep_last=3)
+    snap0 = txn.read_version(spark, root, 0)  # merge-on-read v0 snapshot
+    state0 = merge.incremental_agg_maintain(
+        None,
+        spark.read.parquet(txn.segment_path(root, "upsert_v0")),
+        None,
+        keys=["k"],
+        group_cols=["o_orderpriority"],
+        sum_cols=["units"],
+    )
+    feed = txn.change_feed(spark, root, 0, 2)  # O(changes): epochs 1-2 only
+    return merge.incremental_agg_maintain(
+        state0,
+        feed,
+        snap0,
+        keys=["k"],
+        group_cols=["o_orderpriority"],
+        sum_cols=["units"],
+        order_desc=["o_orderdate"],
+    )
+
+
+@register(
     "version_diff",
     description="CDC-style snapshot diff (the Delta Change Data Feed "
     "analog, audit companion of time_travel_versions): classify every "
