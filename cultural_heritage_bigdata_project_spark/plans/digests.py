@@ -131,6 +131,7 @@ GROUPS: dict[str, list[str]] = {
         "version_diff",
         "zorder_keys",
         "change_feed_ivm",
+        "stream_upsert_view",
     ],
     "text_profile_digest": [
         "text_stats",
@@ -519,6 +520,11 @@ PART_COLS: dict[str, tuple[tuple[str, str], ...]] = {
         ("n_rows", "s"),
         ("o_orderpriority", "s"),
         ("units", "f"),
+    ),
+    "stream_upsert_view": (
+        ("event_type", "s"),
+        ("n_rows", "s"),
+        ("value_fl", "f"),
     ),
     "train_charlm_profile": (
         ("cnt", "s"),

@@ -316,3 +316,58 @@ def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
     )
+
+
+@register(
+    "stream_upsert_view",
+    description="Streaming materialized view over the keyed-upsert "
+    "stream (T4+S12 sink + per-epoch O(changes) retract+apply IVM): "
+    "per-event_type sum/count of each user's LATEST event, maintained "
+    "incrementally as epochs commit — the retraction semantics native "
+    "streaming aggregation cannot express (append-only state double-"
+    "counts re-keyed rows). Integral floor(value) measure keeps the "
+    "incremental double sum bit-exact for the hash check. The oracle "
+    "re-aggregates the final latest-per-user table from scratch, so "
+    "any incremental drift flips the hash",
+    survey_ref="T4,S12,T6,A1",
+    oracle="""
+SELECT event_type, CAST(sum(floor(value)) AS DOUBLE) AS value_fl,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 GROUP BY event_type
+""",
+)
+def stream_upsert_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..operators import txn
+
+    stream = streaming.events_stream(spark, _events_path(sf_dir)).select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.floor("value").alias("value_fl"),
+    )
+    tag = uuid.uuid4().hex[:8]
+    tdir = os.path.join(tempfile.gettempdir(), f"spark_graft_upsv_{tag}")
+    vdir = os.path.join(tempfile.gettempdir(), f"spark_graft_upsv_{tag}_view")
+    streaming.foreach_batch_upsert_run(
+        spark,
+        stream,
+        keys=["user_id"],
+        order_desc=["ts", "event_id"],
+        target_dir=tdir,
+        view_group_cols=["event_type"],
+        view_sum_cols=["value_fl"],
+        view_dir=vdir,
+    )
+    return txn.read_version(spark, vdir)

@@ -310,6 +310,10 @@ def foreach_batch_upsert_run(
     keep_last: int = 1,
     compact_every: int = 8,
     delete_col: str | None = None,
+    view_group_cols: list[str] | None = None,
+    view_sum_cols: list[str] | None = None,
+    view_dir: str | None = None,
+    view_count_col: str = "n_rows",
 ) -> DataFrame:
     """T4+S12: continuous keyed last-write-wins upsert into a parquet
     table via ``foreachBatch``, as a DELTA LOG with merge-on-read —
@@ -351,13 +355,32 @@ def foreach_batch_upsert_run(
     are NOT supported (a NULL order key in old segments sorts last —
     documented in ``txn.reconstruct_latest``).
 
+    **Streaming materialized view** (``view_group_cols`` +
+    ``view_sum_cols``): each epoch ALSO maintains a persisted
+    sum/count aggregate of the table via O(changes) retract+apply
+    (`merge.incremental_agg_maintain`) — the retraction Spark's native
+    streaming aggregation cannot express (its state assumes
+    append-only input, so a keyed UPSERT stream double-counts every
+    re-keyed or re-valued row; deletes are unrepresentable). The view
+    lives under ``view_dir`` (default ``<target>_view``) as plain
+    versioned snapshots — O(|groups|) bytes per epoch — and commits
+    BEFORE the table epoch so a crash between the two publishes
+    replays idempotently (the replay sees the view already at this
+    epoch, skips it, and re-publishes only the table; committing the
+    table first would instead strand the view one epoch behind
+    forever, because table-epoch replays return early). Read it back
+    with ``txn.read_version(spark, view_dir)``.
+
     Returns the final table as a batch DataFrame.
     """
     tdir = target_dir or os.path.join(
         tempfile.gettempdir(), f"spark_graft_upsert_{uuid.uuid4().hex[:8]}"
     )
+    vdir_root = view_dir or (tdir.rstrip("/") + "_view")
     if reset:
         shutil.rmtree(tdir, ignore_errors=True)
+        if view_group_cols:
+            shutil.rmtree(vdir_root, ignore_errors=True)
     os.makedirs(tdir, exist_ok=True)
     # repair any crashed commit BEFORE the stream replays offsets: a
     # stale unpublished version (or orphaned segment) must not shadow
@@ -413,6 +436,39 @@ def foreach_batch_upsert_run(
         # Change-Data-Feed record (txn.change_feed) must survive
         # rewrites, and GC protects `changes` references like `segments`
         changes = [seg] if _write_segment(latest, seg) else []
+        if view_group_cols and changes:
+            # view-before-table commit order (see docstring): the
+            # retract snapshot is the table AS OF the previous epoch,
+            # which is still CURRENT here
+            vname_view = f"data_v{epoch_id}"
+            cur_view = txn.current_version_dir(vdir_root)
+            if cur_view is None or os.path.basename(cur_view) != vname_view:
+                from ..operators import merge as merge_ops
+
+                state = (
+                    spark.read.parquet(cur_view) if cur_view is not None else None
+                )
+                old_snap = (
+                    txn.read_version(spark, tdir) if cur is not None else None
+                )
+                feed = spark.read.option("mergeSchema", "true").parquet(
+                    txn.segment_path(tdir, changes[0])
+                )
+                new_state = merge_ops.incremental_agg_maintain(
+                    state,
+                    feed,
+                    old_snap,
+                    keys=keys,
+                    group_cols=list(view_group_cols),
+                    sum_cols=list(view_sum_cols or []),
+                    count_col=view_count_col,
+                    delete_col=delete_col,
+                    order_desc=order_desc,
+                )
+                vpath = os.path.join(vdir_root, vname_view)
+                shutil.rmtree(vpath, ignore_errors=True)
+                new_state.write.parquet(vpath)
+                txn.publish_version(vdir_root, vname_view, keep_last=keep_last)
         segments.extend(changes)
         collapsed = False
         if len(segments) > compact_every:

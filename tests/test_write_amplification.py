@@ -700,3 +700,54 @@ def test_sink_compaction_marks_collapsed_and_read_skips_window(spark, tmp_path):
     # the rewrite is not a change: the feed over epochs 1-3 is unchanged
     feed = txn.change_feed(spark, tbl, 0, 3)
     assert feed.filter("is_deleted").count() == 5
+
+
+def test_streaming_materialized_view_matches_full_reaggregation(spark, tmp_path):
+    """The upsert sink's per-epoch IVM view (retract+apply over the
+    epoch delta) must EQUAL a from-scratch aggregation of the table at
+    every retained epoch — through inserts, group moves, deletes,
+    resurrection, and a late arrival that must lose to its incumbent."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t0 = time.time() - 1000
+    schema = "user_id long, ts long, grp string, amount double, is_deleted boolean"
+    rows_by_epoch = [
+        [(k, 100, f"g{k % 3}", float(k), False) for k in range(50)],
+        # group moves + value changes for 0-19; delete 40-44 (tombstone
+        # rows carry a bogus group — retraction must use the OLD row's)
+        [(k, 200, f"g{(k + 1) % 3}", float(k) * 2, False) for k in range(20)]
+        + [(k, 200, "gX", 0.0, True) for k in range(40, 45)],
+        # resurrect 42-44, update 45-47, and a LATE arrival for key 0
+        # (ts=150 < its ts=200 incumbent -> must not change the view)
+        [(k, 300, "g0", 5.0, False) for k in range(42, 48)]
+        + [(0, 150, "g2", 999.0, False)],
+    ]
+    for e, rows in enumerate(rows_by_epoch):
+        _drop_file(spark, tmp_path, src, f"f{e}", rows, schema, t0 + e)
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    tbl = str(tmp_path / "tbl")
+    vdir = str(tmp_path / "view")
+    streaming.foreach_batch_upsert_run(
+        spark, stream, keys=["user_id"], order_desc=["ts"],
+        target_dir=tbl, compact_every=100, keep_last=10,
+        delete_col="is_deleted",
+        view_group_cols=["grp"], view_sum_cols=["amount"], view_dir=vdir,
+    )
+
+    def full_agg(snapshot):
+        return {
+            r.grp: (round(r.amount, 6), r.n_rows)
+            for r in snapshot.groupBy("grp")
+            .agg(F.sum("amount").alias("amount"), F.count(F.lit(1)).alias("n_rows"))
+            .collect()
+        }
+
+    assert len(txn.list_versions(vdir)) == 3
+    for e in range(3):
+        view = {
+            r.grp: (round(r.amount, 6), r.n_rows)
+            for r in txn.read_version(spark, vdir, e).collect()
+        }
+        assert view == full_agg(txn.read_version(spark, tbl, e)), f"epoch {e}"
