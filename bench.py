@@ -76,6 +76,9 @@ BENCH_QUERIES = [
     "version_diff",
     "zorder_keys",
     "hard_negative_mining",
+    "change_feed_ivm",
+    "stream_upsert_view",
+    "retrieval_metrics",
     # production-hash-family variants (bench-only, defined below): the
     # catalog queries pin hash_family="md5-portable" so the DuckDB
     # oracle can replay candidate sets, but the path you'd run at

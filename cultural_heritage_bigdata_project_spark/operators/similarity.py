@@ -653,6 +653,98 @@ def precision_at_k(
     )
 
 
+# Integerized nDCG discount table: round(1e9 / log2(rank + 1)) for
+# ranks 1..10, plus its prefix sums (the ideal DCG for n relevant).
+# Integer literals make the metric engine-portable: DCG becomes an
+# exact bigint sum (no float fold-order nondeterminism, no libm log2
+# divergence between JVM and DuckDB); nDCG is then ONE int/int double
+# division, which is IEEE-deterministic. Extend the table to raise k.
+NDCG_DISCOUNTS = (
+    1000000000, 630929754, 500000000, 430676558, 386852807,
+    356207187, 333333333, 315464877, 301029996, 289064826,
+)
+NDCG_PREFIX = (
+    1000000000, 1630929754, 2130929754, 2561606312, 2948459119,
+    3304666306, 3637999639, 3953464516, 4254494512, 4543559338,
+)
+
+
+def retrieval_metrics(
+    vectors: DataFrame,
+    k: int = 10,
+    n_queries: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """M6 retrieval evaluation beyond precision@k: per query —
+    recall@k (same-label hits in the top-k over the query's TOTAL
+    relevant count), MRR (reciprocal rank of the first hit, 0 if the
+    top-k has none), and binary-relevance nDCG@k — the triple every
+    retrieval eval reports (precision alone hides both ranking order
+    and corpus-side relevant counts).
+
+    Shape mirrors ``precision_at_k``: broadcast query set, one scan of
+    the collection, per-query top-k window; per-label relevant totals
+    come from one tiny label-count aggregate broadcast back. All three
+    metrics are engine-portable by construction (integer discount
+    table + single final divisions — see NDCG_DISCOUNTS).
+    """
+    if k > len(NDCG_DISCOUNTS):
+        raise ValueError(
+            f"k={k} exceeds the {len(NDCG_DISCOUNTS)}-entry discount table; "
+            "extend NDCG_DISCOUNTS/NDCG_PREFIX"
+        )
+    q = vectors.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col(label_col).alias("q_label"),
+    )
+    # total relevant per label (bounded by |labels| — broadcasts)
+    label_totals = vectors.groupBy(F.col(label_col).alias("q_label")).agg(
+        F.count(F.lit(1)).alias("__label_n")
+    )
+    sim = F.round(cosine_similarity(F.col("q_vec"), F.col(vec_col)), 6)
+    scored = vectors.join(F.broadcast(q), F.col(id_col) != F.col("q_id")).select(
+        "q_id",
+        "q_label",
+        (F.col(label_col) == F.col("q_label")).cast("int").alias("__rel"),
+        F.col(id_col),
+        sim.alias("cosine_sim"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+    disc = F.array(*[F.lit(int(x)) for x in NDCG_DISCOUNTS[:k]])
+    prefix = F.array(*[F.lit(int(x)) for x in NDCG_PREFIX[:k]])
+    topk = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .withColumn(
+            "__gain",
+            F.when(F.col("__rel") == 1, F.element_at(disc, F.col("__rn"))).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+    )
+    agg = topk.groupBy("q_id", "q_label").agg(
+        F.sum("__rel").alias("__hits"),
+        F.sum("__gain").alias("__dcg"),
+        F.min(F.when(F.col("__rel") == 1, F.col("__rn"))).alias("__first_hit"),
+    )
+    joined = agg.join(F.broadcast(label_totals), on="q_label")
+    n_rel = F.col("__label_n") - 1  # the query itself is excluded
+    idcg = F.element_at(prefix, F.least(F.lit(k), n_rel).cast("int"))
+    return joined.select(
+        "q_id",
+        F.when(n_rel > 0, F.col("__hits") / n_rel)
+        .otherwise(F.lit(0.0))
+        .alias("recall_at_k"),
+        F.coalesce(1.0 / F.col("__first_hit"), F.lit(0.0)).alias("mrr"),
+        F.when(n_rel > 0, F.col("__dcg") / idcg)
+        .otherwise(F.lit(0.0))
+        .alias("ndcg_at_k"),
+    )
+
+
 def hard_negative_mining(
     vectors: DataFrame,
     k: int = 10,

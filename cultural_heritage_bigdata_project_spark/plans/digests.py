@@ -167,6 +167,7 @@ GROUPS: dict[str, list[str]] = {
         "pq_ann_topk",
         "semdedup_prune",
         "hard_negative_mining",
+        "retrieval_metrics",
     ],
 }
 
@@ -525,6 +526,12 @@ PART_COLS: dict[str, tuple[tuple[str, str], ...]] = {
         ("event_type", "s"),
         ("n_rows", "s"),
         ("value_fl", "f"),
+    ),
+    "retrieval_metrics": (
+        ("mrr", "f"),
+        ("ndcg_at_k", "f"),
+        ("q_id", "s"),
+        ("recall_at_k", "f"),
     ),
     "train_charlm_profile": (
         ("cnt", "s"),

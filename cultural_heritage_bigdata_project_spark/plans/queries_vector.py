@@ -142,6 +142,69 @@ def precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "retrieval_metrics",
+    description="M6 retrieval evaluation triple: recall@10, MRR, and "
+    "binary-relevance nDCG@10 per query (first 20 vectors) — ranking "
+    "order and corpus-side relevant counts that precision@k hides. "
+    "Engine-portable by construction: the nDCG discount table is "
+    "integerized (round(1e9/log2(rank+1)) literals on both sides), so "
+    "DCG is an exact bigint sum and every metric is one final int/int "
+    "division — no libm log2 or float fold-order divergence",
+    survey_ref="M6,J8,W4",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+n AS (SELECT vec_id, v, label, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+q AS (SELECT vec_id AS q_id, v AS qv, label AS q_label, nrm AS qnrm
+      FROM n WHERE vec_id < 20),
+totals AS (SELECT label AS q_label, count(*) AS label_n FROM e GROUP BY label),
+disc AS (
+  SELECT * FROM (VALUES
+    (1, 1000000000::BIGINT, 1000000000::BIGINT),
+    (2, 630929754::BIGINT, 1630929754::BIGINT),
+    (3, 500000000::BIGINT, 2130929754::BIGINT),
+    (4, 430676558::BIGINT, 2561606312::BIGINT),
+    (5, 386852807::BIGINT, 2948459119::BIGINT),
+    (6, 356207187::BIGINT, 3304666306::BIGINT),
+    (7, 333333333::BIGINT, 3637999639::BIGINT),
+    (8, 315464877::BIGINT, 3953464516::BIGINT),
+    (9, 301029996::BIGINT, 4254494512::BIGINT),
+    (10, 289064826::BIGINT, 4543559338::BIGINT)) AS t(rnk, d, p)
+),
+scored AS (
+  SELECT q.q_id, q.q_label,
+         CASE WHEN n.label = q.q_label THEN 1 ELSE 0 END AS rel,
+         row_number() OVER (PARTITION BY q.q_id
+                            ORDER BY round(list_dot_product(n.v, q.qv)
+                                           / (n.nrm * q.qnrm), 6) DESC,
+                                     n.vec_id ASC) AS rn
+  FROM n JOIN q ON n.vec_id <> q.q_id
+),
+agg AS (
+  SELECT s.q_id, s.q_label,
+         sum(s.rel) AS hits,
+         sum(CASE WHEN s.rel = 1 THEN d.d ELSE 0 END) AS dcg,
+         min(CASE WHEN s.rel = 1 THEN s.rn END) AS first_hit
+  FROM scored s JOIN disc d ON d.rnk = s.rn
+  WHERE s.rn <= 10 GROUP BY s.q_id, s.q_label
+)
+SELECT a.q_id,
+       CASE WHEN t.label_n - 1 > 0
+            THEN CAST(a.hits AS DOUBLE) / (t.label_n - 1) ELSE 0.0 END
+         AS recall_at_k,
+       coalesce(1.0 / a.first_hit, 0.0) AS mrr,
+       CASE WHEN t.label_n - 1 > 0
+            THEN CAST(a.dcg AS DOUBLE)
+                 / (SELECT p FROM disc
+                    WHERE rnk = least(10, t.label_n - 1)) ELSE 0.0 END
+         AS ndcg_at_k
+FROM agg a JOIN totals t ON a.q_label = t.q_label
+""",
+)
+def retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.retrieval_metrics(_emb(spark, sf_dir), k=10, n_queries=20)
+
+
+@register(
     "hard_negative_mining",
     description="Hard-negative mining for contrastive training: per "
     "anchor (first 20 vectors), the 10 most-similar DIFFERENT-label "

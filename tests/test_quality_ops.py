@@ -412,3 +412,37 @@ def test_bpe_segment_hand_checked(spark):
     df2 = spark.createDataFrame([(1, None)], "doc_id long, text string")
     r = t.bpe_segment(df2, merges).collect()[0]
     assert r.bpe_tokens is None and r.n_bpe_tokens is None
+
+
+def test_bpe_batch_exact_on_random_vocabs(spark):
+    """Hypothesis referee sweep: batched merge learning must equal
+    sequential BPE on arbitrary small vocabularies (tight alphabets
+    maximize pair overlap and aliasing, the regimes the batch rules
+    must detect)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        words=st.dictionaries(
+            st.text(alphabet="ab", min_size=1, max_size=5),
+            st.integers(1, 20),
+            min_size=1,
+            max_size=10,
+        ),
+        batch_k=st.sampled_from([2, 8, 64]),
+    )
+    def check(words, batch_k):
+        from cultural_heritage_bigdata_project_spark.operators import text as t
+
+        wc_df = spark.createDataFrame(
+            list(words.items()), "word string, cnt long"
+        )
+        got = t.bpe_train_merges(wc_df, n_merges=8, batch_k=batch_k)
+        assert got == _bpe_referee(words, 8), (words, batch_k)
+
+    check()

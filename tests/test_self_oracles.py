@@ -490,3 +490,37 @@ def test_hard_negative_mining_semantics(spark):
     assert all(r.cosine_sim >= 0.1 for r in floor)
     unfloored = {(r.q_id, r.vec_id) for r in out if r.cosine_sim >= 0.1}
     assert {(r.q_id, r.vec_id) for r in floor} <= unfloored
+
+
+def test_retrieval_metrics_hand_checked(spark):
+    """recall@k / MRR / nDCG@k on a 6-vector fixture with a fully
+    known ranking for query 0 (k=3: ranks = v3(l1), v1(l0), v4(l1))."""
+    from cultural_heritage_bigdata_project_spark.operators.similarity import (
+        NDCG_DISCOUNTS,
+        NDCG_PREFIX,
+        retrieval_metrics,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.9, 0.1], 0),
+        (2, [0.0, 1.0], 0),
+        (3, [0.95, 0.05], 1),
+        (4, [0.5, 0.5], 1),
+        (5, [-1.0, 0.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    (r,) = retrieval_metrics(df, k=3, n_queries=1).collect()
+    assert r.q_id == 0
+    # one same-label hit (v1 at rank 2) of 2 relevant in the corpus
+    assert r.recall_at_k == 0.5
+    assert r.mrr == 0.5
+    assert r.ndcg_at_k == NDCG_DISCOUNTS[1] / NDCG_PREFIX[1]
+    # all-irrelevant top-k: zero metrics, no NULLs
+    only_misses = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [0.9, 0.1], 1), (2, [0.8, 0.2], 1),
+         (3, [0.7, 0.3], 1)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    (m,) = retrieval_metrics(only_misses, k=3, n_queries=1).collect()
+    assert (m.recall_at_k, m.mrr, m.ndcg_at_k) == (0.0, 0.0, 0.0)
