@@ -273,14 +273,19 @@ FROM ranked WHERE rn = 1 GROUP BY o_orderpriority
 )
 def change_feed_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
+    import shutil
     import tempfile
-    import uuid
 
     from ..operators import cleanse, merge, txn
 
+    # deterministic per-sf path, reset on entry: repeated bench/sweep/
+    # correctness runs overwrite ONE table instead of accumulating
+    # uuid-named /tmp garbage (round-5 ADVICE low)
     root = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_cf_{uuid.uuid4().hex[:8]}"
+        tempfile.gettempdir(),
+        f"spark_graft_cf_{os.path.basename(sf_dir.rstrip('/')) or 'sf'}",
     )
+    shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root)
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("k"),

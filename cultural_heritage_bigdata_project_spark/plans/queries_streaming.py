@@ -301,13 +301,26 @@ FROM (
 """,
 )
 def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
     from pyspark.sql import functions as F
 
     stream = streaming.events_stream(spark, _events_path(sf_dir)).select(
         "user_id", "event_id", "ts", "event_type", "value"
     )
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
     final = streaming.foreach_batch_upsert_run(
-        spark, stream, keys=["user_id"], order_desc=["ts", "event_id"]
+        spark,
+        stream,
+        keys=["user_id"],
+        order_desc=["ts", "event_id"],
+        # deterministic path (no /tmp leak across runs) + key-bucketed
+        # segments: the merge-on-read fold below reads exchange-free
+        target_dir=os.path.join(
+            tempfile.gettempdir(), f"spark_graft_upsl_{tag}"
+        ),
+        n_buckets=16,
     )
     return final.select(
         "user_id",
@@ -344,7 +357,6 @@ FROM (
 def stream_upsert_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
-    import uuid
 
     from pyspark.sql import functions as F
 
@@ -357,7 +369,9 @@ def stream_upsert_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.floor("value").alias("value_fl"),
     )
-    tag = uuid.uuid4().hex[:8]
+    # deterministic per-sf path: reset=True replaces the previous run's
+    # table+view instead of leaking uuid dirs (round-5 ADVICE low)
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
     tdir = os.path.join(tempfile.gettempdir(), f"spark_graft_upsv_{tag}")
     vdir = os.path.join(tempfile.gettempdir(), f"spark_graft_upsv_{tag}_view")
     streaming.foreach_batch_upsert_run(
@@ -369,5 +383,6 @@ def stream_upsert_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         view_group_cols=["event_type"],
         view_sum_cols=["value_fl"],
         view_dir=vdir,
+        n_buckets=16,
     )
     return txn.read_version(spark, vdir)

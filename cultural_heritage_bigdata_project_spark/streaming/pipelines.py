@@ -314,6 +314,8 @@ def foreach_batch_upsert_run(
     view_sum_cols: list[str] | None = None,
     view_dir: str | None = None,
     view_count_col: str = "n_rows",
+    n_buckets: int | None = None,
+    grace_seconds: float = 0.0,
 ) -> DataFrame:
     """T4+S12: continuous keyed last-write-wins upsert into a parquet
     table via ``foreachBatch``, as a DELTA LOG with merge-on-read —
@@ -371,6 +373,23 @@ def foreach_batch_upsert_run(
     forever, because table-epoch replays return early). Read it back
     with ``txn.read_version(spark, view_dir)``.
 
+    **Key-bucketed layout** (``n_buckets``): every segment (delta,
+    migration, compaction) is written hash-bucketed on ``keys``
+    (``txn.BUCKET_COL`` partition dirs) — one O(batch) shuffle per
+    epoch at write time — and every read folds per-bucket with ZERO
+    Exchange, even between compactions (``txn.bucketed_reconstruct``;
+    round-5 verdict #1). Size ``n_buckets`` like any bucketed table:
+    target state size / healthy partition size (e.g. 4096 at 100 TB);
+    it is fixed at table creation (resuming with a different value is
+    unsupported). Compaction epochs reuse the per-bucket fold, so even
+    the rewrite adds no shuffle.
+
+    ``grace_seconds`` > 0 makes this sink's per-epoch GC skip young
+    unreferenced version dirs — REQUIRED when ``txn.compact_component``
+    / ``txn.expire_tombstones`` may run concurrently with the stream
+    (their in-flight rewrite dirs must survive the sink's cleanup; the
+    maintenance side already CAS-publishes and protects the sink's).
+
     Returns the final table as a batch DataFrame.
     """
     tdir = target_dir or os.path.join(
@@ -395,14 +414,17 @@ def foreach_batch_upsert_run(
     }
     if delete_col is not None:
         spec["delete_col"] = delete_col
+    if n_buckets is not None:
+        spec["buckets"] = int(n_buckets)
 
-    def _write_segment(df: DataFrame, name: str) -> bool:
-        """Write an immutable segment; False (and no reference) when
-        the DataFrame produced no rows — Spark writes no part file for
-        an empty frame and the directory would be unreadable."""
+    def _write_segment(df: DataFrame, name: str, align: bool = False) -> bool:
+        """Write an immutable segment (hash-bucketed on the keys when
+        ``n_buckets`` is set); False (and no reference) when the
+        DataFrame produced no rows — Spark writes no part file for an
+        empty frame and the directory would be unreadable."""
         sdir = txn.segment_path(tdir, name)
         shutil.rmtree(sdir, ignore_errors=True)  # partial write from a crash
-        df.write.mode("overwrite").parquet(sdir)
+        txn._write_maybe_bucketed(df, sdir, spec, align=align)
         return txn._has_parquet(sdir)
 
     def upsert_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -451,8 +473,10 @@ def foreach_batch_upsert_run(
                 old_snap = (
                     txn.read_version(spark, tdir) if cur is not None else None
                 )
-                feed = spark.read.option("mergeSchema", "true").parquet(
-                    txn.segment_path(tdir, changes[0])
+                feed = (
+                    spark.read.option("mergeSchema", "true")
+                    .parquet(txn.segment_path(tdir, changes[0]))
+                    .drop(txn.BUCKET_COL)
                 )
                 new_state = merge_ops.incremental_agg_maintain(
                     state,
@@ -468,21 +492,31 @@ def foreach_batch_upsert_run(
                 vpath = os.path.join(vdir_root, vname_view)
                 shutil.rmtree(vpath, ignore_errors=True)
                 new_state.write.parquet(vpath)
-                txn.publish_version(vdir_root, vname_view, keep_last=keep_last)
+                txn.publish_version(
+                    vdir_root,
+                    vname_view,
+                    keep_last=keep_last,
+                    grace_seconds=grace_seconds,
+                )
         segments.extend(changes)
         collapsed = False
         if len(segments) > compact_every:
-            merged = txn.reconstruct_latest(
-                # mergeSchema: segments written after a schema-evolving
-                # batch union with older ones (missing column → NULL)
-                spark.read.option("mergeSchema", "true").parquet(
-                    *[txn.segment_path(tdir, s) for s in segments]
-                ),
-                spec,
-                keep_seq=True,  # per-row seq preserved → tie semantics survive compaction
-            )
+            seg_paths = [txn.segment_path(tdir, s) for s in segments]
+            if n_buckets is not None:
+                # per-bucket fold: the rewrite itself adds no shuffle
+                merged = txn.bucketed_reconstruct(
+                    spark, seg_paths, spec, keep_seq=True
+                )
+            else:
+                merged = txn.reconstruct_latest(
+                    # mergeSchema: segments written after a schema-evolving
+                    # batch union with older ones (missing column → NULL)
+                    spark.read.option("mergeSchema", "true").parquet(*seg_paths),
+                    spec,
+                    keep_seq=True,  # per-row seq preserved → tie semantics survive compaction
+                )
             comp = f"upsert_c{epoch_id}"
-            if _write_segment(merged, comp):
+            if _write_segment(merged, comp, align=n_buckets is not None):
                 # one-row-per-key by construction: readers may skip the
                 # merge-on-read window (txn.read_version collapsed path)
                 segments, collapsed = [comp], True
@@ -505,7 +539,9 @@ def foreach_batch_upsert_run(
                 }
             },
         )
-        txn.publish_version(tdir, vname, keep_last=keep_last)
+        txn.publish_version(
+            tdir, vname, keep_last=keep_last, grace_seconds=grace_seconds
+        )
 
     writer = stream.writeStream.foreachBatch(upsert_batch).trigger(availableNow=True)
     with _scoped_shuffle_partitions(spark):

@@ -285,3 +285,57 @@ def test_streaming_corpus_dedup_cross_batch(spark, tmp_path):
     drop_file("b3", [(200, base[0]), (201, mktext("fresh201"))])
     corpus2 = {r.doc_id for r in run().collect()}
     assert corpus2 == corpus | {201}, corpus2
+
+
+def test_bucketed_sink_matches_unbucketed_and_reads_exchange_free(
+    spark, split_events_dir, tmp_path
+):
+    """The key-bucketed sink (n_buckets) must produce exactly the
+    same latest-per-key table as the unbucketed layout across 4
+    micro-batches, while the final read — still UNCOMPACTED (4 live
+    delta segments < compact_every) — plans zero Exchange. Also pins
+    that the change feed over bucketed segments hides the internal
+    bucket column."""
+    from cultural_heritage_bigdata_project_spark.operators import txn
+
+    def run(n_buckets, tdir):
+        stream = streaming.events_stream(
+            spark, split_events_dir, max_files_per_trigger=1
+        ).select("user_id", "event_id", "ts", "event_type", "value")
+        return streaming.foreach_batch_upsert_run(
+            spark,
+            stream,
+            keys=["user_id"],
+            order_desc=["ts", "event_id"],
+            target_dir=tdir,
+            compact_every=8,  # 4 epochs → never compacts
+            keep_last=5,
+            n_buckets=n_buckets,
+        )
+
+    plain = run(None, str(tmp_path / "plain"))
+    broot = str(tmp_path / "bucketed")
+    bucketed = run(8, broot)
+
+    key = ["user_id", "event_id", "event_type", "value"]
+    a = {tuple(r) for r in plain.select(*key).collect()}
+    b = {tuple(r) for r in bucketed.select(*key).collect()}
+    assert a == b and a
+    assert txn.BUCKET_COL not in bucketed.columns
+
+    # 4 live delta segments, nothing collapsed — and still no Exchange
+    comp = txn.read_manifest(
+        broot, os.path.basename(txn.current_version_dir(broot))
+    )[""]
+    assert len(comp["segments"]) == 4 and not comp.get("collapsed")
+    jvm = spark._jvm
+    plan = bucketed._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Exchange" not in plan, plan[:2000]
+
+    # change feed across the bucketed epochs: every epoch's upserts,
+    # no internal columns beyond the documented seq
+    feed = txn.change_feed(spark, broot, 0)
+    assert txn.BUCKET_COL not in feed.columns
+    assert feed.count() > 0

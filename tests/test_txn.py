@@ -290,3 +290,69 @@ def test_zorder_clustering_bounds_both_dimensions(spark, tmp_path):
     )
     expect = o.filter((F.col("d1") < 64) & (F.col("d2") < 64)).count()
     assert got == expect
+
+
+def test_maintenance_cas_survives_concurrent_sink_epoch(spark, tmp_path, monkeypatch):
+    """Round-5 ADVICE medium: compact_component publishes with a CAS
+    against the version it read. Inject a competing sink epoch between
+    the fold and the publish — the old unconditional publish would
+    silently drop that epoch's segment from the read list (lost
+    update); the CAS path must detect the conflict, re-run against the
+    new current, and keep BOTH the compaction and the epoch's rows."""
+    root = str(tmp_path / "tbl")
+    spec = {
+        "kind": "latest_by_key",
+        "keys": ["k"],
+        "order_desc": ["ts"],
+        "seq_col": "__sg_seq",
+    }
+
+    def sink_epoch(epoch, lo, hi):
+        df = spark.createDataFrame(
+            [(k, 10 * epoch + k) for k in range(lo, hi)], "k long, ts long"
+        ).withColumn("__sg_seq", F.lit(epoch).cast("long"))
+        seg = f"upsert_v{epoch}"
+        df.write.parquet(txn.segment_path(root, seg))
+        cur = txn.current_version_dir(root)
+        prev = (
+            txn.read_manifest(root, os.path.basename(cur))[""]["segments"]
+            if cur
+            else []
+        )
+        vname = f"data_v{epoch}"
+        os.makedirs(os.path.join(root, vname))
+        txn.write_manifest(
+            root,
+            vname,
+            {"": {"base": None, "segments": [*prev, seg], "changes": [seg],
+                  "reconstruct": spec, "collapsed": False}},
+        )
+        txn.publish_version(root, vname, keep_last=10, grace_seconds=3600)
+
+    sink_epoch(0, 0, 20)
+    sink_epoch(1, 10, 30)
+
+    real_publish = txn.try_publish_version
+    fired = {"n": 0}
+
+    def racing_publish(*args, **kwargs):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            sink_epoch(2, 25, 40)  # epoch lands mid-maintenance
+        return real_publish(*args, **kwargs)
+
+    monkeypatch.setattr(txn, "try_publish_version", racing_publish)
+    txn.compact_component(spark, root)
+    assert fired["n"] == 1
+
+    final = txn.read_version(spark, root)
+    # every key 0..39 alive with its LATEST ts, including epoch 2's
+    got = {r.k: r.ts for r in final.collect()}
+    assert set(got) == set(range(40))
+    for k in range(25, 40):
+        assert got[k] == 20 + k, (k, got[k])  # epoch 2 won these keys
+    # and the committed state is collapsed (the compaction did land)
+    comp = txn.read_manifest(
+        root, os.path.basename(txn.current_version_dir(root))
+    )[""]
+    assert comp.get("collapsed") and len(comp["segments"]) == 1

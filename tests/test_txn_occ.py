@@ -236,3 +236,66 @@ def test_commit_with_retry_conditional_put_rebases_after_race(tmp_path):
     # and our put_if ran once per race plus the final success
     assert _read_value(txn.current_version_dir(root)) == 3
     assert racing.put_attempts == 3
+
+
+# ---------------------------------------------------------------------------
+# Multi-process soak (round-5 verdict #4): OS processes — not threads —
+# hammering commit_with_retry on ONE table. Threads share the GIL and
+# the process's open-file table; only separate processes exercise the
+# cross-process guarantees the multi-writer claim rests on (flock
+# across PIDs, exclusive-mkdir name claims, CAS pointer swaps).
+
+
+def _soak_worker(root: str, n_commits: int, use_store: bool) -> None:
+    store = txn.FileConditionalPutStore(root) if use_store else None
+
+    def build(current_dir, new_dir):
+        _write_value(new_dir, _read_value(current_dir) + 1)
+
+    for _ in range(n_commits):
+        txn.commit_with_retry(
+            root,
+            build,
+            keep_last=1000,
+            max_attempts=1000,
+            pointer_store=store,
+        )
+
+
+import multiprocessing as _mp
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("use_store", [False, True], ids=["flock", "cond_put"])
+def test_multiprocess_soak_no_lost_updates(tmp_path, use_store):
+    """N processes x K read-modify-write commits racing stochastically:
+    every increment must land (final value == N*K — serializability),
+    the retained history must be exactly the chain 1..N*K (each commit
+    derived from its immediate predecessor, no forks, no overwritten
+    versions), and version names must be unique (the round-5 ADVICE
+    race had two writers building into the SAME data_vX and the loser
+    deleting the winner's published directory)."""
+    root = str(tmp_path / ("soak_store" if use_store else "soak_flock"))
+    n_procs, n_commits = 4, 8
+    ctx = _mp.get_context("fork")
+    procs = [
+        ctx.Process(target=_soak_worker, args=(root, n_commits, use_store))
+        for _ in range(n_procs)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(120)
+        assert p.exitcode == 0, f"worker died with {p.exitcode}"
+
+    total = n_procs * n_commits
+    assert _read_value(txn.current_version_dir(root)) == total
+    versions = txn.list_versions(root)
+    assert len(versions) == len(set(versions)) == total
+    values = sorted(
+        _read_value(os.path.join(root, v)) for v in versions
+    )
+    assert values == list(range(1, total + 1)), (
+        "history is not the serial chain — a commit was lost or forked"
+    )
