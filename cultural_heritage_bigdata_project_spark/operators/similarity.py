@@ -432,6 +432,59 @@ def _assign_lists(vectors: DataFrame, centroids, id_col: str, vec_col: str) -> D
     )
 
 
+def _deterministic_centroids(
+    vectors: DataFrame, n_lists: int, id_col: str, vec_col: str
+) -> list[list[float]]:
+    """The ``n_lists`` collection vectors with the smallest md5(id) —
+    an unbiased, engine-portable coarse-quantizer sample (no RNG, no
+    KMeans nondeterminism); bounded collect of n_lists rows."""
+    cent_rows = (
+        vectors.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
+        .orderBy(F.md5(F.col(id_col).cast("string").cast("binary")), F.col(id_col))
+        .limit(n_lists)
+        .collect()
+    )
+    return [list(map(float, r["__v"])) for r in cent_rows]
+
+
+def _assign_probe_lists(
+    vectors: DataFrame, centroids, id_col: str, vec_col: str, n_probe: int
+) -> DataFrame:
+    """Per-row ``n_probe`` nearest centroids (squared L2, stable
+    argsort → ties to the lowest list id, so n_probe=1 reproduces
+    `_assign_lists` exactly) as exploded (id, __list) rows — the
+    query-side half of an IVF probe, one Arrow GEMM per batch."""
+    import numpy as np
+    import pandas as pd
+
+    cmat = np.asarray(centroids, dtype=np.float64)
+    n_probe = min(int(n_probe), len(centroids))
+
+    def compute(batches):
+        c2 = (cmat * cmat).sum(axis=1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+            d = c2[None, :] - 2.0 * (mat @ cmat.T)
+            idx = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+            yield pd.DataFrame(
+                {
+                    "__id": np.repeat(pdf["__id"].to_numpy(), n_probe),
+                    "__list": idx.reshape(-1).astype("int32"),
+                }
+            )
+
+    return (
+        vectors.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        )
+        .mapInPandas(compute, "__id long, __list int")
+        .withColumnRenamed("__id", id_col)
+    )
+
+
 def ivf_deterministic_top_k(
     vectors: DataFrame,
     query,
@@ -452,13 +505,7 @@ def ivf_deterministic_top_k(
     """
     import numpy as np
 
-    cent_rows = (
-        vectors.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
-        .orderBy(F.md5(F.col(id_col).cast("string").cast("binary")), F.col(id_col))
-        .limit(n_lists)
-        .collect()
-    )
-    centroids = [list(map(float, r["__v"])) for r in cent_rows]
+    centroids = _deterministic_centroids(vectors, n_lists, id_col, vec_col)
 
     # probe-list selection: pure driver-side numpy over n_lists rows —
     # plan size is independent of n_lists × dim (round-1 verdict #5)
@@ -669,6 +716,31 @@ NDCG_PREFIX = (
 )
 
 
+def _ivf_candidate_pairs(
+    vectors: DataFrame,
+    q: DataFrame,
+    n_lists: int,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(q_id, id) candidate pairs restricted to each anchor's
+    ``n_probe`` nearest IVF cells — the scale path for broadcast-anchor
+    evaluators: instead of scoring every anchor against the FULL
+    collection (a scan whose cost is n_queries × |collection|), each
+    anchor scores only ~n_probe/n_lists of it. Deterministic centroids
+    (md5-smallest sample), one GEMM assignment pass over the
+    collection, tiny probe table broadcast into an equi-join on the
+    cell id. Same composition contract `ivf_deterministic_top_k`
+    executes for single queries."""
+    centroids = _deterministic_centroids(vectors, n_lists, id_col, vec_col)
+    assigned = _assign_lists(vectors, centroids, id_col, vec_col)
+    q_probe = _assign_probe_lists(q, centroids, "q_id", "q_vec", n_probe)
+    return assigned.join(F.broadcast(q_probe), on="__list").select(
+        "q_id", id_col
+    )
+
+
 def retrieval_metrics(
     vectors: DataFrame,
     k: int = 10,
@@ -676,6 +748,8 @@ def retrieval_metrics(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    n_lists: int | None = None,
+    n_probe: int = 4,
 ) -> DataFrame:
     """M6 retrieval evaluation beyond precision@k: per query —
     recall@k (same-label hits in the top-k over the query's TOTAL
@@ -689,6 +763,15 @@ def retrieval_metrics(
     come from one tiny label-count aggregate broadcast back. All three
     metrics are engine-portable by construction (integer discount
     table + single final divisions — see NDCG_DISCOUNTS).
+
+    ``n_lists`` switches the candidate generation to the documented
+    IVF-cell composition (`_ivf_candidate_pairs`): each query is
+    scored only against the vectors in its ``n_probe`` nearest cells —
+    the full-corpus scale path (top-k becomes approximate; recall/nDCG
+    denominators stay GLOBAL, so the numbers report the true quality
+    of the approximate retrieval, not quality-within-candidates).
+    With ``n_probe == n_lists`` the output is bit-identical to the
+    exact path (every cell probed) — tests pin this.
     """
     if k > len(NDCG_DISCOUNTS):
         raise ValueError(
@@ -705,7 +788,14 @@ def retrieval_metrics(
         F.count(F.lit(1)).alias("__label_n")
     )
     sim = F.round(cosine_similarity(F.col("q_vec"), F.col(vec_col)), 6)
-    scored = vectors.join(F.broadcast(q), F.col(id_col) != F.col("q_id")).select(
+    if n_lists is not None:
+        cand = _ivf_candidate_pairs(vectors, q, n_lists, n_probe, id_col, vec_col)
+        pool = vectors.join(cand, on=id_col).join(F.broadcast(q), on="q_id").filter(
+            F.col(id_col) != F.col("q_id")
+        )
+    else:
+        pool = vectors.join(F.broadcast(q), F.col(id_col) != F.col("q_id"))
+    scored = pool.select(
         "q_id",
         "q_label",
         (F.col(label_col) == F.col("q_label")).cast("int").alias("__rel"),
@@ -753,6 +843,8 @@ def hard_negative_mining(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    n_lists: int | None = None,
+    n_probe: int = 4,
 ) -> DataFrame:
     """Hard-negative mining for contrastive / embedding-model training:
     for each anchor (the first ``n_queries`` vectors), the ``k``
@@ -765,12 +857,14 @@ def hard_negative_mining(
     Shape mirrors ``precision_at_k``: one broadcast of the anchor set
     against the collection — a single scan of the big side, a per-anchor
     top-k window on the anti-label side. At full-corpus scale (every
-    vector an anchor) this becomes the all-pairs ANN problem: compose
-    with the IVF/LSH operators instead — mine negatives within each
-    anchor's IVF cell / LSH bucket (the near vectors are by construction
-    the only hard-negative candidates), i.e. the IVF list assignment
-    (``_assign_lists``, as used by ``ivf_deterministic_top_k``)
-    followed by this ranking within each cell.
+    vector an anchor) this becomes the all-pairs ANN problem:
+    ``n_lists`` activates the IVF-cell composition
+    (`_ivf_candidate_pairs`) — negatives are mined only within each
+    anchor's ``n_probe`` nearest cells, which by construction hold the
+    near vectors that can be HARD negatives (an easy negative lost to
+    cell restriction carried ~no training signal anyway). With
+    ``n_probe == n_lists`` the output is bit-identical to the exact
+    path — tests pin this.
 
     Output: (q_id, vec_id, label, cosine_sim, rank) — rank 1 is the
     hardest negative.
@@ -781,14 +875,18 @@ def hard_negative_mining(
         F.col(label_col).alias("q_label"),
     )
     sim = F.round(cosine_similarity(F.col("q_vec"), F.col(vec_col)), 6)
-    scored = (
-        vectors.join(F.broadcast(q), F.col(label_col) != F.col("q_label"))
-        .select(
-            "q_id",
-            F.col(id_col),
-            F.col(label_col),
-            sim.alias("cosine_sim"),
+    if n_lists is not None:
+        cand = _ivf_candidate_pairs(vectors, q, n_lists, n_probe, id_col, vec_col)
+        pool = vectors.join(cand, on=id_col).join(F.broadcast(q), on="q_id").filter(
+            F.col(label_col) != F.col("q_label")
         )
+    else:
+        pool = vectors.join(F.broadcast(q), F.col(label_col) != F.col("q_label"))
+    scored = pool.select(
+        "q_id",
+        F.col(id_col),
+        F.col(label_col),
+        sim.alias("cosine_sim"),
     )
     if min_sim is not None:
         scored = scored.filter(F.col("cosine_sim") >= float(min_sim))

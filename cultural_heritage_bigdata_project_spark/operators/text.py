@@ -1161,6 +1161,8 @@ def bpe_train_merges(
     min_pair_count: int = 2,
     batch_k: int = 64,
     stats: dict | None = None,
+    incremental: bool | None = None,
+    incremental_threshold: int = 50_000,
 ) -> list[tuple[str, str, int]]:
     """Learn ``n_merges`` BPE merges from a (word, cnt) table.
     Returns [(left, right, pair_count), ...] in merge order —
@@ -1192,11 +1194,34 @@ def bpe_train_merges(
     test (tests/test_quality_ops.py); ``stats["rounds"]`` (optional)
     reports how many aggregation rounds the merges cost.
 
-    Each round costs O(vocab), not O(corpus) — a bounded
-    ``limit(batch_k+1)`` driver collect plus one small membership
-    probe, then ONE Arrow re-segmentation pass applying the whole
-    batch in rank order; the table is checkpointed per round and
-    superseded checkpoint blocks are freed.
+    INCREMENTAL pair counts (round-5 verdict #5): at a large vocab a
+    round used to re-explode EVERY word's adjacent pairs and
+    re-aggregate — O(vocab symbols) per round, ~1 full vocab pass per
+    merge once batching degrades (measured 0.94 rounds/merge at depth
+    128: deep in training the top pairs share symbols, so the
+    provably-sequential prefix is usually length 1). With
+    ``incremental=True`` the loop instead maintains the (l, r, n)
+    pair-count table across rounds — the standard BPE-trainer trick,
+    distributed: only words CONTAINING an accepted pair's symbols
+    (``arrays_overlap`` on the pre-split table) have their old pairs
+    subtracted and new pairs re-counted in ONE fused delta-aggregate;
+    everything else is untouched. Per round that is a bounded
+    ``limit(batch_k+1)`` TakeOrdered on the counts table, one filter
+    pass over the word table, and a delta over the AFFECTED words only
+    — at a real 10⁷-word vocab the per-round explode drops from ~10⁸
+    pair rows to the few thousand rows of words touching the merged
+    symbols. The trade is ~3× the per-round fixed cost (three
+    checkpointed stages instead of one), so the default
+    (``incremental=None``) picks by vocab size: full recount below
+    ``incremental_threshold`` distinct words (where a recount IS the
+    cheap plan — test fixtures, small corpora), incremental at or
+    above it (where the recount is the 10⁸-row pass). Both paths
+    learn the identical merge list — the incremental table is exactly
+    a from-scratch recount by construction (unchanged words in the
+    conservative affected-superset contribute +/- rows that cancel),
+    and the referee tests pin both. Superseded checkpoint blocks are
+    freed per round; ``stats`` (optional) records ``rounds`` and the
+    chosen ``mode``.
     """
     import pandas as pd
 
@@ -1209,6 +1234,9 @@ def bpe_train_merges(
 
     from ..operators.dedup import _unpersist_local_checkpoint
 
+    if incremental is None:
+        incremental = seg.count() >= incremental_threshold
+
     merges: list[tuple[str, str, int]] = []
     rounds = 0
     # CASE-guard: a fully-merged word has ONE symbol, and
@@ -1219,13 +1247,20 @@ def bpe_train_merges(
         " i -> struct(syms[i - 1] AS l, syms[i] AS r))"
         " ELSE array() END"
     )
-    while len(merges) < n_merges:
-        rounds += 1
-        top = (
-            seg.select(F.explode(pair_expr).alias("p"), "cnt")
+
+    def pair_counts(df):
+        return (
+            df.select(F.explode(pair_expr).alias("p"), "cnt")
             .groupBy("p.l", "p.r")
             .agg(F.sum("cnt").alias("n"))
-            .orderBy(F.col("n").desc(), F.col("l").asc(), F.col("r").asc())
+        )
+
+    counts = pair_counts(seg).localCheckpoint(eager=True) if incremental else None
+    while len(merges) < n_merges:
+        rounds += 1
+        ranked = counts if incremental else pair_counts(seg)
+        top = (
+            ranked.orderBy(F.col("n").desc(), F.col("l").asc(), F.col("r").asc())
             .limit(batch_k + 1)
             .collect()
         )
@@ -1274,13 +1309,17 @@ def bpe_train_merges(
         accepted = accepted[: n_merges - len(merges)]
         merges.extend(accepted)
 
-        def apply_merges(batches, _ms=tuple((l, r) for l, r, _ in accepted)):
+        def apply_merges(
+            batches,
+            _ms=tuple((l, r) for l, r, _ in accepted),
+            _prefiltered=incremental,
+        ):
             touch = {s for p in _ms for s in p}
             for pdf in batches:
                 out = []
                 for syms in pdf["syms"]:
                     syms = list(syms)
-                    if touch.isdisjoint(syms):
+                    if not _prefiltered and touch.isdisjoint(syms):
                         out.append(syms)
                         continue
                     for _l, _r in _ms:  # rank order == sequential order
@@ -1300,14 +1339,67 @@ def bpe_train_merges(
                     out.append(syms)
                 yield pd.DataFrame({"syms": out, "cnt": pdf["cnt"]})
 
-        new_seg = seg.mapInPandas(
+        if not incremental:
+            new_seg = seg.mapInPandas(
+                apply_merges, "syms array<string>, cnt long"
+            ).localCheckpoint(eager=True)
+            _unpersist_local_checkpoint(seg)
+            seg = new_seg
+            continue
+
+        # incremental maintenance: only words that could contain an
+        # accepted pair (symbol overlap — a cheap JVM filter, conservative
+        # superset) are re-segmented and re-counted; their OLD pair
+        # counts are subtracted and NEW ones added, so `counts` stays
+        # exactly equal to a from-scratch recount (unchanged words in
+        # the superset contribute identical +/- rows that cancel)
+        touch_arr = F.array(
+            *[F.lit(s) for p in accepted for s in (p[0], p[1])]
+        )
+        is_affected = F.arrays_overlap(F.col("syms"), touch_arr)
+        affected = seg.filter(is_affected)
+        # one Python pass over the affected rows only; checkpointed so
+        # BOTH consumers (the new word table and the + delta) read it
+        # without re-running the pass. The + side counts the TRANSFORMED
+        # rows — a post-merge word may no longer contain l or r at all
+        # (both consumed into "lr"), so re-filtering by symbol overlap
+        # would miss its new pairs.
+        new_affected = affected.mapInPandas(
             apply_merges, "syms array<string>, cnt long"
         ).localCheckpoint(eager=True)
+        new_seg = seg.filter(~is_affected).unionByName(
+            new_affected
+        ).localCheckpoint(eager=True)
+        # fused delta: -old pairs and +new pairs in ONE aggregate pass
+        delta = (
+            affected.select(
+                F.explode(pair_expr).alias("p"), (-F.col("cnt")).alias("c")
+            )
+            .unionByName(
+                new_affected.select(
+                    F.explode(pair_expr).alias("p"), F.col("cnt").alias("c")
+                )
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("c").alias("n"))
+        )
+        new_counts = (
+            counts.unionByName(delta)
+            .groupBy("l", "r")
+            .agg(F.sum("n").alias("n"))
+            .filter(F.col("n") > 0)
+            .localCheckpoint(eager=True)
+        )
         _unpersist_local_checkpoint(seg)
-        seg = new_seg
+        _unpersist_local_checkpoint(counts)
+        _unpersist_local_checkpoint(new_affected)
+        seg, counts = new_seg, new_counts
     _unpersist_local_checkpoint(seg)
+    if counts is not None:
+        _unpersist_local_checkpoint(counts)
     if stats is not None:
         stats["rounds"] = rounds
+        stats["mode"] = "incremental" if incremental else "recount"
     return merges
 
 

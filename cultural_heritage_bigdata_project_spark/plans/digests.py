@@ -168,6 +168,7 @@ GROUPS: dict[str, list[str]] = {
         "semdedup_prune",
         "hard_negative_mining",
         "retrieval_metrics",
+        "retrieval_metrics_ivf",
     ],
 }
 
@@ -528,6 +529,12 @@ PART_COLS: dict[str, tuple[tuple[str, str], ...]] = {
         ("value_fl", "f"),
     ),
     "retrieval_metrics": (
+        ("mrr", "f"),
+        ("ndcg_at_k", "f"),
+        ("q_id", "s"),
+        ("recall_at_k", "f"),
+    ),
+    "retrieval_metrics_ivf": (
         ("mrr", "f"),
         ("ndcg_at_k", "f"),
         ("q_id", "s"),

@@ -205,6 +205,93 @@ def retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "retrieval_metrics_ivf",
+    description="The 100 TB composition of retrieval_metrics: candidate "
+    "generation restricted to each query's 4 nearest IVF cells (16 "
+    "deterministic md5-sample centroids), so every anchor scores "
+    "~n_probe/n_lists of the collection instead of all of it — "
+    "recall/nDCG denominators stay GLOBAL, so the numbers report the "
+    "true quality of the approximate retrieval. Hash-checked end to "
+    "end: the oracle replays centroid sample → assignment → per-query "
+    "probe → restricted ranking → integerized-DCG metrics in SQL",
+    survey_ref="M6,J8,M5,W4",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+n AS (SELECT vec_id, v, label, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+q AS (SELECT vec_id AS q_id, v AS qv, label AS q_label, nrm AS qnrm
+      FROM n WHERE vec_id < 20),
+totals AS (SELECT label AS q_label, count(*) AS label_n FROM e GROUP BY label),
+cent AS (
+  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS list_id, v
+  FROM e ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16
+), assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance(e.v, c.v), c.list_id) AS rn
+    FROM e CROSS JOIN cent c
+  ) WHERE rn = 1
+), qprobe AS (
+  SELECT q_id, list_id FROM (
+    SELECT q.q_id, c.list_id,
+           row_number() OVER (PARTITION BY q.q_id
+                              ORDER BY list_distance(q.qv, c.v), c.list_id) AS rn
+    FROM q CROSS JOIN cent c
+  ) WHERE rn <= 4
+), cand AS (
+  SELECT p.q_id, a.vec_id FROM qprobe p JOIN assign a ON p.list_id = a.list_id
+),
+disc AS (
+  SELECT * FROM (VALUES
+    (1, 1000000000::BIGINT, 1000000000::BIGINT),
+    (2, 630929754::BIGINT, 1630929754::BIGINT),
+    (3, 500000000::BIGINT, 2130929754::BIGINT),
+    (4, 430676558::BIGINT, 2561606312::BIGINT),
+    (5, 386852807::BIGINT, 2948459119::BIGINT),
+    (6, 356207187::BIGINT, 3304666306::BIGINT),
+    (7, 333333333::BIGINT, 3637999639::BIGINT),
+    (8, 315464877::BIGINT, 3953464516::BIGINT),
+    (9, 301029996::BIGINT, 4254494512::BIGINT),
+    (10, 289064826::BIGINT, 4543559338::BIGINT)) AS t(rnk, d, p)
+),
+scored AS (
+  SELECT q.q_id, q.q_label,
+         CASE WHEN n.label = q.q_label THEN 1 ELSE 0 END AS rel,
+         row_number() OVER (PARTITION BY q.q_id
+                            ORDER BY round(list_dot_product(n.v, q.qv)
+                                           / (n.nrm * q.qnrm), 6) DESC,
+                                     n.vec_id ASC) AS rn
+  FROM n JOIN cand ON n.vec_id = cand.vec_id
+         JOIN q ON q.q_id = cand.q_id AND n.vec_id <> q.q_id
+),
+agg AS (
+  SELECT s.q_id, s.q_label,
+         sum(s.rel) AS hits,
+         sum(CASE WHEN s.rel = 1 THEN d.d ELSE 0 END) AS dcg,
+         min(CASE WHEN s.rel = 1 THEN s.rn END) AS first_hit
+  FROM scored s JOIN disc d ON d.rnk = s.rn
+  WHERE s.rn <= 10 GROUP BY s.q_id, s.q_label
+)
+SELECT a.q_id,
+       CASE WHEN t.label_n - 1 > 0
+            THEN CAST(a.hits AS DOUBLE) / (t.label_n - 1) ELSE 0.0 END
+         AS recall_at_k,
+       coalesce(1.0 / a.first_hit, 0.0) AS mrr,
+       CASE WHEN t.label_n - 1 > 0
+            THEN CAST(a.dcg AS DOUBLE)
+                 / (SELECT p FROM disc
+                    WHERE rnk = least(10, t.label_n - 1)) ELSE 0.0 END
+         AS ndcg_at_k
+FROM agg a JOIN totals t ON a.q_label = t.q_label
+""",
+)
+def retrieval_metrics_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.retrieval_metrics(
+        _emb(spark, sf_dir), k=10, n_queries=20, n_lists=16, n_probe=4
+    )
+
+
+@register(
     "hard_negative_mining",
     description="Hard-negative mining for contrastive training: per "
     "anchor (first 20 vectors), the 10 most-similar DIFFERENT-label "

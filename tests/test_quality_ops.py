@@ -364,6 +364,17 @@ def test_bpe_train_matches_referee(spark):
     # a tiny batch_k degrades to near-sequential but stays exact
     got_k2 = t.bpe_train_merges(wc_df, n_merges=15, batch_k=2)
     assert got_k2 == _bpe_referee(wc, 15)
+    # the incremental pair-count path (auto-picked for >=50k-word
+    # vocabs; forced here) must learn the IDENTICAL merge list — its
+    # maintained counts table is by construction a from-scratch
+    # recount, and this pins it at interacting depth
+    inc_stats: dict = {}
+    got_inc = t.bpe_train_merges(
+        wc_df, n_merges=12, incremental=True, stats=inc_stats
+    )
+    assert got_inc == got
+    assert inc_stats["mode"] == "incremental"
+    assert stats["mode"] == "recount"
 
 
 def test_bpe_batch_exact_on_adversarial_vocab(spark):
@@ -390,6 +401,13 @@ def test_bpe_batch_exact_on_adversarial_vocab(spark):
     for n, k in [(6, 64), (10, 64), (10, 3), (14, 8)]:
         got = t.bpe_train_merges(wc_df, n_merges=n, batch_k=k, min_pair_count=2)
         assert got == _bpe_referee(words, n), (n, k, got)
+    # incremental counts must survive the same traps (aliasing both
+    # destroys and re-creates pairs mid-batch — the hardest case for
+    # delta maintenance)
+    got_inc = t.bpe_train_merges(
+        wc_df, n_merges=10, batch_k=3, min_pair_count=2, incremental=True
+    )
+    assert got_inc == _bpe_referee(words, 10)
 
 
 def test_bpe_segment_hand_checked(spark):
