@@ -1403,6 +1403,28 @@ def bpe_train_merges(
     return merges
 
 
+def _make_seg_word(merges: list[tuple]) -> callable:
+    """Greedy BPE apply for one word: repeatedly fuse the lowest-rank
+    adjacent symbol pair (HuggingFace-tokenizers semantics). Accepts
+    (left, right) or (left, right, count) merge tuples."""
+    ranks = {(m[0], m[1]): i for i, m in enumerate(merges)}
+
+    def seg_word(word: str) -> list[str]:
+        syms = list(word) + [_BPE_EOW]
+        while len(syms) > 1:
+            best_rank, best_i = None, None
+            for i in range(len(syms) - 1):
+                rk = ranks.get((syms[i], syms[i + 1]))
+                if rk is not None and (best_rank is None or rk < best_rank):
+                    best_rank, best_i = rk, i
+            if best_i is None:
+                break
+            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        return syms
+
+    return seg_word
+
+
 def bpe_segment(
     df: DataFrame,
     merges: list[tuple[str, str, int]],
@@ -1420,20 +1442,7 @@ def bpe_segment(
     """
     import pandas as pd
 
-    ranks = {(l, r): i for i, (l, r, _) in enumerate(merges)}
-
-    def seg_word(word: str) -> list[str]:
-        syms = list(word) + [_BPE_EOW]
-        while len(syms) > 1:
-            best_rank, best_i = None, None
-            for i in range(len(syms) - 1):
-                rk = ranks.get((syms[i], syms[i + 1]))
-                if rk is not None and (best_rank is None or rk < best_rank):
-                    best_rank, best_i = rk, i
-            if best_i is None:
-                break
-            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
-        return syms
+    seg_word = _make_seg_word(merges)
 
     def run(batches):
         cache: dict[str, list[str]] = {}
@@ -1467,4 +1476,60 @@ def bpe_segment(
         df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
         .mapInPandas(run, "__id long, bpe_tokens array<string>, n_bpe_tokens long")
         .withColumnRenamed("__id", id_col)
+    )
+
+
+def bpe_token_histogram(
+    df: DataFrame,
+    merges: list[tuple],
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide subword-token histogram: tokenizer APPLY at scale.
+
+    The scale insight is that BPE is a pure function of the word, so
+    the corpus never needs per-document tokenization for corpus-level
+    statistics: one map-combined (word, cnt) pass (``bpe_word_counts``,
+    the same table training ran on), then the Arrow-batched greedy
+    encoder runs once per DISTINCT word — vocabulary-sized work, not
+    corpus-sized — and the token histogram is a weighted re-aggregation.
+    At 100 TB the distinct-word table is orders of magnitude smaller
+    than the corpus and the groupBy is map-side combined on both ends.
+
+    Only ``^[a-z]+$`` words are tokenized (the classic pre-tokenizer
+    boundary), which also keeps the symbol alphabet disjoint from any
+    delimiter an engine-portable oracle needs.
+
+    Returns (token, occurrences): total occurrences of each subword
+    token across the corpus, token multiplicity within a word counted.
+    """
+    import pandas as pd
+
+    seg_word = _make_seg_word(merges)
+    words = bpe_word_counts(df, text_col).filter(F.col("word").rlike("^[a-z]+$"))
+
+    def run(batches):
+        cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            toks: list[str] = []
+            cnts: list[int] = []
+            for w, c in zip(pdf["word"], pdf["cnt"]):
+                got = cache.get(w)
+                if got is None:
+                    got = seg_word(w)
+                    if len(cache) > 1_000_000:
+                        cache.clear()
+                    cache[w] = got
+                toks.extend(got)
+                cnts.extend([c] * len(got))
+            yield pd.DataFrame(
+                {
+                    "token": pd.array(toks, dtype="string"),
+                    "cnt": pd.array(cnts, dtype="Int64"),
+                }
+            )
+
+    return (
+        words.mapInPandas(run, "token string, cnt long")
+        .groupBy("token")
+        .agg(F.sum("cnt").cast("long").alias("occurrences"))
     )

@@ -150,6 +150,7 @@ GROUPS: dict[str, list[str]] = {
         "ccnet_buckets",
         "train_charlm_profile",
         "bpe_word_counts",
+        "bpe_token_histogram",
     ],
     "corpus_sampling_digest": [
         "hash_split_sets",
@@ -548,6 +549,10 @@ PART_COLS: dict[str, tuple[tuple[str, str], ...]] = {
     "bpe_word_counts": (
         ("cnt", "s"),
         ("word", "s"),
+    ),
+    "bpe_token_histogram": (
+        ("occurrences", "s"),
+        ("token", "s"),
     ),
     "ccnet_buckets": (
         ("avg_logprob", "f"),

@@ -305,6 +305,85 @@ def bpe_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_word_counts(_docs_parallel(spark, sf_dir))
 
 
+# Fixed, training-valid merge list for the tokenizer-APPLY gate: every
+# operand is a base char / earlier output, and every output symbol is
+# unique, so a single rank-order pass of global replaces reaches the
+# same fixpoint as the encoder's lowest-rank-repeat greedy loop (the
+# referee test in tests/test_quality_ops.py asserts no mergeable pair
+# survives on the real corpus vocabulary). The list is shared verbatim
+# by the Spark query and the generated DuckDB oracle below.
+_BPE_APPLY_MERGES: list[tuple[str, str]] = [
+    ("t", "h"),
+    ("th", "e"),
+    ("e", "</w>"),
+    ("the", "</w>"),
+    ("i", "n"),
+    ("a", "n"),
+    ("o", "n"),
+    ("e", "r"),
+    ("an", "d"),
+    ("and", "</w>"),
+    ("in", "g"),
+    ("ing", "</w>"),
+    ("o", "f"),
+    ("of", "</w>"),
+    ("s", "</w>"),
+    ("t", "o"),
+    ("to", "</w>"),
+    ("e", "d"),
+    ("ed", "</w>"),
+    ("er", "</w>"),
+]
+
+
+def _bpe_replace_chain_sql() -> str:
+    """The sentinel-delimited replace chain: each symbol is encoded as
+    •sym◦ (markers can never appear inside ^[a-z]+$ words or </w>), so
+    a merge (l, r) is the literal string replace •l◦•r◦ → •lr◦ with
+    symbol boundaries structurally intact."""
+    s = "regexp_replace(word, '(.)', '•\\1◦', 'g') || '•</w>◦'"
+    for left, right in _BPE_APPLY_MERGES:
+        s = f"replace({s}, '•{left}◦•{right}◦', '•{left}{right}◦')"
+    return s
+
+
+@register(
+    "bpe_token_histogram",
+    description="Tokenizer APPLY at corpus scale: encode the corpus "
+    "with a fixed BPE merge table and return the subword-token "
+    "histogram. The Spark side runs the real greedy lowest-rank-repeat "
+    "encoder (HuggingFace-tokenizers semantics) over the DISTINCT-word "
+    "table — vocabulary-sized Arrow work, corpus-sized only in the one "
+    "map-combined word-count pass — while the oracle derives the same "
+    "segmentation by a completely different algorithm (a rank-order "
+    "chain of sentinel-delimited global REPLACEs in SQL), so agreement "
+    "checks the encoder itself, not a shared implementation",
+    survey_ref="U2,A9,A1,M1",
+    oracle=f"""
+WITH w AS (
+  SELECT word, count(*) AS cnt
+  FROM (
+    SELECT unnest(string_split(lower(trim(text)), ' ')) AS word
+    FROM documents
+  )
+  WHERE regexp_matches(word, '^[a-z]+$')
+  GROUP BY word
+), enc AS (
+  SELECT cnt, {_bpe_replace_chain_sql()} AS s FROM w
+), tok AS (
+  SELECT cnt, unnest(regexp_extract_all(s, '•([^◦]+)◦', 1)) AS token
+  FROM enc
+)
+SELECT token, CAST(sum(cnt) AS BIGINT) AS occurrences
+FROM tok GROUP BY token
+""",
+)
+def bpe_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bpe_token_histogram(
+        _docs_parallel(spark, sf_dir), _BPE_APPLY_MERGES
+    )
+
+
 @register(
     "ccnet_buckets",
     description="CCNet head/middle/tail bucketing (Wenzek et al. 2020 "

@@ -464,3 +464,79 @@ def test_bpe_batch_exact_on_random_vocabs(spark):
         assert got == _bpe_referee(words, 8), (words, batch_k)
 
     check()
+
+
+def test_bpe_token_histogram_referee(spark):
+    """Algorithm-equivalence referee for the tokenizer-apply gate: the
+    greedy lowest-rank-repeat encoder must agree with the rank-order
+    global-replace chain (the DuckDB oracle's algorithm) on EVERY
+    distinct word of the real corpus — the property that makes the
+    SQL oracle a valid derivation of the encoder's output."""
+    from cultural_heritage_bigdata_project_spark.operators import text as t
+    from cultural_heritage_bigdata_project_spark.plans.queries_text import (
+        _BPE_APPLY_MERGES,
+    )
+    from cultural_heritage_bigdata_project_spark.sources.tables import load_table
+
+    from .conftest import SF_DIR_ORACLE
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents").select("text")
+    words = [
+        r.word
+        for r in t.bpe_word_counts(docs)
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .collect()
+    ]
+    assert len(words) > 20
+    seg = t._make_seg_word(_BPE_APPLY_MERGES)
+    ranks = dict.fromkeys((l, r) for l, r in _BPE_APPLY_MERGES)
+    extra = [
+        "the", "thend", "withering", "tof", "tother", "ingot", "and",
+        "sand", "tanding", "another", "toned", "feathered", "softening",
+        "intothe", "onion", "tether", "anding", "theing", "eding",
+        "ofto", "erer", "thethe", "inin", "anand", "sing", "things",
+    ]
+    for w in words + extra:
+        # rank-order single pass: each merge applied globally, leftmost
+        # first — the replace-chain semantics
+        syms = list(w) + ["</w>"]
+        for left, right in _BPE_APPLY_MERGES:
+            i, out = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        greedy = seg(w)
+        assert syms == greedy, (w, syms, greedy)
+        # fixpoint: no mergeable adjacent pair survives either way
+        assert not any(
+            (greedy[i], greedy[i + 1]) in ranks for i in range(len(greedy) - 1)
+        ), (w, greedy)
+
+
+def test_bpe_token_histogram_hand_checked(spark):
+    from cultural_heritage_bigdata_project_spark.operators import text as t
+    from cultural_heritage_bigdata_project_spark.plans.queries_text import (
+        _BPE_APPLY_MERGES,
+    )
+
+    # 'the' -> the</w>; 'thing' -> th ing</w>; 'Mixed-case' filtered out
+    rows = [(0, "the thing the"), (1, "Zebra42 the dog")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.token: r.occurrences
+        for r in t.bpe_token_histogram(df, _BPE_APPLY_MERGES).collect()
+    }
+    assert got == {
+        "the</w>": 3,
+        "th": 1,
+        "ing</w>": 1,
+        "d": 1,
+        "o": 1,
+        "g": 1,
+        "</w>": 1,
+    }
