@@ -178,7 +178,183 @@ def _read_segment_union(spark, paths: list[str]):
     return out
 
 
-def bucketed_reconstruct(spark, paths: list[str], spec: dict, keep_seq: bool = False):
+def _stat_encode(v):
+    """Canonical JSON-portable encoding of a min/max statistic value.
+    ints/floats/bools/strs pass through; dates and timestamps become
+    ISO-8601 strings (which compare lexicographically in time order, so
+    interval overlap tests stay valid). Returns None for types we will
+    not prune on."""
+    import datetime
+
+    if isinstance(v, bool) or v is None:
+        return None  # bool min/max is useless for pruning; skip
+    if isinstance(v, (int, float, str)):
+        if isinstance(v, float) and v != v:  # NaN-poisoned stats
+            return None
+        return v
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    return None
+
+
+def collect_parquet_stats(path: str) -> dict[str, list]:
+    """Per-column ``[min, max]`` for every parquet file under ``path``,
+    merged from FOOTER row-group statistics — zero data pages read.
+    This is the write-time half of manifest data skipping (the Delta
+    ``stats`` / Iceberg manifest-metrics analog): the sink records the
+    result next to each segment reference so a filtered read can drop
+    whole segments without touching storage at all. Columns missing
+    stats in ANY row group (or of non-portable types) are omitted —
+    absent stats mean "cannot prune", never "prune".
+    """
+    import pyarrow.parquet as pq
+
+    merged: dict[str, list] = {}
+    poisoned: set[str] = set()
+    for dirpath, _dirs, files in os.walk(path):
+        for fname in files:
+            if not fname.endswith(".parquet"):
+                continue
+            meta = pq.ParquetFile(os.path.join(dirpath, fname)).metadata
+            for rg in range(meta.num_row_groups):
+                group = meta.row_group(rg)
+                for ci in range(group.num_columns):
+                    col = group.column(ci)
+                    name = col.path_in_schema
+                    if "." in name or name in poisoned:
+                        continue  # nested leaves: not prunable columns
+                    st = col.statistics
+                    lo = _stat_encode(st.min) if st and st.has_min_max else None
+                    hi = _stat_encode(st.max) if st and st.has_min_max else None
+                    if lo is None or hi is None:
+                        poisoned.add(name)
+                        merged.pop(name, None)
+                        continue
+                    got = merged.get(name)
+                    if got is None:
+                        merged[name] = [lo, hi]
+                    else:
+                        try:
+                            got[0] = min(got[0], lo)
+                            got[1] = max(got[1], hi)
+                        except TypeError:  # mixed types across files
+                            poisoned.add(name)
+                            merged.pop(name, None)
+    return merged
+
+
+def manifest_stats(
+    root: str, prior: dict | None, segments: list[str]
+) -> dict[str, dict]:
+    """Per-segment min/max stats map for a component's read list:
+    carried forward from the prior manifest where recorded (segments
+    are immutable, so prior stats never go stale), computed from the
+    just-written segment's parquet footers otherwise. Recording this
+    in the manifest makes `read_version(..., predicates=...)` pruning
+    METADATA-ONLY — at 100 TB a filtered read consults one small JSON
+    instead of opening N segment footers over the object store."""
+    prior = prior or {}
+    out = {}
+    for s in segments:
+        got = prior.get(s)
+        out[s] = (
+            got
+            if got is not None
+            else collect_parquet_stats(segment_path(root, s))
+        )
+    return out
+
+
+def _stats_exclude(stats: dict[str, list], predicates: dict) -> bool:
+    """True if the segment's [min, max] intervals PROVE it holds no row
+    satisfying the conjunctive predicates ({col: (lo, hi)}, None ends
+    open). Missing stats for a column → that clause cannot exclude."""
+    for col, (lo, hi) in predicates.items():
+        got = stats.get(col)
+        if got is None:
+            continue
+        try:
+            if lo is not None and _stat_encode(lo) > got[1]:
+                return True
+            if hi is not None and _stat_encode(hi) < got[0]:
+                return True
+        except TypeError:
+            continue  # predicate/stat type mismatch: never prune
+    return False
+
+
+def _prune_component_paths(
+    root: str, cur: str, comp: dict, spec: dict | None, predicates: dict | None
+) -> list[str]:
+    """The component's read list with statistically-excluded entries
+    dropped. Safety rule: for a merge-on-read component (``spec``),
+    only MERGE-KEY predicates prune — a key wholly outside the
+    predicate range contributes nothing to the post-filter fold, while
+    a non-key predicate must see every version of a key and so never
+    prunes. Append components prune on any column. Manifest ``stats``
+    are used when the writer recorded them; otherwise footers are read
+    as a fallback (still no data pages). At least one path is always
+    kept so downstream reads retain a schema — the residual filter
+    makes an over-kept segment harmless."""
+    named: list[tuple[str, str]] = []
+    if comp.get("base"):
+        named.append(("__base__", os.path.join(cur, comp["base"])))
+    named.extend((s, segment_path(root, s)) for s in comp.get("segments", []))
+    paths = [p for _n, p in named]
+    if not predicates:
+        return paths
+    prunable = (
+        {k: v for k, v in predicates.items() if k in set(spec["keys"])}
+        if spec
+        else predicates
+    )
+    if not prunable:
+        return paths
+    recorded = comp.get("stats") or {}
+    keep = []
+    for name, p in named:
+        stats = recorded.get(name)
+        if stats is None:
+            stats = collect_parquet_stats(p)
+        if not _stats_exclude(stats, prunable):
+            keep.append(p)
+    return keep or paths[:1]
+
+
+def _predicate_expr(predicates: dict | None):
+    """Conjunctive Spark Column for ``{col: (lo, hi)}`` range predicates
+    (inclusive, None ends open), or None when there is nothing to
+    filter. This is the residual filter matching ``_stats_exclude``:
+    pruning drops segments the filter would empty anyway, so
+    prune + residual ≡ filter over the full read."""
+    from pyspark.sql import functions as F
+
+    expr = None
+    for col, (lo, hi) in (predicates or {}).items():
+        clause = None
+        if lo is not None:
+            clause = F.col(col) >= F.lit(lo)
+        if hi is not None:
+            upper = F.col(col) <= F.lit(hi)
+            clause = upper if clause is None else (clause & upper)
+        if clause is not None:
+            expr = clause if expr is None else (expr & clause)
+    return expr
+
+
+def _apply_predicates(df, predicates: dict | None):
+    expr = _predicate_expr(predicates)
+    return df if expr is None else df.filter(expr)
+
+
+def bucketed_reconstruct(
+    spark, paths: list[str], spec: dict, keep_seq: bool = False, pre_filter=None
+):
     """Exchange-free merge-on-read fold over key-bucketed base+delta
     directories: one union branch per bucket, each reading ONLY that
     bucket's leaf dirs across all inputs and coalesced to a single
@@ -198,6 +374,10 @@ def bucketed_reconstruct(spark, paths: list[str], spec: dict, keep_seq: bool = F
         df = (
             spark.read.option("mergeSchema", "true").parquet(*leaf).coalesce(1)
         )
+        if pre_filter is not None:
+            # merge-key predicate: commutes with the per-key fold, so
+            # filtering before the window pushes down to the scan
+            df = df.filter(pre_filter)
         branches.append(reconstruct_latest(df, spec, keep_seq=keep_seq))
     if not branches:
         raise FileNotFoundError(
@@ -268,7 +448,13 @@ def reconstruct_latest(df, spec: dict, keep_seq: bool = False):
     return out if keep_seq else out.drop(spec["seq_col"])
 
 
-def read_version(spark, root: str, version: str | int | None = None, subdir: str | None = None):
+def read_version(
+    spark,
+    root: str,
+    version: str | int | None = None,
+    subdir: str | None = None,
+    predicates: dict | None = None,
+):
     """Time-travel read: the parquet contents of a retained version
     (default: current). ``subdir`` selects a component of a composite
     commit (e.g. the streaming corpus dedup publishes corpus/ fps/
@@ -281,7 +467,19 @@ def read_version(spark, root: str, version: str | int | None = None, subdir: str
     cleanly with older segments (missing column → NULL), the Delta
     ``mergeSchema`` automatic-evolution analog; a ``reconstruct`` spec
     additionally applies the latest-by-key merge-on-read collapse.
-    Plain parquet version directories read as before."""
+    Plain parquet version directories read as before.
+
+    ``predicates`` ({col: (lo, hi)}, inclusive, None ends open —
+    equality is ``(v, v)``) turns the read into a DATA-SKIPPING scan:
+    segments whose recorded min/max stats prove no row can match are
+    dropped from the read list before Spark ever sees them (the Delta
+    stats-skipping analog — at 100 TB this is the difference between
+    listing a handful of files and scanning a table), and the same
+    predicates are applied as a residual filter so the result is
+    exactly ``read_version(...).filter(pred)``. On merge-on-read
+    components only merge-KEY predicates prune (and push below the
+    fold); non-key predicates apply after reconstruction, where they
+    are semantically unambiguous."""
     if version is None:
         path = current_version_dir(root)
         if path is None:
@@ -292,7 +490,7 @@ def read_version(spark, root: str, version: str | int | None = None, subdir: str
     if components is None:
         if subdir is not None:
             path = os.path.join(path, subdir)
-        return spark.read.parquet(path)
+        return _apply_predicates(spark.read.parquet(path), predicates)
     name = subdir or ""
     if name not in components:
         raise KeyError(
@@ -300,15 +498,12 @@ def read_version(spark, root: str, version: str | int | None = None, subdir: str
             f"{sorted(components)}"
         )
     comp = components[name]
-    paths = []
-    if comp.get("base"):
-        paths.append(os.path.join(path, comp["base"]))
-    paths.extend(segment_path(root, s) for s in comp.get("segments", []))
-    if not paths:
+    if not _component_paths(root, path, comp):
         raise FileNotFoundError(
             f"version {os.path.basename(path)!r} component {name!r} is empty"
         )
     spec = comp.get("reconstruct")
+    paths = _prune_component_paths(root, path, comp, spec, predicates)
     if spec and comp.get("collapsed"):
         # The component's one segment is already one-row-per-key by
         # construction (a compaction/expiry rewrite IS the latest-by-key
@@ -324,14 +519,32 @@ def read_version(spark, root: str, version: str | int | None = None, subdir: str
         dcol = spec.get("delete_col")
         if dcol is not None and dcol in df.columns:
             df = df.filter(~F.coalesce(F.col(dcol), F.lit(False)))
-        return df.drop(spec["seq_col"])
-    if spec and spec.get("buckets"):
-        # key-bucketed layout: the fold runs per bucket with zero
-        # Exchange even BETWEEN compactions (round-5 verdict #1) — the
-        # key shuffle was paid once at write time
-        return bucketed_reconstruct(spark, paths, spec)
+        # one row per key already: every predicate is a plain filter,
+        # applied at the scan where parquet row-group skipping sees it
+        return _apply_predicates(df, predicates).drop(spec["seq_col"])
+    if spec:
+        # merge-key predicates commute with the latest-per-key fold
+        # (they select whole keys), so they push below the window and
+        # reach the parquet scan; non-key predicates must see every
+        # version of a key and apply only AFTER reconstruction.
+        keys = set(spec["keys"])
+        key_preds = {k: v for k, v in (predicates or {}).items() if k in keys}
+        rest_preds = {
+            k: v for k, v in (predicates or {}).items() if k not in keys
+        }
+        if spec.get("buckets"):
+            # key-bucketed layout: the fold runs per bucket with zero
+            # Exchange even BETWEEN compactions (round-5 verdict #1) —
+            # the key shuffle was paid once at write time
+            out = bucketed_reconstruct(
+                spark, paths, spec, pre_filter=_predicate_expr(key_preds)
+            )
+        else:
+            df = spark.read.option("mergeSchema", "true").parquet(*paths)
+            out = reconstruct_latest(_apply_predicates(df, key_preds), spec)
+        return _apply_predicates(out, rest_preds)
     df = spark.read.option("mergeSchema", "true").parquet(*paths)
-    return reconstruct_latest(df, spec) if spec else df
+    return _apply_predicates(df, predicates)
 
 
 def publish_version(
@@ -944,12 +1157,14 @@ def _maintenance_rewrite(
         shutil.rmtree(vdir, ignore_errors=True)
         os.makedirs(vdir)
         new_components = dict(components)
+        kept = [seg] if _has_parquet(sdir) else []
         new_components[component] = {
             "base": None,
-            "segments": [seg] if _has_parquet(sdir) else [],
+            "segments": kept,
             "changes": [],
             "reconstruct": spec,
             "collapsed": True,
+            "stats": manifest_stats(root, None, kept),
         }
         write_manifest(root, vname, new_components)
         try:

@@ -132,6 +132,7 @@ GROUPS: dict[str, list[str]] = {
         "zorder_keys",
         "change_feed_ivm",
         "stream_upsert_view",
+        "data_skipping_read",
     ],
     "text_profile_digest": [
         "text_stats",
@@ -528,6 +529,12 @@ PART_COLS: dict[str, tuple[tuple[str, str], ...]] = {
         ("event_type", "s"),
         ("n_rows", "s"),
         ("value_fl", "f"),
+    ),
+    "data_skipping_read": (
+        ("o_custkey", "s"),
+        ("o_orderkey", "s"),
+        ("o_orderstatus", "s"),
+        ("o_totalprice_i", "s"),
     ),
     "retrieval_metrics": (
         ("mrr", "f"),

@@ -211,14 +211,16 @@ FROM orders GROUP BY o_orderstatus
 )
 def time_travel_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
+    import shutil
     import tempfile
-    import uuid
 
     from ..operators import txn
 
-    root = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_tt_{uuid.uuid4().hex[:8]}"
-    )
+    # deterministic per-sf path, reset on entry — repeated bench/sweep
+    # runs reuse one root instead of leaking uuid dirs (round-5 ADVICE)
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_tt_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root)
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_orderdate")
     # version 0: the pre-1995 snapshot; version 1: the full table —
@@ -237,6 +239,94 @@ def time_travel_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return tagged.groupBy("version", "o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@register(
+    "data_skipping_read",
+    description="Manifest min/max data skipping (the Delta stats-"
+    "skipping analog, operators/txn.py): three deterministic upsert "
+    "epochs (orders sliced by o_orderkey thirds, so each delta segment "
+    "records a disjoint key range in the manifest) commit into a "
+    "segmented table; a predicate read then prunes provably-excluded "
+    "segments metadata-only, pushes the key range below the merge-on-"
+    "read fold, and applies the non-key clause as a residual — the "
+    "result must equal filter-after-full-read, which is exactly what "
+    "the oracle states",
+    survey_ref="S14,S12,S8",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice_i
+FROM (
+  SELECT o_custkey, o_orderkey, o_orderstatus,
+         cast(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS o_totalprice_i,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn = 1
+  AND o_custkey BETWEEN 100 AND 400
+  AND o_totalprice_i >= 5000000
+""",
+)
+def data_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators import txn
+    from ..streaming import pipelines as streaming
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_dskip_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    src, root = os.path.join(base, "src"), os.path.join(base, "table")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderstatus",
+        # integral cents via explicit half-up floor: DuckDB's double->
+        # bigint cast ROUNDS while Spark's truncates, so a bare cast is
+        # off-by-one on half of all values — floor(x*100 + 0.5) runs the
+        # identical IEEE ops on both engines
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("o_totalprice_i"),
+    )
+    # custkey TERCILES per epoch: each delta segment's manifest min/max
+    # covers a disjoint key range, so the predicate read below provably
+    # drops 2 of the 3 segments before Spark lists a single file
+    hi = o.agg(F.max("o_custkey")).first()[0]
+    b1, b2 = hi // 3, 2 * (hi // 3)
+    slices = [
+        F.col("o_custkey") < b1,
+        (F.col("o_custkey") >= b1) & (F.col("o_custkey") < b2),
+        F.col("o_custkey") >= b2,
+    ]
+    for e, pred in enumerate(slices):
+        o.filter(pred).coalesce(1).write.parquet(os.path.join(src, f"f{e}"))
+    stream = (
+        spark.readStream.schema(o.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "*"))
+    )
+    streaming.foreach_batch_upsert_run(
+        spark,
+        stream,
+        keys=["o_custkey"],
+        order_desc=["o_orderkey"],
+        target_dir=root,
+        reset=True,
+        compact_every=10,  # stay uncompacted: prune REAL delta segments
+    )
+    latest = txn.read_version(
+        spark,
+        root,
+        predicates={
+            "o_custkey": (100, 400),  # merge key: prunes + pushes down
+            "o_totalprice_i": (5_000_000, None),  # residual, post-fold
+        },
+    )
+    return latest.select(
+        "o_custkey", "o_orderkey", "o_orderstatus", "o_totalprice_i"
     )
 
 

@@ -536,6 +536,14 @@ def foreach_batch_upsert_run(
                     "changes": changes,
                     "reconstruct": spec,
                     "collapsed": collapsed,
+                    # per-segment min/max from the just-written footers
+                    # (prior segments carry forward — immutable), so
+                    # predicate reads prune segments metadata-only
+                    "stats": txn.manifest_stats(
+                        tdir,
+                        components[""].get("stats") if components else None,
+                        segments,
+                    ),
                 }
             },
         )

@@ -356,3 +356,112 @@ def test_maintenance_cas_survives_concurrent_sink_epoch(spark, tmp_path, monkeyp
         root, os.path.basename(txn.current_version_dir(root))
     )[""]
     assert comp.get("collapsed") and len(comp["segments"]) == 1
+
+
+# ---------------------------------------------------------------------------
+# manifest min/max data skipping (Delta stats-skipping analog)
+
+
+def _disjoint_range_table(spark, tmp_path, compact_every=8):
+    """Segmented upsert table whose 3 epochs carry DISJOINT id ranges
+    (0-99, 100-199, 200-299), so per-segment min/max stats can prove a
+    range predicate excludes whole segments."""
+    import time as _time
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    for i in range(3):
+        df = spark.range(i * 100, i * 100 + 100).select(
+            F.col("id"), (F.col("id") * 10).alias("v"),
+            F.lit(i).alias("epoch_no"),
+        )
+        df.coalesce(1).write.parquet(os.path.join(src_dir, f"f{i}"))
+        _time.sleep(0.05)  # distinct mtimes → one file per micro-batch
+    schema = spark.read.parquet(os.path.join(src_dir, "f0")).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src_dir, "*"))
+    )
+    tdir = str(tmp_path / "target")
+    streaming.foreach_batch_upsert_run(
+        spark, stream, keys=["id"], order_desc=["v"],
+        target_dir=tdir, reset=True, compact_every=compact_every,
+    )
+    return tdir
+
+
+def test_predicate_read_matches_filter(spark, tmp_path):
+    """read_version(..., predicates=...) ≡ read_version(...).filter(...)
+    for key predicates, non-key predicates, and their conjunction, on an
+    UNCOMPACTED multi-segment table (the fold must not lose rows)."""
+    tdir = _disjoint_range_table(spark, tmp_path)
+    full = txn.read_version(spark, tdir)
+
+    def rows(df):
+        return sorted((r.id, r.v) for r in df.select("id", "v").collect())
+
+    # key predicate (prunes + pushes below the fold)
+    got = txn.read_version(spark, tdir, predicates={"id": (50, 149)})
+    assert rows(got) == rows(full.filter(F.col("id").between(50, 149)))
+    # non-key predicate (residual only — applied after reconstruction)
+    got = txn.read_version(spark, tdir, predicates={"v": (None, 990)})
+    assert rows(got) == rows(full.filter(F.col("v") <= 990))
+    # conjunction, half-open
+    got = txn.read_version(
+        spark, tdir, predicates={"id": (200, None), "v": (2500, None)}
+    )
+    assert rows(got) == rows(
+        full.filter((F.col("id") >= 200) & (F.col("v") >= 2500))
+    )
+    # empty-match predicate still returns the schema, zero rows
+    got = txn.read_version(spark, tdir, predicates={"id": (10_000, None)})
+    assert got.count() == 0 and "v" in got.columns
+
+
+def test_predicate_read_prunes_segments_metadata_only(spark, tmp_path):
+    """The sink records per-segment min/max in the manifest; a key-range
+    predicate drops provably-excluded segments from the read list WITHOUT
+    opening any parquet footer (pruning is metadata-only)."""
+    tdir = _disjoint_range_table(spark, tmp_path)
+    cur = txn.current_version_dir(tdir)
+    comp = txn.read_manifest(tdir, os.path.basename(cur))[""]
+    assert len(comp["segments"]) == 3
+    stats = comp.get("stats")
+    assert stats and set(stats) == set(comp["segments"])
+    for seg in comp["segments"]:
+        assert stats[seg]["id"][1] - stats[seg]["id"][0] == 99
+    spec = comp.get("reconstruct")
+
+    # one segment survives a narrow key range — and no footer is read
+    import unittest.mock as mock
+
+    with mock.patch.object(
+        txn, "collect_parquet_stats",
+        side_effect=AssertionError("pruning touched a parquet footer"),
+    ):
+        kept = txn._prune_component_paths(
+            tdir, cur, comp, spec, {"id": (120, 130)}
+        )
+    assert len(kept) == 1 and comp["segments"][1] in kept[0]
+    # non-key predicate never prunes a merge-on-read component
+    kept = txn._prune_component_paths(tdir, cur, comp, spec, {"v": (0, 1)})
+    assert len(kept) == 3
+
+
+def test_predicate_read_after_compaction_and_rewrite_stats(spark, tmp_path):
+    """Collapsed reads accept predicates too, and maintenance rewrites
+    (compact_component) record fresh stats for the rewritten segment."""
+    tdir = _disjoint_range_table(spark, tmp_path, compact_every=2)
+    cur = txn.current_version_dir(tdir)
+    comp = txn.read_manifest(tdir, os.path.basename(cur))[""]
+    assert comp.get("collapsed")  # 3 epochs > compact_every=2
+    got = txn.read_version(spark, tdir, predicates={"id": (0, 99), "v": (500, None)})
+    assert sorted(r.id for r in got.collect()) == list(range(50, 100))
+
+    txn.compact_component(spark, tdir)
+    cur = txn.current_version_dir(tdir)
+    comp = txn.read_manifest(tdir, os.path.basename(cur))[""]
+    stats = comp.get("stats")
+    assert stats and set(stats) == set(comp["segments"])
+    (seg_stats,) = stats.values()
+    assert seg_stats["id"] == [0, 299]
