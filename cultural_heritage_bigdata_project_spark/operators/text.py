@@ -1367,9 +1367,16 @@ def bpe_train_merges(
         new_affected = affected.mapInPandas(
             apply_merges, "syms array<string>, cnt long"
         ).localCheckpoint(eager=True)
-        new_seg = seg.filter(~is_affected).unionByName(
-            new_affected
-        ).localCheckpoint(eager=True)
+        # coalesce BEFORE the checkpoint: the union's partition count is
+        # |seg| + |new_affected|, which otherwise DOUBLES every round
+        # (the checkpoint materializes it) — by depth 512 that is 10^5+
+        # empty tasks per vocab-sized stage. Narrow coalesce, no shuffle.
+        new_seg = (
+            seg.filter(~is_affected)
+            .unionByName(new_affected)
+            .coalesce(seg.sparkSession.sparkContext.defaultParallelism)
+            .localCheckpoint(eager=True)
+        )
         # fused delta: -old pairs and +new pairs in ONE aggregate pass
         delta = (
             affected.select(

@@ -248,6 +248,94 @@ def collect_parquet_stats(path: str) -> dict[str, list]:
     return merged
 
 
+BLOOM_BITS = 4096  # 512-byte bitset per column per segment in the manifest
+BLOOM_K = 4  # hash probes; ~1% FPR at ~500 distinct keys, degrades safely
+
+
+def _bloom_positions_expr(col: str):
+    """Spark-side k bloom bit positions for a column value: the first 8
+    hex chars of md5(value_str + "#b{i}") mod BLOOM_BITS. md5 (not
+    xxhash64) so the DRIVER can probe the same positions with hashlib —
+    write-side and read-side must agree bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    s = F.col(col).cast("string")
+    return F.array(
+        *[
+            F.conv(
+                F.substring(F.md5(F.concat(s, F.lit(f"#b{i}"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % BLOOM_BITS
+            for i in range(BLOOM_K)
+        ]
+    )
+
+
+def _bloom_probe_positions(value) -> list[int] | None:
+    """Driver-side positions for an equality-predicate value, or None
+    when the value's string rendering is not guaranteed to match
+    Spark's cast-to-string (then the bloom must not prune)."""
+    import hashlib
+
+    if isinstance(value, bool) or not isinstance(value, (int, str)):
+        return None  # float/date/bool renderings differ across engines
+    s = str(value)
+    return [
+        int(hashlib.md5(f"{s}#b{i}".encode()).hexdigest()[:8], 16)
+        % BLOOM_BITS
+        for i in range(BLOOM_K)
+    ]
+
+
+def segment_key_bloom(df, cols: list[str]) -> dict[str, str]:
+    """Per-column bloom bitset (hex) over a segment's key values —
+    the manifest point-lookup index. min/max stats cannot prune an
+    equality probe on a hash-distributed key (every segment spans the
+    whole range); the bloom can, with ~1% false positives that cost a
+    harmlessly-kept segment. SCALE-SAFE BUILD: each key row maps to k
+    bit positions and only DISTINCT POSITIONS are collected — the
+    driver sees at most BLOOM_BITS rows regardless of segment size,
+    never the keys themselves."""
+    from pyspark.sql import functions as F
+
+    out = {}
+    for c in cols:
+        positions = (
+            df.where(F.col(c).isNotNull())
+            .select(F.explode(_bloom_positions_expr(c)).alias("p"))
+            .distinct()
+            .collect()
+        )
+        mask = 0
+        for r in positions:
+            mask |= 1 << int(r.p)
+        out[c] = f"{mask:0{BLOOM_BITS // 4}x}"
+    return out
+
+
+def _bloom_excludes(blooms: dict | None, predicates: dict) -> bool:
+    """True if some equality predicate's value provably misses the
+    segment per its bloom. Range predicates, missing blooms, and
+    non-portable value types never exclude."""
+    if not blooms:
+        return False
+    for col, (lo, hi) in predicates.items():
+        if lo is None or lo != hi:
+            continue  # bloom answers equality only
+        hexmask = blooms.get(col)
+        if hexmask is None:
+            continue
+        probes = _bloom_probe_positions(lo)
+        if probes is None:
+            continue
+        mask = int(hexmask, 16)
+        if not all((mask >> p) & 1 for p in probes):
+            return True
+    return False
+
+
 def manifest_stats(
     root: str, prior: dict | None, segments: list[str]
 ) -> dict[str, dict]:
@@ -266,6 +354,26 @@ def manifest_stats(
             got
             if got is not None
             else collect_parquet_stats(segment_path(root, s))
+        )
+    return out
+
+
+def manifest_blooms(
+    spark, root: str, prior: dict | None, segments: list[str], cols: list[str]
+) -> dict[str, dict]:
+    """Per-segment key blooms for a component's read list: carried
+    forward from the prior manifest (segments are immutable), computed
+    by one scan of the just-written segment otherwise."""
+    prior = prior or {}
+    out = {}
+    for s in segments:
+        got = prior.get(s)
+        out[s] = (
+            got
+            if got is not None
+            else segment_key_bloom(
+                spark.read.parquet(segment_path(root, s)), cols
+            )
         )
     return out
 
@@ -316,13 +424,19 @@ def _prune_component_paths(
     if not prunable:
         return paths
     recorded = comp.get("stats") or {}
+    recorded_blooms = comp.get("blooms") or {}
     keep = []
     for name, p in named:
         stats = recorded.get(name)
         if stats is None:
             stats = collect_parquet_stats(p)
-        if not _stats_exclude(stats, prunable):
-            keep.append(p)
+        if _stats_exclude(stats, prunable):
+            continue
+        # point lookups: min/max can't prune a hash-distributed key
+        # (every segment spans the range) but the manifest bloom can
+        if _bloom_excludes(recorded_blooms.get(name), prunable):
+            continue
+        keep.append(p)
     return keep or paths[:1]
 
 
@@ -1165,6 +1279,13 @@ def _maintenance_rewrite(
             "reconstruct": spec,
             "collapsed": True,
             "stats": manifest_stats(root, None, kept),
+            "blooms": (
+                manifest_blooms(
+                    folded.sparkSession, root, None, kept, spec["keys"]
+                )
+                if spec and kept
+                else {}
+            ),
         }
         write_manifest(root, vname, new_components)
         try:

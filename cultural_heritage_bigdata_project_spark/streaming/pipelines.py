@@ -544,6 +544,15 @@ def foreach_batch_upsert_run(
                         components[""].get("stats") if components else None,
                         segments,
                     ),
+                    # per-segment key blooms: point lookups on hash-
+                    # distributed keys, which min/max cannot prune
+                    "blooms": txn.manifest_blooms(
+                        spark,
+                        tdir,
+                        components[""].get("blooms") if components else None,
+                        segments,
+                        keys,
+                    ),
                 }
             },
         )

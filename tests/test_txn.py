@@ -465,3 +465,86 @@ def test_predicate_read_after_compaction_and_rewrite_stats(spark, tmp_path):
     assert stats and set(stats) == set(comp["segments"])
     (seg_stats,) = stats.values()
     assert seg_stats["id"] == [0, 299]
+
+
+def test_segment_key_bloom_cross_side_hash_agreement(spark):
+    """Spark-side bloom build and driver-side probe use the same md5
+    positions: every present value hits; absent values mostly miss."""
+    df = spark.range(0, 200).select(
+        F.col("id"), F.col("id").cast("string").alias("sid")
+    )
+    blooms = txn.segment_key_bloom(df, ["id", "sid"])
+    for col in ("id", "sid"):
+        mask = int(blooms[col], 16)
+        for v in (0, 7, 199):
+            probe = v if col == "id" else str(v)
+            assert all(
+                (mask >> p) & 1 for p in txn._bloom_probe_positions(probe)
+            ), f"present value {probe!r} missed in {col}"
+    # absent values: at ~200 keys / 4096 bits the FP rate is tiny —
+    # a run of 50 absent probes must contain misses
+    mask = int(blooms["id"], 16)
+    missed = sum(
+        0 if all((mask >> p) & 1 for p in txn._bloom_probe_positions(v))
+        else 1
+        for v in range(10_000, 10_050)
+    )
+    assert missed >= 45, f"only {missed}/50 absent values excluded"
+    # non-portable value types never exclude
+    assert txn._bloom_probe_positions(1.5) is None
+    assert txn._bloom_probe_positions(True) is None
+
+
+def _interleaved_key_table(spark, tmp_path):
+    """3 epochs with INTERLEAVED key ranges (id % 3 == e): per-segment
+    min/max spans [e, ~300] so range stats cannot prune anything — the
+    regime where only the key bloom can skip segments."""
+    import time as _time
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    for e in range(3):
+        df = (
+            spark.range(0, 300)
+            .filter(F.col("id") % 3 == e)
+            .select(F.col("id"), (F.col("id") * 7).alias("v"))
+        )
+        df.coalesce(1).write.parquet(os.path.join(src_dir, f"f{e}"))
+        _time.sleep(0.05)
+    schema = spark.read.parquet(os.path.join(src_dir, "f0")).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src_dir, "*"))
+    )
+    tdir = str(tmp_path / "target")
+    streaming.foreach_batch_upsert_run(
+        spark, stream, keys=["id"], order_desc=["v"],
+        target_dir=tdir, reset=True, compact_every=8,
+    )
+    return tdir
+
+
+def test_bloom_prunes_point_lookup_where_minmax_cannot(spark, tmp_path):
+    tdir = _interleaved_key_table(spark, tmp_path)
+    cur = txn.current_version_dir(tdir)
+    comp = txn.read_manifest(tdir, os.path.basename(cur))[""]
+    assert set(comp["blooms"]) == set(comp["segments"]) and len(
+        comp["segments"]
+    ) == 3
+    spec = comp["reconstruct"]
+    # range predicate: stats overlap everywhere -> nothing pruned
+    kept = txn._prune_component_paths(tdir, cur, comp, spec, {"id": (40, 45)})
+    assert len(kept) == 3
+    # equality predicate: only segments whose bloom MAY contain 42
+    # survive (42 % 3 == 0 -> epoch-0 segment, plus <=~1% FP others)
+    kept = txn._prune_component_paths(tdir, cur, comp, spec, {"id": (42, 42)})
+    assert any("upsert_v0" in p for p in kept)
+    assert len(kept) <= 2, f"bloom failed to prune: {kept}"
+    # end-to-end: the pruned read is exactly the filtered full read
+    got = txn.read_version(spark, tdir, predicates={"id": (42, 42)}).collect()
+    assert [(r.id, r.v) for r in got] == [(42, 294)]
+    # absent key: correct empty result
+    assert (
+        txn.read_version(spark, tdir, predicates={"id": (301, 301)}).count()
+        == 0
+    )

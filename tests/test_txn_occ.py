@@ -68,7 +68,11 @@ def test_commit_with_retry_no_lost_updates(tmp_path):
     def worker():
         try:
             for _ in range(n_commits):
-                txn.commit_with_retry(root, build, max_attempts=200)
+                # generous attempt budget: on a CONTENDED box (parallel
+                # Spark jobs saturating all cores) a writer can lose
+                # far more than 200 consecutive flock races; the test's
+                # invariant is the exact final count, not attempt cost
+                txn.commit_with_retry(root, build, max_attempts=2000)
         except BaseException as e:  # noqa: BLE001 - surfaced below
             errors.append(e)
 

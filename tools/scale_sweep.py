@@ -6,7 +6,11 @@ fixture and at the 5x-amplified directory (tools/amplify_docs.py
 queries whose ratio exceeds the linear-ish bar.
 
 Usage:
-  PYTHONPATH=. python tools/scale_sweep.py [BASE_DIR AMP_DIR [REPEATS]]
+  PYTHONPATH=. python tools/scale_sweep.py [BASE_DIR AMP_DIR [REPEATS [NAME...]]]
+
+Trailing NAME args restrict the sweep to those queries (incremental
+re-measure after adding queries); with names given, results MERGE into
+an existing $SPARK_GRAFT_SWEEP_OUT file instead of replacing it.
 
 Writes JSON to $SPARK_GRAFT_SWEEP_OUT (default /tmp/scale_sweep.json)
 and prints one line per query. Interpreting ratios: a 5x input with a
@@ -35,12 +39,16 @@ def main() -> None:
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     amp = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf0.1_x5"
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    only = set(sys.argv[4:])
     spark = get_spark(app_name="scale_sweep")
     catalog_queries()
+    unknown = only - set(CATALOG)
+    if unknown:
+        raise SystemExit(f"unknown queries: {sorted(unknown)}")
     spark.range(100_000_000).selectExpr("sum(id)").collect()
 
     out: dict[str, dict] = {}
-    for name in sorted(CATALOG):
+    for name in sorted(only or CATALOG):
         row: dict = {}
         for tag, d in [("base", base), ("amp", amp)]:
             samples: list[float] = []
@@ -63,6 +71,9 @@ def main() -> None:
         print(name, row, flush=True)
 
     dest = os.environ.get("SPARK_GRAFT_SWEEP_OUT", "/tmp/scale_sweep.json")
+    if only and os.path.exists(dest):
+        with open(dest, encoding="utf-8") as f:
+            out = {**json.load(f), **out}
     with open(dest, "w", encoding="utf-8") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     flagged = sorted(
