@@ -358,6 +358,78 @@ def manifest_stats(
     return out
 
 
+def collect_parquet_rows(path: str) -> int:
+    """Exact row count for every parquet file under ``path``, summed
+    from footer metadata — zero data pages read."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for dirpath, _dirs, files in os.walk(path):
+        for fname in files:
+            if fname.endswith(".parquet"):
+                total += pq.ParquetFile(
+                    os.path.join(dirpath, fname)
+                ).metadata.num_rows
+    return total
+
+
+def manifest_rows(
+    root: str, prior: dict | None, segments: list[str]
+) -> dict[str, int]:
+    """Per-segment exact row counts for the manifest (carried forward
+    for immutable prior segments, footer-summed for new ones) — the
+    Delta per-file numRecords analog that makes COUNT(*) answerable
+    from metadata."""
+    prior = prior or {}
+    return {
+        s: (
+            prior[s]
+            if s in prior
+            else collect_parquet_rows(segment_path(root, s))
+        )
+        for s in segments
+    }
+
+
+def version_row_count(
+    root: str, version: str | int | None = None, subdir: str | None = None
+) -> int | None:
+    """METADATA-ONLY ``COUNT(*)`` of a component, or None when the
+    manifest cannot answer exactly (then run a real count). Exact for:
+    an append component (sum of per-segment counts) and a COLLAPSED
+    merge-on-read component without tombstones (its one segment is
+    one-row-per-key by construction). An uncompacted merge-on-read
+    read list, or a collapsed one whose spec carries a ``delete_col``
+    (physical tombstone rows are filtered at read), cannot be counted
+    without the fold — returning a wrong number would be worse than
+    returning None. At 100 TB this answers the most common audit query
+    (row count per snapshot / time-travel version) with one small JSON
+    read instead of a cluster job."""
+    if version is None:
+        path = current_version_dir(root)
+        if path is None:
+            raise FileNotFoundError(f"nothing published under {root!r}")
+    else:
+        path = version_dir(root, version)
+    components = read_manifest(root, os.path.basename(path))
+    if components is None:
+        return None  # plain parquet version: no recorded counts
+    comp = components.get(subdir or "")
+    if comp is None:
+        return None
+    rows = comp.get("rows")
+    if rows is None or set(rows) < set(comp.get("segments", [])):
+        return None  # older manifest without counts
+    if comp.get("base"):
+        return None  # version-local base has no recorded count
+    spec = comp.get("reconstruct")
+    if spec is None:
+        return sum(rows[s] for s in comp["segments"])
+    if comp.get("collapsed") and spec.get("delete_col") is None:
+        return sum(rows[s] for s in comp["segments"])
+    return None
+
+
 def manifest_blooms(
     spark, root: str, prior: dict | None, segments: list[str], cols: list[str]
 ) -> dict[str, dict]:
@@ -1214,6 +1286,7 @@ def _maintenance_rewrite(
     kind: str,
     rewrite,
     check,
+    tail=None,
     max_attempts: int = 10,
 ):
     """Shared OCC loop for maintenance rewrites (compaction, tombstone
@@ -1230,6 +1303,15 @@ def _maintenance_rewrite(
     computes the collapsed state (``align`` as in
     `_write_maybe_bucketed`); ``check(comp, spec)`` validates
     preconditions. Returns ``(committed_dir, payload)``.
+
+    ``tail(comp) -> list[str]`` (optional) names existing segments to
+    CARRY OVER after the rewritten one — the minor-compaction shape:
+    rewrite folds only a prefix of the read list, the tail's newer
+    delta segments survive verbatim (their manifest stats/blooms carry
+    forward), and the component stays ``collapsed=False`` because the
+    merge-on-read fold is still required across new-segment ∪ tail.
+    Re-evaluated per CAS attempt, so a sink epoch that lands mid-
+    rewrite keeps its segment in the next attempt's tail.
     """
     for attempt in range(max_attempts):
         cur = current_version_dir(root)
@@ -1258,6 +1340,7 @@ def _maintenance_rewrite(
                     "it into segments first"
                 )
         folded, payload, align = rewrite(comp, spec, cur)
+        tail_segs = list(tail(comp)) if tail is not None else []
         # '_x...' suffix: a rewrite, never a change (change feeds skip
         # non-numeric epochs); the attempt index keeps retry names
         # unique even within one millisecond
@@ -1271,17 +1354,26 @@ def _maintenance_rewrite(
         shutil.rmtree(vdir, ignore_errors=True)
         os.makedirs(vdir)
         new_components = dict(components)
-        kept = [seg] if _has_parquet(sdir) else []
+        kept = ([seg] if _has_parquet(sdir) else []) + tail_segs
         new_components[component] = {
             "base": None,
             "segments": kept,
             "changes": [],
             "reconstruct": spec,
-            "collapsed": True,
-            "stats": manifest_stats(root, None, kept),
+            # a full rewrite IS the latest-per-key fold; with a carried
+            # tail the fold is still required across rewritten ∪ tail
+            "collapsed": not tail_segs,
+            # prior stats/blooms/rows carry for tail segments
+            # (immutable); the just-written segment's are computed fresh
+            "stats": manifest_stats(root, comp.get("stats"), kept),
+            "rows": manifest_rows(root, comp.get("rows"), kept),
             "blooms": (
                 manifest_blooms(
-                    folded.sparkSession, root, None, kept, spec["keys"]
+                    folded.sparkSession,
+                    root,
+                    comp.get("blooms"),
+                    kept,
+                    spec["keys"],
                 )
                 if spec and kept
                 else {}
@@ -1394,4 +1486,86 @@ def compact_component(spark, root: str, component: str = "") -> str:
     vdir, _payload = _maintenance_rewrite(
         spark, root, component, "compact", rewrite, check
     )
+    return vdir
+
+
+def compact_component_minor(
+    spark, root: str, component: str = "", max_segments: int = 4
+) -> str | None:
+    """Size-tiered MINOR compaction (the LSM / Delta bin-packing
+    analog): fold only the OLDEST delta segments into one, carrying the
+    newest ``max_segments - 1`` verbatim, so the read list shrinks to
+    ``max_segments`` without the full-table rewrite a major compaction
+    costs. At 100 TB this is the difference between O(table) and
+    O(old-prefix) maintenance I/O per run: the hot tail of recent
+    micro-batch segments is untouched (its manifest stats and blooms
+    carry forward), while the cold prefix — the part every read was
+    re-folding — collapses once.
+
+    Correctness: ``keep_seq=True`` preserves each surviving row's epoch
+    seq, and a latest-per-key fold over a PREFIX of the segment list
+    commutes with the global fold (a tail row beats a prefix row iff it
+    beat every prefix version of that key — tie-to-earliest-epoch
+    included), so reads over new-segment ∪ tail reconstruct the
+    identical table; pinned by tests. Tombstones in the prefix survive
+    as physical rows. The component stays ``collapsed=False`` (the fold
+    across new ∪ tail is still required); with a key-bucketed spec the
+    fold — and this rewrite itself — runs exchange-free per bucket.
+
+    No-op (returns None) when the read list is already within
+    ``max_segments``. CAS-published like every maintenance rewrite: a
+    sink epoch landing mid-rewrite re-enters the loop and keeps its
+    segment in the recomputed tail.
+    """
+    if max_segments < 2:
+        raise ValueError("max_segments must be >= 2 (use compact_component)")
+    cur = current_version_dir(root)
+    if cur is None:
+        raise FileNotFoundError(f"nothing published under {root!r}")
+    components = read_manifest(root, os.path.basename(cur)) or {}
+    comp0 = components.get(component)
+    if comp0 is None:
+        raise ValueError(
+            f"version {os.path.basename(cur)!r} has no segmented component "
+            f"{component!r}"
+        )
+    if len(comp0.get("segments", [])) <= max_segments and not comp0.get(
+        "base"
+    ):
+        return None  # read list already short enough
+
+    n_keep = max_segments - 1
+
+    def tail(comp):
+        return list(comp["segments"][-n_keep:])
+
+    def rewrite(comp, spec, cur_dir):
+        prefix = comp["segments"][:-n_keep]
+        paths = []
+        if comp.get("base"):
+            paths.append(os.path.join(cur_dir, comp["base"]))
+        paths.extend(segment_path(root, s) for s in prefix)
+        if spec.get("buckets"):
+            return (
+                bucketed_reconstruct(spark, paths, spec, keep_seq=True),
+                None,
+                True,
+            )
+        df = spark.read.option("mergeSchema", "true").parquet(*paths)
+        return reconstruct_latest(df, spec, keep_seq=True), None, False
+
+    def check(comp, spec):
+        if not spec:
+            raise ValueError(
+                "minor compaction requires a latest-by-key reconstruct spec"
+            )
+        if len(comp.get("segments", [])) <= n_keep and not comp.get("base"):
+            raise CommitConflict(None, None)  # shrank under us: retry/no-op
+
+    try:
+        vdir, _payload = _maintenance_rewrite(
+            spark, root, component, "minor", rewrite, check, tail=tail
+        )
+    except CommitConflict:
+        return None
     return vdir

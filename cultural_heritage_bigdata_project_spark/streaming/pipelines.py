@@ -553,6 +553,13 @@ def foreach_batch_upsert_run(
                         segments,
                         keys,
                     ),
+                    # exact per-segment row counts (footer-summed) so
+                    # txn.version_row_count answers COUNT(*) metadata-only
+                    "rows": txn.manifest_rows(
+                        tdir,
+                        components[""].get("rows") if components else None,
+                        segments,
+                    ),
                 }
             },
         )
@@ -859,7 +866,19 @@ def streaming_corpus_dedup_run(
                 df.write.mode("overwrite").parquet(sdir)
                 if txn._has_parquet(sdir):  # all-dup batch → nothing to append
                     segs.append(name)
-                manifest[comp] = {"base": None, "segments": segs}
+                manifest[comp] = {
+                    "base": None,
+                    "segments": segs,
+                    # append-only component: recorded counts make
+                    # txn.version_row_count exact, metadata-only
+                    "rows": txn.manifest_rows(
+                        tdir,
+                        components[comp].get("rows")
+                        if components is not None and comp in components
+                        else None,
+                        segs,
+                    ),
+                }
             vdir = os.path.join(tdir, vname)
             shutil.rmtree(vdir, ignore_errors=True)
             os.makedirs(vdir)

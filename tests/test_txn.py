@@ -548,3 +548,143 @@ def test_bloom_prunes_point_lookup_where_minmax_cannot(spark, tmp_path):
         txn.read_version(spark, tdir, predicates={"id": (301, 301)}).count()
         == 0
     )
+
+
+# ---------------------------------------------------------------------------
+# size-tiered minor compaction
+
+
+def _overlapping_epochs_table(spark, tmp_path, n_epochs=6, n_buckets=None):
+    """n_epochs upsert epochs with OVERLAPPING key windows (epoch e
+    covers ids e*5 .. e*5+14, v = epoch so later epochs win), plus a
+    tie key (id=100, v=0 every epoch -> tie resolves to the EARLIEST
+    epoch) and a tombstone (id=3 deleted in epoch 2)."""
+    import time as _time
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    for e in range(n_epochs):
+        rows = [
+            (i, e, f"val_{e}_{i}", False) for i in range(e * 5, e * 5 + 15)
+        ] + [(100, 0, f"tie_{e}", False)]
+        if e == 2:
+            rows.append((3, e, None, True))
+        df = spark.createDataFrame(
+            rows, "id long, v long, val string, is_del boolean"
+        )
+        df.coalesce(1).write.parquet(os.path.join(src_dir, f"f{e}"))
+        _time.sleep(0.05)
+    schema = spark.read.parquet(os.path.join(src_dir, "f0")).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src_dir, "*"))
+    )
+    tdir = str(tmp_path / "target")
+    streaming.foreach_batch_upsert_run(
+        spark, stream, keys=["id"], order_desc=["v"],
+        target_dir=tdir, reset=True, compact_every=100,
+        delete_col="is_del", n_buckets=n_buckets,
+    )
+    return tdir
+
+
+def _comp(tdir):
+    cur = txn.current_version_dir(tdir)
+    return txn.read_manifest(tdir, os.path.basename(cur))[""]
+
+
+def test_minor_compaction_preserves_reads(spark, tmp_path):
+    tdir = _overlapping_epochs_table(spark, tmp_path)
+    before = sorted(
+        (r.id, r.v, r.val) for r in txn.read_version(spark, tdir).collect()
+    )
+    assert len(_comp(tdir)["segments"]) == 6
+    assert (100, 0, "tie_0") in before  # tie -> earliest epoch
+    assert all(r[0] != 3 for r in before)  # tombstoned
+
+    vdir = txn.compact_component_minor(spark, tdir, max_segments=3)
+    assert vdir is not None
+    comp = _comp(tdir)
+    assert len(comp["segments"]) == 3 and not comp.get("collapsed")
+    # newest two delta segments carried verbatim, prefix folded
+    assert comp["segments"][1:] == ["upsert_v4", "upsert_v5"]
+    assert set(comp["stats"]) == set(comp["segments"])
+    assert set(comp["blooms"]) == set(comp["segments"])
+    after = sorted(
+        (r.id, r.v, r.val) for r in txn.read_version(spark, tdir).collect()
+    )
+    assert after == before
+    # already within bound: no-op
+    assert txn.compact_component_minor(spark, tdir, max_segments=3) is None
+    # the sink keeps committing on top of the rewritten manifest
+    extra = spark.createDataFrame(
+        [(0, 99, "resurrect", False), (3, 99, "undeleted", False)],
+        "id long, v long, val string, is_del boolean",
+    )
+    src2 = str(tmp_path / "src2")
+    extra.coalesce(1).write.parquet(os.path.join(src2, "f0"))
+    schema = extra.schema
+    stream2 = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src2, "*"))
+    )
+    streaming.foreach_batch_upsert_run(
+        spark, stream2, keys=["id"], order_desc=["v"],
+        target_dir=tdir, reset=False, compact_every=100,
+        delete_col="is_del",
+    )
+    got = {r.id: r.val for r in txn.read_version(spark, tdir).collect()}
+    assert got[0] == "resurrect" and got[3] == "undeleted"
+
+
+def test_minor_compaction_bucketed_stays_exchange_free(spark, tmp_path):
+    tdir = _overlapping_epochs_table(spark, tmp_path, n_buckets=4)
+    before = sorted(
+        (r.id, r.v) for r in txn.read_version(spark, tdir).collect()
+    )
+    assert txn.compact_component_minor(spark, tdir, max_segments=3)
+    comp = _comp(tdir)
+    assert len(comp["segments"]) == 3 and not comp.get("collapsed")
+    df = txn.read_version(spark, tdir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]
+    assert sorted((r.id, r.v) for r in df.collect()) == before
+
+
+def test_version_row_count_metadata_only(spark, tmp_path):
+    """version_row_count answers COUNT(*) from the manifest exactly
+    when safe, and refuses (None) when only the fold knows the answer."""
+    # merge-on-read table WITHOUT delete_col
+    tdir = _disjoint_range_table(spark, tmp_path, compact_every=8)
+    # uncompacted MOR: must refuse (raw segment rows ≠ folded rows)
+    assert txn.version_row_count(tdir) is None
+    txn.compact_component(spark, tdir)
+    n_meta = txn.version_row_count(tdir)
+    assert n_meta == txn.read_version(spark, tdir).count() == 300
+    # tombstoned table: collapsed counts include physical tombstones,
+    # so metadata must refuse rather than overcount
+    tdir2 = _overlapping_epochs_table(spark, tmp_path / "t2")
+    txn.compact_component(spark, tdir2)
+    assert txn.version_row_count(tdir2) is None  # delete_col present
+
+
+def test_version_row_count_append_component(spark, tmp_path):
+    """The streaming corpus-dedup sink's append-only components carry
+    exact per-segment counts: metadata count == real count."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    docs.limit(60).coalesce(1).write.parquet(os.path.join(src, "f0"))
+    docs.limit(120).coalesce(1).write.parquet(os.path.join(src, "f1"))
+    schema = spark.read.parquet(os.path.join(src, "f0")).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "*"))
+    )
+    tdir = str(tmp_path / "corpus")
+    streaming.streaming_corpus_dedup_run(
+        spark, stream, target_dir=tdir, reset=True
+    )
+    for comp in ("corpus", "fps", "bands"):
+        meta = txn.version_row_count(tdir, subdir=comp)
+        real = txn.read_version(spark, tdir, subdir=comp).count()
+        assert meta == real and meta is not None, (comp, meta, real)
