@@ -1367,6 +1367,7 @@ def _maintenance_rewrite(
             # (immutable); the just-written segment's are computed fresh
             "stats": manifest_stats(root, comp.get("stats"), kept),
             "rows": manifest_rows(root, comp.get("rows"), kept),
+            # sticky: recompute blooms only for tables that opted in
             "blooms": (
                 manifest_blooms(
                     folded.sparkSession,
@@ -1375,7 +1376,7 @@ def _maintenance_rewrite(
                     kept,
                     spec["keys"],
                 )
-                if spec and kept
+                if spec and kept and comp.get("blooms")
                 else {}
             ),
         }

@@ -316,10 +316,20 @@ def foreach_batch_upsert_run(
     view_count_col: str = "n_rows",
     n_buckets: int | None = None,
     grace_seconds: float = 0.0,
+    key_blooms: bool = False,
 ) -> DataFrame:
     """T4+S12: continuous keyed last-write-wins upsert into a parquet
     table via ``foreachBatch``, as a DELTA LOG with merge-on-read —
     each micro-batch writes O(batch) bytes, never the whole table.
+
+    ``key_blooms=True`` additionally records a per-segment bloom over
+    the merge keys in the manifest so equality reads
+    (``txn.read_version(..., predicates={k: (v, v)})``) skip segments
+    min/max stats cannot (hash-distributed keys span every range).
+    Opt-in like Delta/Iceberg bloom indexes — it costs one extra
+    aggregation job per epoch, worth it for point-lookup consumers,
+    dead weight for scan-only ones. Sticky: once a table records
+    blooms, later epochs and maintenance rewrites keep them current.
 
     ``delete_col`` enables tombstone deletes (the MERGE ``WHEN MATCHED
     DELETE`` clause): a batch row whose ``delete_col`` is true competes
@@ -545,13 +555,22 @@ def foreach_batch_upsert_run(
                         segments,
                     ),
                     # per-segment key blooms: point lookups on hash-
-                    # distributed keys, which min/max cannot prune
-                    "blooms": txn.manifest_blooms(
-                        spark,
-                        tdir,
-                        components[""].get("blooms") if components else None,
-                        segments,
-                        keys,
+                    # distributed keys, which min/max cannot prune.
+                    # Opt-in (costs a job per epoch) but sticky once
+                    # the table has them, so readers can rely on it
+                    "blooms": (
+                        txn.manifest_blooms(
+                            spark,
+                            tdir,
+                            components[""].get("blooms")
+                            if components
+                            else None,
+                            segments,
+                            keys,
+                        )
+                        if key_blooms
+                        or (components and components[""].get("blooms"))
+                        else {}
                     ),
                     # exact per-segment row counts (footer-summed) so
                     # txn.version_row_count answers COUNT(*) metadata-only

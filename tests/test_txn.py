@@ -519,7 +519,7 @@ def _interleaved_key_table(spark, tmp_path):
     tdir = str(tmp_path / "target")
     streaming.foreach_batch_upsert_run(
         spark, stream, keys=["id"], order_desc=["v"],
-        target_dir=tdir, reset=True, compact_every=8,
+        target_dir=tdir, reset=True, compact_every=8, key_blooms=True,
     )
     return tdir
 
@@ -583,7 +583,7 @@ def _overlapping_epochs_table(spark, tmp_path, n_epochs=6, n_buckets=None):
     streaming.foreach_batch_upsert_run(
         spark, stream, keys=["id"], order_desc=["v"],
         target_dir=tdir, reset=True, compact_every=100,
-        delete_col="is_del", n_buckets=n_buckets,
+        delete_col="is_del", n_buckets=n_buckets, key_blooms=True,
     )
     return tdir
 
