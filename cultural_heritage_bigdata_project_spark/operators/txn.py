@@ -538,8 +538,51 @@ def _apply_predicates(df, predicates: dict | None):
     return df if expr is None else df.filter(expr)
 
 
+def _equality_key_values(spec: dict, predicates: dict | None) -> dict | None:
+    """{key: value} when the predicates pin EVERY merge key to a single
+    value (the point-lookup shape), else None."""
+    vals = {}
+    for k in spec["keys"]:
+        pred = (predicates or {}).get(k)
+        if pred is None or pred[0] is None or pred[0] != pred[1]:
+            return None
+        vals[k] = pred[0]
+    return vals
+
+
+def _target_bucket(spark, sample_path: str, spec: dict, vals: dict) -> int | None:
+    """The ONE bucket a fully-pinned key can live in, computed by a
+    1-row local job through the SAME bucket_expr the writer used —
+    literals are cast to the table's actual column types first because
+    Murmur3 hashes int and long differently, so an uncast Python int
+    literal would silently probe the wrong bucket. Returns None when a
+    key column is missing from the sample schema (schema evolution
+    edge: never prune on uncertainty)."""
+    from pyspark.sql import functions as F
+
+    schema = spark.read.parquet(sample_path).schema
+    by_name = {f.name: f.dataType for f in schema.fields}
+    cols = []
+    for k in spec["keys"]:
+        if k not in by_name:
+            return None
+        cols.append(F.lit(vals[k]).cast(by_name[k]).alias(k))
+    row = (
+        spark.range(1)
+        .select(*cols)
+        .select(bucket_expr(spec["keys"], int(spec["buckets"])).alias("b"))
+        .first()
+    )
+    return int(row.b)
+
+
 def bucketed_reconstruct(
-    spark, paths: list[str], spec: dict, keep_seq: bool = False, pre_filter=None
+    spark,
+    paths: list[str],
+    spec: dict,
+    keep_seq: bool = False,
+    pre_filter=None,
+    only_bucket: int | None = None,
 ):
     """Exchange-free merge-on-read fold over key-bucketed base+delta
     directories: one union branch per bucket, each reading ONLY that
@@ -549,10 +592,16 @@ def bucketed_reconstruct(
     Spark's planner sees the window's ClusteredDistribution satisfied
     by the single partition: NO Exchange anywhere in the plan (the
     bucketed-join execution model; parallelism = ``spec["buckets"]``,
-    sized at table-creation time like any bucketed layout)."""
+    sized at table-creation time like any bucketed layout).
+
+    ``only_bucket`` restricts the fold to ONE bucket's leaf dirs — the
+    point-lookup path: when every merge key is pinned to a single
+    value, that key can only live in ``pmod(hash(keys), n)``, so the
+    other n-1 buckets' files are never listed, let alone read."""
     n = int(spec["buckets"])
     branches = []
-    for i in range(n):
+    bucket_ids = range(n) if only_bucket is None else [int(only_bucket)]
+    for i in bucket_ids:
         leaf = [os.path.join(p, f"{BUCKET_COL}={i}") for p in paths]
         leaf = [p for p in leaf if os.path.isdir(p)]
         if not leaf:
@@ -566,6 +615,11 @@ def bucketed_reconstruct(
             df = df.filter(pre_filter)
         branches.append(reconstruct_latest(df, spec, keep_seq=keep_seq))
     if not branches:
+        if only_bucket is not None:
+            # the pinned key's bucket dir exists nowhere — the key is
+            # provably absent; empty result with the table's schema
+            df = _read_segment_union(spark, paths).limit(0)
+            return reconstruct_latest(df, spec, keep_seq=keep_seq)
         raise FileNotFoundError(
             f"no bucketed data under any of {paths!r} (expected "
             f"{BUCKET_COL}=i leaf dirs)"
@@ -701,7 +755,19 @@ def read_version(
         # analog). tests/test_plans.py pins the no-Exchange plan.
         from pyspark.sql import functions as F
 
-        df = _read_segment_union(spark, paths)
+        read_paths = paths
+        if spec.get("buckets"):
+            vals = _equality_key_values(spec, predicates)
+            if vals is not None:
+                b = _target_bucket(spark, paths[0], spec, vals)
+                if b is not None:
+                    # point lookup: only the pinned key's bucket leafs
+                    leafs = [
+                        os.path.join(p, f"{BUCKET_COL}={b}") for p in paths
+                    ]
+                    leafs = [p for p in leafs if os.path.isdir(p)]
+                    read_paths = leafs or read_paths
+        df = _read_segment_union(spark, read_paths)
         dcol = spec.get("delete_col")
         if dcol is not None and dcol in df.columns:
             df = df.filter(~F.coalesce(F.col(dcol), F.lit(False)))
@@ -721,9 +787,21 @@ def read_version(
         if spec.get("buckets"):
             # key-bucketed layout: the fold runs per bucket with zero
             # Exchange even BETWEEN compactions (round-5 verdict #1) —
-            # the key shuffle was paid once at write time
+            # the key shuffle was paid once at write time. A fully
+            # pinned key additionally restricts the fold to its ONE
+            # bucket (1/n of the files listed, cluster-free lookup).
+            vals = _equality_key_values(spec, predicates)
+            only = (
+                _target_bucket(spark, paths[0], spec, vals)
+                if vals is not None
+                else None
+            )
             out = bucketed_reconstruct(
-                spark, paths, spec, pre_filter=_predicate_expr(key_preds)
+                spark,
+                paths,
+                spec,
+                pre_filter=_predicate_expr(key_preds),
+                only_bucket=only,
             )
         else:
             df = spark.read.option("mergeSchema", "true").parquet(*paths)

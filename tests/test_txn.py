@@ -688,3 +688,32 @@ def test_version_row_count_append_component(spark, tmp_path):
         meta = txn.version_row_count(tdir, subdir=comp)
         real = txn.read_version(spark, tdir, subdir=comp).count()
         assert meta == real and meta is not None, (comp, meta, real)
+
+
+def test_bucketed_point_lookup_reads_one_bucket(spark, tmp_path):
+    """A fully-pinned key on a bucketed table reads ONLY its bucket's
+    leaf dirs — 1/n of the files — in both the uncompacted fold path
+    and the collapsed path, with results identical to filter-after-
+    full-read (which also pins the write/read Murmur3 hash agreement,
+    including the int-vs-long literal cast)."""
+    tdir = _overlapping_epochs_table(spark, tmp_path, n_buckets=8)
+    full = txn.read_version(spark, tdir)
+    n_full_files = len(full.inputFiles())
+    truth = {r.id: (r.v, r.val) for r in full.collect()}
+    # every live key resolves through its one bucket (hash agreement)
+    for k in sorted(truth):
+        df = txn.read_version(spark, tdir, predicates={"id": (k, k)})
+        assert len(df.inputFiles()) <= n_full_files // 4, k
+        got = [(r.v, r.val) for r in df.collect()]
+        assert got == [truth[k]], (k, got)
+    # absent key: empty but schema-complete (bucket dir may not exist)
+    miss = txn.read_version(spark, tdir, predicates={"id": (9999, 9999)})
+    assert miss.count() == 0 and "val" in miss.columns
+    # collapsed path: same contract after major compaction
+    txn.compact_component(spark, tdir)
+    full2 = txn.read_version(spark, tdir)
+    n2 = len(full2.inputFiles())
+    for k in (0, 14, 100):
+        df = txn.read_version(spark, tdir, predicates={"id": (k, k)})
+        assert len(df.inputFiles()) < n2, k
+        assert [(r.v, r.val) for r in df.collect()] == [truth[k]], k
