@@ -133,6 +133,7 @@ GROUPS: dict[str, list[str]] = {
         "change_feed_ivm",
         "stream_upsert_view",
         "data_skipping_read",
+        "point_lookup_read",
     ],
     "text_profile_digest": [
         "text_stats",
@@ -535,6 +536,11 @@ PART_COLS: dict[str, tuple[tuple[str, str], ...]] = {
         ("o_orderkey", "s"),
         ("o_orderstatus", "s"),
         ("o_totalprice_i", "s"),
+    ),
+    "point_lookup_read": (
+        ("o_custkey", "s"),
+        ("o_orderkey", "s"),
+        ("o_orderstatus", "s"),
     ),
     "retrieval_metrics": (
         ("mrr", "f"),

@@ -331,6 +331,73 @@ def data_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "point_lookup_read",
+    description="Point-lookup serving reads on a key-bucketed segmented "
+    "table with key blooms (operators/txn.py): three INTERLEAVED upsert "
+    "epochs (orders sliced by o_orderkey mod 3, so every segment spans "
+    "the full custkey range and min/max stats can prune nothing) commit "
+    "through the real sink with key_blooms=True and n_buckets=8; four "
+    "fully-pinned equality reads then resolve through bloom segment "
+    "skipping + single-bucket restriction (1/8 of files listed), one of "
+    "them a provably-absent key returning empty — the union must equal "
+    "the oracle's latest-order-per-custkey fold filtered to those keys",
+    survey_ref="S14,S12,J8,W4",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderstatus
+FROM (
+  SELECT o_custkey, o_orderkey, o_orderstatus,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn = 1 AND o_custkey IN (5, 17, 100)
+""",
+)
+def point_lookup_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import functools
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators import txn
+    from ..streaming import pipelines as streaming
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_plook_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    src, root = os.path.join(base, "src"), os.path.join(base, "table")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderstatus"
+    )
+    for e in range(3):
+        o.filter(F.col("o_orderkey") % 3 == e).coalesce(1).write.parquet(
+            os.path.join(src, f"f{e}")
+        )
+    stream = (
+        spark.readStream.schema(o.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "*"))
+    )
+    streaming.foreach_batch_upsert_run(
+        spark,
+        stream,
+        keys=["o_custkey"],
+        order_desc=["o_orderkey"],
+        target_dir=root,
+        reset=True,
+        compact_every=10,  # stay uncompacted: lookups cross 3 segments
+        n_buckets=8,
+        key_blooms=True,
+    )
+    lookups = [
+        txn.read_version(spark, root, predicates={"o_custkey": (k, k)})
+        for k in (5, 17, 100, 1_000_000_007)  # last one provably absent
+    ]
+    return functools.reduce(lambda a, b: a.unionByName(b), lookups).select(
+        "o_custkey", "o_orderkey", "o_orderstatus"
+    )
+
+
+@register(
     "change_feed_ivm",
     description="Change feed + incremental view maintenance, driver-"
     "gated end to end (the Delta CDF -> streaming-agg consumer shape): "
