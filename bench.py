@@ -79,6 +79,8 @@ BENCH_QUERIES = [
     "change_feed_ivm",
     "stream_upsert_view",
     "retrieval_metrics",
+    "data_skipping_read",
+    "point_lookup_read",
     # production-hash-family variants (bench-only, defined below): the
     # catalog queries pin hash_family="md5-portable" so the DuckDB
     # oracle can replay candidate sets, but the path you'd run at
