@@ -317,6 +317,7 @@ def foreach_batch_upsert_run(
     n_buckets: int | None = None,
     grace_seconds: float = 0.0,
     key_blooms: bool = False,
+    minor_every: int | None = None,
 ) -> DataFrame:
     """T4+S12: continuous keyed last-write-wins upsert into a parquet
     table via ``foreachBatch``, as a DELTA LOG with merge-on-read —
@@ -394,6 +395,14 @@ def foreach_batch_upsert_run(
     unsupported). Compaction epochs reuse the per-bucket fold, so even
     the rewrite adds no shuffle.
 
+    ``minor_every=k`` keeps the read list at ≤ k segments BETWEEN major
+    compactions by folding the oldest prefix into one segment inside
+    the committing epoch whenever the list exceeds k (the inline form
+    of ``txn.compact_component_minor`` — same prefix-fold-commutes
+    argument, same O(cold-prefix) cost instead of the major rewrite's
+    O(table)). The epoch's change-feed record is untouched. Must be
+    < ``compact_every``.
+
     ``grace_seconds`` > 0 makes this sink's per-epoch GC skip young
     unreferenced version dirs — REQUIRED when ``txn.compact_component``
     / ``txn.expire_tombstones`` may run concurrently with the stream
@@ -402,6 +411,12 @@ def foreach_batch_upsert_run(
 
     Returns the final table as a batch DataFrame.
     """
+    if minor_every is not None and not (1 < minor_every < compact_every):
+        raise ValueError(
+            f"minor_every={minor_every} must be in (1, compact_every"
+            f"={compact_every}) — equal or larger would never fire / "
+            "shadow the major compaction"
+        )
     tdir = target_dir or os.path.join(
         tempfile.gettempdir(), f"spark_graft_upsert_{uuid.uuid4().hex[:8]}"
     )
@@ -530,6 +545,27 @@ def foreach_batch_upsert_run(
                 # one-row-per-key by construction: readers may skip the
                 # merge-on-read window (txn.read_version collapsed path)
                 segments, collapsed = [comp], True
+        elif minor_every is not None and len(segments) > minor_every:
+            # inline MINOR compaction: fold the cold prefix only, carry
+            # the newest minor_every-1 deltas — O(prefix) work bounds
+            # the read list between O(table) major rewrites
+            n_keep = minor_every - 1
+            prefix = [txn.segment_path(tdir, s) for s in segments[:-n_keep]]
+            if n_buckets is not None:
+                folded = txn.bucketed_reconstruct(
+                    spark, prefix, spec, keep_seq=True
+                )
+            else:
+                folded = txn.reconstruct_latest(
+                    spark.read.option("mergeSchema", "true").parquet(*prefix),
+                    spec,
+                    keep_seq=True,
+                )
+            mseg = f"upsert_n{epoch_id}"
+            if _write_segment(folded, mseg, align=n_buckets is not None):
+                segments = [mseg] + segments[-n_keep:]
+            else:  # prefix folded to nothing (all-tombstone history)
+                segments = segments[-n_keep:]
         # atomic commit: manifest-only version dir, then repoint CURRENT.
         # A crash anywhere leaves the previous version committed and at
         # worst an unreferenced segment for cleanup_unpublished.

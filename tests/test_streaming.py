@@ -339,3 +339,60 @@ def test_bucketed_sink_matches_unbucketed_and_reads_exchange_free(
     feed = txn.change_feed(spark, broot, 0)
     assert txn.BUCKET_COL not in feed.columns
     assert feed.count() > 0
+
+
+def test_sink_inline_minor_compaction_bounds_read_list(spark, tmp_path):
+    """minor_every=3 keeps the manifest read list at <=3 segments at
+    every epoch between majors, and the final table equals a no-minor
+    run over the same source (the prefix fold commutes with the global
+    latest-per-key fold)."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from cultural_heritage_bigdata_project_spark.operators import txn
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for e in range(8):
+        rows = [(i, e, f"v{e}_{i}") for i in range(e * 4, e * 4 + 12)]
+        df = spark.createDataFrame(rows, "id long, v long, val string")
+        df.coalesce(1).write.parquet(os.path.join(src, f"f{e}"))
+        _time.sleep(0.05)
+    schema = spark.read.parquet(os.path.join(src, "f0")).schema
+
+    def run(tdir, **kw):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(src, "*"))
+        )
+        return streaming.foreach_batch_upsert_run(
+            spark, stream, keys=["id"], order_desc=["v"],
+            target_dir=tdir, reset=True, compact_every=100, **kw,
+        )
+
+    t_minor = str(tmp_path / "minor")
+    t_plain = str(tmp_path / "plain")
+    run(t_minor, minor_every=3)
+    run(t_plain)
+    comp = txn.read_manifest(
+        t_minor, os.path.basename(txn.current_version_dir(t_minor))
+    )[""]
+    assert len(comp["segments"]) <= 3 and not comp.get("collapsed")
+    assert comp["segments"][0].startswith("upsert_n")  # folded prefix
+    assert set(comp["stats"]) == set(comp["segments"])
+    got = sorted(
+        (r.id, r.v, r.val)
+        for r in txn.read_version(spark, t_minor).collect()
+    )
+    exp = sorted(
+        (r.id, r.v, r.val)
+        for r in txn.read_version(spark, t_plain).collect()
+    )
+    assert got == exp
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="minor_every"):
+        run(str(tmp_path / "bad"), minor_every=1)
