@@ -1142,3 +1142,104 @@ def ivf_pq_top_k(
         id_col=id_col,
         vec_col=vec_col,
     )
+
+
+def sq8_stats(vectors: DataFrame, vec_col: str = "embedding"):
+    """Per-dimension [min, max] of the L2-NORMALIZED collection — the
+    SQ8 training artifact (2 doubles/dim, vs PQ's codebook). One
+    posexplode + min/max aggregate; the collect is DIM-bounded (64
+    rows on the fixtures), never corpus-bounded. Returns (lo, hi)
+    lists indexed by dimension."""
+    v = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    rows = (
+        vectors.select(
+            F.posexplode(F.transform(v, lambda x: x / norm)).alias(
+                "j", "x"
+            )
+        )
+        .groupBy("j")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .orderBy("j")
+        .collect()
+    )
+    return [r.lo for r in rows], [r.hi for r in rows]
+
+
+def sq8_deterministic_top_k(
+    vectors: DataFrame,
+    query,
+    k: int = 10,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar-quantization (SQ8) ANN: each dimension of the
+    L2-normalized collection compresses to ONE byte
+    (``floor((x - lo_j) * 255/(hi_j - lo_j))``, per-dim global
+    [lo, hi]), the standard FAISS ``SQ8`` memory codec beside PQ —
+    4 dim bytes -> dim bytes, decode is two flops, no codebook search.
+
+    Scoring is the decoded inner product against the query,
+    integerized so the hash check is exact: with
+    ``x̂_j = lo_j + code_j·Δ_j``,
+    ``q·x̂ = Σ_j q_j·lo_j + Σ_j code_j·(q_j·Δ_j)`` — each summand is
+    truncated to integer micro-units PER DIMENSION driver-side
+    (qbase_j, qdelta_j), so the per-row score is a pure BIGINT
+    ``Σ_j (qbase_j + code_j·qdelta_j)`` computed by one
+    zip_with/aggregate pass in whole-stage codegen: no Python worker,
+    no float fold-order ambiguity, engine-portable bit-for-bit
+    (DuckDB replays the identical per-dim IEEE ops). Degenerate
+    dimensions (hi == lo) contribute qbase only.
+
+    Like PQ, SQ8 is the SHORTLIST stage: the ``shortlist`` best
+    (approx_micro DESC, id ASC) rows are re-ranked by exact cosine
+    with the ``knn_brute_force`` rounding convention, and the top
+    ``k`` of the re-rank is the answer. At 100 TB the byte codes are
+    the persisted serving artifact scanned per query; raw vectors are
+    touched only for the shortlist."""
+    qv = _norm_seq([float(x) for x in query])
+    lo, hi = sq8_stats(vectors, vec_col=vec_col)
+    if len(qv) != len(lo):
+        raise ValueError(f"query dim {len(qv)} != collection dim {len(lo)}")
+    scale, qdelta = [], []
+    qbase_total = 0
+    for j in range(len(qv)):
+        qbase_total += int(qv[j] * lo[j] * 1e6)
+        if hi[j] == lo[j]:
+            scale.append(0.0)
+            qdelta.append(0)
+        else:
+            scale.append(255.0 / (hi[j] - lo[j]))
+            qdelta.append(int(qv[j] * ((hi[j] - lo[j]) / 255.0) * 1e6))
+    v = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    vnorm = F.transform(v, lambda x: x / norm)
+    params = F.arrays_zip(
+        F.array(*[F.lit(x) for x in lo]).alias("lo"),
+        F.array(*[F.lit(x) for x in scale]).alias("sc"),
+        F.array(*[F.lit(int(x)) for x in qdelta]).alias("qd"),
+    )
+    code = lambda x, t: F.least(  # noqa: E731 - local expression builder
+        F.lit(255),
+        F.greatest(F.lit(0), F.floor((x - t["lo"]) * t["sc"]).cast("int")),
+    )
+    score = F.aggregate(
+        F.zip_with(vnorm, params, lambda x, t: code(x, t).cast("long") * t["qd"]),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    ) + F.lit(int(qbase_total)).cast("long")
+    short = (
+        vectors.withColumn("approx_micro", score)
+        .select(id_col, "approx_micro")
+        .orderBy(F.col("approx_micro").desc(), F.col(id_col).asc())
+        .limit(shortlist)
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in query]).cast("array<double>")
+    sim = F.round(cosine_similarity(F.col(vec_col), qlit), 6)
+    return (
+        vectors.join(short, on=id_col)
+        .select(F.col(id_col), F.col("approx_micro"), sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

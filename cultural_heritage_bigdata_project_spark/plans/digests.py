@@ -172,6 +172,7 @@ GROUPS: dict[str, list[str]] = {
         "hard_negative_mining",
         "retrieval_metrics",
         "retrieval_metrics_ivf",
+        "sq8_ann_topk",
     ],
 }
 
@@ -608,6 +609,11 @@ PART_COLS: dict[str, tuple[tuple[str, str], ...]] = {
     ),
     "pq_ann_topk": (
         ("adc_micro", "s"),
+        ("cosine_sim", "f"),
+        ("vec_id", "s"),
+    ),
+    "sq8_ann_topk": (
+        ("approx_micro", "s"),
         ("cosine_sim", "f"),
         ("vec_id", "s"),
     ),

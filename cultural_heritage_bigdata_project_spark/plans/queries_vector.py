@@ -654,3 +654,65 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semdedup_prune(emb, threshold=0.42, n_lists=16).select(
         "vec_id", "label"
     )
+
+
+@register(
+    "sq8_ann_topk",
+    description="Scalar-quantization (SQ8) ANN: L2-normalize, compress "
+    "each dimension to ONE byte against per-dim global [min, max] "
+    "(the FAISS SQ8 memory codec beside PQ — no codebook search), "
+    "score by the decoded inner product integerized per-dim to exact "
+    "BIGINT micro-units, shortlist top-100 -> exact cosine re-rank "
+    "top-10; hash-checked end-to-end including the integer scores",
+    survey_ref="J8,M5",
+    oracle="""
+WITH e0 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings WHERE vec_id <> 0
+), e AS (
+  SELECT vec_id, v0,
+         list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v
+  FROM e0
+), q0 AS (
+  SELECT embedding::DOUBLE[] AS v0 FROM embeddings WHERE vec_id = 0
+), q AS (
+  SELECT v0, list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v
+  FROM q0
+), mm AS (
+  SELECT j.j, min(e.v[j.j]) AS lo, max(e.v[j.j]) AS hi
+  FROM e CROSS JOIN generate_series(1, 64) AS j(j)
+  GROUP BY j.j
+), lut AS (
+  SELECT mm.j, mm.lo,
+         CASE WHEN mm.hi = mm.lo THEN 0.0
+              ELSE 255.0 / (mm.hi - mm.lo) END AS sc,
+         CAST(trunc(q.v[mm.j] * mm.lo * 1e6) AS BIGINT) AS qbase,
+         CASE WHEN mm.hi = mm.lo THEN 0
+              ELSE CAST(trunc(q.v[mm.j] * ((mm.hi - mm.lo) / 255.0) * 1e6)
+                        AS BIGINT) END AS qd
+  FROM mm, q
+), scores AS (
+  SELECT e.vec_id,
+         CAST(sum(l.qbase
+                  + LEAST(255, GREATEST(0,
+                      CAST(floor((e.v[l.j] - l.lo) * l.sc) AS INT)))
+                    * l.qd) AS BIGINT) AS approx_micro
+  FROM e CROSS JOIN lut l
+  GROUP BY e.vec_id
+), short AS (
+  SELECT vec_id, approx_micro FROM scores
+  ORDER BY approx_micro DESC, vec_id ASC LIMIT 100
+)
+SELECT e.vec_id, s.approx_micro,
+       round(list_dot_product(e.v0, q.v0)
+             / (sqrt(list_dot_product(e.v0, e.v0))
+                * sqrt(list_dot_product(q.v0, q.v0))), 6) AS cosine_sim
+FROM e JOIN short s ON e.vec_id = s.vec_id, q
+ORDER BY cosine_sim DESC, e.vec_id ASC
+LIMIT 10
+""",
+)
+def sq8_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vectors = _emb(spark, sf_dir).filter(F.col("vec_id") != 0)
+    return similarity.sq8_deterministic_top_k(
+        vectors, _query_list(spark, sf_dir, 0), k=10, shortlist=100
+    )

@@ -618,3 +618,14 @@ def test_hard_negative_mining_ivf_cells(spark):
     for r in approx:
         if r.rank == 1 and r.q_id in exact_best:
             assert r.cosine_sim <= exact_best[r.q_id] + 1e-12
+
+
+def test_sq8_ann_recall_vs_brute_force(spark):
+    """SQ8 shortlist + exact re-rank must recover most of the exact
+    top-10 — one byte per dimension against per-dim global [lo, hi]
+    loses far less than PQ's 16-codeword subspaces, so the bar is
+    higher than the LSH/IVF 0.3."""
+    exact = {r.vec_id for r in CATALOG["knn_brute_force"].fn(spark, SF_DIR).collect()}
+    sq8 = {r.vec_id for r in CATALOG["sq8_ann_topk"].fn(spark, SF_DIR).collect()}
+    recall = len(exact & sq8) / len(exact)
+    assert recall >= 0.8, f"SQ8 recall vs brute force too low: {recall}"
