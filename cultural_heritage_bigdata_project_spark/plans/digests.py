@@ -134,6 +134,7 @@ GROUPS: dict[str, list[str]] = {
         "stream_upsert_view",
         "data_skipping_read",
         "point_lookup_read",
+        "stream_stream_outer_join",
     ],
     "text_profile_digest": [
         "text_stats",
@@ -542,6 +543,12 @@ PART_COLS: dict[str, tuple[tuple[str, str], ...]] = {
         ("o_custkey", "s"),
         ("o_orderkey", "s"),
         ("o_orderstatus", "s"),
+    ),
+    "stream_stream_outer_join": (
+        ("click_id", "s"),
+        ("gap_us", "s"),
+        ("purchase_id", "s"),
+        ("user_id", "s"),
     ),
     "retrieval_metrics": (
         ("mrr", "f"),

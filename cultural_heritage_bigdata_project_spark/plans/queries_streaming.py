@@ -264,6 +264,109 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_outer_join",
+    description="Watermarked stream-stream LEFT OUTER interval join: "
+    "every purchase emits, joined to same-user clicks within the "
+    "preceding 30 minutes or as a NULL row once the click watermark "
+    "proves no match can arrive. Null emission is driven by a far-"
+    "future sentinel batch that advances both watermarks past the real "
+    "data (excluded from the result AFTER the stream completes — a "
+    "filter inside the streaming query would propagate through the "
+    "equi-join constraint to the click side, drop the sentinel click, "
+    "and freeze the watermark: the last purchases would silently never "
+    "emit, which is exactly the bug this query's oracle would catch)",
+    survey_ref="J1,T6",
+    oracle="""
+WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+p AS (SELECT event_id AS purchase_id, user_id, ts_us AS p_ts FROM e
+      WHERE event_type = 'purchase'),
+c AS (SELECT event_id AS click_id, user_id, ts_us AS c_ts FROM e
+      WHERE event_type = 'click')
+SELECT p.purchase_id, c.click_id, p.user_id, p.p_ts - c.c_ts AS gap_us
+FROM p LEFT JOIN c ON p.user_id = c.user_id
+ AND c.c_ts <= p.p_ts AND c.c_ts > p.p_ts - 1800000000
+""",
+)
+def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import load_table
+
+    SENTINEL_UID = 2_000_000_000
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    src = os.path.join(tempfile.gettempdir(), f"spark_graft_ssoj_{tag}")
+    shutil.rmtree(src, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    ev.coalesce(1).write.parquet(os.path.join(src, "f0"))
+    # sentinel purchase+click pair a decade in the future: processed as
+    # a LATER micro-batch (distinct mtime + maxFilesPerTrigger=1), it
+    # advances BOTH sides' watermarks past every real event so the
+    # outer join's final null rows actually emit before the bounded
+    # run terminates — without it, append-mode outer state near the
+    # stream tail is never evicted
+    mx = ev.agg(F.max("ts")).first()[0]
+    far = (
+        mx + 10**18
+        if isinstance(mx, int)
+        else mx + datetime.timedelta(days=3650)
+    )
+    time.sleep(0.05)
+    spark.createDataFrame(
+        [
+            (SENTINEL_UID, SENTINEL_UID, "purchase", far),
+            (SENTINEL_UID + 1, SENTINEL_UID, "click", far),
+        ],
+        ev.schema,
+    ).coalesce(1).write.parquet(os.path.join(src, "f1"))
+
+    stream = streaming.events_stream(
+        spark, os.path.join(src, "*"), max_files_per_trigger=1
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").cast("timestamp").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").cast("timestamp").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    ).select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+    )
+    out = streaming.run_to_memory(joined, output_mode="append")
+    # sentinel exclusion runs on the BATCH result, after the stream —
+    # see the description for why it must not live inside the query
+    return out.filter(F.col("user_id") < SENTINEL_UID)
+
+
+@register(
     "stream_stateful_totals",
     description="Custom stateful streaming operator (applyInPandasWithState, "
     "T6 surface the reference lacks): per-user running totals in explicit "
