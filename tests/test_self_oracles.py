@@ -629,3 +629,26 @@ def test_sq8_ann_recall_vs_brute_force(spark):
     sq8 = {r.vec_id for r in CATALOG["sq8_ann_topk"].fn(spark, SF_DIR).collect()}
     recall = len(exact & sq8) / len(exact)
     assert recall >= 0.8, f"SQ8 recall vs brute force too low: {recall}"
+
+
+def test_ivf_sq8_recall_vs_brute_force(spark):
+    """IVF-SQ8 composition: probing 4/16 lists with SQ8 scoring must
+    keep a healthy share of the exact top-10 — bounded below by the
+    IVF pruning (the SQ8 stage loses almost nothing, see the SQ8
+    recall test)."""
+    from cultural_heritage_bigdata_project_spark.operators import similarity
+    from cultural_heritage_bigdata_project_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    exact = {r.vec_id for r in CATALOG["knn_brute_force"].fn(spark, SF_DIR).collect()}
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    vectors = emb.filter(F.col("vec_id") != 0)
+    got = {
+        r.vec_id
+        for r in similarity.ivf_sq8_top_k(
+            vectors, q, k=10, n_lists=16, n_probe=4
+        ).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.3, f"IVF-SQ8 recall too low: {recall}"
