@@ -135,6 +135,7 @@ GROUPS: dict[str, list[str]] = {
         "data_skipping_read",
         "point_lookup_read",
         "stream_stream_outer_join",
+        "stream_scd2_asof_enrich",
     ],
     "text_profile_digest": [
         "text_stats",
@@ -548,6 +549,12 @@ PART_COLS: dict[str, tuple[tuple[str, str], ...]] = {
         ("click_id", "s"),
         ("gap_us", "s"),
         ("purchase_id", "s"),
+        ("user_id", "s"),
+    ),
+    "stream_scd2_asof_enrich": (
+        ("event_id", "s"),
+        ("tier", "s"),
+        ("ts_us", "s"),
         ("user_id", "s"),
     ),
     "retrieval_metrics": (

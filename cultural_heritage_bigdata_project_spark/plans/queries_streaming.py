@@ -367,6 +367,76 @@ def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_scd2_asof_enrich",
+    description="Stream-static AS-OF enrichment against an SCD2 "
+    "dimension: each streamed event joins the dimension version VALID "
+    "AT ITS EVENT TIME (valid_from <= ts < valid_to, open-ended "
+    "current row) — the consumption pattern every SCD2 table exists "
+    "for, and the interval predicate a plain stream-static equi-join "
+    "(stream_static_join) cannot express. Per micro-batch this is a "
+    "broadcast range join against the (small, slowly-changing) "
+    "dimension; at 100 TB the dim stays broadcast-sized while the "
+    "stream is the big side",
+    survey_ref="J1,T6,S12",
+    oracle="""
+WITH u AS (SELECT DISTINCT user_id FROM events),
+dim AS (
+  SELECT user_id, 'basic' AS tier,
+         0::BIGINT AS valid_from, 1705276800000000::BIGINT AS valid_to
+  FROM u
+  UNION ALL
+  SELECT user_id,
+         CASE user_id % 3 WHEN 0 THEN 'gold' WHEN 1 THEN 'silver'
+              ELSE 'basic' END AS tier,
+         1705276800000000::BIGINT AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+  FROM u
+)
+SELECT e.event_id, e.user_id, d.tier, epoch_us(e.ts) AS ts_us
+FROM events e JOIN dim d ON e.user_id = d.user_id
+ AND epoch_us(e.ts) >= d.valid_from
+ AND (d.valid_to IS NULL OR epoch_us(e.ts) < d.valid_to)
+""",
+)
+def stream_scd2_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import load_table
+
+    T = 1_705_276_800_000_000  # 2024-01-15T00:00:00Z in micros
+    users = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    tier2 = (
+        F.when(F.col("user_id") % 3 == 0, F.lit("gold"))
+        .when(F.col("user_id") % 3 == 1, F.lit("silver"))
+        .otherwise(F.lit("basic"))
+    )
+    dim = users.select(
+        "user_id",
+        F.lit("basic").alias("tier"),
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(T).cast("long").alias("valid_to"),
+    ).unionByName(
+        users.select(
+            "user_id",
+            tier2.alias("tier"),
+            F.lit(T).cast("long").alias("valid_from"),
+            F.lit(None).cast("long").alias("valid_to"),
+        )
+    )
+    stream = streaming.events_stream(spark, _events_path(sf_dir)).select(
+        "event_id",
+        F.col("user_id").alias("e_user"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    joined = stream.join(
+        F.broadcast(dim),
+        (F.col("e_user") == F.col("user_id"))
+        & (F.col("ts_us") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts_us") < F.col("valid_to"))),
+    ).select("event_id", "user_id", "tier", "ts_us")
+    return streaming.run_to_memory(joined, output_mode="append")
+
+
+@register(
     "stream_stateful_totals",
     description="Custom stateful streaming operator (applyInPandasWithState, "
     "T6 surface the reference lacks): per-user running totals in explicit "
