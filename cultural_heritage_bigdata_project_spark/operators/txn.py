@@ -1533,7 +1533,13 @@ def expire_tombstones(
     return reclaimed
 
 
-def compact_component(spark, root: str, component: str = "") -> str:
+def compact_component(
+    spark,
+    root: str,
+    component: str = "",
+    sort_cols: list[str] | None = None,
+    sort_files: int | None = None,
+) -> str:
     """On-demand read-optimization maintenance for a delta-segmented
     component (Delta OPTIMIZE analog): fold the current base+segments to
     the latest row per key ONCE, publish it as a single segment marked
@@ -1550,10 +1556,40 @@ def compact_component(spark, root: str, component: str = "") -> str:
     lost-update hazard, same fix); the version carries no ``changes``
     (a rewrite is not a change, so change feeds skip it). Returns the
     committed version directory.
+
+    ``sort_cols`` makes the rewrite CLUSTERED (the Delta ``OPTIMIZE
+    ZORDER BY`` analog, single-curve form): the collapsed state is
+    range-clustered on those columns before writing, so each output
+    file/row group covers a narrow value range and the parquet reader
+    prunes row groups for residual (non-key) predicates in
+    ``read_version(..., predicates=...)`` — manifest stats skip whole
+    SEGMENTS, clustering skips ROW GROUPS inside the survivor. On a
+    key-bucketed table the sort runs within each bucket partition
+    (no extra shuffle, bucket alignment preserved); otherwise one
+    range exchange — maintenance-time cost, amortized over every
+    subsequent filtered read. ``sort_files`` pins the output file
+    count (an EXPLICIT partition count also stops AQE folding a small
+    rewrite into one giant row group — on a test-sized table the
+    clustering would otherwise vanish into a single file). For
+    multi-dimension locality pass a precomputed space-filling-curve
+    column (``scale.zorder_key``).
     """
+    from pyspark.sql import functions as F
 
     def rewrite(comp, spec, cur):
         folded, align = _folded_component(spark, root, cur, comp, spec)
+        if sort_cols:
+            if align:
+                folded = folded.sortWithinPartitions(*sort_cols)
+            else:
+                cols = [F.col(c) for c in sort_cols]
+                folded = (
+                    folded.repartitionByRange(sort_files, *cols)
+                    if sort_files is not None
+                    else folded.repartitionByRange(*cols)
+                ).sortWithinPartitions(*sort_cols)
+                # range layout IS the clustering: _write_maybe_bucketed
+                # must not re-shuffle it (unbucketed spec never does)
         return folded, None, align
 
     def check(comp, spec):

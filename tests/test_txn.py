@@ -717,3 +717,38 @@ def test_bucketed_point_lookup_reads_one_bucket(spark, tmp_path):
         df = txn.read_version(spark, tdir, predicates={"id": (k, k)})
         assert len(df.inputFiles()) < n2, k
         assert [(r.v, r.val) for r in df.collect()] == [truth[k]], k
+
+
+def test_clustered_compaction_prunes_row_groups(spark, tmp_path):
+    """compact_component(sort_cols=...) range-clusters the collapsed
+    segment: row-group min/max ranges on the sort column become
+    (near-)disjoint, so residual predicates prune row groups inside
+    the surviving segment — and the read stays correct."""
+    import pyarrow.parquet as pq
+
+    tdir = _disjoint_range_table(spark, tmp_path, compact_every=8)
+    txn.compact_component(spark, tdir, sort_cols=["v"], sort_files=6)
+    comp = _comp(tdir)
+    assert comp.get("collapsed") and len(comp["segments"]) == 1
+    sdir = txn.segment_path(tdir, comp["segments"][0])
+    ranges = []
+    for dirpath, _dirs, files in os.walk(sdir):
+        for fname in files:
+            if not fname.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(dirpath, fname)).metadata
+            idx = next(
+                i
+                for i in range(md.row_group(0).num_columns)
+                if md.row_group(0).column(i).path_in_schema == "v"
+            )
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                ranges.append((st.min, st.max))
+    assert len(ranges) >= 2, "expected multiple clustered row groups"
+    ranges.sort()
+    for (_lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping row-group ranges {ranges}"
+    # predicate read over the clustered segment still exact
+    got = txn.read_version(spark, tdir, predicates={"v": (500, 1500)})
+    assert sorted(r.id for r in got.collect()) == list(range(50, 151))
