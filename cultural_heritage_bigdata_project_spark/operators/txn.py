@@ -1684,3 +1684,64 @@ def compact_component_minor(
     except CommitConflict:
         return None
     return vdir
+
+
+def table_info(root: str) -> dict:
+    """DESCRIBE DETAIL / DESCRIBE HISTORY analog: one metadata-only
+    dict describing a versioned table — retained versions, per-
+    component read-list shape (segments, collapsed, bucketing, merge
+    spec), byte/row totals from recorded manifest counts plus on-disk
+    sizes, and which metadata layers (stats / blooms / rows) each
+    component carries. Everything comes from the CURRENT pointer, the
+    manifests, and os.stat — no Spark session, no data pages; cheap
+    enough for dashboards to poll."""
+    cur = current_version_dir(root)
+    if cur is None:
+        raise FileNotFoundError(f"nothing published under {root!r}")
+    cur_name = os.path.basename(cur)
+    versions = list_versions(root)
+
+    def _dir_bytes(path: str) -> int:
+        total = 0
+        for dirpath, _dirs, files in os.walk(path):
+            for fname in files:
+                try:
+                    total += os.path.getsize(os.path.join(dirpath, fname))
+                except OSError:
+                    pass
+        return total
+
+    components = read_manifest(root, cur_name)
+    out: dict = {
+        "root": root,
+        "current_version": cur_name,
+        "versions_retained": versions,
+        "format": "manifest" if components is not None else "plain-parquet",
+        "components": {},
+    }
+    if components is None:
+        out["bytes"] = _dir_bytes(cur)
+        return out
+    for name, comp in components.items():
+        spec = comp.get("reconstruct")
+        segs = comp.get("segments", [])
+        seg_bytes = {s: _dir_bytes(segment_path(root, s)) for s in segs}
+        rows = comp.get("rows") or {}
+        out["components"][name] = {
+            "segments": segs,
+            "n_segments": len(segs),
+            "base": comp.get("base"),
+            "collapsed": bool(comp.get("collapsed")),
+            "merge_keys": list(spec["keys"]) if spec else None,
+            "buckets": spec.get("buckets") if spec else None,
+            "delete_col": spec.get("delete_col") if spec else None,
+            "bytes": sum(seg_bytes.values()),
+            "bytes_per_segment": seg_bytes,
+            "rows_recorded": {s: rows[s] for s in segs if s in rows},
+            "exact_row_count": version_row_count(root, subdir=name or None),
+            "has_stats": set(comp.get("stats") or {}) >= set(segs) and bool(segs),
+            "has_blooms": set(comp.get("blooms") or {}) >= set(segs)
+            and bool(segs),
+            "change_segments": comp.get("changes", []),
+        }
+    return out

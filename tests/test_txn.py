@@ -752,3 +752,22 @@ def test_clustered_compaction_prunes_row_groups(spark, tmp_path):
     # predicate read over the clustered segment still exact
     got = txn.read_version(spark, tdir, predicates={"v": (500, 1500)})
     assert sorted(r.id for r in got.collect()) == list(range(50, 151))
+
+
+def test_table_info_metadata_only(spark, tmp_path):
+    """table_info reads pointer + manifests + os.stat only, and its
+    facts agree with the live table."""
+    tdir = _interleaved_key_table(spark, tmp_path)
+    info = txn.table_info(tdir)
+    comp = info["components"][""]
+    assert info["format"] == "manifest"
+    assert comp["n_segments"] == 3 and not comp["collapsed"]
+    assert comp["merge_keys"] == ["id"] and comp["has_stats"]
+    assert comp["has_blooms"]  # key_blooms=True table
+    assert comp["exact_row_count"] is None  # uncompacted MOR: refuses
+    assert comp["bytes"] > 0 and len(comp["bytes_per_segment"]) == 3
+    assert sum(comp["rows_recorded"].values()) == 300  # 3 epochs x 100 raw
+    txn.compact_component(spark, tdir)
+    info2 = txn.table_info(tdir)
+    comp2 = info2["components"][""]
+    assert comp2["collapsed"] and comp2["exact_row_count"] == 300
