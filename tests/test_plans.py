@@ -101,12 +101,15 @@ def test_ann_lsh_single_pass_no_exchange(spark):
     assert "TakeOrderedAndProject" in plan, plan
 
 
-def test_language_id_profile_broadcasts(spark):
-    """The trigram profile table must broadcast (a few hundred rows at
-    any corpus scale), never shuffle the exploded trigram stream
-    against it."""
+def test_language_id_single_pass_no_exchange(spark):
+    """Round 6 replaced the trigram explode -> broadcast join -> agg ->
+    join-back shape with ONE closure-dict Arrow pass (the
+    charlm_quality lesson; 2.9x faster) — the plan must stay a single
+    mapInPandas scoring stage with ZERO Exchange and no join."""
     plan = _formatted_plan(spark, "language_id")
-    assert "BroadcastExchange" in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan, plan
+    assert "Join" not in plan, plan
 
 
 def test_repetition_filter_partial_aggregation(spark):
