@@ -24,6 +24,7 @@ as a stream and results compare against batch oracles
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import tempfile
 import uuid
@@ -300,6 +301,233 @@ def run_to_memory(
 _SEQ_COL = "__sg_seq"
 
 
+def batch_upsert_commit(
+    spark: SparkSession,
+    source: DataFrame,
+    keys: list[str],
+    order_desc: list[str],
+    target_dir: str,
+    delete_col: str | None = None,
+    n_buckets: int | None = None,
+    key_blooms: bool = False,
+    compact_every: int = 8,
+    minor_every: int | None = None,
+    keep_last: int = 1,
+    max_attempts: int = 10,
+) -> str:
+    """Batch MERGE INTO a delta-segmented table — the Delta
+    ``MERGE INTO`` equivalent for batch jobs, sharing the streaming
+    sink's layout byte-for-byte (same spec, same segment roll, same
+    metadata layers), so batch backfills and a streaming sink can
+    interleave on ONE table.
+
+    Each call commits the source's latest-row-per-key as one O(batch)
+    delta segment under the next numeric epoch, rolls the read list
+    (major collapse past ``compact_every``, inline minor fold past
+    ``minor_every``), and publishes via CAS
+    (``txn.try_publish_version(expected_current=...)``): a concurrent
+    writer — another backfill, the streaming sink, a maintenance
+    rewrite — surfaces as a conflict and THIS writer rebases on the
+    new current and retries, never clobbering a committed epoch
+    (multi-writer-safe, unlike the sink's checkpoint-serialized
+    publish). Creates the table when ``target_dir`` has no published
+    version. ``delete_col`` rows are tombstones, as in the sink.
+    Returns the committed version name.
+    """
+    spec = _upsert_spec(keys, order_desc, delete_col, n_buckets)
+    order_cols = [F.col(c).desc() for c in order_desc]
+    os.makedirs(target_dir, exist_ok=True)
+    for attempt in range(max_attempts):
+        cur = txn.current_version_dir(target_dir)
+        cur_name = os.path.basename(cur) if cur else None
+        components = (
+            txn.read_manifest(target_dir, cur_name) if cur_name else None
+        )
+        prior = components[""] if components else None
+        if components is not None and "" not in components:
+            raise ValueError(
+                f"{target_dir!r} is a composite table without a default "
+                "component; batch_upsert_commit targets component ''"
+            )
+        segments = list(prior["segments"]) if prior else []
+        # a fresh attempt re-derives the epoch after a lost race
+        epoch = _next_table_epoch(target_dir, prior, cur_name)
+        latest = cleanse.dedup_first_wins(source, keys, order_cols).withColumn(
+            _SEQ_COL, F.lit(int(epoch)).cast("long")
+        )
+        seg = f"upsert_v{epoch}"
+        changes = [seg] if _seg_write(target_dir, spec, latest, seg) else []
+        segments.extend(changes)
+        segments, collapsed = _roll_segments(
+            spark, target_dir, spec, segments, epoch,
+            compact_every, minor_every, n_buckets,
+        )
+        vname = f"data_v{epoch}"
+        vdir = os.path.join(target_dir, vname)
+        shutil.rmtree(vdir, ignore_errors=True)
+        os.makedirs(vdir)
+        component = _upsert_component(
+            spark, target_dir, spec, segments, changes,
+            collapsed, prior, keys, key_blooms,
+        )
+        # writer identity: a batch commit must never look like a
+        # streaming sink's crash replay (the sink's fallback is a
+        # name-equality check that a stamped writer field overrides)
+        component["writer"] = f"batch:{uuid.uuid4().hex[:12]}"
+        component["writer_epoch"] = int(epoch)
+        txn.write_manifest(target_dir, vname, {"": component})
+        try:
+            txn.try_publish_version(
+                target_dir,
+                vname,
+                expected_current=cur_name,
+                keep_last=keep_last,
+                grace_seconds=3600.0,
+            )
+            return vname
+        except txn.CommitConflict:
+            # remove only what THIS attempt created (delta + any roll
+            # segments carrying our epoch tag); carried-over segments
+            # belong to committed versions and must survive
+            shutil.rmtree(vdir, ignore_errors=True)
+            for s in set(changes) | {f"upsert_c{epoch}", f"upsert_n{epoch}"}:
+                shutil.rmtree(
+                    txn.segment_path(target_dir, s), ignore_errors=True
+                )
+    raise RuntimeError(
+        f"batch_upsert_commit on {target_dir!r} lost {max_attempts} "
+        "consecutive commit races; retry later or raise max_attempts"
+    )
+
+
+def _next_table_epoch(root: str, prior: dict | None, cur_name: str | None) -> int:
+    """The table's next logical epoch: strictly above every numeric
+    tail among retained version names and the live component's
+    segment/change names (versions age out of retention while their
+    compaction segments persist, and vice versa). Shared by the
+    streaming sink and ``batch_upsert_commit`` so interleaved writers
+    advance ONE monotone sequence — the seq stamp and the change-feed
+    epoch both ride it."""
+    used = set()
+    names = list(txn.list_versions(root))
+    if prior:
+        names += list(prior.get("segments", []))
+        names += list(prior.get("changes", []))
+    if cur_name:
+        names.append(cur_name)
+    for name in names:
+        m = re.search(r"(?:v|c|n|m)(\d+)$", name)
+        if m:
+            used.add(int(m.group(1)))
+    return (max(used) + 1) if used else 0
+
+
+def _upsert_spec(keys, order_desc, delete_col, n_buckets) -> dict:
+    spec = {
+        "kind": "latest_by_key",
+        "keys": list(keys),
+        "order_desc": list(order_desc),
+        "seq_col": _SEQ_COL,
+    }
+    if delete_col is not None:
+        spec["delete_col"] = delete_col
+    if n_buckets is not None:
+        spec["buckets"] = int(n_buckets)
+    return spec
+
+
+def _seg_write(tdir: str, spec: dict, df: DataFrame, name: str, align: bool = False) -> bool:
+    """Write an immutable segment (hash-bucketed on the keys when the
+    spec carries ``buckets``); False (and no reference) when the
+    DataFrame produced no rows — Spark writes no part file for an
+    empty frame and the directory would be unreadable."""
+    sdir = txn.segment_path(tdir, name)
+    shutil.rmtree(sdir, ignore_errors=True)  # partial write from a crash
+    txn._write_maybe_bucketed(df, sdir, spec, align=align)
+    return txn._has_parquet(sdir)
+
+
+def _roll_segments(
+    spark, tdir, spec, segments, epoch_id, compact_every, minor_every, n_buckets
+):
+    """Shared read-list management for upsert writers (the streaming
+    sink and ``batch_upsert_commit``): major-collapse past
+    ``compact_every``, else inline minor prefix-fold past
+    ``minor_every``. Returns ``(segments, collapsed)``."""
+    collapsed = False
+    if len(segments) > compact_every:
+        seg_paths = [txn.segment_path(tdir, s) for s in segments]
+        if n_buckets is not None:
+            # per-bucket fold: the rewrite itself adds no shuffle
+            merged = txn.bucketed_reconstruct(spark, seg_paths, spec, keep_seq=True)
+        else:
+            merged = txn.reconstruct_latest(
+                # mergeSchema: segments written after a schema-evolving
+                # batch union with older ones (missing column → NULL)
+                spark.read.option("mergeSchema", "true").parquet(*seg_paths),
+                spec,
+                keep_seq=True,  # per-row seq preserved → tie semantics survive compaction
+            )
+        comp = f"upsert_c{epoch_id}"
+        if _seg_write(tdir, spec, merged, comp, align=n_buckets is not None):
+            # one-row-per-key by construction: readers may skip the
+            # merge-on-read window (txn.read_version collapsed path)
+            segments, collapsed = [comp], True
+    elif minor_every is not None and len(segments) > minor_every:
+        # inline MINOR compaction: fold the cold prefix only, carry
+        # the newest minor_every-1 deltas — O(prefix) work bounds
+        # the read list between O(table) major rewrites
+        n_keep = minor_every - 1
+        prefix = [txn.segment_path(tdir, s) for s in segments[:-n_keep]]
+        if n_buckets is not None:
+            folded = txn.bucketed_reconstruct(spark, prefix, spec, keep_seq=True)
+        else:
+            folded = txn.reconstruct_latest(
+                spark.read.option("mergeSchema", "true").parquet(*prefix),
+                spec,
+                keep_seq=True,
+            )
+        mseg = f"upsert_n{epoch_id}"
+        if _seg_write(tdir, spec, folded, mseg, align=n_buckets is not None):
+            segments = [mseg] + segments[-n_keep:]
+        else:  # prefix folded to nothing (all-tombstone history)
+            segments = segments[-n_keep:]
+    return segments, collapsed
+
+
+def _upsert_component(
+    spark, tdir, spec, segments, changes, collapsed, prior, keys, key_blooms
+) -> dict:
+    """The manifest component dict for an upsert commit: read list +
+    merge spec + the metadata layers (min/max stats, exact row counts,
+    opt-in sticky key blooms), with prior segments' entries carried
+    forward (immutable)."""
+    return {
+        "base": None,
+        "segments": segments,
+        "changes": changes,
+        "reconstruct": spec,
+        "collapsed": collapsed,
+        "stats": txn.manifest_stats(
+            tdir, prior.get("stats") if prior else None, segments
+        ),
+        "blooms": (
+            txn.manifest_blooms(
+                spark,
+                tdir,
+                prior.get("blooms") if prior else None,
+                segments,
+                list(spec["keys"]),
+            )
+            if key_blooms or (prior and prior.get("blooms"))
+            else {}
+        ),
+        "rows": txn.manifest_rows(
+            tdir, prior.get("rows") if prior else None, segments
+        ),
+    }
+
+
 def foreach_batch_upsert_run(
     spark: SparkSession,
     stream: DataFrame,
@@ -431,43 +659,49 @@ def foreach_batch_upsert_run(
     # the committed state
     txn.cleanup_unpublished(tdir)
     order_cols = [F.col(c).desc() for c in order_desc]
-    spec = {
-        "kind": "latest_by_key",
-        "keys": list(keys),
-        "order_desc": list(order_desc),
-        "seq_col": _SEQ_COL,
-    }
-    if delete_col is not None:
-        spec["delete_col"] = delete_col
-    if n_buckets is not None:
-        spec["buckets"] = int(n_buckets)
+    spec = _upsert_spec(keys, order_desc, delete_col, n_buckets)
 
     def _write_segment(df: DataFrame, name: str, align: bool = False) -> bool:
-        """Write an immutable segment (hash-bucketed on the keys when
-        ``n_buckets`` is set); False (and no reference) when the
-        DataFrame produced no rows — Spark writes no part file for an
-        empty frame and the directory would be unreadable."""
-        sdir = txn.segment_path(tdir, name)
-        shutil.rmtree(sdir, ignore_errors=True)  # partial write from a crash
-        txn._write_maybe_bucketed(df, sdir, spec, align=align)
-        return txn._has_parquet(sdir)
+        return _seg_write(tdir, spec, df, name, align=align)
+
+    # stable writer identity across resumes of THIS sink: the
+    # checkpoint path (offsets and epochs live there)
+    ckpt_id = os.path.join(tdir, "_checkpoint")
 
     def upsert_batch(batch_df: DataFrame, epoch_id: int) -> None:
         cur = txn.current_version_dir(tdir)
-        vname = f"data_v{epoch_id}"
-        if cur is not None and os.path.basename(cur) == vname:
-            # crash window replay: this epoch's version is ALREADY the
-            # committed current (the crash happened between our publish
-            # and Spark's checkpoint commit). The epoch is durable; the
-            # replay is a no-op.
-            return
         components = (
             txn.read_manifest(tdir, os.path.basename(cur)) if cur else None
         )
+        prior = components[""] if components else None
+        if cur is not None:
+            # crash-window replay: THIS sink already committed THIS
+            # epoch (the crash happened between our publish and Spark's
+            # checkpoint commit). Detected by manifest writer identity —
+            # name equality alone is wrong once batch_upsert_commit can
+            # interleave (a BATCH version under the colliding name is a
+            # new commit to build on, not our replay). Pre-field
+            # manifests fall back to the name check.
+            if prior is not None and prior.get("writer") is not None:
+                if prior.get("writer") == ckpt_id and prior.get(
+                    "writer_epoch"
+                ) == int(epoch_id):
+                    return
+            elif os.path.basename(cur) == f"data_v{epoch_id}":
+                return
+        # version/segment names carry the TABLE epoch (next numeric tail
+        # across retained versions + live segments), NOT the sink's
+        # checkpoint epoch: after an interleaved batch commit the two
+        # diverge, and checkpoint-epoch names would collide with (and
+        # clobber) the batch writer's committed version and segment
+        table_epoch = _next_table_epoch(
+            tdir, prior, os.path.basename(cur) if cur else None
+        )
+        vname = f"data_v{table_epoch}"
         if cur is not None and components is None:
             # legacy plain-parquet version (pre-segmented layout): fold
             # the whole table in as the oldest delta segment, once
-            mig = f"upsert_m{epoch_id}"
+            mig = f"upsert_m{table_epoch}"
             migrated = spark.read.parquet(cur).withColumn(
                 _SEQ_COL, F.lit(-1).cast("long")
             )
@@ -475,9 +709,9 @@ def foreach_batch_upsert_run(
         else:
             segments = list(components[""]["segments"]) if components else []
         latest = cleanse.dedup_first_wins(batch_df, keys, order_cols).withColumn(
-            _SEQ_COL, F.lit(int(epoch_id)).cast("long")
+            _SEQ_COL, F.lit(int(table_epoch)).cast("long")
         )
-        seg = f"upsert_v{epoch_id}"
+        seg = f"upsert_v{table_epoch}"
         # the epoch's delta is recorded as the version's change set even
         # when a compaction replaces it in the READ list below — the
         # Change-Data-Feed record (txn.change_feed) must survive
@@ -524,100 +758,23 @@ def foreach_batch_upsert_run(
                     grace_seconds=grace_seconds,
                 )
         segments.extend(changes)
-        collapsed = False
-        if len(segments) > compact_every:
-            seg_paths = [txn.segment_path(tdir, s) for s in segments]
-            if n_buckets is not None:
-                # per-bucket fold: the rewrite itself adds no shuffle
-                merged = txn.bucketed_reconstruct(
-                    spark, seg_paths, spec, keep_seq=True
-                )
-            else:
-                merged = txn.reconstruct_latest(
-                    # mergeSchema: segments written after a schema-evolving
-                    # batch union with older ones (missing column → NULL)
-                    spark.read.option("mergeSchema", "true").parquet(*seg_paths),
-                    spec,
-                    keep_seq=True,  # per-row seq preserved → tie semantics survive compaction
-                )
-            comp = f"upsert_c{epoch_id}"
-            if _write_segment(merged, comp, align=n_buckets is not None):
-                # one-row-per-key by construction: readers may skip the
-                # merge-on-read window (txn.read_version collapsed path)
-                segments, collapsed = [comp], True
-        elif minor_every is not None and len(segments) > minor_every:
-            # inline MINOR compaction: fold the cold prefix only, carry
-            # the newest minor_every-1 deltas — O(prefix) work bounds
-            # the read list between O(table) major rewrites
-            n_keep = minor_every - 1
-            prefix = [txn.segment_path(tdir, s) for s in segments[:-n_keep]]
-            if n_buckets is not None:
-                folded = txn.bucketed_reconstruct(
-                    spark, prefix, spec, keep_seq=True
-                )
-            else:
-                folded = txn.reconstruct_latest(
-                    spark.read.option("mergeSchema", "true").parquet(*prefix),
-                    spec,
-                    keep_seq=True,
-                )
-            mseg = f"upsert_n{epoch_id}"
-            if _write_segment(folded, mseg, align=n_buckets is not None):
-                segments = [mseg] + segments[-n_keep:]
-            else:  # prefix folded to nothing (all-tombstone history)
-                segments = segments[-n_keep:]
+        segments, collapsed = _roll_segments(
+            spark, tdir, spec, segments, table_epoch,
+            compact_every, minor_every, n_buckets,
+        )
         # atomic commit: manifest-only version dir, then repoint CURRENT.
         # A crash anywhere leaves the previous version committed and at
         # worst an unreferenced segment for cleanup_unpublished.
         vdir = os.path.join(tdir, vname)
         shutil.rmtree(vdir, ignore_errors=True)
         os.makedirs(vdir)
-        txn.write_manifest(
-            tdir,
-            vname,
-            {
-                "": {
-                    "base": None,
-                    "segments": segments,
-                    "changes": changes,
-                    "reconstruct": spec,
-                    "collapsed": collapsed,
-                    # per-segment min/max from the just-written footers
-                    # (prior segments carry forward — immutable), so
-                    # predicate reads prune segments metadata-only
-                    "stats": txn.manifest_stats(
-                        tdir,
-                        components[""].get("stats") if components else None,
-                        segments,
-                    ),
-                    # per-segment key blooms: point lookups on hash-
-                    # distributed keys, which min/max cannot prune.
-                    # Opt-in (costs a job per epoch) but sticky once
-                    # the table has them, so readers can rely on it
-                    "blooms": (
-                        txn.manifest_blooms(
-                            spark,
-                            tdir,
-                            components[""].get("blooms")
-                            if components
-                            else None,
-                            segments,
-                            keys,
-                        )
-                        if key_blooms
-                        or (components and components[""].get("blooms"))
-                        else {}
-                    ),
-                    # exact per-segment row counts (footer-summed) so
-                    # txn.version_row_count answers COUNT(*) metadata-only
-                    "rows": txn.manifest_rows(
-                        tdir,
-                        components[""].get("rows") if components else None,
-                        segments,
-                    ),
-                }
-            },
+        component = _upsert_component(
+            spark, tdir, spec, segments, changes, collapsed,
+            prior, keys, key_blooms,
         )
+        component["writer"] = ckpt_id
+        component["writer_epoch"] = int(epoch_id)
+        txn.write_manifest(tdir, vname, {"": component})
         txn.publish_version(
             tdir, vname, keep_last=keep_last, grace_seconds=grace_seconds
         )

@@ -396,3 +396,102 @@ def test_sink_inline_minor_compaction_bounds_read_list(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="minor_every"):
         run(str(tmp_path / "bad"), minor_every=1)
+
+
+def test_batch_upsert_commit_merge_semantics(spark, tmp_path):
+    """batch_upsert_commit is MERGE INTO for batch jobs: create-on-
+    first-commit, last-write-wins per key across commits, tombstone
+    delete, compaction roll, and the same metadata layers as the
+    streaming sink."""
+    from pyspark.sql import functions as F
+
+    from cultural_heritage_bigdata_project_spark.operators import txn
+
+    tdir = str(tmp_path / "t")
+    b0 = spark.createDataFrame(
+        [(1, 10, "a", False), (2, 10, "b", False), (3, 10, "c", False)],
+        "id long, v long, val string, is_del boolean",
+    )
+    v0 = streaming.batch_upsert_commit(
+        spark, b0, ["id"], ["v"], tdir, delete_col="is_del", keep_last=3
+    )
+    assert v0 == "data_v0"
+    b1 = spark.createDataFrame(
+        [(2, 20, "b2", False), (3, 20, None, True), (4, 20, "d", False)],
+        "id long, v long, val string, is_del boolean",
+    )
+    streaming.batch_upsert_commit(
+        spark, b1, ["id"], ["v"], tdir, delete_col="is_del", keep_last=3
+    )
+    got = {r.id: r.val for r in txn.read_version(spark, tdir).collect()}
+    assert got == {1: "a", 2: "b2", 4: "d"}  # 3 tombstoned
+    # older value loses even when committed later (order_desc, not
+    # commit order, decides)
+    b2 = spark.createDataFrame(
+        [(2, 5, "stale", False)], "id long, v long, val string, is_del boolean"
+    )
+    streaming.batch_upsert_commit(
+        spark, b2, ["id"], ["v"], tdir, delete_col="is_del", keep_last=3
+    )
+    got = {r.id: r.val for r in txn.read_version(spark, tdir).collect()}
+    assert got[2] == "b2"
+    info = txn.table_info(tdir)[ "components"][""]
+    assert info["has_stats"] and info["rows_recorded"]
+    # change feed sees each batch epoch
+    feed = txn.change_feed(spark, tdir, 0, 2)  # from-epoch exclusive
+    assert feed.count() == 4  # epoch1: 3 rows, epoch2: 1 row
+
+
+def test_batch_upsert_interleaves_with_streaming_sink(spark, tmp_path):
+    """A batch backfill and the streaming sink commit into ONE table:
+    the batch epoch lands above the sink's epochs, the sink resumes on
+    top of the batch commit, and the fold stays exact."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from cultural_heritage_bigdata_project_spark.operators import txn
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for e in range(2):
+        df = spark.createDataFrame(
+            [(i, e, f"s{e}_{i}") for i in range(10)],
+            "id long, v long, val string",
+        )
+        df.coalesce(1).write.parquet(os.path.join(src, f"f{e}"))
+        _time.sleep(0.05)
+    schema = spark.read.parquet(os.path.join(src, "f0")).schema
+
+    def run_sink(reset):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(src, "*"))
+        )
+        return streaming.foreach_batch_upsert_run(
+            spark, stream, keys=["id"], order_desc=["v"],
+            target_dir=str(tmp_path / "t"), reset=reset, compact_every=100,
+        )
+
+    run_sink(reset=True)  # sink epochs 0,1
+    backfill = spark.createDataFrame(
+        [(100 + i, 50, f"bf_{i}") for i in range(5)] + [(0, 50, "bf_win")],
+        "id long, v long, val string",
+    )
+    streaming.batch_upsert_commit(
+        spark, backfill, ["id"], ["v"], str(tmp_path / "t")
+    )
+    # sink resumes with a new file on top of the batch commit
+    df = spark.createDataFrame(
+        [(100, 60, "post")], "id long, v long, val string"
+    )
+    _time.sleep(0.05)
+    df.coalesce(1).write.parquet(os.path.join(src, "f2"))
+    run_sink(reset=False)
+    got = {r.id: r.val for r in txn.read_version(
+        spark, str(tmp_path / "t")).collect()}
+    assert got[0] == "bf_win"      # backfill beat sink epoch values
+    assert got[100] == "post"      # post-backfill sink epoch wins
+    assert got[104] == "bf_4" and got[5] == "s1_5"
