@@ -136,6 +136,7 @@ GROUPS: dict[str, list[str]] = {
         "point_lookup_read",
         "stream_stream_outer_join",
         "stream_scd2_asof_enrich",
+        "batch_merge_commits",
     ],
     "text_profile_digest": [
         "text_stats",
@@ -556,6 +557,11 @@ PART_COLS: dict[str, tuple[tuple[str, str], ...]] = {
         ("tier", "s"),
         ("ts_us", "s"),
         ("user_id", "s"),
+    ),
+    "batch_merge_commits": (
+        ("o_custkey", "s"),
+        ("o_orderkey", "s"),
+        ("o_orderpriority", "s"),
     ),
     "retrieval_metrics": (
         ("mrr", "f"),

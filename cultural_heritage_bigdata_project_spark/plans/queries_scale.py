@@ -398,6 +398,55 @@ def point_lookup_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "batch_merge_commits",
+    description="Batch MERGE INTO a delta-segmented table "
+    "(streaming.batch_upsert_commit — the Delta MERGE equivalent for "
+    "batch jobs, CAS-published): three sequential batch commits of "
+    "orders slices (orderkey mod 3) land as O(batch) delta segments "
+    "under monotone table epochs with a minor-compaction roll "
+    "(minor_every=2), and the merge-on-read read must equal the "
+    "latest-order-per-custkey fold over all three slices",
+    survey_ref="S12,S14,A5",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderpriority
+FROM (
+  SELECT o_custkey, o_orderkey, o_orderpriority,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn = 1
+""",
+)
+def batch_merge_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators import txn
+    from ..streaming import pipelines as streaming
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_bmerge_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    for e in range(3):
+        streaming.batch_upsert_commit(
+            spark,
+            o.filter(F.col("o_orderkey") % 3 == e),
+            keys=["o_custkey"],
+            order_desc=["o_orderkey"],
+            target_dir=root,
+            minor_every=2,  # exercise the shared roll in batch mode
+            compact_every=10,
+        )
+    return txn.read_version(spark, root).select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+
+
+@register(
     "change_feed_ivm",
     description="Change feed + incremental view maintenance, driver-"
     "gated end to end (the Delta CDF -> streaming-agg consumer shape): "
