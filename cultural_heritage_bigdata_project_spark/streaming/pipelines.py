@@ -350,8 +350,21 @@ def batch_upsert_commit(
                 "component; batch_upsert_commit targets component ''"
             )
         segments = list(prior["segments"]) if prior else []
-        # a fresh attempt re-derives the epoch after a lost race
+        # a fresh attempt re-derives the epoch after a lost race, then
+        # CLAIMS it atomically: exclusive creation of the version dir
+        # is the epoch mutex (two racing writers who derived the same
+        # next epoch would otherwise build into — and rmtree — each
+        # other's segment dir, corrupting whichever commit wins; the
+        # round-5 version-name-claim fix applied at the epoch level)
         epoch = _next_table_epoch(target_dir, prior, cur_name)
+        while True:
+            vname = f"data_v{epoch}"
+            vdir = os.path.join(target_dir, vname)
+            try:
+                os.makedirs(vdir)
+                break
+            except FileExistsError:
+                epoch += 1  # claimed by a competitor (or crash relic)
         latest = cleanse.dedup_first_wins(source, keys, order_cols).withColumn(
             _SEQ_COL, F.lit(int(epoch)).cast("long")
         )
@@ -362,10 +375,6 @@ def batch_upsert_commit(
             spark, target_dir, spec, segments, epoch,
             compact_every, minor_every, n_buckets,
         )
-        vname = f"data_v{epoch}"
-        vdir = os.path.join(target_dir, vname)
-        shutil.rmtree(vdir, ignore_errors=True)
-        os.makedirs(vdir)
         component = _upsert_component(
             spark, target_dir, spec, segments, changes,
             collapsed, prior, keys, key_blooms,
@@ -669,6 +678,22 @@ def foreach_batch_upsert_run(
     ckpt_id = os.path.join(tdir, "_checkpoint")
 
     def upsert_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # CAS publish + rebase loop: a batch_upsert_commit landing
+        # between this epoch's manifest read and its publish surfaces
+        # as CommitConflict and the epoch re-derives against the new
+        # current — an unconditional publish would silently drop the
+        # batch writer's segment from the read list (the same lost-
+        # update hazard the maintenance rewrites close). Pure-sink
+        # tables never conflict, so behavior and naming are unchanged.
+        for _attempt in range(10):
+            if _upsert_epoch_attempt(batch_df, epoch_id):
+                return
+        raise RuntimeError(
+            f"sink epoch {epoch_id} on {tdir!r} lost 10 consecutive "
+            "commit races; quiesce concurrent batch writers"
+        )
+
+    def _upsert_epoch_attempt(batch_df: DataFrame, epoch_id: int) -> bool:
         cur = txn.current_version_dir(tdir)
         components = (
             txn.read_manifest(tdir, os.path.basename(cur)) if cur else None
@@ -686,18 +711,28 @@ def foreach_batch_upsert_run(
                 if prior.get("writer") == ckpt_id and prior.get(
                     "writer_epoch"
                 ) == int(epoch_id):
-                    return
+                    return True
             elif os.path.basename(cur) == f"data_v{epoch_id}":
-                return
+                return True
         # version/segment names carry the TABLE epoch (next numeric tail
         # across retained versions + live segments), NOT the sink's
         # checkpoint epoch: after an interleaved batch commit the two
         # diverge, and checkpoint-epoch names would collide with (and
-        # clobber) the batch writer's committed version and segment
+        # clobber) the batch writer's committed version and segment.
+        # Exclusive creation of the version dir CLAIMS the epoch, so a
+        # batch writer racing this very epoch cannot share our segment
+        # names (same claim protocol as batch_upsert_commit).
         table_epoch = _next_table_epoch(
             tdir, prior, os.path.basename(cur) if cur else None
         )
-        vname = f"data_v{table_epoch}"
+        while True:
+            vname = f"data_v{table_epoch}"
+            vdir = os.path.join(tdir, vname)
+            try:
+                os.makedirs(vdir)
+                break
+            except FileExistsError:
+                table_epoch += 1  # claimed by a competitor / crash relic
         if cur is not None and components is None:
             # legacy plain-parquet version (pre-segmented layout): fold
             # the whole table in as the oldest delta segment, once
@@ -762,12 +797,10 @@ def foreach_batch_upsert_run(
             spark, tdir, spec, segments, table_epoch,
             compact_every, minor_every, n_buckets,
         )
-        # atomic commit: manifest-only version dir, then repoint CURRENT.
-        # A crash anywhere leaves the previous version committed and at
-        # worst an unreferenced segment for cleanup_unpublished.
-        vdir = os.path.join(tdir, vname)
-        shutil.rmtree(vdir, ignore_errors=True)
-        os.makedirs(vdir)
+        # atomic commit: manifest into the claimed version dir, then
+        # CAS-repoint CURRENT. A crash anywhere leaves the previous
+        # version committed and at worst an unreferenced segment for
+        # cleanup_unpublished.
         component = _upsert_component(
             spark, tdir, spec, segments, changes, collapsed,
             prior, keys, key_blooms,
@@ -775,9 +808,25 @@ def foreach_batch_upsert_run(
         component["writer"] = ckpt_id
         component["writer_epoch"] = int(epoch_id)
         txn.write_manifest(tdir, vname, {"": component})
-        txn.publish_version(
-            tdir, vname, keep_last=keep_last, grace_seconds=grace_seconds
-        )
+        try:
+            txn.try_publish_version(
+                tdir,
+                vname,
+                expected_current=os.path.basename(cur) if cur else None,
+                keep_last=keep_last,
+                grace_seconds=grace_seconds,
+            )
+            return True
+        except txn.CommitConflict:
+            shutil.rmtree(vdir, ignore_errors=True)
+            for s in {
+                f"upsert_v{table_epoch}",
+                f"upsert_c{table_epoch}",
+                f"upsert_n{table_epoch}",
+                f"upsert_m{table_epoch}",
+            }:
+                shutil.rmtree(txn.segment_path(tdir, s), ignore_errors=True)
+            return False
 
     writer = stream.writeStream.foreachBatch(upsert_batch).trigger(availableNow=True)
     with _scoped_shuffle_partitions(spark):

@@ -495,3 +495,44 @@ def test_batch_upsert_interleaves_with_streaming_sink(spark, tmp_path):
     assert got[0] == "bf_win"      # backfill beat sink epoch values
     assert got[100] == "post"      # post-backfill sink epoch wins
     assert got[104] == "bf_4" and got[5] == "s1_5"
+
+
+def test_batch_upsert_concurrent_writers_no_lost_updates(spark, tmp_path):
+    """4 threads x 2 batch commits each, disjoint key ranges, all
+    racing on one table: CAS + rebase must serialize them — every
+    committed key present afterwards, no lost updates, epochs strictly
+    monotone."""
+    import threading
+
+    from cultural_heritage_bigdata_project_spark.operators import txn
+
+    tdir = str(tmp_path / "t")
+    errors: list[BaseException] = []
+
+    def worker(w: int) -> None:
+        try:
+            for c in range(2):
+                lo = (w * 2 + c) * 50
+                df = spark.createDataFrame(
+                    [(lo + i, 1, f"w{w}c{c}") for i in range(50)],
+                    "id long, v long, val string",
+                )
+                streaming.batch_upsert_commit(
+                    spark, df, ["id"], ["v"], tdir,
+                    max_attempts=200, compact_every=100,
+                )
+        except BaseException as e:  # noqa: BLE001 - surfaced below
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(w,)) for w in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    got = {r.id for r in txn.read_version(spark, tdir).collect()}
+    assert got == set(range(400)), f"lost {set(range(400)) - got}"
+    comp = txn.read_manifest(
+        tdir, os.path.basename(txn.current_version_dir(tdir))
+    )[""]
+    assert len(comp["segments"]) == 8  # every commit's delta survives
