@@ -536,3 +536,88 @@ def test_batch_upsert_concurrent_writers_no_lost_updates(spark, tmp_path):
         tdir, os.path.basename(txn.current_version_dir(tdir))
     )[""]
     assert len(comp["segments"]) == 8  # every commit's delta survives
+
+
+def test_sink_cas_survives_concurrent_batch_commit(spark, tmp_path, monkeypatch):
+    """Inject a batch_upsert_commit between a sink epoch's manifest
+    read and its publish: the old unconditional publish silently
+    dropped the batch's segment from the read list (lost update); the
+    CAS sink must rebase and keep BOTH writers' rows."""
+    import os
+    import time as _time
+
+    from cultural_heritage_bigdata_project_spark.operators import txn
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for e in range(2):
+        df = spark.createDataFrame(
+            [(i, e + 1, f"s{e}_{i}") for i in range(10)],
+            "id long, v long, val string",
+        )
+        df.coalesce(1).write.parquet(os.path.join(src, f"f{e}"))
+        _time.sleep(0.05)
+    schema = spark.read.parquet(os.path.join(src, "f0")).schema
+    tdir = str(tmp_path / "t")
+
+    real_publish = txn.try_publish_version
+    fired = {"n": 0}
+
+    def racing_publish(root, *args, **kwargs):
+        # fire once, on the SINK's second-epoch publish, injecting a
+        # fully-committed batch merge in its read-to-publish window
+        if fired["n"] == 0 and root == tdir and txn.current_version_dir(tdir):
+            fired["n"] += 1
+            monkeypatch.setattr(txn, "try_publish_version", real_publish)
+            streaming.batch_upsert_commit(
+                spark,
+                spark.createDataFrame(
+                    [(100, 99, "batch_row"), (0, 99, "batch_win")],
+                    "id long, v long, val string",
+                ),
+                ["id"], ["v"], tdir,
+            )
+            monkeypatch.setattr(txn, "try_publish_version", racing_publish)
+        return real_publish(root, *args, **kwargs)
+
+    monkeypatch.setattr(txn, "try_publish_version", racing_publish)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "*"))
+    )
+    streaming.foreach_batch_upsert_run(
+        spark, stream, keys=["id"], order_desc=["v"],
+        target_dir=tdir, reset=True, compact_every=100,
+        grace_seconds=3600.0,
+    )
+    assert fired["n"] == 1, "the injected race never fired"
+    got = {r.id: r.val for r in txn.read_version(spark, tdir).collect()}
+    assert got[100] == "batch_row"  # batch commit survived the race
+    assert got[0] == "batch_win"    # v=99 beats both sink epochs
+    assert got[5] == "s1_5"         # sink epochs intact
+
+
+def test_batch_upsert_schema_evolution(spark, tmp_path):
+    """A later batch commit carrying a NEW column unions cleanly: old
+    rows surface it as NULL (mergeSchema, the Delta automatic-evolution
+    analog), consistent with the streaming sink's behavior."""
+    from pyspark.sql import functions as F
+
+    from cultural_heritage_bigdata_project_spark.operators import txn
+
+    tdir = str(tmp_path / "t")
+    streaming.batch_upsert_commit(
+        spark,
+        spark.createDataFrame([(1, 1, "a")], "id long, v long, val string"),
+        ["id"], ["v"], tdir,
+    )
+    streaming.batch_upsert_commit(
+        spark,
+        spark.createDataFrame(
+            [(2, 2, "b", "extra")], "id long, v long, val string, note string"
+        ),
+        ["id"], ["v"], tdir,
+    )
+    rows = {r.id: (r.val, r.note) for r in txn.read_version(spark, tdir).collect()}
+    assert rows == {1: ("a", None), 2: ("b", "extra")}
