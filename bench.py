@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "retrieval_metrics",
     "data_skipping_read",
     "point_lookup_read",
+    "change_feed_cursor",
     # production-hash-family variants (bench-only, defined below): the
     # catalog queries pin hash_family="md5-portable" so the DuckDB
     # oracle can replay candidate sets, but the path you'd run at

@@ -1239,13 +1239,7 @@ def change_feed(
     version in (from, to] must still be retained or this raises
     KeyError — a silently-partial change feed is worse than no feed.
     """
-    def _epoch(name: str) -> int | None:
-        """Numeric commit epoch, or None for maintenance versions
-        (e.g. tombstone-expiry rewrites named data_vx<millis>) — those
-        carry no changes by construction and are skipped by feeds."""
-        suffix = name.rsplit("v", 1)[-1]
-        return int(suffix) if suffix.isdigit() else None
-
+    _epoch = _numeric_epoch
     numeric = {
         e: n for n in list_versions(root) if (e := _epoch(n)) is not None
     }
@@ -1284,20 +1278,11 @@ def change_feed(
             )
         return components[component]
 
-    feed_segments: list[str] = []
     prev_read_list = set(_component(from_name).get("segments", []))
-    for e in sorted(k for k in retained if lo < k <= hi):
-        comp = _component(retained[e])
-        if "changes" in comp:
-            feed_segments.extend(comp["changes"])
-        else:  # pre-`changes` manifests: added non-rewrite segments
-            feed_segments.extend(
-                s
-                for s in comp.get("segments", [])
-                if s not in prev_read_list
-                and not s.rsplit("_", 1)[-1].startswith(("c", "m"))
-            )
-        prev_read_list = set(comp.get("segments", []))
+    walked = sorted(k for k in retained if lo < k <= hi)
+    feed_segments = _collect_feed_segments(
+        root, component, retained, walked, prev_read_list
+    )
     n_expected = hi - lo
     n_walked = sum(1 for k in retained if lo < k <= hi)
     if n_walked != n_expected:
@@ -1316,6 +1301,235 @@ def change_feed(
         return spark.createDataFrame([], schema_src.schema)
     return _read_segment_union(
         spark, [segment_path(root, s) for s in feed_segments]
+    )
+
+
+CURSOR_TMP_SUFFIX = ".tmp"
+
+
+def read_cursor(cursor_path: str) -> int | None:
+    """The last ACKED commit epoch of a change-feed consumer, or None
+    for a fresh cursor (first poll reads the whole retention window)."""
+    try:
+        with open(cursor_path, encoding="utf-8") as f:
+            return int(json.load(f)["epoch"])
+    except FileNotFoundError:
+        return None
+
+
+def ack_cursor(cursor_path: str, epoch: int) -> None:
+    """Atomically record ``epoch`` as consumed (fsync'd tmp + rename —
+    the same crash-safe pointer write as ``publish_version``). Call
+    ONLY after the polled DataFrame has been fully materialized
+    downstream: a crash between poll and ack re-delivers the same
+    epochs (at-least-once), and the rows' ``__sg_seq`` epoch column
+    makes the redelivery idempotent for MERGE-shaped consumers."""
+    os.makedirs(os.path.dirname(cursor_path) or ".", exist_ok=True)
+    tmp = cursor_path + CURSOR_TMP_SUFFIX
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump({"epoch": int(epoch)}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, cursor_path)
+
+
+def poll_changes(
+    spark, root: str, cursor_path: str, component: str = ""
+) -> tuple["object", int]:
+    """Checkpointed incremental change-feed consumption (the Delta
+    ``readChangeFeed`` + ``Trigger.AvailableNow`` consumption model for
+    this layout): return ``(changes_df, hi_epoch)`` where ``changes_df``
+    holds every row upserted by the commits AFTER the cursor's last
+    acked epoch up to the current epoch ``hi``, read from ONLY those
+    epochs' recorded delta segments — O(changes since last poll), never
+    a table scan, which is what lets a 100 TB table feed downstream
+    consumers (indexers, aggregates, replicas) at micro-batch cost.
+
+    Contract: poll → process/materialize → ``ack_cursor(path, hi)``.
+    A fresh cursor (no file) reads the full retention window — every
+    retained numeric commit. A cursor that has fallen behind retention
+    raises KeyError (a silently-partial feed is worse than none; raise
+    ``keep_last`` at the sink or poll more often). A cursor AHEAD of
+    the table (``last > hi``) raises ValueError — the table was reset
+    or restored under the consumer, which must re-seed explicitly.
+    ``hi == last`` returns an empty DataFrame with the feed schema and
+    ``hi`` unchanged (ack is then a no-op by value).
+
+    Restores and maintenance rewrites publish non-numeric versions and
+    carry no ``changes``, so they are invisible to cursors — identical
+    to ``change_feed`` semantics."""
+    numeric = {
+        e: n
+        for n in list_versions(root)
+        if (e := _numeric_epoch(n)) is not None
+    }
+    if not numeric:
+        raise FileNotFoundError(
+            f"no numeric commit versions retained under {root!r}"
+        )
+    hi = max(numeric)
+    last = read_cursor(cursor_path)
+    if last is not None and last > hi:
+        raise ValueError(
+            f"cursor {cursor_path!r} is at epoch {last} but the table's "
+            f"current epoch is {hi} — the table was reset or restored; "
+            "delete the cursor to re-seed from the retention window"
+        )
+    lo = last if last is not None else min(numeric) - 1
+    walked = sorted(e for e in numeric if lo < e <= hi)
+    if len(walked) != hi - lo:
+        raise KeyError(
+            f"cursor at epoch {lo} needs {hi - lo} commits but only "
+            f"{len(walked)} are retained under {root!r} — the consumer "
+            "fell behind retention; raise keep_last at the sink"
+        )
+    prev_read_list: set[str] = set()
+    if last is not None and last in numeric:
+        comp0 = (read_manifest(root, numeric[last]) or {}).get(component)
+        if comp0 is not None:
+            prev_read_list = set(comp0.get("segments", []))
+    feed_segments = _collect_feed_segments(
+        root, component, numeric, walked, prev_read_list
+    )
+    if not feed_segments:
+        live = ((read_manifest(root, numeric[hi]) or {}).get(component) or {}).get(
+            "segments", []
+        )
+        if live:
+            df = _read_segment_union(
+                spark, [segment_path(root, s) for s in live]
+            ).limit(0)
+        else:
+            src = read_version(spark, root, subdir=component or None)
+            df = spark.createDataFrame([], src.schema)
+        return df, hi
+    return (
+        _read_segment_union(
+            spark, [segment_path(root, s) for s in feed_segments]
+        ),
+        hi,
+    )
+
+
+def _numeric_epoch(name: str) -> int | None:
+    """Numeric commit epoch of a version name, or None for maintenance/
+    restore versions (``data_vx<millis>...``) — those carry no changes
+    by construction and are skipped by feeds."""
+    suffix = name.rsplit("v", 1)[-1]
+    return int(suffix) if suffix.isdigit() else None
+
+
+def _collect_feed_segments(
+    root: str,
+    component: str,
+    numeric: dict[int, str],
+    epochs: list[int],
+    prev_read_list: set[str],
+) -> list[str]:
+    """The change segments of ``epochs`` (ascending), with the
+    pre-``changes``-manifest fallback (added non-rewrite segments vs
+    the previous epoch's read list)."""
+    feed_segments: list[str] = []
+    for e in epochs:
+        components = read_manifest(root, numeric[e])
+        if components is None:
+            raise ValueError(
+                f"version {numeric[e]!r} is a plain parquet version (no "
+                "manifest); change feeds require the delta-segmented layout"
+            )
+        if component not in components:
+            raise KeyError(
+                f"component {component!r} not in version manifest; "
+                f"available: {sorted(components)}"
+            )
+        comp = components[component]
+        if "changes" in comp:
+            feed_segments.extend(comp["changes"])
+        else:
+            feed_segments.extend(
+                s
+                for s in comp.get("segments", [])
+                if s not in prev_read_list
+                and not s.rsplit("_", 1)[-1].startswith(("c", "m"))
+            )
+        prev_read_list = set(comp.get("segments", []))
+    return feed_segments
+
+
+def restore_version(
+    root: str, version: str | int, max_attempts: int = 10
+) -> str:
+    """``RESTORE TABLE ... TO VERSION AS OF`` analog: publish a NEW
+    version whose contents equal a retained historical version, without
+    rewriting any data for segment-backed tables — the new version's
+    manifest references the SAME immutable segments the historical one
+    does (Delta's RESTORE is the same metadata-only trick), so at
+    100 TB a bad deploy rolls back in one pointer commit. History is
+    preserved: the botched versions stay retained and time-travelable
+    for forensics; only CURRENT moves.
+
+    The publish is a CAS commit against the current version observed
+    (`try_publish_version`), so a concurrent sink epoch or maintenance
+    rewrite surfaces as a conflict and the restore re-derives — never
+    clobbering a commit it didn't see. The restore version is named
+    ``data_vx<millis>`` (non-numeric): change feeds and cursors skip it
+    — rows re-surfaced by a restore are NOT change events (the same
+    caveat Delta documents for RESTORE + CDF).
+
+    Plain (pre-manifest) parquet versions restore by file copy — they
+    have no shared immutable segments to reference (O(version) bytes;
+    an object-store deployment would use server-side copy). A
+    version-local ``base`` component copies its base directory the same
+    way. Restoring to the version that is already current is a no-op
+    returning the current directory."""
+    for attempt in range(max_attempts):
+        cur = current_version_dir(root)
+        if cur is None:
+            raise FileNotFoundError(f"nothing published under {root!r}")
+        cur_name = os.path.basename(cur)
+        target = version_dir(root, version)  # KeyError if not retained
+        target_name = os.path.basename(target)
+        if target_name == cur_name:
+            return cur
+        components = read_manifest(root, target_name)
+        vname = f"data_vx{int(time.time() * 1000)}a{attempt}"
+        vdir = os.path.join(root, vname)
+        shutil.rmtree(vdir, ignore_errors=True)
+        os.makedirs(vdir)
+        if components is None:
+            for entry in os.listdir(target):
+                src = os.path.join(target, entry)
+                dst = os.path.join(vdir, entry)
+                if os.path.isdir(src):
+                    shutil.copytree(src, dst)
+                else:
+                    shutil.copy2(src, dst)
+        else:
+            new_components = {}
+            for name, comp in components.items():
+                comp = dict(comp)
+                if comp.get("base"):
+                    shutil.copytree(
+                        os.path.join(target, comp["base"]),
+                        os.path.join(vdir, comp["base"]),
+                    )
+                # a restore is a rewrite, never a change: feeds skip it
+                comp["changes"] = []
+                new_components[name] = comp
+            write_manifest(root, vname, new_components)
+        try:
+            return try_publish_version(
+                root,
+                vname,
+                expected_current=cur_name,
+                keep_last=len(list_versions(root)) + 1,
+                grace_seconds=3600.0,
+            )
+        except CommitConflict:
+            shutil.rmtree(vdir, ignore_errors=True)
+    raise RuntimeError(
+        f"restore on {root!r} lost {max_attempts} consecutive commit "
+        "races; quiesce the writers or raise max_attempts"
     )
 
 

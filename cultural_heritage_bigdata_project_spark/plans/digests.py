@@ -137,6 +137,7 @@ GROUPS: dict[str, list[str]] = {
         "stream_stream_outer_join",
         "stream_scd2_asof_enrich",
         "batch_merge_commits",
+        "change_feed_cursor",
     ],
     "text_profile_digest": [
         "text_stats",
@@ -562,6 +563,13 @@ PART_COLS: dict[str, tuple[tuple[str, str], ...]] = {
         ("o_custkey", "s"),
         ("o_orderkey", "s"),
         ("o_orderpriority", "s"),
+    ),
+    "change_feed_cursor": (
+        ("batch", "s"),
+        ("epoch", "s"),
+        ("o_custkey", "s"),
+        ("o_orderkey", "s"),
+        ("o_orderstatus", "s"),
     ),
     "retrieval_metrics": (
         ("mrr", "f"),

@@ -447,6 +447,80 @@ def batch_merge_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "change_feed_cursor",
+    description="Checkpointed incremental change-feed consumption (the "
+    "Delta readChangeFeed + Trigger.AvailableNow consumption model, "
+    "operators/txn.py poll_changes/ack_cursor): two batch MERGE epochs "
+    "(orders sliced by orderkey mod 3, latest order per customer) "
+    "commit, a fresh cursor polls them as one batch and acks; a third "
+    "epoch commits and the table is then ROLLED BACK with "
+    "restore_version (metadata-only RESTORE); the second poll must "
+    "deliver exactly the third epoch's rows — O(changes since last "
+    "ack), never a table scan, and the restore is invisible to the "
+    "feed (a rewrite is not a change). The oracle replays both polls "
+    "from the slice definitions, so a cursor that skips, re-delivers, "
+    "or leaks restore rows flips the hash",
+    survey_ref="S14,T4,S12",
+    oracle="""
+WITH latest AS (
+  SELECT o_custkey, o_orderkey, o_orderstatus, o_orderkey % 3 AS epoch,
+         row_number() OVER (PARTITION BY o_orderkey % 3, o_custkey
+                            ORDER BY o_orderkey DESC) AS rn
+  FROM orders
+)
+SELECT CAST(CASE WHEN epoch <= 1 THEN 0 ELSE 1 END AS BIGINT) AS batch,
+       epoch, o_custkey, o_orderkey, o_orderstatus
+FROM latest WHERE rn = 1
+""",
+)
+def change_feed_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators import txn
+    from ..streaming import pipelines as streaming
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_cursor_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    root = os.path.join(base, "tbl")
+    cursor = os.path.join(base, "cursor.json")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderstatus"
+    )
+
+    def commit(e: int) -> None:
+        streaming.batch_upsert_commit(
+            spark,
+            o.filter(F.col("o_orderkey") % 3 == e),
+            keys=["o_custkey"],
+            order_desc=["o_orderkey"],
+            target_dir=root,
+            keep_last=8,
+        )
+
+    commit(0)
+    commit(1)
+    poll0, hi0 = txn.poll_changes(spark, root, cursor)
+    txn.ack_cursor(cursor, hi0)
+    commit(2)
+    # rollback under the consumer: a restore is a rewrite, not a change
+    txn.restore_version(root, "data_v1")
+    poll1, _hi1 = txn.poll_changes(spark, root, cursor)
+    seq = streaming._SEQ_COL
+    out0 = poll0.withColumn("batch", F.lit(0).cast("long"))
+    out1 = poll1.withColumn("batch", F.lit(1).cast("long"))
+    return out0.unionByName(out1).select(
+        "batch",
+        F.col(seq).alias("epoch"),
+        "o_custkey",
+        "o_orderkey",
+        "o_orderstatus",
+    )
+
+
+@register(
     "change_feed_ivm",
     description="Change feed + incremental view maintenance, driver-"
     "gated end to end (the Delta CDF -> streaming-agg consumer shape): "

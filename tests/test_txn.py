@@ -771,3 +771,166 @@ def test_table_info_metadata_only(spark, tmp_path):
     info2 = txn.table_info(tdir)
     comp2 = info2["components"][""]
     assert comp2["collapsed"] and comp2["exact_row_count"] == 300
+
+
+# --------------------------------------------------------- restore + cursor
+
+
+def _three_epoch_table(spark, tmp_path, keep_last=4):
+    """A segmented table with three batch MERGE epochs on key `id`:
+    epoch 0 = ids 0..9 (v=0), epoch 1 = ids 5..14 (v=1), epoch 2 =
+    ids 10..19 (v=2). Later epochs win overlapping keys."""
+    tdir = str(tmp_path / "rtbl")
+    for e, lo in enumerate([0, 5, 10]):
+        df = spark.createDataFrame(
+            [(i, e, f"e{e}_{i}") for i in range(lo, lo + 10)],
+            "id long, v long, val string",
+        )
+        streaming.batch_upsert_commit(
+            spark, df, ["id"], ["v"], tdir, keep_last=keep_last
+        )
+    return tdir
+
+
+def test_restore_version_metadata_only(spark, tmp_path):
+    """RESTORE to a retained epoch equals that epoch's snapshot, moves
+    only the pointer (no new segment directories), and keeps the rolled-
+    back versions time-travelable."""
+    tdir = _three_epoch_table(spark, tmp_path)
+    want = {
+        (r.id, r.v, r.val)
+        for r in txn.read_version(spark, tdir, "data_v1").collect()
+    }
+    seg_root = os.path.join(tdir, txn.SEGMENTS_DIR)
+    segs_before = sorted(os.listdir(seg_root))
+    committed = txn.restore_version(tdir, "data_v1")
+    assert sorted(os.listdir(seg_root)) == segs_before  # metadata-only
+    got = {(r.id, r.v, r.val) for r in txn.read_version(spark, tdir).collect()}
+    assert got == want
+    # the botched head stays retained for forensics
+    assert "data_v2" in txn.list_versions(tdir)
+    head = txn.read_version(spark, tdir, "data_v2")
+    assert head.filter(F.col("id") >= 15).count() == 5
+    assert os.path.basename(committed) == txn.list_versions(tdir)[0]
+
+
+def test_restore_noop_when_already_current(spark, tmp_path):
+    tdir = _three_epoch_table(spark, tmp_path)
+    cur = txn.current_version_dir(tdir)
+    assert txn.restore_version(tdir, "data_v2") == cur
+    assert txn.current_version_dir(tdir) == cur
+
+
+def test_restore_unretained_version_raises(spark, tmp_path):
+    tdir = _three_epoch_table(spark, tmp_path, keep_last=1)
+    import pytest
+
+    with pytest.raises(KeyError):
+        txn.restore_version(tdir, "data_v0")
+
+
+def test_restore_plain_version_copies(spark, tmp_path):
+    """Plain (pre-manifest) parquet versions restore by file copy."""
+    root = str(tmp_path / "plain")
+    os.makedirs(root)
+    df0 = spark.range(5).withColumnRenamed("id", "k")
+    df0.write.parquet(os.path.join(root, "data_v0"))
+    txn.publish_version(root, "data_v0", keep_last=3)
+    spark.range(9).withColumnRenamed("id", "k").write.parquet(
+        os.path.join(root, "data_v1")
+    )
+    txn.publish_version(root, "data_v1", keep_last=3)
+    txn.restore_version(root, 0)
+    assert txn.read_version(spark, root).count() == 5
+
+
+def test_restore_then_new_commit_advances_epoch(spark, tmp_path):
+    """A MERGE after a restore lands above every prior epoch and folds
+    against the RESTORED state (rolled-back epoch 2 rows stay gone
+    unless re-upserted)."""
+    tdir = _three_epoch_table(spark, tmp_path)
+    txn.restore_version(tdir, "data_v1")
+    df = spark.createDataFrame(
+        [(14, 9, "new_14"), (30, 9, "new_30")], "id long, v long, val string"
+    )
+    vname = streaming.batch_upsert_commit(spark, df, ["id"], ["v"], tdir, keep_last=6)
+    assert vname == "data_v3"  # above the retained (rolled-back) epoch 2
+    got = {r.id: r.val for r in txn.read_version(spark, tdir).collect()}
+    assert got[30] == "new_30" and got[14] == "new_14"
+    assert 19 not in got  # epoch-2-only key stays rolled back
+
+
+def test_poll_changes_cursor_lifecycle(spark, tmp_path):
+    """poll → ack → poll consumes each epoch exactly once; an unacked
+    poll re-delivers (at-least-once); a drained cursor polls empty."""
+    tdir = str(tmp_path / "ctbl")
+    cursor = str(tmp_path / "cursor.json")
+    for e, lo in enumerate([0, 5]):
+        df = spark.createDataFrame(
+            [(i, e, f"e{e}_{i}") for i in range(lo, lo + 10)],
+            "id long, v long, val string",
+        )
+        streaming.batch_upsert_commit(spark, df, ["id"], ["v"], tdir, keep_last=6)
+    df1, hi1 = txn.poll_changes(spark, tdir, cursor)
+    assert hi1 == 1 and df1.count() == 20  # fresh cursor: full window
+    # crash before ack: the same window re-delivers
+    df1b, hi1b = txn.poll_changes(spark, tdir, cursor)
+    assert hi1b == 1 and df1b.count() == 20
+    txn.ack_cursor(cursor, hi1)
+    df2, hi2 = txn.poll_changes(spark, tdir, cursor)
+    assert hi2 == 1 and df2.count() == 0  # drained, schema intact
+    assert set(df2.columns) == set(df1.columns)
+    third = spark.createDataFrame(
+        [(i, 2, f"e2_{i}") for i in range(10, 15)], "id long, v long, val string"
+    )
+    streaming.batch_upsert_commit(spark, third, ["id"], ["v"], tdir, keep_last=6)
+    df3, hi3 = txn.poll_changes(spark, tdir, cursor)
+    assert hi3 == 2 and df3.count() == 5  # ONLY the new epoch
+    assert {r.id for r in df3.collect()} == set(range(10, 15))
+    txn.ack_cursor(cursor, hi3)
+
+
+def test_poll_changes_behind_retention_raises(spark, tmp_path):
+    """A cursor that fell behind the sink's retention must fail loudly,
+    never deliver a silently-partial feed."""
+    import pytest
+
+    tdir = str(tmp_path / "gtbl")
+    cursor = str(tmp_path / "cursor.json")
+    # keep_last=1: only the newest version (and its changes) retained
+    for e in range(3):
+        df = spark.createDataFrame(
+            [(i, e, f"e{e}_{i}") for i in range(5)], "id long, v long, val string"
+        )
+        streaming.batch_upsert_commit(spark, df, ["id"], ["v"], tdir, keep_last=1)
+    txn.ack_cursor(cursor, 0)
+    with pytest.raises(KeyError, match="retention"):
+        txn.poll_changes(spark, tdir, cursor)
+
+
+def test_poll_changes_cursor_ahead_raises(spark, tmp_path):
+    import pytest
+
+    tdir = str(tmp_path / "atbl")
+    cursor = str(tmp_path / "cursor.json")
+    df = spark.createDataFrame([(1, 0, "a")], "id long, v long, val string")
+    streaming.batch_upsert_commit(spark, df, ["id"], ["v"], tdir)
+    txn.ack_cursor(cursor, 99)
+    with pytest.raises(ValueError, match="restored"):
+        txn.poll_changes(spark, tdir, cursor)
+
+
+def test_restore_invisible_to_cursor(spark, tmp_path):
+    """A restore is a rewrite, not a change: a drained cursor stays
+    drained across it, and the next real MERGE epoch is delivered."""
+    tdir = _three_epoch_table(spark, tmp_path)
+    cursor = str(tmp_path / "cursor.json")
+    _df, hi = txn.poll_changes(spark, tdir, cursor)
+    txn.ack_cursor(cursor, hi)
+    txn.restore_version(tdir, "data_v1")
+    df, hi2 = txn.poll_changes(spark, tdir, cursor)
+    assert hi2 == hi and df.count() == 0
+    nxt = spark.createDataFrame([(50, 9, "x")], "id long, v long, val string")
+    streaming.batch_upsert_commit(spark, nxt, ["id"], ["v"], tdir, keep_last=8)
+    df2, hi3 = txn.poll_changes(spark, tdir, cursor)
+    assert hi3 == 3 and df2.count() == 1
