@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "data_skipping_read",
     "point_lookup_read",
     "change_feed_cursor",
+    "cdc_replication",
     # production-hash-family variants (bench-only, defined below): the
     # catalog queries pin hash_family="md5-portable" so the DuckDB
     # oracle can replay candidate sets, but the path you'd run at

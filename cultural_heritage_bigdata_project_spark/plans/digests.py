@@ -138,6 +138,7 @@ GROUPS: dict[str, list[str]] = {
         "stream_scd2_asof_enrich",
         "batch_merge_commits",
         "change_feed_cursor",
+        "cdc_replication",
     ],
     "text_profile_digest": [
         "text_stats",
@@ -567,6 +568,11 @@ PART_COLS: dict[str, tuple[tuple[str, str], ...]] = {
     "change_feed_cursor": (
         ("batch", "s"),
         ("epoch", "s"),
+        ("o_custkey", "s"),
+        ("o_orderkey", "s"),
+        ("o_orderstatus", "s"),
+    ),
+    "cdc_replication": (
         ("o_custkey", "s"),
         ("o_orderkey", "s"),
         ("o_orderstatus", "s"),

@@ -521,6 +521,88 @@ def change_feed_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_replication",
+    description="CDC table replication (streaming.replicate_changes — "
+    "the cross-region follower a 100 TB deployment runs on a "
+    "schedule): three batch MERGE epochs (orders sliced by orderkey "
+    "mod 3) plus a tombstone epoch (custkeys divisible by 10 deleted "
+    "at a sentinel order key) commit into a source table; a cursor-"
+    "driven replica applies them in two polls — O(changes) on the "
+    "source, one O(batch) CAS-published MERGE on the replica per poll "
+    "— and the REPLICA's merge-on-read read must equal the source's "
+    "latest-order-per-customer fold minus the deleted keys, which is "
+    "exactly what the oracle states from `orders` alone",
+    survey_ref="S14,S12,T4",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderstatus
+FROM (
+  SELECT o_custkey, o_orderkey, o_orderstatus,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn = 1 AND o_custkey % 10 <> 0
+""",
+)
+def cdc_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators import txn
+    from ..streaming import pipelines as streaming
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_cdcrep_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    dst = os.path.join(base, "dst")
+    cursor = os.path.join(base, "cursor.json")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderstatus"
+    )
+
+    def commit(df) -> None:
+        streaming.batch_upsert_commit(
+            spark,
+            df,
+            keys=["o_custkey"],
+            order_desc=["o_orderkey"],
+            target_dir=src,
+            delete_col="is_del",
+            keep_last=8,
+        )
+
+    upsert = lambda e: commit(  # noqa: E731 - local shorthand
+        o.filter(F.col("o_orderkey") % 3 == e).withColumn(
+            "is_del", F.lit(False)
+        )
+    )
+    upsert(0)
+    upsert(1)
+    streaming.replicate_changes(spark, src, dst, cursor)
+    upsert(2)
+    # tombstone epoch: delete every custkey divisible by 10 at a
+    # sentinel order key above every real one, so the delete wins
+    commit(
+        o.select("o_custkey")
+        .distinct()
+        .filter(F.col("o_custkey") % 10 == 0)
+        .select(
+            "o_custkey",
+            (F.lit(1_000_000_000).cast("long") + F.col("o_custkey")).alias(
+                "o_orderkey"
+            ),
+            F.lit(None).cast("string").alias("o_orderstatus"),
+            F.lit(True).alias("is_del"),
+        )
+    )
+    streaming.replicate_changes(spark, src, dst, cursor)
+    return txn.read_version(spark, dst).select(
+        "o_custkey", "o_orderkey", "o_orderstatus"
+    )
+
+
+@register(
     "change_feed_ivm",
     description="Change feed + incremental view maintenance, driver-"
     "gated end to end (the Delta CDF -> streaming-agg consumer shape): "

@@ -409,6 +409,78 @@ def batch_upsert_commit(
     )
 
 
+def replicate_changes(
+    spark: SparkSession,
+    src_root: str,
+    dst_root: str,
+    cursor_path: str,
+    component: str = "",
+    n_buckets: int | None = None,
+    keep_last: int = 1,
+    compact_every: int = 8,
+    minor_every: int | None = None,
+) -> int:
+    """CDC table replication: apply everything committed to ``src_root``
+    since the cursor's last ack as ONE batch MERGE into ``dst_root``,
+    then advance the cursor — the cross-region/downstream-replica
+    follower a 100 TB deployment runs on a schedule. Per call the I/O
+    is O(changes since last poll) on the source (delta segments only,
+    never a scan) and O(batch) on the destination (one delta segment
+    under the replica's next epoch, CAS-published).
+
+    Exactness: the polled rows are first folded to the SOURCE's
+    latest-per-key semantics (max ``order_desc``, ties to the earliest
+    source epoch via the seq column) with winning tombstones kept as
+    physical rows, so a multi-epoch poll applies exactly the rows a
+    key-by-key replay would; the destination's own fold then resolves
+    across replication batches by the same ``order_desc``, so
+    ``read_version(dst)`` equals ``read_version(src)`` after every
+    acked poll (test-pinned). Deletes replicate as tombstones
+    (``delete_col`` carried from the source spec). At-least-once: a
+    crash between MERGE and ack re-applies the same rows, which the
+    destination fold makes idempotent.
+
+    Returns the source epoch the cursor advanced to (or was already
+    at, when the poll was empty — no destination epoch is spent on an
+    empty poll)."""
+    cur = txn.current_version_dir(src_root)
+    if cur is None:
+        raise FileNotFoundError(f"nothing published under {src_root!r}")
+    components = txn.read_manifest(src_root, os.path.basename(cur))
+    if components is None or component not in components:
+        raise ValueError(
+            f"{src_root!r} has no segmented component {component!r}"
+        )
+    spec = components[component].get("reconstruct")
+    if spec is None:
+        raise ValueError(
+            "replicate_changes requires a latest-by-key component "
+            "(append components replicate by reading the change feed "
+            "and appending)"
+        )
+    changes, hi = txn.poll_changes(spark, src_root, cursor_path, component)
+    if changes.isEmpty():
+        txn.ack_cursor(cursor_path, hi)
+        return hi  # drained/empty poll: no destination epoch spent
+    folded = txn.reconstruct_latest(changes, spec, keep_seq=True).drop(
+        spec["seq_col"]
+    )
+    batch_upsert_commit(
+        spark,
+        folded,
+        keys=list(spec["keys"]),
+        order_desc=list(spec["order_desc"]),
+        target_dir=dst_root,
+        delete_col=spec.get("delete_col"),
+        n_buckets=n_buckets if n_buckets is not None else spec.get("buckets"),
+        keep_last=keep_last,
+        compact_every=compact_every,
+        minor_every=minor_every,
+    )
+    txn.ack_cursor(cursor_path, hi)
+    return hi
+
+
 def _next_table_epoch(root: str, prior: dict | None, cur_name: str | None) -> int:
     """The table's next logical epoch: strictly above every numeric
     tail among retained version names and the live component's

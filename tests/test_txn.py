@@ -934,3 +934,64 @@ def test_restore_invisible_to_cursor(spark, tmp_path):
     streaming.batch_upsert_commit(spark, nxt, ["id"], ["v"], tdir, keep_last=8)
     df2, hi3 = txn.poll_changes(spark, tdir, cursor)
     assert hi3 == 3 and df2.count() == 1
+
+
+def test_replicate_changes_follows_source(spark, tmp_path):
+    """CDC replication: after every acked poll the replica's
+    merge-on-read state equals the source's — upserts, overlapping
+    keys, order regressions, and tombstone deletes included."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    cursor = str(tmp_path / "cursor.json")
+
+    def commit(rows):
+        df = spark.createDataFrame(
+            rows, "id long, v long, val string, is_del boolean"
+        )
+        streaming.batch_upsert_commit(
+            spark, df, ["id"], ["v"], src, delete_col="is_del", keep_last=8
+        )
+
+    def snap(root):
+        return {
+            (r.id, r.v, r.val)
+            for r in txn.read_version(spark, root).collect()
+        }
+
+    commit([(1, 10, "a", False), (2, 10, "b", False), (3, 10, "c", False)])
+    commit([(2, 20, "b2", False), (4, 20, "d", False)])
+    hi = streaming.replicate_changes(spark, src, dst, cursor)
+    assert hi == 1
+    assert snap(dst) == snap(src)
+    # epoch 2: delete key 3, stale write for key 2 (order regression),
+    # new key 5 — then replicate the single epoch
+    commit([(3, 30, None, True), (2, 5, "stale", False), (5, 30, "e", False)])
+    hi = streaming.replicate_changes(spark, src, dst, cursor)
+    assert hi == 2
+    got = snap(dst)
+    assert got == snap(src)
+    assert 3 not in {t[0] for t in got}  # delete replicated
+    assert ("2", ) not in got and dict((t[0], t[2]) for t in got)[2] == "b2"
+    # drained poll: no destination epoch spent
+    before = txn.list_versions(dst)
+    assert streaming.replicate_changes(spark, src, dst, cursor) == 2
+    assert txn.list_versions(dst) == before
+
+
+def test_replicate_changes_crash_before_ack_idempotent(spark, tmp_path):
+    """A crash between the replica MERGE and the ack re-applies the
+    same poll; the destination fold makes the redelivery a no-op."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    cursor = str(tmp_path / "cursor.json")
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "b")], "id long, v long, val string"
+    )
+    streaming.batch_upsert_commit(spark, df, ["id"], ["v"], src, keep_last=8)
+    streaming.replicate_changes(spark, src, dst, cursor)
+    want = {(r.id, r.v, r.val) for r in txn.read_version(spark, dst).collect()}
+    # simulate the crash: rewind the cursor as if ack never happened
+    os.remove(cursor)
+    streaming.replicate_changes(spark, src, dst, cursor)
+    got = {(r.id, r.v, r.val) for r in txn.read_version(spark, dst).collect()}
+    assert got == want
