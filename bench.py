@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "training_corpus_pipeline",
     "winnow_dup_pairs",
     "pq_ann_topk",
+    "bq_ann_topk",
     "pii_scrub",
     "incremental_dedup_snapshot",
     "semdedup_prune",

@@ -1014,14 +1014,22 @@ class CommitConflict(RuntimeError):
 
 
 @contextmanager
-def _commit_lock(root: str, timeout: float = 30.0):
+def _commit_lock(root: str, timeout: float = 180.0):
     """Serialize the read-compare-rename critical section of a CAS
     publish. Advisory `flock` on a lock file: released automatically
     if the holder dies, so a crashed committer can never wedge the
     table. Single-node analog of the conditional-put (If-Match ETag)
     an object store provides natively — on S3/GCS/ABFS the lock
     disappears and `try_publish_version` becomes one conditional PUT
-    of the pointer object (exactly how Delta coordinates S3 commits)."""
+    of the pointer object (exactly how Delta coordinates S3 commits).
+
+    The timeout is deliberately generous: the critical section is
+    milliseconds, so a timeout only fires on a wedged NFS mount or a
+    machine so oversubscribed the waiter is starved — 30s proved
+    reachable on a saturated CI box (full pytest + a parallel
+    local[32] Spark job), and a spurious TimeoutError surfaces to
+    callers as a commit failure, which is strictly worse than waiting
+    out the load."""
     import fcntl
 
     os.makedirs(root, exist_ok=True)

@@ -178,6 +178,7 @@ GROUPS: dict[str, list[str]] = {
         "retrieval_metrics",
         "retrieval_metrics_ivf",
         "sq8_ann_topk",
+        "bq_ann_topk",
     ],
 }
 
@@ -649,6 +650,11 @@ PART_COLS: dict[str, tuple[tuple[str, str], ...]] = {
     "sq8_ann_topk": (
         ("approx_micro", "s"),
         ("cosine_sim", "f"),
+        ("vec_id", "s"),
+    ),
+    "bq_ann_topk": (
+        ("cosine_sim", "f"),
+        ("hamming", "s"),
         ("vec_id", "s"),
     ),
     "semdedup_prune": (

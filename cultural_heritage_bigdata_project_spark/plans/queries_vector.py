@@ -716,3 +716,44 @@ def sq8_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.sq8_deterministic_top_k(
         vectors, _query_list(spark, sf_dir, 0), k=10, shortlist=100
     )
+
+
+@register(
+    "bq_ann_topk",
+    description="Binary-quantization (BQ) ANN: 1 sign bit per "
+    "dimension packed into BIGINT words (the 32x-compression codec "
+    "Qdrant/Lucene ship as binary quantization — the reference's "
+    "vector store supports exactly this), score by XOR+popcount "
+    "hamming distance in whole-stage codegen, shortlist the 100 "
+    "closest (hamming asc, id asc) -> exact cosine re-rank top-10; "
+    "hash-checked end-to-end including the per-row hamming distances",
+    survey_ref="J8,M5",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings WHERE vec_id <> 0
+), q AS (
+  SELECT embedding::DOUBLE[] AS v0 FROM embeddings WHERE vec_id = 0
+), ham AS (
+  SELECT e.vec_id,
+         CAST(sum(CASE WHEN (e.v0[j.j] > 0) <> (q.v0[j.j] > 0)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+  FROM e CROSS JOIN generate_series(1, 64) AS j(j), q
+  GROUP BY e.vec_id
+), short AS (
+  SELECT vec_id, hamming FROM ham
+  ORDER BY hamming ASC, vec_id ASC LIMIT 100
+)
+SELECT e.vec_id, s.hamming,
+       round(list_dot_product(e.v0, q.v0)
+             / (sqrt(list_dot_product(e.v0, e.v0))
+                * sqrt(list_dot_product(q.v0, q.v0))), 6) AS cosine_sim
+FROM e JOIN short s ON e.vec_id = s.vec_id, q
+ORDER BY cosine_sim DESC, e.vec_id ASC
+LIMIT 10
+""",
+)
+def bq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vectors = _emb(spark, sf_dir).filter(F.col("vec_id") != 0)
+    return similarity.bq_deterministic_top_k(
+        vectors, _query_list(spark, sf_dir, 0), k=10, shortlist=100
+    )

@@ -652,3 +652,31 @@ def test_ivf_sq8_recall_vs_brute_force(spark):
     }
     recall = len(exact & got) / len(exact)
     assert recall >= 0.3, f"IVF-SQ8 recall too low: {recall}"
+
+
+def test_bq_ann_recall_vs_brute_force(spark):
+    """BQ shortlist (sign-bit hamming) + exact re-rank must recover
+    most of the exact top-10. One bit per dimension is the coarsest
+    codec in the family, but a 100-wide shortlist over the fixture
+    plus exact re-ranking keeps recall high; the bar matches SQ8's."""
+    exact = {r.vec_id for r in CATALOG["knn_brute_force"].fn(spark, SF_DIR).collect()}
+    bq = {r.vec_id for r in CATALOG["bq_ann_topk"].fn(spark, SF_DIR).collect()}
+    recall = len(exact & bq) / len(exact)
+    assert recall >= 0.8, f"BQ recall vs brute force too low: {recall}"
+
+
+def test_bq_pack_query_matches_spark_fold(spark):
+    """Driver-side query packing and the Spark encode fold must agree
+    bit-for-bit — XOR/popcount compares like with like. Pins the
+    63-bit word split and the first-element-most-significant order on
+    a vector with known signs (incl. a zero component -> bit 0)."""
+    from cultural_heritage_bigdata_project_spark.operators import similarity
+
+    vec = [1.0 if i % 3 == 0 else (-1.0 if i % 3 == 1 else 0.0) for i in range(70)]
+    df = spark.createDataFrame([(1, vec)], "vec_id long, embedding array<double>")
+    got = similarity.bq_encode(df).first().bq_words
+    assert list(got) == similarity._bq_query_words(vec)
+    # hamming of a vector against itself is 0 end to end
+    top = similarity.bq_deterministic_top_k(df, vec, k=1, shortlist=1)
+    row = top.first()
+    assert row.hamming == 0 and row.vec_id == 1
