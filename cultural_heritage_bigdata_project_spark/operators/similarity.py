@@ -1403,3 +1403,54 @@ def bq_deterministic_top_k(
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def ivf_bq_top_k(
+    vectors: DataFrame,
+    query,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-BQ: inverted lists prune the CORPUS (probe ~n_probe/n_lists
+    of the rows), then packed sign bits prune the FLOAT MATH
+    (XOR+popcount hamming shortlist, exact cosine only on the
+    shortlist) — the cheapest member of the IVF-codec family beside
+    ``ivf_pq_top_k``/``ivf_sq8_top_k``: no training artifact at all
+    beyond the centroids (BQ has no stats, no codebook). Recall vs
+    brute force is pinned in tests; at 100 TB the probed lists' packed
+    words are ~32x less I/O than their floats."""
+    cent_rows = (
+        vectors.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+        )
+        .orderBy(F.md5(F.col(id_col).cast("string").cast("binary")), F.col(id_col))
+        .limit(n_lists)
+        .collect()
+    )
+    centroids = [list(map(float, r["__v"])) for r in cent_rows]
+
+    import numpy as np
+
+    cmat = np.asarray(centroids, dtype=np.float64)
+    qv = np.asarray(list(query), dtype=np.float64)
+    d = ((cmat - qv[None, :]) ** 2).sum(axis=1)
+    probe_ids = [int(i) for i in np.argsort(d, kind="stable")[:n_probe]]
+
+    assigned = _assign_lists(vectors, centroids, id_col, vec_col)
+    probed = vectors.join(
+        assigned.filter(F.col("__list").isin(probe_ids)).select(id_col),
+        on=id_col,
+        how="leftsemi",
+    ).localCheckpoint(eager=False)
+    return bq_deterministic_top_k(
+        probed,
+        query,
+        k=k,
+        shortlist=shortlist,
+        id_col=id_col,
+        vec_col=vec_col,
+    )

@@ -680,3 +680,26 @@ def test_bq_pack_query_matches_spark_fold(spark):
     top = similarity.bq_deterministic_top_k(df, vec, k=1, shortlist=1)
     row = top.first()
     assert row.hamming == 0 and row.vec_id == 1
+
+
+def test_ivf_bq_recall_vs_brute_force(spark):
+    """IVF-BQ composition: probing 4/16 lists with sign-bit hamming
+    shortlisting must keep a healthy share of the exact top-10 —
+    bounded below by the IVF pruning (the BQ stage with a 100-wide
+    shortlist loses little, see the BQ recall test)."""
+    from cultural_heritage_bigdata_project_spark.operators import similarity
+    from cultural_heritage_bigdata_project_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = list(emb.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    vectors = emb.filter(F.col("vec_id") != 0)
+    exact = {r.vec_id for r in CATALOG["knn_brute_force"].fn(spark, SF_DIR).collect()}
+    got = {
+        r.vec_id
+        for r in similarity.ivf_bq_top_k(
+            vectors, q, k=10, n_lists=16, n_probe=4, shortlist=100
+        ).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.3, f"IVF-BQ recall vs brute force too low: {recall}"
