@@ -844,7 +844,25 @@ def publish_version(
     return os.path.join(root, dirname)
 
 
-def cleanup_unpublished(root: str, grace_seconds: float = 0.0) -> list[str]:
+def vacuum(
+    root: str, grace_seconds: float = 3600.0, dry_run: bool = False
+) -> list[str]:
+    """Operational ``VACUUM`` entry point (Delta's VACUUM [DRY RUN]
+    analog): remove — or with ``dry_run=True`` just LIST — version
+    directories and segments no retained version references. The
+    default 1h grace protects any concurrent writer's in-flight
+    commit (vs `cleanup_unpublished`'s 0-grace single-writer default,
+    which every publish already runs automatically); ``dry_run``
+    answers "how much would this reclaim" before an operator commits
+    to deleting anything on a shared table."""
+    return cleanup_unpublished(
+        root, grace_seconds=grace_seconds, dry_run=dry_run
+    )
+
+
+def cleanup_unpublished(
+    root: str, grace_seconds: float = 0.0, dry_run: bool = False
+) -> list[str]:
     """Remove data_v* directories not referenced by the pointer
     manifest (stale partial writes from crashed commits, or versions
     aged out of retention), then segment directories referenced by no
@@ -858,7 +876,9 @@ def cleanup_unpublished(root: str, grace_seconds: float = 0.0) -> list[str]:
     published version dir is indistinguishable from a crashed one by
     name alone, and deleting it would fail a commit that was about to
     succeed. This is the same young-file protection as Delta/Iceberg
-    vacuum retention; 0 keeps the original single-writer behavior."""
+    vacuum retention; 0 keeps the original single-writer behavior.
+    ``dry_run=True`` returns the same list without deleting anything
+    (the `vacuum` wrapper's DRY RUN)."""
     keep = set(_read_pointer(root))
     removed = []
     if not os.path.isdir(root):
@@ -873,7 +893,8 @@ def cleanup_unpublished(root: str, grace_seconds: float = 0.0) -> list[str]:
                         continue
                 except OSError:
                     continue
-            shutil.rmtree(path, ignore_errors=True)
+            if not dry_run:
+                shutil.rmtree(path, ignore_errors=True)
             removed.append(name)
     seg_root = os.path.join(root, SEGMENTS_DIR)
     if os.path.isdir(seg_root):
@@ -895,10 +916,11 @@ def cleanup_unpublished(root: str, grace_seconds: float = 0.0) -> list[str]:
                             continue
                     except OSError:
                         continue
-                shutil.rmtree(spath, ignore_errors=True)
+                if not dry_run:
+                    shutil.rmtree(spath, ignore_errors=True)
                 removed.append(os.path.join(SEGMENTS_DIR, name))
     stale_tmp = os.path.join(root, CURRENT + ".tmp")
-    if os.path.exists(stale_tmp):
+    if os.path.exists(stale_tmp) and not dry_run:
         os.remove(stale_tmp)
     return removed
 

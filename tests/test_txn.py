@@ -995,3 +995,44 @@ def test_replicate_changes_crash_before_ack_idempotent(spark, tmp_path):
     streaming.replicate_changes(spark, src, dst, cursor)
     got = {(r.id, r.v, r.val) for r in txn.read_version(spark, dst).collect()}
     assert got == want
+
+
+def test_vacuum_dry_run_lists_without_deleting(spark, tmp_path):
+    """vacuum(dry_run=True) reports exactly what a real vacuum would
+    reclaim — and reclaims nothing; the real run then removes exactly
+    that list."""
+    tdir = _three_epoch_table(spark, tmp_path, keep_last=1)
+    # keep_last=1 already GC'd epochs 0-1's versions; age a fake
+    # orphan version dir + orphan segment past any grace window
+    orphan_v = os.path.join(tdir, "data_v99")
+    os.makedirs(orphan_v)
+    orphan_s = txn.segment_path(tdir, "upsert_v99")
+    os.makedirs(orphan_s)
+    old = 1_000_000_000  # well before any grace window
+    os.utime(orphan_v, (old, old))
+    os.utime(orphan_s, (old, old))
+    would = txn.vacuum(tdir, grace_seconds=3600.0, dry_run=True)
+    assert set(would) == {"data_v99", os.path.join("segments", "upsert_v99")}
+    assert os.path.isdir(orphan_v) and os.path.isdir(orphan_s)  # untouched
+    done = txn.vacuum(tdir, grace_seconds=3600.0)
+    assert set(done) == set(would)
+    assert not os.path.exists(orphan_v) and not os.path.exists(orphan_s)
+    # the live table is intact
+    assert txn.read_version(spark, tdir).count() > 0
+
+
+def test_replicate_changes_schema_evolution(spark, tmp_path):
+    """A source epoch that adds a NEW column replicates cleanly: the
+    replica surfaces the column, with NULL for pre-evolution keys."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    cursor = str(tmp_path / "cursor.json")
+    b0 = spark.createDataFrame([(1, 10, "a")], "id long, v long, val string")
+    streaming.batch_upsert_commit(spark, b0, ["id"], ["v"], src, keep_last=8)
+    b1 = spark.createDataFrame(
+        [(2, 20, "b", "extra")], "id long, v long, val string, note string"
+    )
+    streaming.batch_upsert_commit(spark, b1, ["id"], ["v"], src, keep_last=8)
+    streaming.replicate_changes(spark, src, dst, cursor)
+    got = {r.id: (r.val, r.note) for r in txn.read_version(spark, dst).collect()}
+    assert got == {1: ("a", None), 2: ("b", "extra")}
