@@ -17,6 +17,14 @@ under "repeats" so a contended-machine outlier is self-evident from
 the artifact alone (round-2 lesson: a single sample recorded 23.6 s
 for a query that idle-measures 1.16 s, and nothing in the artifact
 could tell noise from regression).
+
+The artifact also self-labels machine contention (round-6 lesson: a
+driver bench ran concurrently with external load and recorded 10x
+medians; only an idle re-run could prove the code hadn't regressed):
+"load" carries the 1-minute /proc/loadavg sampled before each query's
+repeat block plus start/end, and "cpus" the machine's CPU count — a
+load far above cpus at sample time explains an inflated sample from
+the artifact alone.
 """
 
 from __future__ import annotations
@@ -211,9 +219,21 @@ def main() -> None:
     # contention there (round-4 verdict #6: a [0.28, 1.59, 0.21]
     # sample set hides a 7x outlier behind the median)
     short_repeats = max(n_repeats, 5)
+    def _load1m() -> float:
+        try:
+            with open("/proc/loadavg") as f:
+                return round(float(f.read().split()[0]), 2)
+        except OSError:  # non-Linux: os.getloadavg or -1 sentinel
+            try:
+                return round(os.getloadavg()[0], 2)
+            except OSError:
+                return -1.0
+
     timings: dict[str, float] = {}
     repeats: dict[str, list[float]] = {}
+    load: dict[str, float] = {"_start": _load1m()}
     for name in BENCH_QUERIES:
+        load[name] = _load1m()
         samples: list[float] = []
         target = n_repeats
         while len(samples) < target:
@@ -226,6 +246,7 @@ def main() -> None:
         repeats[name] = samples
         timings[name] = round(statistics.median(samples), 3)
 
+    load["_end"] = _load1m()
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -236,6 +257,8 @@ def main() -> None:
                 "queries": timings,
                 "repeats": repeats,
                 "flagship_first_run_sec": flagship_first,
+                "load": load,
+                "cpus": os.cpu_count(),
                 "sf": sf,
             }
         )

@@ -1,0 +1,364 @@
+"""Persisted ANN index as components of a versioned table (the Qdrant
+persistent-collection analog, reference
+ML-model/embeddings-extractor/extracting_embeddings.py:60-84: build the
+collection once, serve many queries — vs the engine's prior per-query
+re-derivation of centroids and codes).
+
+Layout (one txn-layer table root, CAS-published versions):
+
+- component ``codes``: ``(vec_id, ann_list, c0..c{m-1}, embedding,
+  ann_epoch, __sg_seq)``. The BUILD writes one segment **per inverted
+  list** (``ann{epoch}_l{K}``), each with manifest min/max stats pinning
+  ``ann_list = K`` — so a probe selects its ``n_probe`` segments
+  metadata-only, before Spark lists a single file (the IVF posting-list
+  file layout, expressed through the existing manifest data-skipping
+  machinery). UPSERTS append one small delta segment per batch, encoded
+  with the STORED codebook (no quantizer drift), read whole by every
+  probe (O(delta)) until the next rebuild folds them in.
+- component ``meta``: ``(kind, idx, vals: array<double>)`` — centroids
+  (``kind='centroid'``) and PQ codewords (``kind='codeword'``), a few
+  KB, collected driver-side per query.
+
+Merge-on-read across a probe is subtle: an upsert may move a vector to
+a different list, so the newest row for a key can live outside the
+probed segments while a stale row lives inside. Reading probed base
+segments ∪ ALL delta segments and folding latest-per-key BEFORE the
+``ann_list`` probe filter resolves every case: a stale probed row is
+superseded by the delta row (read, any list), and a fresh probed row
+wins its fold. Deltas are the only rows read beyond the probe, and
+they are O(changes since rebuild) by construction.
+
+At 100 TB: the build is one Arrow-GEMM encode pass + a hash shuffle on
+``ann_list`` (each list segment written by its own tasks); a query
+reads ~``n_probe/n_lists`` of the code bytes plus the delta tail,
+ADC-scores them in whole-stage codegen, and touches raw vectors only
+for the final ``shortlist`` re-rank.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import txn
+from .similarity import (
+    _deterministic_centroids,
+    cosine_similarity,
+    pq_adc_shortlist,
+    pq_codebook,
+)
+
+META_COMPONENT = "meta"
+CODES_COMPONENT = "codes"
+_SEQ = "__sg_seq"
+
+
+def _encode_pass(
+    vectors: DataFrame,
+    centroids,
+    codebook,
+    m: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """ONE Arrow-batched pass computing the full index row per vector:
+    nearest-centroid list assignment (squared L2, ties → lowest list)
+    AND the m PQ codes (on the L2-normalized vector, as pq_encode) —
+    the vectors are streamed through a single mapInPandas GEMM instead
+    of the two passes the per-query operators run."""
+    import numpy as np
+    import pandas as pd
+
+    cmat = np.asarray(centroids, dtype=np.float64)
+    cw = np.asarray(codebook, dtype=np.float64)
+    sd = cw.shape[1] // m
+    schema = (
+        "__id long, ann_list int, "
+        + ", ".join(f"c{j} int" for j in range(m))
+        + ", __v array<double>"
+    )
+
+    def compute(batches):
+        c2 = (cmat * cmat).sum(axis=1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+            d = c2[None, :] - 2.0 * (mat @ cmat.T)
+            out = {
+                "__id": pdf["__id"].to_numpy(),
+                "ann_list": np.argmin(d, axis=1).astype(np.int32),
+            }
+            nmat = mat / np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+            for j in range(m):
+                sub = nmat[:, j * sd : (j + 1) * sd]
+                cws = cw[:, j * sd : (j + 1) * sd]
+                dist = ((sub[:, None, :] - cws[None, :, :]) ** 2).sum(axis=-1)
+                out[f"c{j}"] = np.argmin(dist, axis=1).astype(np.int32)
+            out["__v"] = list(pdf["__v"].to_numpy())
+            yield pd.DataFrame(out)
+
+    return (
+        vectors.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        )
+        .mapInPandas(compute, schema)
+        .withColumnRenamed("__id", id_col)
+        .withColumnRenamed("__v", vec_col)
+    )
+
+
+def _spec(id_col: str) -> dict:
+    return {
+        "kind": "latest_by_key",
+        "keys": [id_col],
+        "order_desc": ["ann_epoch"],
+        "seq_col": _SEQ,
+    }
+
+
+def _meta_df(spark: SparkSession, centroids, codebook) -> DataFrame:
+    rows = [("centroid", i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    rows += [
+        ("codeword", i, [float(x) for x in codebook[i]])
+        for i in range(len(codebook))
+    ]
+    return spark.createDataFrame(rows, "kind string, idx int, vals array<double>")
+
+
+def read_index_meta(spark: SparkSession, root: str):
+    """(centroids, codebook) from the ``meta`` component of the current
+    version — a bounded collect of n_lists + n_codes rows."""
+    rows = txn.read_version(spark, root, subdir=META_COMPONENT).collect()
+    cent = sorted(
+        ((r["idx"], r["vals"]) for r in rows if r["kind"] == "centroid")
+    )
+    cw = sorted(((r["idx"], r["vals"]) for r in rows if r["kind"] == "codeword"))
+    import numpy as np
+
+    return (
+        [[float(x) for x in v] for _, v in cent],
+        np.asarray([[float(x) for x in v] for _, v in cw], dtype=np.float64),
+    )
+
+
+def build_ann_index(
+    spark: SparkSession,
+    vectors: DataFrame,
+    root: str,
+    n_lists: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_last: int = 2,
+) -> str:
+    """Full index (re)build: derive the deterministic quantizers
+    (md5-sample centroids + codebook — engine-portable, as the per-query
+    deterministic operators), encode every vector in one pass, write one
+    segment per inverted list + the meta segment, and CAS-publish. A
+    rebuild over a table with prior upsert deltas FOLDS them: the new
+    base is the only read list. Returns the committed version dir."""
+    centroids = _deterministic_centroids(vectors, n_lists, id_col, vec_col)
+    codebook = pq_codebook(vectors, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col)
+    encoded = _encode_pass(vectors, centroids, codebook, m, id_col, vec_col)
+
+    def build(current_dir, new_dir):
+        vname = os.path.basename(new_dir)
+        epoch = _next_epoch(root, current_dir)
+        stamped = encoded.withColumn("ann_epoch", F.lit(epoch).cast("long")).withColumn(
+            _SEQ, F.lit(epoch).cast("long")
+        )
+        # ONE job: hash-shuffle on the (duplicated) partition column,
+        # every list's tasks write their own directory; each partition
+        # dir is then RENAMED into place as a per-list segment —
+        # metadata-only re-homing, no second write pass. The duplicate
+        # ``ann_list_p`` exists because partitionBy strips its column
+        # from the data files, and delta segments need ``ann_list`` as
+        # a real column to union by name.
+        scratch = os.path.join(new_dir, "_encode")
+        stamped.withColumn("ann_list_p", F.col("ann_list")).write.partitionBy(
+            "ann_list_p"
+        ).parquet(scratch)
+        seg_names: list[str] = []
+        stats: dict[str, dict] = {}
+        for entry in sorted(os.listdir(scratch)):
+            if not entry.startswith("ann_list_p="):
+                continue
+            k = int(entry.split("=", 1)[1])
+            seg = f"ann{epoch}_l{k}"
+            sdir = txn.segment_path(root, seg)
+            shutil.rmtree(sdir, ignore_errors=True)
+            os.makedirs(os.path.dirname(sdir), exist_ok=True)
+            os.rename(os.path.join(scratch, entry), sdir)
+            seg_names.append(seg)
+            stats[seg] = txn.collect_parquet_stats(sdir)
+            stats[seg]["ann_list"] = [k, k]  # exact: the partition value
+        shutil.rmtree(scratch, ignore_errors=True)
+        meta_seg = f"annmeta{epoch}"
+        mdir = txn.segment_path(root, meta_seg)
+        shutil.rmtree(mdir, ignore_errors=True)
+        _meta_df(spark, centroids, codebook).coalesce(1).write.parquet(mdir)
+        txn.write_manifest(
+            root,
+            vname,
+            {
+                CODES_COMPONENT: {
+                    "base": None,
+                    "segments": seg_names,
+                    "changes": seg_names,
+                    "reconstruct": _spec(id_col),
+                    "stats": stats,
+                    "ann": {"n_lists": n_lists, "m": m, "n_codes": n_codes,
+                            "list_segments": {str(k): f"ann{epoch}_l{k}"
+                                              for k in range(n_lists)
+                                              if f"ann{epoch}_l{k}" in seg_names},
+                            "delta_segments": []},
+                },
+                META_COMPONENT: {
+                    "base": None,
+                    "segments": [meta_seg],
+                    "changes": [],
+                },
+            },
+        )
+
+    return txn.commit_with_retry(root, build, keep_last=keep_last)
+
+
+def _next_epoch(root: str, current_dir: str | None) -> int:
+    if current_dir is None:
+        return 0
+    comp = (txn.read_manifest(root, os.path.basename(current_dir)) or {}).get(
+        CODES_COMPONENT
+    )
+    if comp is None:
+        return 0
+    hi = -1
+    for s in comp.get("segments", []):
+        tag = s.split("_", 1)[0].removeprefix("ann").removeprefix("d")
+        if tag.isdigit():
+            hi = max(hi, int(tag))
+    return hi + 1
+
+
+def ann_index_upsert(
+    spark: SparkSession,
+    new_vectors: DataFrame,
+    root: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_last: int = 2,
+) -> str:
+    """O(batch) incremental maintenance: encode ONLY the new/changed
+    vectors with the STORED quantizers (reading meta, never the corpus)
+    and commit them as one delta segment of the ``codes`` component.
+    Latest-per-key fold at read time supersedes the base rows; a
+    periodic ``build_ann_index`` rebuild folds deltas back into pruned
+    per-list segments."""
+    centroids, codebook = read_index_meta(spark, root)
+    m = _stored_m(spark, root)
+    encoded = _encode_pass(new_vectors, centroids, codebook, m, id_col, vec_col)
+
+    def build(current_dir, new_dir):
+        if current_dir is None:
+            raise FileNotFoundError(
+                f"no index published under {root!r}; run build_ann_index first"
+            )
+        cur_name = os.path.basename(current_dir)
+        components = txn.read_manifest(root, cur_name)
+        comp = dict(components[CODES_COMPONENT])
+        epoch = _next_epoch(root, current_dir)
+        stamped = encoded.withColumn(
+            "ann_epoch", F.lit(epoch).cast("long")
+        ).withColumn(_SEQ, F.lit(epoch).cast("long"))
+        seg = f"annd{epoch}"
+        sdir = txn.segment_path(root, seg)
+        shutil.rmtree(sdir, ignore_errors=True)
+        stamped.write.parquet(sdir)
+        segments = list(comp.get("segments", [])) + [seg]
+        stats = dict(comp.get("stats") or {})
+        stats[seg] = txn.collect_parquet_stats(sdir)
+        ann = dict(comp.get("ann") or {})
+        ann["delta_segments"] = list(ann.get("delta_segments", [])) + [seg]
+        comp.update(
+            {"segments": segments, "changes": [seg], "stats": stats, "ann": ann}
+        )
+        out = dict(components)
+        out[CODES_COMPONENT] = comp
+        txn.write_manifest(root, os.path.basename(new_dir), out)
+
+    return txn.commit_with_retry(root, build, keep_last=keep_last)
+
+
+def _stored_m(spark: SparkSession, root: str) -> int:
+    cur = txn.current_version_dir(root)
+    comp = (txn.read_manifest(root, os.path.basename(cur)) or {}).get(
+        CODES_COMPONENT, {}
+    )
+    return int((comp.get("ann") or {}).get("m", 8))
+
+
+def ann_index_top_k(
+    spark: SparkSession,
+    root: str,
+    query,
+    k: int = 10,
+    n_probe: int = 4,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve a kNN query from the PREBUILT index: meta read (KBs) →
+    driver-side probe selection → metadata-pruned scan of the n_probe
+    base list segments ∪ the delta tail → latest-per-key fold → probe
+    filter → JVM ADC shortlist → exact cosine re-rank. No quantizer
+    derivation, no corpus-wide encode — the per-query cost a persisted
+    index exists to eliminate. Returns (vec_id, adc_micro, cosine_sim)
+    as ``pq_deterministic_top_k``."""
+    import numpy as np
+
+    centroids, codebook = read_index_meta(spark, root)
+    cur = txn.current_version_dir(root)
+    if cur is None:
+        raise FileNotFoundError(f"nothing published under {root!r}")
+    comp = txn.read_manifest(root, os.path.basename(cur))[CODES_COMPONENT]
+    ann = comp.get("ann") or {}
+    m = int(ann.get("m", 8))
+
+    cmat = np.asarray(centroids, dtype=np.float64)
+    qv = np.asarray(list(query), dtype=np.float64)
+    d = ((cmat - qv[None, :]) ** 2).sum(axis=1)
+    probe_ids = [int(i) for i in np.argsort(d, kind="stable")[:n_probe]]
+
+    list_segs = ann.get("list_segments", {})
+    probe_segs = [list_segs[str(p)] for p in probe_ids if str(p) in list_segs]
+    delta_segs = list(ann.get("delta_segments", []))
+    paths = [txn.segment_path(root, s) for s in probe_segs + delta_segs]
+    if not paths:
+        raise FileNotFoundError(f"index under {root!r} has no segments")
+    rows = txn._read_segment_union(spark, paths)
+    # fold BEFORE the probe filter: a delta row (always read) supersedes
+    # a stale probed base row even when it moved the key to another list
+    latest = txn.reconstruct_latest(rows, _spec(id_col))
+    probed = latest.filter(F.col("ann_list").isin(probe_ids))
+    short = pq_adc_shortlist(
+        probed.select(id_col, *[f"c{j}" for j in range(m)]),
+        codebook,
+        query,
+        m=m,
+        shortlist=shortlist,
+        id_col=id_col,
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in query]).cast("array<double>")
+    sim = F.round(cosine_similarity(F.col(vec_col), qlit), 6)
+    return (
+        probed.join(short, on=id_col)
+        .select(F.col(id_col), F.col("adc_micro"), sim.alias("cosine_sim"))
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

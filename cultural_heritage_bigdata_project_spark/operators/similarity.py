@@ -1337,7 +1337,10 @@ def _bq_words_expr(vec_col: str, dim: int):
 
 
 def bq_encode(
-    vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Binary-quantization codec: 1 BIT per dimension (the sign), the
     32x-compression serving artifact Qdrant/Lucene ship as "binary
@@ -1345,11 +1348,28 @@ def bq_encode(
     in Qdrant, whose BQ this mirrors engine-side). Returns
     ``(id, bq_words: array<long>)`` — at 100 TB the packed words are
     the persisted column scanned per query; raw vectors are touched
-    only for shortlist re-ranking."""
-    dim = len(vectors.select(vec_col).first()[0])
+    only for shortlist re-ranking.
+
+    ``dim`` skips the one-row inference job (pass it when known — e.g.
+    from the embedder config); an empty collection without ``dim``
+    raises a clear ValueError instead of an opaque subscript error."""
+    if dim is None:
+        dim = _infer_dim(vectors, vec_col)
     return vectors.select(
         F.col(id_col), _bq_words_expr(vec_col, dim).alias("bq_words")
     )
+
+
+def _infer_dim(vectors: DataFrame, vec_col: str) -> int:
+    """Vector dimensionality from one sampled row (one extra Spark job —
+    callers that know the dim should pass it explicitly)."""
+    row = vectors.select(vec_col).first()
+    if row is None or row[0] is None:
+        raise ValueError(
+            f"cannot infer vector dim: collection is empty (or {vec_col!r} "
+            "is null in the first row); pass dim= explicitly"
+        )
+    return len(row[0])
 
 
 def bq_deterministic_top_k(
@@ -1359,6 +1379,7 @@ def bq_deterministic_top_k(
     shortlist: int = 100,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Binary-quantization ANN: score by HAMMING DISTANCE between
     packed sign bits (``bit_count(words XOR query_words)`` — one XOR +
@@ -1374,8 +1395,8 @@ def bq_deterministic_top_k(
     popcount all run in whole-stage codegen; the only driver work is
     packing the query's own ~dim/63 words."""
     qv = [float(x) for x in query]
-    dim_row = vectors.select(vec_col).first()
-    dim = len(dim_row[0])
+    if dim is None:
+        dim = _infer_dim(vectors, vec_col)
     if len(qv) != dim:
         raise ValueError(f"query dim {len(qv)} != collection dim {dim}")
     qwords = _bq_query_words(qv)

@@ -688,6 +688,183 @@ def reconstruct_latest(df, spec: dict, keep_seq: bool = False):
     return out if keep_seq else out.drop(spec["seq_col"])
 
 
+# --------------------------------------------------- schema evolution
+#
+# Write-time schema policy for delta-segmented components (the Delta
+# schema-enforcement + mergeSchema-evolution analog). Segments are
+# immutable and reads union them with mergeSchema, so the ONLY changes
+# that can be accepted at write time are the ones parquet schema
+# merging can reconcile at read time:
+#
+#   - ADD a column: accepted automatically. Older segments read the
+#     column as NULL (mergeSchema), exactly Delta's
+#     ``mergeSchema=true`` behavior.
+#   - OMIT a non-protected column: accepted. The new segment's rows
+#     read the column as NULL; history keeps its values.
+#   - CHANGE a column's type: REJECTED at commit time with the column
+#     and both types named — Spark's parquet schema merge fails on any
+#     type conflict, so accepting the write would poison every future
+#     read (an error at read time, long after the writer is gone).
+#     Safe WIDENINGS (int→bigint, float→double, …) go through the
+#     explicit ``widen_component_type`` maintenance rewrite, which
+#     casts the full history in one collapse so segments never
+#     disagree (the Delta type-widening table-feature analog).
+#   - Merge keys / order columns / the delete flag: must be present in
+#     every batch (an upsert without its keys is meaningless) and can
+#     never change type.
+#
+# The component's logical schema rides the manifest (``"schema"``:
+# [[name, simpleString], ...]) so enforcement is metadata-only — no
+# footer reads on the commit path. Tables written before this policy
+# carry no recorded schema; their first commit adopts the batch schema
+# and enforcement starts from there.
+
+
+class SchemaEvolutionError(ValueError):
+    """An incoming batch's schema cannot evolve the component's."""
+
+
+_TYPE_WIDENINGS = {
+    ("tinyint", "smallint"),
+    ("tinyint", "int"),
+    ("tinyint", "bigint"),
+    ("smallint", "int"),
+    ("smallint", "bigint"),
+    ("int", "bigint"),
+    ("float", "double"),
+    ("tinyint", "double"),
+    ("smallint", "double"),
+    ("int", "double"),
+    ("date", "timestamp"),
+    ("date", "timestamp_ntz"),
+}
+
+
+def is_safe_widening(old_type: str, new_type: str) -> bool:
+    """True when every value of ``old_type`` embeds losslessly in
+    ``new_type`` (Spark ``simpleString`` names)."""
+    return (old_type, new_type) in _TYPE_WIDENINGS
+
+
+def evolve_component_schema(prior_comp, batch_schema, spec: dict) -> list:
+    """Validate an incoming batch against the component's recorded
+    schema per the policy above; returns the EVOLVED schema list
+    (prior order, new columns appended) to record in the new manifest.
+    Raises `SchemaEvolutionError` on type conflicts or missing
+    protected columns. Internal columns (seq, bucket) are stamped after
+    this check and are never part of the logical schema."""
+    protected = list(spec.get("keys", [])) + list(spec.get("order_desc", []))
+    dcol = spec.get("delete_col")
+    if dcol:
+        protected.append(dcol)
+    batch_cols = [(f.name, f.dataType.simpleString()) for f in batch_schema.fields]
+    batch_map = dict(batch_cols)
+    missing = [c for c in protected if c not in batch_map]
+    if missing:
+        raise SchemaEvolutionError(
+            f"batch is missing protected column(s) {missing}: merge keys, "
+            "order columns, and the delete flag must be present in every "
+            "batch"
+        )
+    prior_schema = (prior_comp or {}).get("schema")
+    if not prior_schema:
+        return [[n, t] for n, t in batch_cols]
+    prior_map = {n: t for n, t in prior_schema}
+    conflicts = [
+        (n, prior_map[n], t)
+        for n, t in batch_cols
+        if n in prior_map and prior_map[n] != t
+    ]
+    if conflicts:
+        details = ", ".join(
+            f"{n!r}: table has {old}, batch has {new}"
+            + (
+                " (safe widening — run widen_component_type first)"
+                if is_safe_widening(old, new)
+                else ""
+            )
+            for n, old, new in conflicts
+        )
+        raise SchemaEvolutionError(
+            f"type change(s) rejected: {details}. Immutable segments are "
+            "read with mergeSchema, which cannot reconcile conflicting "
+            "types; widen the table explicitly (widen_component_type) or "
+            "cast the batch to the table's types"
+        )
+    evolved = [list(x) for x in prior_schema]
+    evolved += [[n, t] for n, t in batch_cols if n not in prior_map]
+    return evolved
+
+
+def component_logical_schema(root: str, component: str = "") -> list | None:
+    """The recorded logical schema of the CURRENT version's component
+    ([[name, type], ...]) or None for pre-policy tables."""
+    cur = current_version_dir(root)
+    if cur is None:
+        raise FileNotFoundError(f"nothing published under {root!r}")
+    comp = (read_manifest(root, os.path.basename(cur)) or {}).get(component)
+    return None if comp is None else comp.get("schema")
+
+
+def widen_component_type(
+    spark, root: str, col: str, new_type: str, component: str = ""
+) -> str:
+    """Explicit type-widening migration (the Delta type-widening
+    table-feature analog): rewrite the component's full history in one
+    maintenance collapse with ``col`` cast to ``new_type``, so every
+    retained segment agrees on the new type and subsequent batches may
+    commit it directly. Only lossless widenings are allowed; narrowing
+    (bigint→int, double→float, anything→string) is rejected — it can
+    silently destroy committed values, which is exactly what the policy
+    exists to prevent. Widening a merge KEY on a bucketed component is
+    rejected too: bucket files are laid out by the key's hash, and
+    Spark hashes int and bigint differently, so the old bucket
+    alignment would silently break point-lookup pruning."""
+    cur = current_version_dir(root)
+    if cur is None:
+        raise FileNotFoundError(f"nothing published under {root!r}")
+    comp = (read_manifest(root, os.path.basename(cur)) or {}).get(component)
+    if comp is None:
+        raise ValueError(f"no segmented component {component!r} under {root!r}")
+    spec = comp.get("reconstruct") or {}
+    schema = comp.get("schema")
+    old_type = None
+    if schema:
+        old_type = dict((n, t) for n, t in schema).get(col)
+        if old_type is None:
+            raise SchemaEvolutionError(f"column {col!r} not in component schema")
+        if old_type == new_type:
+            return cur  # no-op
+        if not is_safe_widening(old_type, new_type):
+            raise SchemaEvolutionError(
+                f"{col!r}: {old_type} -> {new_type} is not a lossless "
+                "widening; a narrowing rewrite must be an explicit new "
+                "table, not an in-place migration"
+            )
+    if col in (spec.get("keys") or []) and spec.get("buckets"):
+        raise SchemaEvolutionError(
+            f"cannot widen merge key {col!r} on a bucketed component: "
+            "int/bigint hash differently, which would break the bucket "
+            "alignment point lookups rely on; rebuild the table instead"
+        )
+    from pyspark.sql import functions as F  # txn keeps pyspark imports local
+
+    def rewrite(comp_, spec_, cur_):
+        folded, align = _folded_component(spark, root, cur_, comp_, spec_)
+        return folded.withColumn(col, F.col(col).cast(new_type)), None, align
+
+    def check(comp_, spec_):
+        if not spec_:
+            raise ValueError(
+                "widen_component_type requires a latest-by-key reconstruct spec"
+            )
+
+    vdir, _payload = _maintenance_rewrite(
+        spark, root, component, "widen", rewrite, check
+    )
+    return vdir
+
+
 def read_version(
     spark,
     root: str,
@@ -920,8 +1097,12 @@ def cleanup_unpublished(
                     shutil.rmtree(spath, ignore_errors=True)
                 removed.append(os.path.join(SEGMENTS_DIR, name))
     stale_tmp = os.path.join(root, CURRENT + ".tmp")
-    if os.path.exists(stale_tmp) and not dry_run:
-        os.remove(stale_tmp)
+    if os.path.exists(stale_tmp):
+        # report in BOTH modes so dry-run output is exactly what a real
+        # vacuum reclaims (round-6 advice)
+        if not dry_run:
+            os.remove(stale_tmp)
+        removed.append(CURRENT + ".tmp")
     return removed
 
 
@@ -1322,13 +1503,7 @@ def change_feed(
             "versions were vacuumed; raise keep_last to keep a readable feed"
         )
     if not feed_segments:
-        live = _component(to_name).get("segments", [])
-        if live:  # schema (incl. the seq column) from the live segments
-            return _read_segment_union(
-                spark, [segment_path(root, s) for s in live]
-            ).limit(0)
-        schema_src = read_version(spark, root, to_version, subdir=component or None)
-        return spark.createDataFrame([], schema_src.schema)
+        return _empty_feed_df(spark, root, to_name, component)
     return _read_segment_union(
         spark, [segment_path(root, s) for s in feed_segments]
     )
@@ -1364,7 +1539,11 @@ def ack_cursor(cursor_path: str, epoch: int) -> None:
 
 
 def poll_changes(
-    spark, root: str, cursor_path: str, component: str = ""
+    spark,
+    root: str,
+    cursor_path: str,
+    component: str = "",
+    to_epoch: int | None = None,
 ) -> tuple["object", int]:
     """Checkpointed incremental change-feed consumption (the Delta
     ``readChangeFeed`` + ``Trigger.AvailableNow`` consumption model for
@@ -1387,7 +1566,13 @@ def poll_changes(
 
     Restores and maintenance rewrites publish non-numeric versions and
     carry no ``changes``, so they are invisible to cursors — identical
-    to ``change_feed`` semantics."""
+    to ``change_feed`` semantics.
+
+    ``to_epoch`` caps the poll at a past table epoch (the Delta
+    ``readChangeFeed`` ``endingVersion`` analog): the poll delivers
+    changes up to the newest retained epoch ``<= to_epoch`` and reports
+    that epoch as ``hi``, letting a consumer replay history in the same
+    batches it originally observed."""
     numeric = {
         e: n
         for n in list_versions(root)
@@ -1398,6 +1583,14 @@ def poll_changes(
             f"no numeric commit versions retained under {root!r}"
         )
     hi = max(numeric)
+    if to_epoch is not None:
+        capped = [e for e in numeric if e <= to_epoch]
+        if not capped:
+            raise ValueError(
+                f"to_epoch={to_epoch} precedes every retained commit "
+                f"under {root!r} (oldest is {min(numeric)})"
+            )
+        hi = max(capped)
     last = read_cursor(cursor_path)
     if last is not None and last > hi:
         raise ValueError(
@@ -1422,17 +1615,7 @@ def poll_changes(
         root, component, numeric, walked, prev_read_list
     )
     if not feed_segments:
-        live = ((read_manifest(root, numeric[hi]) or {}).get(component) or {}).get(
-            "segments", []
-        )
-        if live:
-            df = _read_segment_union(
-                spark, [segment_path(root, s) for s in live]
-            ).limit(0)
-        else:
-            src = read_version(spark, root, subdir=component or None)
-            df = spark.createDataFrame([], src.schema)
-        return df, hi
+        return _empty_feed_df(spark, root, numeric[hi], component), hi
     return (
         _read_segment_union(
             spark, [segment_path(root, s) for s in feed_segments]
@@ -1577,6 +1760,24 @@ def _read_component_df(spark, root: str, cur: str, comp: dict):
     return _read_segment_union(spark, _component_paths(root, cur, comp))
 
 
+def _empty_feed_df(spark, root: str, version_name: str, component: str):
+    """An empty DataFrame with the FEED schema of ``component`` at
+    ``version_name`` — i.e. the raw pre-reconstruct schema including
+    the ``__sg_seq`` epoch and tombstone columns that every non-empty
+    poll carries. Drained and non-empty polls must share a schema, so
+    the schema is taken from the component's raw base/segment files
+    (base-only components included — a compaction base keeps the seq
+    column), never from the reconstructed ``read_version`` view."""
+    comp = (read_manifest(root, version_name) or {}).get(component) or {}
+    paths = _component_paths(root, os.path.join(root, version_name), comp)
+    if paths:
+        return _read_segment_union(spark, paths).limit(0)
+    # genuinely empty component (no base, no segments): best effort —
+    # the reconstructed schema is all we have
+    src = read_version(spark, root, version_name, subdir=component or None)
+    return spark.createDataFrame([], src.schema)
+
+
 def _folded_component(spark, root: str, cur: str, comp: dict, spec: dict):
     """The latest-per-key state of a component with tombstones kept as
     physical rows (the maintenance-rewrite input). Returns
@@ -1677,11 +1878,20 @@ def _maintenance_rewrite(
         os.makedirs(vdir)
         new_components = dict(components)
         kept = ([seg] if _has_parquet(sdir) else []) + tail_segs
+        internal = {spec.get("seq_col") if spec else None, BUCKET_COL}
         new_components[component] = {
             "base": None,
             "segments": kept,
             "changes": [],
             "reconstruct": spec,
+            # logical schema derived from the rewritten state (a widen
+            # migration CHANGES it; recording from the data is always
+            # right, and pre-policy tables gain a schema here)
+            "schema": [
+                [f.name, f.dataType.simpleString()]
+                for f in folded.schema
+                if f.name not in internal
+            ],
             # a full rewrite IS the latest-per-key fold; with a carried
             # tail the fold is still required across rewritten ∪ tail
             "collapsed": not tail_segs,

@@ -96,16 +96,15 @@ CATALOG_ORDER: tuple[str, ...] = (
     "landing_roundtrip_digest",
     "pandas_udf_digest",
     "scale_patterns_digest",
+    "lakehouse_txn_digest",
     "asof_join_purchase_click",
     "range_join_bursts",
     "sessionization",
     "text_profile_digest",
+    "text_model_digest",
     "language_id",
-    "fingerprint_dedup",
-    "ngram_jaccard_pairs",
+    "dedup_digest",
     "minhash_lsh_dedup",
-    "simhash_dedup",
-    "exact_dedup_docs",
     "multimodal_decode_meta",
     "corpus_sampling_digest",
     "repetition_filter",
@@ -117,6 +116,7 @@ CATALOG_ORDER: tuple[str, ...] = (
     "precision_at_k",
     "ann_lsh_topk",
     "ivf_ann_topk",
+    "ann_index_topk",
     "text_dedup_keep_canonical",
     "vector_codec_digest",
     "hash_embed_knn",

@@ -122,20 +122,25 @@ GROUPS: dict[str, list[str]] = {
         "apply_in_pandas_normalize",
         "udtf_token_explode",
     ],
+    # round-7 rebalance (round-6 VERDICT item 7): no digest carries more
+    # than 8 members, so a digest hash-mismatch localizes to at most 8
+    # candidate queries instead of 16-17
     "scale_patterns_digest": [
         "skew_salted_agg",
         "bucketed_colocated_join",
         "approx_stats",
         "key_skew_profile",
-        "time_travel_versions",
-        "version_diff",
         "zorder_keys",
-        "change_feed_ivm",
         "stream_upsert_view",
-        "data_skipping_read",
-        "point_lookup_read",
         "stream_stream_outer_join",
         "stream_scd2_asof_enrich",
+    ],
+    "lakehouse_txn_digest": [
+        "time_travel_versions",
+        "version_diff",
+        "change_feed_ivm",
+        "data_skipping_read",
+        "point_lookup_read",
         "batch_merge_commits",
         "change_feed_cursor",
         "cdc_replication",
@@ -144,25 +149,33 @@ GROUPS: dict[str, list[str]] = {
         "text_stats",
         "vocabulary_top_tokens",
         "hash_ordered_sample",
-        "winnow_dup_pairs",
         "pii_scrub",
         "quality_rule_filter",
+        "nfc_normalize_docs",
+        "line_quality_filter",
+        "paragraph_dedup",
+    ],
+    "text_model_digest": [
         "bm25_search",
         "chunk_documents",
         "charlm_quality",
         "duplicate_spans",
-        "nfc_normalize_docs",
-        "line_quality_filter",
-        "paragraph_dedup",
         "ccnet_buckets",
         "train_charlm_profile",
         "bpe_word_counts",
         "bpe_token_histogram",
     ],
+    "dedup_digest": [
+        "exact_dedup_docs",
+        "fingerprint_dedup",
+        "ngram_jaccard_pairs",
+        "simhash_dedup",
+        "winnow_dup_pairs",
+        "incremental_dedup_snapshot",
+    ],
     "corpus_sampling_digest": [
         "hash_split_sets",
         "corpus_mix_weighted",
-        "incremental_dedup_snapshot",
         "domain_cap_sample",
         "corpus_temperature_mix",
         "dsir_select",
@@ -431,6 +444,26 @@ PART_COLS: dict[str, tuple[tuple[str, str], ...]] = {
         ("b_id", "s"),
         ("n_shared", "s"),
         ("n_union", "s"),
+    ),
+    "ngram_jaccard_pairs": (
+        ("a_id", "s"),
+        ("b_id", "s"),
+        ("jaccard", "f"),
+    ),
+    "simhash_dedup": (
+        ("a_id", "s"),
+        ("b_id", "s"),
+        ("hamming", "s"),
+    ),
+    "fingerprint_dedup": (
+        ("canonical_id", "s"),
+        ("fingerprint", "s"),
+        ("n_members", "s"),
+    ),
+    "exact_dedup_docs": (
+        ("canonical_id", "s"),
+        ("fingerprint", "s"),
+        ("n_members", "s"),
     ),
     "pii_scrub": (
         ("doc_id", "s"),

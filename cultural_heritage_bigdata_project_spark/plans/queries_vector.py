@@ -757,3 +757,123 @@ def bq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.bq_deterministic_top_k(
         vectors, _query_list(spark, sf_dir, 0), k=10, shortlist=100
     )
+
+
+# ---------------------------------------------------------------- persisted
+# ANN index (operators/ann_index.py): built + upserted ONCE per process per
+# sf_dir; the registered query times only the serving read. Same memo
+# pattern as plans/queries_scale.py's txn fixtures (round-6 VERDICT item 1).
+_ANN_FIXTURE: dict[str, str] = {}
+
+
+def _ann_index_root(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir not in _ANN_FIXTURE:
+        import os
+        import shutil
+        import tempfile
+
+        from ..operators import ann_index
+
+        tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+        root = os.path.join(tempfile.gettempdir(), f"spark_graft_annidx_{tag}")
+        shutil.rmtree(root, ignore_errors=True)
+        base = _emb(spark, sf_dir).filter(F.col("vec_id") != 0)
+        ann_index.build_ann_index(spark, base, root)
+        # incremental maintenance: vectors divisible by 7 are re-embedded
+        # (deterministically: reversed array — norm-preserving and
+        # SQL-replayable) and upserted through the stored quantizers
+        upd = base.filter(F.col("vec_id") % 7 == 0).withColumn(
+            "embedding", F.reverse(F.col("embedding"))
+        )
+        ann_index.ann_index_upsert(spark, upd, root)
+        _ANN_FIXTURE[sf_dir] = root
+    return _ANN_FIXTURE[sf_dir]
+
+
+@register(
+    "ann_index_topk",
+    description="Persisted ANN index served from versioned-table "
+    "components (operators/ann_index.py — the Qdrant persistent-"
+    "collection analog, ref extracting_embeddings.py:60-84): IVF "
+    "per-list segments with manifest stats + PQ codes + stored "
+    "centroid/codebook meta, built once and UPSERTED once (vec_id%7 "
+    "re-embedded as reversed vectors, encoded with the stored "
+    "quantizers); the timed body is index-read + probe only — meta "
+    "read, 4 metadata-pruned list segments ∪ the delta tail, latest-"
+    "per-key fold, JVM ADC shortlist, exact re-rank. Hash-checked "
+    "end-to-end including ADC scores over the post-upsert state",
+    survey_ref="M5,S14,J8,S12",
+    oracle="""
+WITH eb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings WHERE vec_id <> 0
+), state AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 7 = 0 THEN list_reverse(v0) ELSE v0 END AS v0
+  FROM eb
+), sn AS (
+  SELECT vec_id, v0,
+         list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v
+  FROM state
+), cent AS (
+  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS list_id, v0 AS v
+  FROM eb ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16
+), cw AS (
+  SELECT row_number() OVER (ORDER BY md5(eb.vec_id::VARCHAR), eb.vec_id) - 1 AS c,
+         list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v
+  FROM eb ORDER BY md5(eb.vec_id::VARCHAR), eb.vec_id LIMIT 16
+), dims AS (
+  SELECT len(v0) // 8 AS sd FROM eb LIMIT 1
+), q0 AS (
+  SELECT embedding::DOUBLE[] AS v0 FROM embeddings WHERE vec_id = 0
+), q AS (
+  SELECT v0, list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v
+  FROM q0
+), assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT s.vec_id, c.list_id,
+           row_number() OVER (PARTITION BY s.vec_id
+                              ORDER BY list_distance(s.v0, c.v), c.list_id) AS rn
+    FROM state s CROSS JOIN cent c
+  ) WHERE rn = 1
+), qprobe AS (
+  SELECT c.list_id FROM cent c, q
+  ORDER BY list_distance(q.v0, c.v), c.list_id LIMIT 4
+), probed AS (
+  SELECT sn.vec_id, sn.v0, sn.v FROM sn
+  JOIN assign a ON sn.vec_id = a.vec_id
+  WHERE a.list_id IN (SELECT list_id FROM qprobe)
+), codes AS (
+  SELECT vec_id, j, c FROM (
+    SELECT p.vec_id, j.j, cwc.c,
+           row_number() OVER (PARTITION BY p.vec_id, j.j
+               ORDER BY list_distance(p.v[j.j*sd+1 : (j.j+1)*sd],
+                                      cwc.v[j.j*sd+1 : (j.j+1)*sd]), cwc.c) AS rn
+    FROM probed p CROSS JOIN generate_series(0, 7) AS j(j) CROSS JOIN cw cwc, dims
+  ) WHERE rn = 1
+), lut AS (
+  SELECT j.j, cwc.c,
+         CAST(trunc(list_dot_product(q.v[j.j*sd+1 : (j.j+1)*sd],
+                                     cwc.v[j.j*sd+1 : (j.j+1)*sd]) * 1e6) AS BIGINT) AS ipm
+  FROM generate_series(0, 7) AS j(j) CROSS JOIN cw cwc, q, dims
+), short AS (
+  SELECT cds.vec_id, CAST(sum(l.ipm) AS BIGINT) AS adc_micro
+  FROM codes cds JOIN lut l ON cds.j = l.j AND cds.c = l.c
+  GROUP BY cds.vec_id
+  ORDER BY adc_micro DESC, vec_id LIMIT 100
+)
+SELECT p.vec_id, s.adc_micro,
+       round(list_dot_product(p.v0, q.v0)
+             / (sqrt(list_dot_product(p.v0, p.v0)) * sqrt(list_dot_product(q.v0, q.v0))),
+             6) AS cosine_sim
+FROM probed p JOIN short s ON p.vec_id = s.vec_id, q
+ORDER BY cosine_sim DESC, p.vec_id ASC
+LIMIT 10
+""",
+)
+def ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import ann_index
+
+    root = _ann_index_root(spark, sf_dir)
+    return ann_index.ann_index_top_k(
+        spark, root, _query_list(spark, sf_dir, 0), k=10, n_probe=4, shortlist=100
+    )

@@ -82,7 +82,15 @@ def jdbc_sink_options(
     function so the S13 plumbing is unit-testable without a database
     (reference: curated_to_postgres.py:67-75). ``batchsize`` batches
     executor-side inserts; ``isolation_level`` keeps readers unblocked
-    during the staging load."""
+    during the staging load. Validates eagerly: a malformed URL or
+    non-positive batch size would otherwise surface only as an opaque
+    driver-manager error at deployment."""
+    if not url.startswith("jdbc:"):
+        raise ValueError(f"JDBC url must start with 'jdbc:', got {url!r}")
+    if not table or not table.strip():
+        raise ValueError("JDBC dbtable must be non-empty")
+    if batchsize < 1:
+        raise ValueError(f"batchsize must be >= 1, got {batchsize}")
     opts = {
         "url": url,
         "dbtable": table,
@@ -127,6 +135,25 @@ def staging_swap_statements(table: str, staging: str | None = None) -> list[str]
         f"ALTER TABLE {st} RENAME TO {table}",
         "COMMIT",
         f"DROP TABLE IF EXISTS {old}",
+    ]
+
+
+def staging_swap_rollback_statements(
+    table: str, staging: str | None = None
+) -> list[str]:
+    """Crash-recovery DDL for an ABORTED staging load (reference
+    failure path: curated_to_postgres.py:108-125 — on any error the
+    job rolls back and drops the staging table so the next run starts
+    clean). Run when the Spark JDBC write (or the swap transaction)
+    fails: the in-flight transaction is rolled back and the staging
+    generation discarded. Invariants the tests pin: the SERVING table
+    is never named (a recovery that touches it could destroy the last
+    good generation), and the statements are idempotent (IF EXISTS) so
+    a recovery crash can itself be re-run."""
+    st = staging or f"{table}_staging"
+    return [
+        "ROLLBACK",  # no-op outside a transaction; PostgreSQL warns only
+        f"DROP TABLE IF EXISTS {st}",
     ]
 
 

@@ -49,7 +49,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # conf here (runtime-settable, no-op for micros files) so the
         # loader also works under a caller's vanilla SparkSession.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # Route single-file/single-row-group fixtures through the scan cache
+    # so the first stage parallelizes on input splits exactly as a real
+    # multi-file ingest would (sources/scan_cache.py — semantic no-op).
+    from .scan_cache import splittable_path
+
+    df = spark.read.parquet(splittable_path(f"{sf_dir}/{name}.parquet"))
     if name == "events":
         from pyspark.sql import functions as F
         from pyspark.sql.types import LongType

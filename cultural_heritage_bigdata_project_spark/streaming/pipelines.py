@@ -53,7 +53,20 @@ def kafka_stream_options(
     """The exact reader options ``kafka_stream`` applies — a pure
     function so the plumbing is unit-testable without a broker
     (subscribe/offsets/failOnDataLoss mirror the reference's consumer
-    contract, metadata_eu_to_raw.py:53-59)."""
+    contract, metadata_eu_to_raw.py:53-59). Validates eagerly: a typo'd
+    offsets mode or empty broker list would otherwise surface only as
+    an opaque executor-side Kafka error at deployment."""
+    if not brokers or not brokers.strip():
+        raise ValueError("kafka brokers must be a non-empty host:port list")
+    if not topic or not topic.strip():
+        raise ValueError("kafka subscribe topic must be non-empty")
+    if starting_offsets not in ("earliest", "latest") and not (
+        starting_offsets.lstrip().startswith("{")
+    ):
+        raise ValueError(
+            f"startingOffsets must be 'earliest', 'latest', or a JSON "
+            f"per-partition offset map, got {starting_offsets!r}"
+        )
     return {
         "kafka.bootstrap.servers": brokers,
         "subscribe": topic,
@@ -64,12 +77,63 @@ def kafka_stream_options(
 
 def kafka_sink_options(brokers: str, topic: str, checkpoint: str) -> dict[str, str]:
     """The exact writer options ``kafka_sink`` applies (pure,
-    broker-free — see ``kafka_stream_options``)."""
+    broker-free — see ``kafka_stream_options``). A missing checkpoint
+    is rejected eagerly: without one, a sink restart re-produces every
+    epoch (the reference's driver-loop producer has exactly this
+    at-least-once duplication, annotation_producer.py:144-158)."""
+    if not brokers or not brokers.strip():
+        raise ValueError("kafka brokers must be a non-empty host:port list")
+    if not topic or not topic.strip():
+        raise ValueError("kafka sink topic must be non-empty")
+    if not checkpoint or not checkpoint.strip():
+        raise ValueError(
+            "kafka sink requires a checkpointLocation: without it every "
+            "restart re-produces all epochs"
+        )
     return {
         "kafka.bootstrap.servers": brokers,
         "topic": topic,
         "checkpointLocation": checkpoint,
     }
+
+
+KAFKA_WIRE_SCHEMA = (
+    "key binary, value binary, topic string, partition int, offset long, "
+    "timestamp timestamp, timestampType int"
+)
+
+
+def kafka_wire_parse(records: DataFrame, payload_schema: str) -> DataFrame:
+    """The post-source half of the Kafka reader (reference:
+    metadata_eu_to_raw.py:60-74 — cast value, parse JSON with an
+    explicit schema, keep provenance): takes ANY DataFrame with the
+    Kafka wire schema (``KAFKA_WIRE_SCHEMA`` — exactly what
+    ``kafka_stream(...).load()`` emits) and returns the parsed payload
+    columns plus ``_topic/_partition/_offset/_kafka_ts`` provenance.
+
+    Because the input contract is the wire schema rather than the
+    source, the ENTIRE downstream pipeline is drivable without a
+    broker: tests feed a file/rate stream reshaped to the wire schema
+    through this function and run parse → landing end to end, so only
+    the broker socket itself remains untested (see
+    tests/test_kafka_contract.py)."""
+    missing = [
+        c for c in ("value", "topic", "partition", "offset", "timestamp")
+        if c not in records.columns
+    ]
+    if missing:
+        raise ValueError(
+            f"input lacks Kafka wire columns {missing}; expected schema "
+            f"{KAFKA_WIRE_SCHEMA}"
+        )
+    parsed = records.select(
+        F.from_json(F.col("value").cast("string"), payload_schema).alias("r"),
+        F.col("topic").alias("_topic"),
+        F.col("partition").alias("_partition"),
+        F.col("offset").alias("_offset"),
+        F.col("timestamp").alias("_kafka_ts"),
+    )
+    return parsed.select("r.*", "_topic", "_partition", "_offset", "_kafka_ts")
 
 
 def kafka_stream(
@@ -350,6 +414,11 @@ def batch_upsert_commit(
                 "component; batch_upsert_commit targets component ''"
             )
         segments = list(prior["segments"]) if prior else []
+        # write-time schema policy (txn.evolve_component_schema): adds
+        # accepted, type conflicts rejected BEFORE any segment lands —
+        # re-checked per attempt because a rebase may bring a newer
+        # (evolved) prior schema
+        evolved_schema = txn.evolve_component_schema(prior, source.schema, spec)
         # a fresh attempt re-derives the epoch after a lost race, then
         # CLAIMS it atomically: exclusive creation of the version dir
         # is the epoch mutex (two racing writers who derived the same
@@ -378,6 +447,7 @@ def batch_upsert_commit(
         component = _upsert_component(
             spark, target_dir, spec, segments, changes,
             collapsed, prior, keys, key_blooms,
+            schema=evolved_schema,
         )
         # writer identity: a batch commit must never look like a
         # streaming sink's crash replay (the sink's fallback is a
@@ -419,6 +489,7 @@ def replicate_changes(
     keep_last: int = 1,
     compact_every: int = 8,
     minor_every: int | None = None,
+    to_epoch: int | None = None,
 ) -> int:
     """CDC table replication: apply everything committed to ``src_root``
     since the cursor's last ack as ONE batch MERGE into ``dst_root``,
@@ -442,7 +513,9 @@ def replicate_changes(
 
     Returns the source epoch the cursor advanced to (or was already
     at, when the poll was empty — no destination epoch is spent on an
-    empty poll)."""
+    empty poll). ``to_epoch`` caps the poll at a past source epoch
+    (``poll_changes``' bounded-poll mode) so a replica can replay the
+    source history in its original batch boundaries."""
     cur = txn.current_version_dir(src_root)
     if cur is None:
         raise FileNotFoundError(f"nothing published under {src_root!r}")
@@ -458,7 +531,9 @@ def replicate_changes(
             "(append components replicate by reading the change feed "
             "and appending)"
         )
-    changes, hi = txn.poll_changes(spark, src_root, cursor_path, component)
+    changes, hi = txn.poll_changes(
+        spark, src_root, cursor_path, component, to_epoch=to_epoch
+    )
     if changes.isEmpty():
         txn.ack_cursor(cursor_path, hi)
         return hi  # drained/empty poll: no destination epoch spent
@@ -577,17 +652,19 @@ def _roll_segments(
 
 
 def _upsert_component(
-    spark, tdir, spec, segments, changes, collapsed, prior, keys, key_blooms
+    spark, tdir, spec, segments, changes, collapsed, prior, keys, key_blooms,
+    schema=None,
 ) -> dict:
     """The manifest component dict for an upsert commit: read list +
     merge spec + the metadata layers (min/max stats, exact row counts,
-    opt-in sticky key blooms), with prior segments' entries carried
-    forward (immutable)."""
+    opt-in sticky key blooms, the evolved logical schema), with prior
+    segments' entries carried forward (immutable)."""
     return {
         "base": None,
         "segments": segments,
         "changes": changes,
         "reconstruct": spec,
+        "schema": schema if schema is not None else (prior or {}).get("schema"),
         "collapsed": collapsed,
         "stats": txn.manifest_stats(
             tdir, prior.get("stats") if prior else None, segments
@@ -786,6 +863,12 @@ def foreach_batch_upsert_run(
                     return True
             elif os.path.basename(cur) == f"data_v{epoch_id}":
                 return True
+        # write-time schema policy, BEFORE any segment lands (see
+        # txn.evolve_component_schema); per attempt — a rebase may
+        # bring a newer evolved schema
+        evolved_schema = txn.evolve_component_schema(
+            prior, batch_df.schema, spec
+        )
         # version/segment names carry the TABLE epoch (next numeric tail
         # across retained versions + live segments), NOT the sink's
         # checkpoint epoch: after an interleaved batch commit the two
@@ -876,6 +959,7 @@ def foreach_batch_upsert_run(
         component = _upsert_component(
             spark, tdir, spec, segments, changes, collapsed,
             prior, keys, key_blooms,
+            schema=evolved_schema,
         )
         component["writer"] = ckpt_id
         component["writer_epoch"] = int(epoch_id)

@@ -1,0 +1,210 @@
+"""Persisted ANN index (operators/ann_index.py): build/probe parity with
+the per-query composed operator, O(changes) upsert semantics through the
+stored quantizers, metadata-only probe pruning, and rebuild folding.
+Reference analog: Qdrant persistent collection + filtered kNN
+(ML-model/embeddings-extractor/extracting_embeddings.py:60-84,
+qdrant-deduplicator/deduplicate_from_qdrant.py:53-83)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cultural_heritage_bigdata_project_spark.operators import ann_index, similarity, txn
+from cultural_heritage_bigdata_project_spark.sources.tables import load_table
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ann") / "idx")
+    base = load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") != 0)
+    ann_index.build_ann_index(spark, base, root)
+    return root, base
+
+
+def _query(spark):
+    row = (
+        load_table(spark, SF_DIR, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row[0]]
+
+
+def _qlit(q):
+    return F.array(*[F.lit(float(x)) for x in q]).cast("array<double>")
+
+
+def test_probe_matches_composed_ivf_pq(spark, built):
+    """Serving from the persisted index must return the per-query
+    ivf_pq_top_k composition's results (same centroids, same probe
+    order, same re-rank). ADC micro scores are compared only for rank
+    CONSISTENCY, not equality: the composed operator derives its PQ
+    codebook from the probed subset per query, while the index stores
+    one corpus-wide codebook at build time (the realistic serving
+    artifact) — the index's exact ADC values are pinned by the DuckDB
+    oracle of the ``ann_index_topk`` catalog entry instead."""
+    root, base = built
+    q = _query(spark)
+    got = [
+        (r["vec_id"], r["cosine_sim"])
+        for r in ann_index.ann_index_top_k(spark, root, q, k=10).collect()
+    ]
+    want = [
+        (r["vec_id"], r["cosine_sim"])
+        for r in similarity.ivf_pq_top_k(base, q, k=10).collect()
+    ]
+    assert got == want
+
+
+def test_probe_reads_only_probed_and_delta_segments(spark, built, monkeypatch):
+    """The scan cost contract: n_probe base list segments + the delta
+    tail, never the full posting-list set."""
+    root, _ = built
+    seen: list[list[str]] = []
+    real = txn._read_segment_union
+
+    def spy(s, paths):
+        seen.append(list(paths))
+        return real(s, paths)
+
+    monkeypatch.setattr(txn, "_read_segment_union", spy)
+    ann_index.ann_index_top_k(spark, root, _query(spark), k=10, n_probe=4)
+    probe_reads = [p for p in seen if any("ann0_l" in x for x in p)]
+    assert probe_reads, "probe did not go through the segment union"
+    assert len(probe_reads[-1]) == 4  # 4 probed lists, 0 deltas yet
+
+
+def test_upsert_is_o_batch_and_supersedes(spark, built, monkeypatch):
+    root, base = built
+    q = _query(spark)
+    before = {r["vec_id"] for r in ann_index.ann_index_top_k(spark, root, q, k=10).collect()}
+
+    upd = base.filter(F.col("vec_id") % 7 == 0).withColumn(
+        "embedding", F.reverse(F.col("embedding"))
+    )
+    ann_index.ann_index_upsert(spark, upd, root)
+
+    # the post-upsert state the fold must serve (exact ADC values over
+    # this state are pinned by the ann_index_topk DuckDB oracle; here we
+    # pin the SEMANTICS: served cosines are the true post-upsert cosines
+    # and recall vs exact brute force holds)
+    state = base.filter(F.col("vec_id") % 7 != 0).unionByName(upd)
+    got = [
+        (r["vec_id"], r["cosine_sim"])
+        for r in ann_index.ann_index_top_k(spark, root, q, k=10).collect()
+    ]
+    assert {g[0] for g in got} != before  # the upsert visibly moved results
+    exact = {
+        r["vec_id"]: r["cosine_sim"]
+        for r in similarity.knn_brute_force(state, _qlit(q), k=500).collect()
+    }
+    for vid, cos in got:
+        assert exact[vid] == cos, f"served cosine for {vid} is not post-upsert"
+    top10 = [
+        r["vec_id"]
+        for r in similarity.knn_brute_force(state, _qlit(q), k=10).collect()
+    ]
+    recall = len({g[0] for g in got} & set(top10)) / 10
+    assert recall >= 0.5, f"recall@10 collapsed after upsert: {recall}"
+
+    # generic component read folds to one row per key (no duplicates
+    # from the superseding delta)
+    full = txn.read_version(spark, root, subdir=ann_index.CODES_COMPONENT)
+    n_keys = base.select("vec_id").distinct().count()
+    assert full.count() == n_keys
+    assert full.select("vec_id").distinct().count() == n_keys
+
+    # probe now reads 4 base segments + 1 delta segment
+    seen: list[list[str]] = []
+    real = txn._read_segment_union
+
+    def spy(s, paths):
+        seen.append(list(paths))
+        return real(s, paths)
+
+    monkeypatch.setattr(txn, "_read_segment_union", spy)
+    ann_index.ann_index_top_k(spark, root, q, k=10, n_probe=4)
+    probe_reads = [p for p in seen if any("ann0_l" in x for x in p)]
+    assert len(probe_reads[-1]) == 5
+
+
+def test_rebuild_folds_deltas(spark, built):
+    """A rebuild over the post-upsert state re-derives per-list segments
+    from the CURRENT generic read and empties the delta tail. Serving
+    results equal the composed ivf_pq_top_k over that same state (the
+    rebuild re-derives quantizers from the folded state, so pre-rebuild
+    results — which used BUILD-time quantizers — are not the bar)."""
+    root, base = built
+    q = _query(spark)
+    state = txn.read_version(spark, root, subdir=ann_index.CODES_COMPONENT).select(
+        "vec_id", "embedding"
+    )
+    state_rows = state.collect()  # pin pre-rebuild contents
+    ann_index.build_ann_index(spark, state, root)
+    cur = txn.current_version_dir(root)
+    comp = txn.read_manifest(root, os.path.basename(cur))[ann_index.CODES_COMPONENT]
+    assert comp["ann"]["delta_segments"] == []
+    after = [
+        (r["vec_id"], r["cosine_sim"])
+        for r in ann_index.ann_index_top_k(spark, root, q, k=10).collect()
+    ]
+    # served cosines are TRUE cosines over the folded state, and recall
+    # vs exact top-10 holds (id-exact equality with the composed
+    # operator is not the bar: its per-probe codebook vs the index's
+    # corpus-wide codebook legitimately flip shortlist-boundary rows)
+    frozen = spark.createDataFrame(state_rows, state.schema)
+    exact = {
+        r["vec_id"]: r["cosine_sim"]
+        for r in similarity.knn_brute_force(frozen, _qlit(q), k=500).collect()
+    }
+    for vid, cos in after:
+        assert exact[vid] == cos
+    top10 = [
+        r["vec_id"]
+        for r in similarity.knn_brute_force(frozen, _qlit(q), k=10).collect()
+    ]
+    assert len({a[0] for a in after} & set(top10)) / 10 >= 0.5
+    # and the folded contents are exactly the pre-rebuild state
+    refold = txn.read_version(spark, root, subdir=ann_index.CODES_COMPONENT)
+    assert refold.count() == len(state_rows)
+
+
+def test_meta_roundtrip(spark, built):
+    root, base = built
+    centroids, codebook = ann_index.read_index_meta(spark, root)
+    assert len(centroids) == 16
+    assert codebook.shape[0] == 16
+    # centroids must equal the deterministic md5-sample of the CURRENT state
+    state = txn.read_version(spark, root, subdir=ann_index.CODES_COMPONENT).select(
+        "vec_id", "embedding"
+    )
+    want = similarity._deterministic_centroids(state, 16, "vec_id", "embedding")
+    assert centroids == want
+
+
+def test_empty_probe_errors_clearly(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        ann_index.ann_index_top_k(spark, str(tmp_path / "nope"), [0.0] * 64)
+
+
+def test_bq_dim_param_and_empty_error(spark):
+    """Round-6 ADVICE (low): bq_encode/bq_deterministic_top_k accept an
+    explicit dim (skipping the one-row inference job) and raise a clear
+    ValueError on an empty collection instead of an opaque TypeError."""
+    emb = load_table(spark, SF_DIR, "embeddings").limit(50)
+    with_dim = similarity.bq_encode(emb, dim=64).collect()
+    inferred = similarity.bq_encode(emb).collect()
+    assert sorted(map(tuple, with_dim)) == sorted(map(tuple, inferred))
+    empty = emb.filter(F.col("vec_id") < 0)
+    with pytest.raises(ValueError, match="empty"):
+        similarity.bq_encode(empty)
+    with pytest.raises(ValueError, match="empty"):
+        similarity.bq_deterministic_top_k(empty, [0.0] * 64, k=5)
+    # explicit dim on an empty collection: no inference job, empty result
+    assert similarity.bq_encode(empty, dim=64).count() == 0

@@ -141,3 +141,40 @@ def test_staging_swap_statement_sequence():
     )
     # cleanup of the old generation happens only after COMMIT
     assert stmts[-1] == "DROP TABLE IF EXISTS curated_old"
+
+
+# ---------------------------------------------------------------- round 7:
+# negative paths for the gated JDBC surface (round-6 VERDICT item 6).
+
+
+def test_jdbc_sink_options_reject_bad_inputs():
+    with pytest.raises(ValueError, match="jdbc:"):
+        sinks.jdbc_sink_options("postgresql://db/serving", "t")
+    with pytest.raises(ValueError, match="dbtable"):
+        sinks.jdbc_sink_options("jdbc:postgresql://db/serving", " ")
+    with pytest.raises(ValueError, match="batchsize"):
+        sinks.jdbc_sink_options("jdbc:postgresql://db/serving", "t", batchsize=0)
+
+
+def test_staging_swap_rollback_never_touches_serving_table():
+    """Reference failure path (curated_to_postgres.py:108-125): abort
+    recovery rolls back and drops ONLY the staging generation — a
+    recovery that names the serving table could destroy the last good
+    copy. Also idempotent: every statement is re-runnable."""
+    stmts = sinks.staging_swap_rollback_statements("curated")
+    assert stmts[0] == "ROLLBACK"
+    assert any("curated_staging" in s for s in stmts[1:])
+    for s in stmts:
+        # the serving table name may appear only inside the staging
+        # table's own name
+        assert "curated " not in s and not s.rstrip().endswith("curated"), s
+    for s in stmts[1:]:
+        assert "IF EXISTS" in s, f"not idempotent: {s}"
+
+
+def test_staging_swap_custom_staging_name_propagates():
+    stmts = sinks.staging_swap_statements("curated", staging="curated_tmp7")
+    roll = sinks.staging_swap_rollback_statements("curated", staging="curated_tmp7")
+    assert stmts[0] == "DROP TABLE IF EXISTS curated_tmp7"
+    assert "ALTER TABLE curated_tmp7 RENAME TO curated" in stmts
+    assert roll[-1] == "DROP TABLE IF EXISTS curated_tmp7"

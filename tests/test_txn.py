@@ -1036,3 +1036,51 @@ def test_replicate_changes_schema_evolution(spark, tmp_path):
     streaming.replicate_changes(spark, src, dst, cursor)
     got = {r.id: (r.val, r.note) for r in txn.read_version(spark, dst).collect()}
     assert got == {1: ("a", None), 2: ("b", "extra")}
+
+
+def test_vacuum_dry_run_includes_stale_pointer_tmp(spark, tmp_path):
+    """Round-6 ADVICE (low): a stale CURRENT.tmp from a crashed pointer
+    write is reclaimed by a real vacuum, so the dry run must LIST it —
+    dry-run output is 'exactly what a real vacuum would reclaim'."""
+    tdir = _three_epoch_table(spark, tmp_path, keep_last=1)
+    stale = os.path.join(tdir, txn.CURRENT + ".tmp")
+    with open(stale, "w") as f:
+        f.write("data_v99")
+    would = txn.vacuum(tdir, grace_seconds=3600.0, dry_run=True)
+    assert txn.CURRENT + ".tmp" in would
+    assert os.path.exists(stale)  # dry run reclaims nothing
+    done = txn.vacuum(tdir, grace_seconds=3600.0)
+    assert set(done) == set(would)
+    assert not os.path.exists(stale)
+
+
+def test_drained_poll_schema_matches_nonempty_poll(spark, tmp_path):
+    """Round-6 ADVICE (low): a drained poll must carry the FEED schema
+    (incl. the __sg_seq epoch column and tombstone flag) even when the
+    component is base-only/compacted — consumers select the seq column
+    unconditionally (change_feed_cursor does) and a schema that
+    flip-flops between polls would crash them."""
+    from cultural_heritage_bigdata_project_spark.streaming import (
+        pipelines as streaming,
+    )
+
+    root = str(tmp_path / "t")
+    cursor = str(tmp_path / "c.json")
+    df = spark.createDataFrame(
+        [(1, 1, "a", False)], "k long, seq long, v string, is_del boolean"
+    )
+    streaming.batch_upsert_commit(
+        spark, df, keys=["k"], order_desc=["seq"], target_dir=root,
+        delete_col="is_del", compact_every=0,  # roll to a collapsed base
+    )
+    poll, hi = txn.poll_changes(spark, root, cursor)
+    nonempty_cols = set(poll.columns)
+    assert "__sg_seq" in nonempty_cols and "is_del" in nonempty_cols
+    txn.ack_cursor(cursor, hi)
+    drained, hi2 = txn.poll_changes(spark, root, cursor)
+    assert hi2 == hi
+    assert drained.count() == 0
+    assert set(drained.columns) == nonempty_cols
+    # and change_feed's drained path shares the schema too
+    feed = txn.change_feed(spark, root, hi, hi)
+    assert set(feed.columns) == nonempty_cols
