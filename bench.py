@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "point_lookup_read",
     "change_feed_cursor",
     "cdc_replication",
+    "ann_index_topk",
     # production-hash-family variants (bench-only, defined below): the
     # catalog queries pin hash_family="md5-portable" so the DuckDB
     # oracle can replay candidate sets, but the path you'd run at
