@@ -312,6 +312,7 @@ def ann_index_top_k(
     shortlist: int = 100,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    allowed_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Serve a kNN query from the PREBUILT index: meta read (KBs) →
     driver-side probe selection → metadata-pruned scan of the n_probe
@@ -319,7 +320,18 @@ def ann_index_top_k(
     filter → JVM ADC shortlist → exact cosine re-rank. No quantizer
     derivation, no corpus-wide encode — the per-query cost a persisted
     index exists to eliminate. Returns (vec_id, adc_micro, cosine_sim)
-    as ``pq_deterministic_top_k``."""
+    as ``pq_deterministic_top_k``.
+
+    ``allowed_ids`` (a DataFrame whose ``id_col`` names the permitted
+    vectors) is the payload-filtered search the reference serves from
+    Qdrant (``query_filter=Filter(must=[...])``,
+    deduplicate_from_qdrant.py:59-73; the dashboard's facet filters,
+    streamlit/app/app.py:331-349): the filter applies BEFORE the
+    shortlist — every returned row satisfies it and k is filled from
+    the filtered candidates, Qdrant's filter-during-traversal
+    semantics, not a post-filter that can under-fill k. The caller
+    derives it from any metadata predicate (one semi-join; broadcast
+    when small)."""
     import numpy as np
 
     centroids, codebook = read_index_meta(spark, root)
@@ -338,14 +350,44 @@ def ann_index_top_k(
     list_segs = ann.get("list_segments", {})
     probe_segs = [list_segs[str(p)] for p in probe_ids if str(p) in list_segs]
     delta_segs = list(ann.get("delta_segments", []))
-    paths = [txn.segment_path(root, s) for s in probe_segs + delta_segs]
-    if not paths:
+    if not probe_segs and not delta_segs:
         raise FileNotFoundError(f"index under {root!r} has no segments")
-    rows = txn._read_segment_union(spark, paths)
-    # fold BEFORE the probe filter: a delta row (always read) supersedes
-    # a stale probed base row even when it moved the key to another list
-    latest = txn.reconstruct_latest(rows, _spec(id_col))
+    # Merge-on-read WITHOUT a corpus-wide exchange: the build base is
+    # one row per key by construction, so the fold reduces to "drop
+    # base rows superseded by any delta key" — a broadcast ANTI join
+    # against the (small, O(changes-since-rebuild)) delta keyset — plus
+    # the delta tail's own latest-per-key window (tiny). A probe on an
+    # unchanged index is then a pure pruned scan, zero exchanges before
+    # the shortlist. Fold precedes the probe filter so a delta that
+    # MOVED a key between lists still supersedes its stale probed row.
+    base_rows = (
+        txn._read_segment_union(
+            spark, [txn.segment_path(root, s) for s in probe_segs]
+        )
+        if probe_segs
+        else None
+    )
+    if delta_segs:
+        delta_rows = txn._read_segment_union(
+            spark, [txn.segment_path(root, s) for s in delta_segs]
+        )
+        delta_latest = txn.reconstruct_latest(delta_rows, _spec(id_col))
+        if base_rows is not None:
+            survivors = base_rows.join(
+                F.broadcast(delta_latest.select(id_col).distinct()),
+                on=id_col,
+                how="left_anti",
+            ).drop(_SEQ)
+            latest = survivors.unionByName(delta_latest)
+        else:
+            latest = delta_latest
+    else:
+        latest = base_rows.drop(_SEQ)
     probed = latest.filter(F.col("ann_list").isin(probe_ids))
+    if allowed_ids is not None:
+        probed = probed.join(
+            allowed_ids.select(id_col).distinct(), on=id_col, how="leftsemi"
+        )
     short = pq_adc_shortlist(
         probed.select(id_col, *[f"c{j}" for j in range(m)]),
         codebook,

@@ -120,7 +120,8 @@ def test_upsert_is_o_batch_and_supersedes(spark, built, monkeypatch):
     assert full.count() == n_keys
     assert full.select("vec_id").distinct().count() == n_keys
 
-    # probe now reads 4 base segments + 1 delta segment
+    # probe now reads 4 base segments + 1 delta segment (separate reads
+    # since the fold became base-anti-join-delta, round-7 exchange fix)
     seen: list[list[str]] = []
     real = txn._read_segment_union
 
@@ -130,8 +131,10 @@ def test_upsert_is_o_batch_and_supersedes(spark, built, monkeypatch):
 
     monkeypatch.setattr(txn, "_read_segment_union", spy)
     ann_index.ann_index_top_k(spark, root, q, k=10, n_probe=4)
-    probe_reads = [p for p in seen if any("ann0_l" in x for x in p)]
-    assert len(probe_reads[-1]) == 5
+    base_reads = [p for p in seen if any("ann0_l" in x for x in p)]
+    delta_reads = [p for p in seen if any("annd" in x for x in p)]
+    assert len(base_reads[-1]) == 4
+    assert len(delta_reads[-1]) == 1
 
 
 def test_rebuild_folds_deltas(spark, built):
@@ -256,3 +259,57 @@ def test_streaming_index_maintenance(spark, tmp_path):
     # every ingested vector is present exactly once
     n = txn.read_version(spark, root, subdir=ann_index.CODES_COMPONENT).count()
     assert n == full.count()
+
+
+def test_filtered_probe_qdrant_semantics(spark, tmp_path):
+    """allowed_ids applies BEFORE the shortlist (Qdrant
+    filter-during-traversal, deduplicate_from_qdrant.py:59-73): every
+    result satisfies the filter, k fills from filtered candidates, and
+    served cosines are the true cosines."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") != 0)
+    root = str(tmp_path / "idx")
+    ann_index.build_ann_index(spark, base, root)
+    q = _query(spark)
+    allowed = emb.filter((F.col("vec_id") != 0) & (F.col("label") == 3)).select(
+        "vec_id"
+    )
+    allowed_set = {r["vec_id"] for r in allowed.collect()}
+    got = ann_index.ann_index_top_k(
+        spark, root, q, k=10, allowed_ids=allowed
+    ).collect()
+    assert got, "filtered probe returned nothing"
+    assert all(r["vec_id"] in allowed_set for r in got)
+    # true cosines + containment in the filtered probe's candidate set:
+    # an unfiltered probe then filtered post-hoc can UNDER-fill k; the
+    # filtered probe must return at least as many rows
+    post = [
+        r
+        for r in ann_index.ann_index_top_k(spark, root, q, k=10).collect()
+        if r["vec_id"] in allowed_set
+    ]
+    assert len(got) >= len(post)
+    exact = {
+        r["vec_id"]: r["cosine_sim"]
+        for r in similarity.knn_brute_force(
+            base.join(allowed, "vec_id", "leftsemi"), _qlit(q), k=500
+        ).collect()
+    }
+    for r in got:
+        assert exact[r["vec_id"]] == r["cosine_sim"]
+
+
+def test_no_delta_probe_is_shuffle_free(spark, tmp_path):
+    """Plan gate: on an unchanged (delta-free) index the serving probe
+    is a pruned scan + codegen ADC + broadcast re-rank join — no
+    shuffle exchange anywhere (the round-7 fold restructure: base is
+    one-row-per-key by construction, so merge-on-read degenerates to
+    the scan)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") != 0)
+    root = str(tmp_path / "idx")
+    ann_index.build_ann_index(spark, base, root)
+    df = ann_index.ann_index_top_k(spark, root, _query(spark), k=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan

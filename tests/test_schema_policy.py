@@ -170,3 +170,60 @@ def test_change_feed_sees_evolved_columns(spark, tmp_path):
         1: ("a", None),  # pre-evolution epoch NULL-fills the new column
         2: ("b", 1.5),
     }
+
+
+# ---------------------------------------------------------------- property:
+# random additive evolution sequences never break reads, and the read
+# equals a driver-side replay of the same upserts with union schema.
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_OPT_COLS = ["a", "b", "c"]  # optional payload columns, all bigint
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    batches=st.lists(
+        st.tuples(
+            st.lists(st.integers(0, 4), min_size=1, max_size=3, unique=True),
+            st.sets(st.sampled_from(_OPT_COLS), max_size=3),
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_additive_evolution_replay(spark, tmp_path_factory, batches):
+    root = str(tmp_path_factory.mktemp("evo") / "t")
+    expected: dict = {}  # key -> {col: value}
+    union_cols: list[str] = []
+    for seq, (keys, cols) in enumerate(batches):
+        cols = sorted(cols)
+        for c in cols:
+            if c not in union_cols:
+                union_cols.append(c)
+        schema = "k long, seq long" + "".join(f", {c} long" for c in cols)
+        rows = [
+            tuple([k, seq] + [100 * seq + 10 * _OPT_COLS.index(c) + k for c in cols])
+            for k in keys
+        ]
+        df = spark.createDataFrame(rows, schema)
+        streaming.batch_upsert_commit(
+            spark, df, keys=["k"], order_desc=["seq"], target_dir=root
+        )
+        for r in rows:
+            k = r[0]
+            expected[k] = {c: r[2 + i] for i, c in enumerate(cols)}
+            expected[k]["seq"] = seq
+    got = {
+        r["k"]: {c: r[c] for c in ["seq"] + union_cols}
+        for r in txn.read_version(spark, root).collect()
+    }
+    want = {
+        k: {c: v.get(c) for c in ["seq"] + union_cols}
+        for k, v in expected.items()
+    }
+    assert got == want
+    # the recorded logical schema is exactly protected + union columns
+    rec = [n for n, _ in txn.component_logical_schema(root)]
+    assert rec == ["k", "seq"] + union_cols
