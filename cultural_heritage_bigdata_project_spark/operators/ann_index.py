@@ -65,12 +65,16 @@ def _encode_pass(
     vec_col: str,
 ) -> DataFrame:
     """ONE Arrow-batched pass computing the full index row per vector:
-    nearest-centroid list assignment (squared L2, ties → lowest list)
-    AND the m PQ codes (on the L2-normalized vector, as pq_encode) —
+    nearest-centroid list assignment (squared L2, ties → lowest list),
+    the m PQ codes (on the L2-normalized vector, as pq_encode), AND the
+    packed BQ sign-bit words (63 per long, first-element-most-
+    significant — bit-identical to ``similarity._bq_words_expr``) —
     the vectors are streamed through a single mapInPandas GEMM instead
-    of the two passes the per-query operators run."""
+    of the three passes the per-query operators run."""
     import numpy as np
     import pandas as pd
+
+    from .similarity import BQ_WORD
 
     cmat = np.asarray(centroids, dtype=np.float64)
     cw = np.asarray(codebook, dtype=np.float64)
@@ -78,7 +82,7 @@ def _encode_pass(
     schema = (
         "__id long, ann_list int, "
         + ", ".join(f"c{j} int" for j in range(m))
-        + ", __v array<double>"
+        + ", bq_words array<long>, __v array<double>"
     )
 
     def compute(batches):
@@ -98,6 +102,14 @@ def _encode_pass(
                 cws = cw[:, j * sd : (j + 1) * sd]
                 dist = ((sub[:, None, :] - cws[None, :, :]) ** 2).sum(axis=-1)
                 out[f"c{j}"] = np.argmin(dist, axis=1).astype(np.int32)
+            bits = (mat > 0).astype(np.int64)
+            words = []
+            for w in range(0, mat.shape[1], BQ_WORD):
+                acc = np.zeros(len(mat), dtype=np.int64)
+                for col in range(w, min(w + BQ_WORD, mat.shape[1])):
+                    acc = acc * 2 + bits[:, col]
+                words.append(acc)
+            out["bq_words"] = list(np.stack(words, axis=1))
             out["__v"] = list(pdf["__v"].to_numpy())
             yield pd.DataFrame(out)
 
@@ -313,6 +325,7 @@ def ann_index_top_k(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     allowed_ids: DataFrame | None = None,
+    codec: str = "pq",
 ) -> DataFrame:
     """Serve a kNN query from the PREBUILT index: meta read (KBs) →
     driver-side probe selection → metadata-pruned scan of the n_probe
@@ -331,7 +344,15 @@ def ann_index_top_k(
     the filtered candidates, Qdrant's filter-during-traversal
     semantics, not a post-filter that can under-fill k. The caller
     derives it from any metadata predicate (one semi-join; broadcast
-    when small)."""
+    when small).
+
+    ``codec`` picks the shortlist surrogate over the probed rows:
+    ``"pq"`` (default) scores the stored PQ codes via the integer ADC
+    table; ``"bq"`` XOR+popcounts the stored packed sign-bit words
+    (hamming ASC — ~32x less shortlist I/O than floats, the cheapest
+    path when probe segments are cold). Both re-rank the shortlist by
+    exact cosine; output carries the surrogate column (``adc_micro``
+    or ``hamming``)."""
     import numpy as np
 
     centroids, codebook = read_index_meta(spark, root)
@@ -388,19 +409,49 @@ def ann_index_top_k(
         probed = probed.join(
             allowed_ids.select(id_col).distinct(), on=id_col, how="leftsemi"
         )
-    short = pq_adc_shortlist(
-        probed.select(id_col, *[f"c{j}" for j in range(m)]),
-        codebook,
-        query,
-        m=m,
-        shortlist=shortlist,
-        id_col=id_col,
-    )
+    if codec == "pq":
+        short = pq_adc_shortlist(
+            probed.select(id_col, *[f"c{j}" for j in range(m)]),
+            codebook,
+            query,
+            m=m,
+            shortlist=shortlist,
+            id_col=id_col,
+        )
+        surrogate = "adc_micro"
+    elif codec == "bq":
+        from .similarity import _bq_query_words
+
+        if "bq_words" not in probed.columns:
+            raise ValueError(
+                "index has no stored bq_words (built before the BQ codec); "
+                "rebuild with build_ann_index"
+            )
+        qwords = _bq_query_words([float(x) for x in query])
+        qarr = F.array(*[F.lit(int(w)).cast("long") for w in qwords])
+        hamming = F.aggregate(
+            F.zip_with(
+                F.col("bq_words"),
+                qarr,
+                lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        short = (
+            probed.withColumn("hamming", hamming)
+            .select(id_col, "hamming")
+            .orderBy(F.col("hamming").asc(), F.col(id_col).asc())
+            .limit(shortlist)
+        )
+        surrogate = "hamming"
+    else:
+        raise ValueError(f"unknown codec {codec!r}: expected 'pq' or 'bq'")
     qlit = F.array(*[F.lit(float(x)) for x in query]).cast("array<double>")
     sim = F.round(cosine_similarity(F.col(vec_col), qlit), 6)
     return (
         probed.join(short, on=id_col)
-        .select(F.col(id_col), F.col("adc_micro"), sim.alias("cosine_sim"))
+        .select(F.col(id_col), F.col(surrogate), sim.alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
         .limit(k)
     )

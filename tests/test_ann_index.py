@@ -313,3 +313,47 @@ def test_no_delta_probe_is_shuffle_free(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_bq_codec_serves_from_stored_words(spark, tmp_path):
+    """codec='bq' scores the STORED packed sign bits; with every list
+    probed it must equal bq_deterministic_top_k on the same corpus
+    bit-for-bit (hamming included), and with a real probe the served
+    cosines stay true with a recall floor."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") != 0)
+    root = str(tmp_path / "idx")
+    ann_index.build_ann_index(spark, base, root, n_lists=8)
+    q = _query(spark)
+    got_all = [
+        (r["vec_id"], r["hamming"], r["cosine_sim"])
+        for r in ann_index.ann_index_top_k(
+            spark, root, q, k=10, n_probe=8, codec="bq"
+        ).collect()
+    ]
+    want = [
+        (r["vec_id"], r["hamming"], r["cosine_sim"])
+        for r in similarity.bq_deterministic_top_k(base, q, k=10).collect()
+    ]
+    assert got_all == want
+    # fixture embeddings are near-uniform, so IVF recall tracks
+    # n_probe/n_lists; 6 of 8 lists => expect ~0.75, floor at 0.5
+    probed = [
+        (r["vec_id"], r["cosine_sim"])
+        for r in ann_index.ann_index_top_k(
+            spark, root, q, k=10, n_probe=6, codec="bq"
+        ).collect()
+    ]
+    exact = {
+        r["vec_id"]: r["cosine_sim"]
+        for r in similarity.knn_brute_force(base, _qlit(q), k=500).collect()
+    }
+    for vid, cos in probed:
+        assert exact[vid] == cos
+    top10 = [
+        r["vec_id"]
+        for r in similarity.knn_brute_force(base, _qlit(q), k=10).collect()
+    ]
+    assert len({p[0] for p in probed} & set(top10)) / 10 >= 0.5
+    with pytest.raises(ValueError, match="codec"):
+        ann_index.ann_index_top_k(spark, root, q, codec="sq8")
