@@ -514,3 +514,158 @@ def foreach_batch_ann_index_run(
     )
     q.awaitTermination()
     return q
+
+
+def ann_index_top_k_all(
+    spark: SparkSession,
+    root: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch serving: top-k for EVERY query vector in ``queries`` in
+    ONE job against the persisted index — the amortized path when a
+    workload carries many queries (recommendation refresh, dedup of an
+    incoming batch against a corpus index; the reference loops
+    per-query HTTP searches instead, app.py:208-264 /
+    deduplicate_from_qdrant.py:53-83).
+
+    Shape: per-query probe lists come from one Arrow GEMM over the
+    stored centroids (``similarity._assign_probe_lists``); the index's
+    probed rows (union of all queries' lists, still segment-pruned +
+    delta tail, same fold as the single-query path) join the
+    assignments on the list id; the shortlist surrogate is the stored
+    BQ sign words against each query's own packed words — a pure
+    column-to-column XOR/popcount, which is what makes BATCH serving
+    JVM-only (PQ's per-query ADC tables would be driver literals per
+    query and cannot ride a column). Exact cosine re-ranks each
+    query's shortlist; two q_id-partitioned windows do shortlist and
+    top-k. Returns (q_id, vec_id, hamming, cosine_sim) rows, k per
+    query.
+
+    At 100 TB: the index is read ONCE for the whole query batch
+    (union of probed lists + delta tail); per-query cost is the
+    hamming scan of its probed lists' code words. Skew note: the join
+    key is the list id (bounded distinct values) — AQE's skew split
+    handles a hot list, and the assignment side is ~|Q|·n_probe rows,
+    broadcast when small."""
+    from pyspark.sql import Window
+
+    from .similarity import _assign_probe_lists, _bq_words_expr
+
+    centroids, _codebook = read_index_meta(spark, root)
+    dim = len(centroids[0])
+    cur = txn.current_version_dir(root)
+    if cur is None:
+        raise FileNotFoundError(f"nothing published under {root!r}")
+    comp = txn.read_manifest(root, os.path.basename(cur))[CODES_COMPONENT]
+    ann = comp.get("ann") or {}
+
+    assign = _assign_probe_lists(
+        queries, centroids, q_id_col, q_vec_col, n_probe
+    )
+    # bounded collect: the distinct probed lists (<= n_lists ints)
+    probe_ids = sorted(
+        r["__list"] for r in assign.select("__list").distinct().collect()
+    )
+    list_segs = ann.get("list_segments", {})
+    probe_segs = [list_segs[str(p)] for p in probe_ids if str(p) in list_segs]
+    delta_segs = list(ann.get("delta_segments", []))
+    base_rows = (
+        txn._read_segment_union(
+            spark, [txn.segment_path(root, s) for s in probe_segs]
+        )
+        if probe_segs
+        else None
+    )
+    if delta_segs:
+        delta_rows = txn._read_segment_union(
+            spark, [txn.segment_path(root, s) for s in delta_segs]
+        )
+        delta_latest = txn.reconstruct_latest(delta_rows, _spec(id_col))
+        if base_rows is not None:
+            latest = base_rows.join(
+                F.broadcast(delta_latest.select(id_col).distinct()),
+                on=id_col,
+                how="left_anti",
+            ).drop(_SEQ).unionByName(delta_latest)
+        else:
+            latest = delta_latest
+    else:
+        latest = base_rows.drop(_SEQ)
+    rows = latest.filter(F.col("ann_list").isin(probe_ids)).select(
+        id_col, "ann_list", "bq_words", vec_col
+    )
+    qside = queries.select(
+        F.col(q_id_col).alias("__qid"),
+        F.col(q_vec_col).cast("array<double>").alias("__qv"),
+        _bq_words_expr(q_vec_col, dim).alias("__qwords"),
+    ).join(
+        assign.select(F.col(q_id_col).alias("__qid"), "__list"), on="__qid"
+    )
+    cand = rows.join(qside, rows.ann_list == qside["__list"])
+    hamming = F.aggregate(
+        F.zip_with(
+            F.col("bq_words"),
+            F.col("__qwords"),
+            lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = cand.withColumn("hamming", hamming)
+    w_short = Window.partitionBy("__qid").orderBy(
+        F.col("hamming").asc(), F.col(id_col).asc()
+    )
+    shortlisted = scored.withColumn(
+        "__rn", F.row_number().over(w_short)
+    ).filter(F.col("__rn") <= shortlist)
+    sim = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                F.col("__qv"),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / (
+            F.sqrt(
+                F.aggregate(
+                    F.transform(
+                        F.col(vec_col).cast("array<double>"), lambda x: x * x
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+            * F.sqrt(
+                F.aggregate(
+                    F.transform(F.col("__qv"), lambda x: x * x),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+        ),
+        6,
+    )
+    w_top = Window.partitionBy("__qid").orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        shortlisted.withColumn("cosine_sim", sim)
+        .withColumn("__rk", F.row_number().over(w_top))
+        .filter(F.col("__rk") <= k)
+        .select(
+            F.col("__qid").alias(q_id_col),
+            F.col(id_col),
+            "hamming",
+            "cosine_sim",
+        )
+    )

