@@ -372,6 +372,18 @@ def ann_index_top_k(
     probe_segs = [list_segs[str(p)] for p in probe_ids if str(p) in list_segs]
     delta_segs = list(ann.get("delta_segments", []))
     if not probe_segs and not delta_segs:
+        if comp.get("segments"):
+            # a generic maintenance rewrite (compact_component) rebuilt
+            # the component dict and dropped the "ann" posting-list map
+            # — serve CORRECTLY from the generic fold (no segment
+            # pruning; run build_ann_index to restore the pruned
+            # layout). The probe filter below still applies.
+            latest = txn.read_version(spark, root, subdir=CODES_COMPONENT)
+            probed = latest.filter(F.col("ann_list").isin(probe_ids))
+            return _shortlist_rerank(
+                probed, codebook, query, k, shortlist, id_col, vec_col,
+                allowed_ids, codec, m,
+            )
         raise FileNotFoundError(f"index under {root!r} has no segments")
     # Merge-on-read WITHOUT a corpus-wide exchange: the build base is
     # one row per key by construction, so the fold reduces to "drop
@@ -405,6 +417,26 @@ def ann_index_top_k(
     else:
         latest = base_rows.drop(_SEQ)
     probed = latest.filter(F.col("ann_list").isin(probe_ids))
+    return _shortlist_rerank(
+        probed, codebook, query, k, shortlist, id_col, vec_col,
+        allowed_ids, codec, m,
+    )
+
+
+def _shortlist_rerank(
+    probed: DataFrame,
+    codebook,
+    query,
+    k: int,
+    shortlist: int,
+    id_col: str,
+    vec_col: str,
+    allowed_ids: DataFrame | None,
+    codec: str,
+    m: int,
+) -> DataFrame:
+    """Shared serving tail: payload filter → codec shortlist (PQ ADC or
+    BQ hamming over the stored columns) → exact cosine re-rank."""
     if allowed_ids is not None:
         probed = probed.join(
             allowed_ids.select(id_col).distinct(), on=id_col, how="leftsemi"
@@ -573,6 +605,17 @@ def ann_index_top_k_all(
     probe_ids = sorted(
         r["__list"] for r in assign.select("__list").distinct().collect()
     )
+    if not probe_ids:  # empty query batch: k-per-query of nothing
+        q_type = queries.schema[q_id_col].dataType.simpleString()
+        id_type = None
+        for n, t in comp.get("schema") or []:
+            if n == id_col:
+                id_type = t
+        return spark.createDataFrame(
+            [],
+            f"{q_id_col} {q_type}, {id_col} {id_type or 'bigint'}, "
+            "hamming bigint, cosine_sim double",
+        )
     list_segs = ann.get("list_segments", {})
     probe_segs = [list_segs[str(p)] for p in probe_ids if str(p) in list_segs]
     delta_segs = list(ann.get("delta_segments", []))

@@ -389,3 +389,45 @@ def test_batch_serving_matches_per_query(spark, tmp_path):
             ).collect()
         ]
         assert by_q[qid] == want, f"q{qid} diverged"
+
+
+def test_batch_serving_empty_queries(spark, tmp_path):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    root = str(tmp_path / "idx")
+    ann_index.build_ann_index(spark, emb.filter(F.col("vec_id") != 0), root)
+    empty_q = emb.filter(F.col("vec_id") < 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = ann_index.ann_index_top_k_all(spark, root, empty_q, k=5)
+    assert out.count() == 0
+    assert out.columns == ["q_id", "vec_id", "hamming", "cosine_sim"]
+
+
+def test_generic_compaction_degrades_gracefully(spark, tmp_path):
+    """A generic txn maintenance rewrite (compact_component) rebuilds
+    the component dict and drops the 'ann' posting-list map; serving
+    must stay CORRECT (generic fold, probe filter applied, unpruned)
+    until a rebuild restores the pruned layout."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") != 0)
+    root = str(tmp_path / "idx")
+    ann_index.build_ann_index(spark, base, root)
+    q = _query(spark)
+    before = [
+        (r["vec_id"], r["cosine_sim"])
+        for r in ann_index.ann_index_top_k(spark, root, q, k=10).collect()
+    ]
+    txn.compact_component(spark, root, component=ann_index.CODES_COMPONENT)
+    after = [
+        (r["vec_id"], r["cosine_sim"])
+        for r in ann_index.ann_index_top_k(spark, root, q, k=10).collect()
+    ]
+    assert after == before
+    # a rebuild restores the pruned posting-list layout
+    state = txn.read_version(spark, root, subdir=ann_index.CODES_COMPONENT).select(
+        "vec_id", "embedding"
+    )
+    ann_index.build_ann_index(spark, state, root)
+    cur = txn.current_version_dir(root)
+    comp = txn.read_manifest(root, os.path.basename(cur))[ann_index.CODES_COMPONENT]
+    assert comp["ann"]["list_segments"]
