@@ -8,7 +8,7 @@ Layout (one txn-layer table root, CAS-published versions):
 
 - component ``codes``: ``(vec_id, ann_list, c0..c{m-1}, embedding,
   ann_epoch, __sg_seq)``. The BUILD writes one segment **per inverted
-  list** (``ann{epoch}_l{K}``), each with manifest min/max stats pinning
+  list** (``ann_{version}_l{K}``), each with manifest min/max stats pinning
   ``ann_list = K`` — so a probe selects its ``n_probe`` segments
   metadata-only, before Spark lists a single file (the IVF posting-list
   file layout, expressed through the existing manifest data-skipping
@@ -192,29 +192,45 @@ def build_ann_index(
         # ``ann_list_p`` exists because partitionBy strips its column
         # from the data files, and delta segments need ``ann_list`` as
         # a real column to union by name.
+        #
+        # Segment names carry VNAME, not the epoch: vname was claimed
+        # by this writer's exclusive makedirs, so two racing builders
+        # (which compute the SAME epoch from the same expected current)
+        # can never write — or rmtree — each other's segment paths.
+        # (A bare epoch-derived name let the CAS loser rmtree the
+        # winner's just-published segment: round-7 ADVICE, high.) The
+        # rmtree below therefore only ever clears leftovers of an
+        # aborted earlier claim of this same exclusively-owned name.
         scratch = os.path.join(new_dir, "_encode")
         stamped.withColumn("ann_list_p", F.col("ann_list")).write.partitionBy(
             "ann_list_p"
         ).parquet(scratch)
         seg_names: list[str] = []
         stats: dict[str, dict] = {}
+        list_map: dict[str, str] = {}
         for entry in sorted(os.listdir(scratch)):
             if not entry.startswith("ann_list_p="):
                 continue
             k = int(entry.split("=", 1)[1])
-            seg = f"ann{epoch}_l{k}"
+            seg = f"ann_{vname}_l{k}"
             sdir = txn.segment_path(root, seg)
             shutil.rmtree(sdir, ignore_errors=True)
             os.makedirs(os.path.dirname(sdir), exist_ok=True)
             os.rename(os.path.join(scratch, entry), sdir)
             seg_names.append(seg)
+            list_map[str(k)] = seg
             stats[seg] = txn.collect_parquet_stats(sdir)
             stats[seg]["ann_list"] = [k, k]  # exact: the partition value
         shutil.rmtree(scratch, ignore_errors=True)
-        meta_seg = f"annmeta{epoch}"
+        meta_seg = f"annmeta_{vname}"
         mdir = txn.segment_path(root, meta_seg)
         shutil.rmtree(mdir, ignore_errors=True)
         _meta_df(spark, centroids, codebook).coalesce(1).write.parquet(mdir)
+        schema = [
+            [f.name, f.dataType.simpleString()]
+            for f in stamped.schema.fields
+            if f.name != _SEQ  # internal seq is never logical schema
+        ]
         txn.write_manifest(
             root,
             vname,
@@ -224,11 +240,11 @@ def build_ann_index(
                     "segments": seg_names,
                     "changes": seg_names,
                     "reconstruct": _spec(id_col),
+                    "schema": schema,
                     "stats": stats,
                     "ann": {"n_lists": n_lists, "m": m, "n_codes": n_codes,
-                            "list_segments": {str(k): f"ann{epoch}_l{k}"
-                                              for k in range(n_lists)
-                                              if f"ann{epoch}_l{k}" in seg_names},
+                            "epoch": epoch,
+                            "list_segments": list_map,
                             "delta_segments": []},
                 },
                 META_COMPONENT: {
@@ -243,6 +259,12 @@ def build_ann_index(
 
 
 def _next_epoch(root: str, current_dir: str | None) -> int:
+    """The fold-order stamp for the next commit's rows. Racing writers
+    MAY compute the same value (both read the same expected current) —
+    that is safe, because the loser's rebased retry recomputes it and
+    the published chain stays strictly increasing; only segment NAMES
+    must never collide, and those come from the exclusively-claimed
+    version name, never from this number."""
     if current_dir is None:
         return 0
     comp = (txn.read_manifest(root, os.path.basename(current_dir)) or {}).get(
@@ -250,6 +272,10 @@ def _next_epoch(root: str, current_dir: str | None) -> int:
     )
     if comp is None:
         return 0
+    stamped = (comp.get("ann") or {}).get("epoch")
+    if stamped is not None:
+        return int(stamped) + 1
+    # pre-"epoch"-field manifests named segments ann{N}_l{K} / annd{N}
     hi = -1
     for s in comp.get("segments", []):
         tag = s.split("_", 1)[0].removeprefix("ann").removeprefix("d")
@@ -288,14 +314,21 @@ def ann_index_upsert(
         stamped = encoded.withColumn(
             "ann_epoch", F.lit(epoch).cast("long")
         ).withColumn(_SEQ, F.lit(epoch).cast("long"))
-        seg = f"annd{epoch}"
+        # delta name from the exclusively-claimed version dir (see
+        # build_ann_index): a racing upsert that computed the same
+        # epoch builds into a DIFFERENT claimed vname, so its segment
+        # path never aliases this one and the CAS loser cannot clobber
+        # the winner's published delta (round-7 ADVICE, high)
+        vname = os.path.basename(new_dir)
+        seg = f"annd_{vname}"
         sdir = txn.segment_path(root, seg)
-        shutil.rmtree(sdir, ignore_errors=True)
+        shutil.rmtree(sdir, ignore_errors=True)  # own aborted leftovers only
         stamped.write.parquet(sdir)
         segments = list(comp.get("segments", [])) + [seg]
         stats = dict(comp.get("stats") or {})
         stats[seg] = txn.collect_parquet_stats(sdir)
         ann = dict(comp.get("ann") or {})
+        ann["epoch"] = epoch
         ann["delta_segments"] = list(ann.get("delta_segments", [])) + [seg]
         comp.update(
             {"segments": segments, "changes": [seg], "stats": stats, "ann": ann}
@@ -368,31 +401,43 @@ def ann_index_top_k(
     d = ((cmat - qv[None, :]) ** 2).sum(axis=1)
     probe_ids = [int(i) for i in np.argsort(d, kind="stable")[:n_probe]]
 
-    list_segs = ann.get("list_segments", {})
+    latest = _probed_latest(spark, root, comp, ann, probe_ids, id_col)
+    probed = latest.filter(F.col("ann_list").isin(probe_ids))
+    return _shortlist_rerank(
+        probed, codebook, query, k, shortlist, id_col, vec_col,
+        allowed_ids, codec, m,
+    )
+
+
+def _probed_latest(
+    spark: SparkSession, root: str, comp: dict, ann: dict, probe_ids, id_col: str
+) -> DataFrame:
+    """Latest-per-key rows backing a probe: the probed base list
+    segments ∪ the whole delta tail, folded BEFORE the caller's
+    ``ann_list`` filter (module docstring: a delta that MOVED a key
+    between lists must supersede its stale probed row).
+
+    Merge-on-read WITHOUT a corpus-wide exchange: the build base is
+    one row per key by construction, so the fold reduces to "drop
+    base rows superseded by any delta key" — a broadcast ANTI join
+    against the (small, O(changes-since-rebuild)) delta keyset — plus
+    the delta tail's own latest-per-key window (tiny). A probe on an
+    unchanged index is then a pure pruned scan, zero exchanges before
+    the shortlist.
+
+    When the posting-list map is gone (a generic ``compact_component``
+    rewrite rebuilt the component dict and dropped ``ann``) BOTH seg
+    lists are empty — serve CORRECTLY from the generic full fold (no
+    segment pruning; run ``build_ann_index`` to restore the pruned
+    layout). Shared by the single-query and batch serving paths — the
+    batch path previously crashed on this case (round-7 ADVICE, low)."""
+    list_segs = (ann or {}).get("list_segments", {})
     probe_segs = [list_segs[str(p)] for p in probe_ids if str(p) in list_segs]
-    delta_segs = list(ann.get("delta_segments", []))
+    delta_segs = list((ann or {}).get("delta_segments", []))
     if not probe_segs and not delta_segs:
         if comp.get("segments"):
-            # a generic maintenance rewrite (compact_component) rebuilt
-            # the component dict and dropped the "ann" posting-list map
-            # — serve CORRECTLY from the generic fold (no segment
-            # pruning; run build_ann_index to restore the pruned
-            # layout). The probe filter below still applies.
-            latest = txn.read_version(spark, root, subdir=CODES_COMPONENT)
-            probed = latest.filter(F.col("ann_list").isin(probe_ids))
-            return _shortlist_rerank(
-                probed, codebook, query, k, shortlist, id_col, vec_col,
-                allowed_ids, codec, m,
-            )
+            return txn.read_version(spark, root, subdir=CODES_COMPONENT)
         raise FileNotFoundError(f"index under {root!r} has no segments")
-    # Merge-on-read WITHOUT a corpus-wide exchange: the build base is
-    # one row per key by construction, so the fold reduces to "drop
-    # base rows superseded by any delta key" — a broadcast ANTI join
-    # against the (small, O(changes-since-rebuild)) delta keyset — plus
-    # the delta tail's own latest-per-key window (tiny). A probe on an
-    # unchanged index is then a pure pruned scan, zero exchanges before
-    # the shortlist. Fold precedes the probe filter so a delta that
-    # MOVED a key between lists still supersedes its stale probed row.
     base_rows = (
         txn._read_segment_union(
             spark, [txn.segment_path(root, s) for s in probe_segs]
@@ -405,22 +450,15 @@ def ann_index_top_k(
             spark, [txn.segment_path(root, s) for s in delta_segs]
         )
         delta_latest = txn.reconstruct_latest(delta_rows, _spec(id_col))
-        if base_rows is not None:
-            survivors = base_rows.join(
-                F.broadcast(delta_latest.select(id_col).distinct()),
-                on=id_col,
-                how="left_anti",
-            ).drop(_SEQ)
-            latest = survivors.unionByName(delta_latest)
-        else:
-            latest = delta_latest
-    else:
-        latest = base_rows.drop(_SEQ)
-    probed = latest.filter(F.col("ann_list").isin(probe_ids))
-    return _shortlist_rerank(
-        probed, codebook, query, k, shortlist, id_col, vec_col,
-        allowed_ids, codec, m,
-    )
+        if base_rows is None:
+            return delta_latest
+        survivors = base_rows.join(
+            F.broadcast(delta_latest.select(id_col).distinct()),
+            on=id_col,
+            how="left_anti",
+        ).drop(_SEQ)
+        return survivors.unionByName(delta_latest)
+    return base_rows.drop(_SEQ)
 
 
 def _shortlist_rerank(
@@ -608,7 +646,7 @@ def ann_index_top_k_all(
     if not probe_ids:  # empty query batch: k-per-query of nothing
         q_type = queries.schema[q_id_col].dataType.simpleString()
         id_type = None
-        for n, t in comp.get("schema") or []:
+        for n, t in comp.get("schema") or []:  # recorded at build time
             if n == id_col:
                 id_type = t
         return spark.createDataFrame(
@@ -616,31 +654,7 @@ def ann_index_top_k_all(
             f"{q_id_col} {q_type}, {id_col} {id_type or 'bigint'}, "
             "hamming bigint, cosine_sim double",
         )
-    list_segs = ann.get("list_segments", {})
-    probe_segs = [list_segs[str(p)] for p in probe_ids if str(p) in list_segs]
-    delta_segs = list(ann.get("delta_segments", []))
-    base_rows = (
-        txn._read_segment_union(
-            spark, [txn.segment_path(root, s) for s in probe_segs]
-        )
-        if probe_segs
-        else None
-    )
-    if delta_segs:
-        delta_rows = txn._read_segment_union(
-            spark, [txn.segment_path(root, s) for s in delta_segs]
-        )
-        delta_latest = txn.reconstruct_latest(delta_rows, _spec(id_col))
-        if base_rows is not None:
-            latest = base_rows.join(
-                F.broadcast(delta_latest.select(id_col).distinct()),
-                on=id_col,
-                how="left_anti",
-            ).drop(_SEQ).unionByName(delta_latest)
-        else:
-            latest = delta_latest
-    else:
-        latest = base_rows.drop(_SEQ)
+    latest = _probed_latest(spark, root, comp, ann, probe_ids, id_col)
     rows = latest.filter(F.col("ann_list").isin(probe_ids)).select(
         id_col, "ann_list", "bq_words", vec_col
     )

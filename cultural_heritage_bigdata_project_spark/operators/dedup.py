@@ -547,37 +547,56 @@ def _unpersist_local_checkpoint(df: DataFrame) -> None:
 
 
 def _components_via_driver(sym: DataFrame, nodes: DataFrame, id_col: str) -> DataFrame:
-    """Exact connected components for a BOUNDED edge list: union-find
-    (path-halving) over the collected symmetric edges, labels = min id
-    per component, shipped back as one broadcast left join. Nodes
-    without edges are their own canonicals via the coalesce."""
-    parent: dict = {}
+    """Exact connected components for a BOUNDED edge list, sized for
+    the driver it actually runs on: the edges land via Arrow
+    (``toPandas`` — two flat columns, no per-row ``Row`` objects) and
+    are factorized to dense int codes, so union-find state is two
+    numpy arrays (~16 bytes/edge endpoint), not Python dicts — the
+    collected footprint of the 2M-edge default is tens of MB, as the
+    ``driver_edges_max`` contract claims (round-7 ADVICE, low). Labels
+    are the min node id per component, shipped back as one broadcast
+    left join; nodes without edges are their own canonicals via the
+    coalesce."""
+    import numpy as np
+    import pandas as pd
 
-    def find(x):
-        r = x
-        while parent[r] != r:
-            r = parent[r]
-        while parent[x] != r:  # path compression
-            parent[x], x = r, parent[x]
-        return r
-
-    for row in sym.collect():
-        a, b = row[0], row[1]
-        if a not in parent:
-            parent[a] = a
-        if b not in parent:
-            parent[b] = b
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)  # min-id root => min label
-    comp_min = {x: find(x) for x in parent}
     spark = sym.sparkSession
     id_type = nodes.schema[id_col].dataType.simpleString()
-    mapping = spark.createDataFrame(
-        list(comp_min.items()), f"{id_col} {id_type}, __canon {id_type}"
-    ) if comp_min else spark.createDataFrame(
-        [], f"{id_col} {id_type}, __canon {id_type}"
-    )
+    pdf = sym.toPandas()
+    if len(pdf) == 0:
+        mapping = spark.createDataFrame([], f"{id_col} {id_type}, __canon {id_type}")
+    else:
+        codes, uniques = pd.factorize(
+            pd.concat(
+                [pdf.iloc[:, 0], pdf.iloc[:, 1]], ignore_index=True
+            )
+        )
+        n_edges = len(pdf)
+        a, b = codes[:n_edges], codes[n_edges:]
+        parent = np.arange(len(uniques), dtype=np.int64)
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        for i in range(n_edges):
+            ra, rb = find(int(a[i])), find(int(b[i]))
+            if ra != rb:
+                parent[rb] = ra
+        roots = np.fromiter(
+            (find(i) for i in range(len(uniques))), dtype=np.int64
+        )
+        # min ORIGINAL id per component (factorize order is first-seen,
+        # so the min must be taken over the real values, not the codes)
+        ids = pd.Series(uniques)
+        mapping_pdf = pd.DataFrame(
+            {id_col: ids, "__canon": ids.groupby(roots).transform("min")}
+        )
+        mapping = spark.createDataFrame(mapping_pdf).select(
+            F.col(id_col).cast(id_type), F.col("__canon").cast(id_type)
+        )
     return nodes.select(F.col(id_col)).join(
         F.broadcast(mapping), on=id_col, how="left"
     ).select(
@@ -616,8 +635,9 @@ def canonical_components(
     production near-dup graph is bounded by the pair-expansion caps),
     and the iterative loop's per-round cost is scheduler floor, not
     data. So when the materialized edge list is small
-    (``<= driver_edges_max`` rows, default 2M ≈ 32 MB — well inside any
-    driver) the components are solved EXACTLY with a driver-side
+    (``<= driver_edges_max`` rows, default 2M — collected via Arrow and
+    factorized to numpy codes, ~tens of MB on the driver, never Row
+    objects) the components are solved EXACTLY with a driver-side
     union-find over the collected edges and joined back as one
     broadcast map — same answer, zero iterations, profiled 2x faster
     end-to-end at sf0.1 (round-6 VERDICT item 2). The edge count rides

@@ -851,6 +851,26 @@ def widen_component_type(
 
     def rewrite(comp_, spec_, cur_):
         folded, align = _folded_component(spark, root, cur_, comp_, spec_)
+        if old_type is None:
+            # pre-policy manifest (no recorded schema): the widening
+            # policy must still hold, so validate against the column's
+            # ACTUAL stored type — otherwise a narrowing cast
+            # (bigint->int, double->float) would rewrite the history
+            # lossily through the unvalidated gap (round-7 ADVICE,
+            # medium)
+            actual = {
+                f.name: f.dataType.simpleString() for f in folded.schema.fields
+            }.get(col)
+            if actual is None:
+                raise SchemaEvolutionError(
+                    f"column {col!r} not in component {component!r}"
+                )
+            if actual != new_type and not is_safe_widening(actual, new_type):
+                raise SchemaEvolutionError(
+                    f"{col!r}: {actual} -> {new_type} is not a lossless "
+                    "widening; a narrowing rewrite must be an explicit new "
+                    "table, not an in-place migration"
+                )
         return folded.withColumn(col, F.col(col).cast(new_type)), None, align
 
     def check(comp_, spec_):

@@ -75,7 +75,7 @@ def test_probe_reads_only_probed_and_delta_segments(spark, built, monkeypatch):
 
     monkeypatch.setattr(txn, "_read_segment_union", spy)
     ann_index.ann_index_top_k(spark, root, _query(spark), k=10, n_probe=4)
-    probe_reads = [p for p in seen if any("ann0_l" in x for x in p)]
+    probe_reads = [p for p in seen if any("/ann_" in x for x in p)]
     assert probe_reads, "probe did not go through the segment union"
     assert len(probe_reads[-1]) == 4  # 4 probed lists, 0 deltas yet
 
@@ -131,8 +131,8 @@ def test_upsert_is_o_batch_and_supersedes(spark, built, monkeypatch):
 
     monkeypatch.setattr(txn, "_read_segment_union", spy)
     ann_index.ann_index_top_k(spark, root, q, k=10, n_probe=4)
-    base_reads = [p for p in seen if any("ann0_l" in x for x in p)]
-    delta_reads = [p for p in seen if any("annd" in x for x in p)]
+    base_reads = [p for p in seen if any("/ann_" in x for x in p)]
+    delta_reads = [p for p in seen if any("/annd_" in x for x in p)]
     assert len(base_reads[-1]) == 4
     assert len(delta_reads[-1]) == 1
 
@@ -401,6 +401,99 @@ def test_batch_serving_empty_queries(spark, tmp_path):
     out = ann_index.ann_index_top_k_all(spark, root, empty_q, k=5)
     assert out.count() == 0
     assert out.columns == ["q_id", "vec_id", "hamming", "cosine_sim"]
+
+
+def test_racing_upserts_cannot_clobber_published_segments(spark, tmp_path, monkeypatch):
+    """Round-7 ADVICE (high): two writers reading the same current
+    compute the same ann EPOCH — segment names must therefore come from
+    the exclusively-claimed version dir, never the epoch, or the CAS
+    loser's rmtree deletes the winner's just-published delta. The test
+    injects a full competing upsert between this writer's current-read
+    and its segment write (the exact corrupting interleaving) and
+    asserts (a) the rival's committed rows survive, (b) this writer's
+    rebased retry lands too, (c) every retained manifest references only
+    segments that still exist with distinct names."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") >= 10)
+    root = str(tmp_path / "idx")
+    ann_index.build_ann_index(spark, base, root)
+
+    rival_rows = emb.filter(F.col("vec_id") < 5).withColumn(
+        "embedding", F.reverse(F.col("embedding"))
+    )
+    mine = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 10))
+
+    real_seg_path = txn.segment_path
+    state = {"armed": True}
+
+    def inject(root_, name):
+        if state["armed"] and name.startswith("annd"):
+            state["armed"] = False  # no recursion from the rival's own run
+            ann_index.ann_index_upsert(spark, rival_rows, root)
+        return real_seg_path(root_, name)
+
+    monkeypatch.setattr(txn, "segment_path", inject)
+    ann_index.ann_index_upsert(spark, mine, root)
+    monkeypatch.undo()
+
+    final = txn.read_version(spark, root, subdir=ann_index.CODES_COMPONENT)
+    assert final.count() == base.count() + 10  # both upserts, no dup keys
+    # the rival's committed embeddings survived the loser's retry path
+    want = {r["vec_id"]: list(r["embedding"]) for r in rival_rows.collect()}
+    got = {
+        r["vec_id"]: list(r["embedding"])
+        for r in final.filter(F.col("vec_id") < 5).collect()
+    }
+    assert got == pytest.approx(want)
+    # every retained version's manifest resolves, with unique segment names
+    for v in txn.list_versions(root):
+        comp = txn.read_manifest(root, v)[ann_index.CODES_COMPONENT]
+        segs = comp["segments"]
+        assert len(segs) == len(set(segs))
+        for s in segs:
+            assert os.path.isdir(real_seg_path(root, s)), f"{v} references missing {s}"
+    # and the index still serves true cosines over the merged state
+    q = _query(spark)
+    state_now = base.unionByName(rival_rows).unionByName(mine)
+    exact = {
+        r["vec_id"]: r["cosine_sim"]
+        for r in similarity.knn_brute_force(state_now, _qlit(q), k=500).collect()
+    }
+    for r in ann_index.ann_index_top_k(spark, root, q, k=10).collect():
+        assert exact[r["vec_id"]] == r["cosine_sim"]
+
+
+def test_batch_serving_after_generic_compaction(spark, tmp_path):
+    """Round-7 ADVICE (low): ann_index_top_k_all crashed
+    (AttributeError on None.drop) when a generic compact_component had
+    dropped the posting-list map; it must degrade to the generic fold
+    exactly like the single-query path, and the two paths must agree."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") >= 20)
+    root = str(tmp_path / "idx")
+    ann_index.build_ann_index(spark, base, root, n_lists=8)
+    txn.compact_component(spark, root, component=ann_index.CODES_COMPONENT)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = ann_index.ann_index_top_k_all(
+        spark, root, queries, k=5, n_probe=8, shortlist=50
+    ).collect()
+    by_q: dict = {}
+    for r in out:
+        by_q.setdefault(r["q_id"], []).append(
+            (r["vec_id"], r["hamming"], r["cosine_sim"])
+        )
+    assert set(by_q) == {0, 1, 2}
+    for q_row in queries.collect():
+        want = [
+            (r["vec_id"], r["hamming"], r["cosine_sim"])
+            for r in ann_index.ann_index_top_k(
+                spark, root, [float(x) for x in q_row["embedding"]],
+                k=5, n_probe=8, shortlist=50, codec="bq",
+            ).collect()
+        ]
+        assert by_q[q_row["q_id"]] == want
 
 
 def test_generic_compaction_degrades_gracefully(spark, tmp_path):

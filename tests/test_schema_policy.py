@@ -140,6 +140,44 @@ def test_widen_rejects_narrowing(spark, tmp_path):
         txn.widen_component_type(spark, str(root), "n", "string")
 
 
+def test_widen_validates_pre_policy_tables(spark, tmp_path):
+    """A manifest with NO recorded schema (written before the policy
+    existed) must not bypass the widening check: the column's ACTUAL
+    stored type is read from the folded state and a narrowing cast is
+    rejected before any rewrite lands (round-7 ADVICE, medium). A real
+    widening on the same pre-policy table still flows — and records a
+    schema on the way out."""
+    import os
+
+    root = tmp_path / "t"
+    _commit(spark, root, [(1, 1, 2**40)], "k long, seq long, n bigint")
+    # strip the recorded schema, emulating a pre-policy manifest
+    cur = txn.current_version_dir(str(root))
+    vname = os.path.basename(cur)
+    components = txn.read_manifest(str(root), vname)
+    components[""].pop("schema", None)
+    txn.write_manifest(str(root), vname, components)
+    assert txn.component_logical_schema(str(root)) is None
+    before = {r["k"]: r["n"] for r in txn.read_version(spark, str(root)).collect()}
+    with pytest.raises(txn.SchemaEvolutionError, match="not a lossless"):
+        txn.widen_component_type(spark, str(root), "n", "int")
+    with pytest.raises(txn.SchemaEvolutionError, match="not in component"):
+        txn.widen_component_type(spark, str(root), "nope", "bigint")
+    # nothing was rewritten by the rejected migration
+    assert {r["k"]: r["n"] for r in txn.read_version(spark, str(root)).collect()} == before
+    # a genuine widening on a pre-policy table still flows (int->bigint)
+    root2 = tmp_path / "t2"
+    _commit(spark, root2, [(1, 1, 7)], "k long, seq long, n int")
+    cur2 = txn.current_version_dir(str(root2))
+    v2 = os.path.basename(cur2)
+    comps2 = txn.read_manifest(str(root2), v2)
+    comps2[""].pop("schema", None)
+    txn.write_manifest(str(root2), v2, comps2)
+    txn.widen_component_type(spark, str(root2), "n", "bigint")
+    assert ["n", "bigint"] in txn.component_logical_schema(str(root2))
+    assert {r["k"]: r["n"] for r in txn.read_version(spark, str(root2)).collect()} == {1: 7}
+
+
 def test_widen_rejects_bucketed_merge_key(spark, tmp_path):
     root = tmp_path / "t"
     df = spark.createDataFrame([(1, 1, "a")], "k int, seq long, v string")
