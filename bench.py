@@ -71,9 +71,11 @@ BENCH_QUERIES = [
     "incremental_dedup_snapshot",
     "semdedup_prune",
     "bm25_search",
+    "hybrid_rrf_search",
     "charlm_quality",
     "corpus_temperature_mix",
     "duplicate_spans",
+    "substring_dedup_clean",
     "line_quality_filter",
     "paragraph_dedup",
     "dsir_select",

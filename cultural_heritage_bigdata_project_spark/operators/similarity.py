@@ -1475,3 +1475,72 @@ def ivf_bq_top_k(
         id_col=id_col,
         vec_col=vec_col,
     )
+
+
+def hybrid_rrf_search(
+    docs: DataFrame,
+    vectors: DataFrame,
+    query_terms: list[str],
+    query_vec: Column,
+    k: int = 10,
+    top_n: int = 50,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid lexical + semantic retrieval fused by reciprocal-rank
+    fusion (Cormack/Clarke/Büttcher, SIGIR 2009): BM25 top-``top_n``
+    over ``docs`` and exact cosine top-``top_n`` over ``vectors`` are
+    combined as ``sum(1 / (rrf_k + rank))`` per candidate — the
+    standard production shape for retrieval-based curation (query an
+    LLM training corpus by keyword AND embedding without score
+    calibration between the two; the reference serves the two
+    modalities separately — Qdrant kNN in app.py:208-264 vs metadata
+    text filters app.py:331-349 — and fusion is the natural engine
+    extension).
+
+    Rank, not score, is what crosses the fusion boundary, so the two
+    retrievers stay independently tuned; a candidate missing from one
+    list contributes 0 from it (reported rank 0 = absent). Both
+    branches are top-``top_n``-bounded, so the fusion join and windows
+    run on at most ``2 * top_n`` rows regardless of corpus size — at
+    100 TB the cost is the two retrievals themselves (BM25's
+    query-term-restricted tf aggregate; the kNN scan or, for repeated
+    queries, the persisted ANN index), never the fusion.
+
+    Determinism note: the RRF terms are single IEEE divisions on
+    integer-valued operands, identical on both engines; ties in the
+    fused score break by id.
+    """
+    from .text import bm25_search
+
+    lex = bm25_search(
+        docs, query_terms, top_k=top_n, id_col=id_col, text_col=text_col
+    )
+    w_l = W.orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+    lex_r = lex.select(
+        F.col(id_col),
+        F.row_number().over(w_l).cast("long").alias("lex_rank"),
+    )
+    sem = knn_brute_force(vectors, query_vec, k=top_n, id_col=vec_id_col, vec_col=vec_col)
+    w_s = W.orderBy(F.col("cosine_sim").desc(), F.col(vec_id_col).asc())
+    sem_r = sem.select(
+        F.col(vec_id_col).alias(id_col),
+        F.row_number().over(w_s).cast("long").alias("sem_rank"),
+    )
+    fused = lex_r.join(sem_r, on=id_col, how="full_outer")
+    term = lambda c: F.coalesce(  # noqa: E731 - tiny local shape
+        F.lit(1.0) / (F.lit(float(rrf_k)) + F.col(c).cast("double")), F.lit(0.0)
+    )
+    return (
+        fused.select(
+            F.col(id_col),
+            F.coalesce(F.col("lex_rank"), F.lit(0).cast("long")).alias("lex_rank"),
+            F.coalesce(F.col("sem_rank"), F.lit(0).cast("long")).alias("sem_rank"),
+            (term("lex_rank") + term("sem_rank")).alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -499,6 +499,97 @@ def duplicate_spans(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring dedup REWRITE (the removal half of Lee et al.
+    2022 ExactSubstr-dedup, arXiv:2107.06499, over word ``n``-grams —
+    `duplicate_spans` is the pair-level SIGNAL; this produces the
+    cleaned corpus): every span text occurring >= ``min_count`` times
+    anywhere keeps exactly its canonical occurrence — min (doc, pos)
+    over all occurrences — and the tokens under every other occurrence
+    are dropped from that document's text. Deterministic by
+    construction (no order dependence on which copy survives, unlike
+    the reference's first-seen dedup).
+
+    Returns ``(id, n_tokens, n_removed_tokens, clean_text)`` for every
+    input document (unchanged docs included, with 0 removed).
+
+    Plan shape — LINEAR end to end, no pair expansion anywhere (the
+    property that makes exact-substring dedup viable at 100 TB where
+    pairwise comparison is not): span occurrences explode O(tokens);
+    one hash shuffle groups occurrences by span to count + pick the
+    canonical (an aggregate, never a join of occurrences against
+    occurrences); non-canonical occurrences explode to covered token
+    positions (O(removed tokens)); one reassembly aggregate per doc
+    rebuilds the kept text in position order. A boilerplate span in a
+    million documents costs exactly its million occurrence rows — the
+    rows that must be touched to remove them.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), " +")
+    base = df.select(F.col(id_col).alias("__id"), toks.alias("__t"))
+    occ = (
+        base.filter(F.size("__t") >= n)
+        .select(
+            "__id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(__t) - {n - 1}),"
+                    f" i -> concat_ws(' ', slice(__t, i, {n})))"
+                )
+            ).alias("__pos", "__span"),
+        )
+        .select("__id", "__pos", F.xxhash64("__span").alias("__sp"))
+    )
+    dup = (
+        occ.groupBy("__sp")
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.min(F.struct("__id", "__pos")).alias("__canon"),
+        )
+        .filter(F.col("__cnt") >= min_count)
+        .select("__sp", "__canon")
+    )
+    noncanon = occ.join(dup, on="__sp").filter(
+        ~(
+            (F.col("__id") == F.col("__canon.__id"))
+            & (F.col("__pos") == F.col("__canon.__pos"))
+        )
+    )
+    removed = noncanon.select(
+        "__id",
+        F.explode(F.expr(f"sequence(__pos, __pos + {n - 1})")).alias("__tp"),
+    ).distinct()
+    tokens = base.select("__id", F.posexplode("__t").alias("__tp", "__tok"))
+    marked = tokens.join(
+        removed.withColumn("__rm", F.lit(1)), on=["__id", "__tp"], how="left"
+    )
+    kept = F.when(
+        F.col("__rm").isNull(),
+        F.struct(F.col("__tp").alias("p"), F.col("__tok").alias("t")),
+    )
+    return (
+        marked.groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce(F.col("__rm"), F.lit(0))).cast("long").alias(
+                "n_removed_tokens"
+            ),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(kept)), lambda s: s["t"]
+                ),
+            ).alias("clean_text"),
+        )
+        .withColumnRenamed("__id", id_col)
+    )
+
+
 def fingerprint_dedup(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_tokens: int = 4
 ) -> DataFrame:

@@ -119,7 +119,9 @@ CATALOG_ORDER: tuple[str, ...] = (
     "ann_index_topk",
     "text_dedup_keep_canonical",
     "vector_codec_digest",
-    "hash_embed_knn",
+    # hash_embed_knn folded into pandas_udf_digest (round 8) to free
+    # this slot for the hybrid RRF fusion query under the 50-slot cap
+    "hybrid_rrf_search",
     "stream_tumbling_window",
     "stream_dedup_keys",
     "stream_sliding_window",

@@ -121,6 +121,10 @@ GROUPS: dict[str, list[str]] = {
         "pandas_grouped_agg",
         "apply_in_pandas_normalize",
         "udtf_token_explode",
+        # round 8: folded out of its own driver slot (freed for
+        # hybrid_rrf_search); thematically at home here — the hash
+        # embedder IS the digest's mapInPandas model-per-executor shape
+        "hash_embed_knn",
     ],
     # round-7 rebalance (round-6 VERDICT item 7): no digest carries more
     # than 8 members, so a digest hash-mismatch localizes to at most 8
@@ -172,6 +176,7 @@ GROUPS: dict[str, list[str]] = {
         "simhash_dedup",
         "winnow_dup_pairs",
         "incremental_dedup_snapshot",
+        "substring_dedup_clean",
     ],
     "corpus_sampling_digest": [
         "hash_split_sets",
@@ -398,6 +403,13 @@ PART_COLS: dict[str, tuple[tuple[str, str], ...]] = {
         ("price_norm", "f"),
     ),
     "udtf_token_explode": (("doc_id", "s"), ("position", "s"), ("token", "s")),
+    "hash_embed_knn": (("cosine_sim", "f"), ("doc_id", "s")),
+    "substring_dedup_clean": (
+        ("clean_text", "s"),
+        ("doc_id", "s"),
+        ("n_removed_tokens", "s"),
+        ("n_tokens", "s"),
+    ),
     "skew_salted_agg": (
         ("cnt_items", "s"),
         ("l_returnflag", "s"),

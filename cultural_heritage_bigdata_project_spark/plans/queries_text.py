@@ -168,6 +168,50 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "substring_dedup_clean",
+    description="Exact-substring dedup REWRITE (the removal half of Lee "
+    "et al. 2022, complementing duplicate_spans' pair signal): every "
+    "word 8-gram span occurring >= 2 times keeps only its canonical "
+    "min-(doc,pos) occurrence; all other occurrences' tokens are "
+    "dropped and each doc's text reassembled in position order — "
+    "linear plan (occurrence explode, one span-hash aggregate, one "
+    "per-doc reassembly), no pair expansion anywhere",
+    survey_ref="M3,A5",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), ' +') AS t FROM documents
+), occ AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS span
+  FROM base, UNNEST(generate_series(1, len(t) - 7)) AS g(i)
+), marked_occ AS (
+  SELECT doc_id, pos,
+         count(*) OVER (PARTITION BY span) AS cnt,
+         row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+  FROM occ
+), removed AS (
+  SELECT DISTINCT doc_id, pos + u AS tp
+  FROM (SELECT doc_id, pos FROM marked_occ WHERE cnt >= 2 AND rn > 1) nc,
+       UNNEST(generate_series(0, 7)) AS s(u)
+), toks AS (
+  SELECT doc_id, t[i] AS tok, i - 1 AS tp
+  FROM base, UNNEST(generate_series(1, len(t))) AS g(i)
+)
+SELECT t.doc_id AS doc_id,
+       count(*) AS n_tokens,
+       count(r.tp) AS n_removed_tokens,
+       coalesce(string_agg(CASE WHEN r.tp IS NULL THEN t.tok END,
+                           ' ' ORDER BY t.tp), '') AS clean_text
+FROM toks t LEFT JOIN removed r ON r.doc_id = t.doc_id AND r.tp = t.tp
+GROUP BY t.doc_id
+""",
+)
+def substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.remove_duplicate_spans(
+        _docs(spark, sf_dir).select("doc_id", "text"), n=8, min_count=2
+    )
+
+
+@register(
     "nfc_normalize_docs",
     description="Unicode NFC canonical-composition pass (the corpus "
     "normalization step that keeps decomposed/precomposed renderings "

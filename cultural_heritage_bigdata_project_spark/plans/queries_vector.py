@@ -555,6 +555,78 @@ def hash_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hybrid_rrf_search",
+    description="Hybrid lexical+semantic retrieval by reciprocal-rank "
+    "fusion (Cormack et al. 2009): BM25 top-50 over documents and "
+    "exact cosine top-50 over embeddings fused as sum(1/(60+rank)) — "
+    "rank, not score, crosses the fusion boundary (no calibration), "
+    "absent-from-a-list reported as rank 0 and contributes nothing; "
+    "fusion join/windows touch at most 100 rows regardless of corpus "
+    "size (the reference serves the two modalities separately, "
+    "app.py:208-264 vs app.py:331-349)",
+    survey_ref="J8,W4,A1,J1",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents
+), base AS (
+  SELECT doc_id, toks, len(toks) AS dl FROM t
+), corpus AS (
+  SELECT count(*) AS n_docs, sum(len(toks)) / count(*) AS avgdl FROM t
+), hits AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM base)
+  WHERE term IN ('merge', 'spark', 'window')
+  GROUP BY doc_id, dl, term
+), dfreq AS (
+  SELECT term, count(*) AS dfr FROM hits GROUP BY term
+), scored AS (
+  SELECT h.doc_id,
+         ((cast(c.n_docs AS DOUBLE) - d.dfr + 0.5) / (d.dfr + 0.5))
+         * ((cast(h.tf AS DOUBLE) * 2.2)
+            / (cast(h.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (h.dl / c.avgdl)))) AS s
+  FROM hits h JOIN dfreq d USING (term), corpus c
+), lexall AS (
+  SELECT doc_id, cast(sum(cast(s AS DECIMAL(38, 6))) AS DOUBLE) AS bm25
+  FROM scored GROUP BY doc_id
+), lex AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS lex_rank
+  FROM lexall QUALIFY lex_rank <= 50
+), semall AS (
+  SELECT e.vec_id AS doc_id,
+         round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine_sim
+  FROM embeddings e,
+       (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) q
+), sem AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY cosine_sim DESC, doc_id ASC) AS sem_rank
+  FROM semall QUALIFY sem_rank <= 50
+)
+SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+       coalesce(l.lex_rank, 0) AS lex_rank,
+       coalesce(s.sem_rank, 0) AS sem_rank,
+       coalesce(1.0 / (60.0 + l.lex_rank), 0.0)
+         + coalesce(1.0 / (60.0 + s.sem_rank), 0.0) AS rrf_score
+FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+ORDER BY rrf_score DESC, doc_id ASC
+LIMIT 10
+""",
+)
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return similarity.hybrid_rrf_search(
+        docs,
+        _emb(spark, sf_dir),
+        ["merge", "spark", "window"],
+        _query_vec(spark, sf_dir, 0),
+        k=10,
+        top_n=50,
+    )
+
+
+@register(
     "pq_ann_topk",
     description="Product-quantization ANN (J\u00e9gou et al. 2011): L2-normalize, "
     "m=8 subspaces \u00d7 16 deterministic codewords (md5-sample, as IVF), "

@@ -1,0 +1,143 @@
+"""Hybrid RRF retrieval (operators/similarity.hybrid_rrf_search) and
+exact-substring dedup removal (operators/text.remove_duplicate_spans).
+
+Reference analog: the reference serves lexical filters and Qdrant kNN
+as SEPARATE surfaces (streamlit/app/app.py:208-264 vs 331-349) and
+dedups by first-seen order (deduplicate_from_qdrant.py:183-186); the
+engine fuses the retrievers deterministically and removes duplicated
+spans with an order-independent canonical rule. DuckDB value parity is
+pinned by the hybrid_rrf_search / substring_dedup_clean catalog
+oracles; these tests pin the SEMANTICS."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cultural_heritage_bigdata_project_spark.operators import similarity, text
+from cultural_heritage_bigdata_project_spark.sources.tables import load_table
+
+from .conftest import SF_DIR
+
+TERMS = ["merge", "spark", "window"]
+
+
+def _qvec(spark):
+    row = (
+        load_table(spark, SF_DIR, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()
+    )
+    return F.array(*[F.lit(float(x)) for x in row[0]]).cast("array<double>")
+
+
+def test_rrf_scores_consistent_with_branch_ranks(spark):
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qv = _qvec(spark)
+    out = similarity.hybrid_rrf_search(
+        docs, emb, TERMS, qv, k=10, top_n=50
+    ).collect()
+    assert len(out) == 10
+
+    lex_ids = [
+        r["doc_id"]
+        for r in text.bm25_search(docs, TERMS, top_k=50).collect()
+    ]
+    sem_ids = [
+        r["vec_id"]
+        for r in similarity.knn_brute_force(emb, qv, k=50).collect()
+    ]
+    lex_rank = {d: i + 1 for i, d in enumerate(lex_ids)}
+    sem_rank = {d: i + 1 for i, d in enumerate(sem_ids)}
+    for r in out:
+        did = r["doc_id"]
+        # every result came from at least one branch's top-50
+        assert did in lex_rank or did in sem_rank
+        assert r["lex_rank"] == lex_rank.get(did, 0)
+        assert r["sem_rank"] == sem_rank.get(did, 0)
+        want = (1.0 / (60.0 + r["lex_rank"]) if r["lex_rank"] else 0.0) + (
+            1.0 / (60.0 + r["sem_rank"]) if r["sem_rank"] else 0.0
+        )
+        assert r["rrf_score"] == want
+    # fused order is monotone in the score with id tiebreak
+    scores = [(-r["rrf_score"], r["doc_id"]) for r in out]
+    assert scores == sorted(scores)
+
+
+def test_rrf_both_branch_hit_outranks_single_branch(spark):
+    """A candidate in BOTH top lists at moderate rank beats one that is
+    rank-1 in a single list — the diversification property RRF exists
+    for (1/61 < 1/(60+r1) + 1/(60+r2) whenever r1,r2 <= 59)."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    out = similarity.hybrid_rrf_search(
+        docs, emb, TERMS, _qvec(spark), k=10, top_n=50
+    ).collect()
+    both = [r for r in out if r["lex_rank"] and r["sem_rank"]]
+    single = [r for r in out if not (r["lex_rank"] and r["sem_rank"])]
+    if both and single:
+        assert max(r["rrf_score"] for r in both) > max(
+            r["rrf_score"] for r in single
+        )
+
+
+def test_remove_duplicate_spans_canonical_semantics(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h unique tail one"),
+            (2, "prefix two a b c d e f g h and more"),
+            (3, "totally different words here nothing shared at all"),
+            (4, "a b c d e f g h"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in text.remove_duplicate_spans(docs, n=8, min_count=2).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}  # every doc present, changed or not
+    # canonical (min doc, pos) occurrence survives untouched
+    assert out[1]["n_removed_tokens"] == 0
+    assert out[1]["clean_text"] == "a b c d e f g h unique tail one"
+    # later occurrences lose exactly the span's tokens
+    assert out[2]["n_removed_tokens"] == 8
+    assert out[2]["clean_text"] == "prefix two and more"
+    # untouched doc
+    assert out[3]["n_removed_tokens"] == 0
+    # a doc that is entirely the duplicated span empties out
+    assert out[4]["n_removed_tokens"] == 8
+    assert out[4]["clean_text"] == ""
+
+
+def test_remove_duplicate_spans_token_conservation(spark):
+    """kept + removed == total tokens for every fixture doc, and the
+    cleaned text's token count equals the kept count."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    out = text.remove_duplicate_spans(docs, n=8, min_count=2)
+    bad = out.filter(
+        F.size(F.split("clean_text", " +"))
+        - F.when(F.col("clean_text") == "", 1).otherwise(0)
+        != F.col("n_tokens") - F.col("n_removed_tokens")
+    ).count()
+    assert bad == 0
+    # the fixture corpus actually contains duplicated 8-gram spans
+    assert out.filter(F.col("n_removed_tokens") > 0).count() > 0
+
+
+def test_remove_duplicate_spans_overlapping_spans_union(spark):
+    """Overlapping duplicated spans remove the UNION of covered
+    positions, not double-count: a 9-token repeat contains two
+    overlapping 8-gram spans; the non-canonical copy loses 9 tokens."""
+    nine = "t1 t2 t3 t4 t5 t6 t7 t8 t9"
+    docs = spark.createDataFrame(
+        [(1, nine + " alpha"), (2, "beta " + nine)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in text.remove_duplicate_spans(docs, n=8, min_count=2).collect()
+    }
+    assert out[1]["n_removed_tokens"] == 0
+    assert out[2]["n_removed_tokens"] == 9
+    assert out[2]["clean_text"] == "beta"
