@@ -891,6 +891,7 @@ def read_version(
     version: str | int | None = None,
     subdir: str | None = None,
     predicates: dict | None = None,
+    as_of_timestamp: float | None = None,
 ):
     """Time-travel read: the parquet contents of a retained version
     (default: current). ``subdir`` selects a component of a composite
@@ -917,7 +918,13 @@ def read_version(
     components only merge-KEY predicates prune (and push below the
     fold); non-key predicates apply after reconstruction, where they
     are semantically unambiguous."""
-    if version is None:
+    if as_of_timestamp is not None:
+        # Delta TIMESTAMP AS OF: resolve to the version that was
+        # current at that wall-clock (commit stamps written at publish)
+        if version is not None:
+            raise ValueError("pass either version or as_of_timestamp, not both")
+        path = os.path.join(root, version_at_timestamp(root, as_of_timestamp))
+    elif version is None:
         path = current_version_dir(root)
         if path is None:
             raise FileNotFoundError(f"nothing published under {root!r}")
@@ -1008,6 +1015,62 @@ def read_version(
     return _apply_predicates(df, predicates)
 
 
+COMMIT_TS = "_committed_at"
+
+
+def _stamp_commit_ts(root: str, dirname: str) -> None:
+    """Record the commit wall-clock in the version dir, written
+    immediately before the pointer swap (a stamp in a dir whose swap
+    then loses the CAS is removed with the dir — harmless). Powers
+    timestamp time travel (`version_at_timestamp`, the Delta
+    ``TIMESTAMP AS OF`` analog)."""
+    path = os.path.join(root, dirname, COMMIT_TS)
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(repr(time.time()))
+        f.flush()
+        os.fsync(f.fileno())
+
+
+def commit_timestamp(root: str, version: str | int) -> float | None:
+    """The recorded commit wall-clock of a retained version, or None
+    for versions published before stamping existed."""
+    path = os.path.join(version_dir(root, version), COMMIT_TS)
+    try:
+        with open(path, encoding="utf-8") as f:
+            return float(f.read().strip())
+    except FileNotFoundError:
+        return None
+
+
+def version_at_timestamp(root: str, ts: float) -> str:
+    """The version that was CURRENT at wall-clock ``ts``: the newest
+    retained version committed at or before it (Delta ``TIMESTAMP AS
+    OF``). Raises KeyError when ``ts`` predates every retained commit
+    — reading an older state than retention kept would be silently
+    wrong, the same contract as `version_dir` for vacuumed versions.
+    Unstamped (pre-feature) versions are treated as older than every
+    stamped one: they can still resolve as the final fallback."""
+    names = list_versions(root)  # newest first (pointer order)
+    if not names:
+        raise FileNotFoundError(f"nothing published under {root!r}")
+    oldest_unstamped = None
+    for name in names:
+        stamped = commit_timestamp(root, name)
+        if stamped is None:
+            oldest_unstamped = name  # keep scanning: newest-first order
+            continue
+        if stamped <= ts:
+            return name
+    if oldest_unstamped is not None:
+        return oldest_unstamped
+    raise KeyError(
+        f"no retained version of {root!r} was committed at or before "
+        f"ts={ts}; earliest retained commit is "
+        f"{commit_timestamp(root, names[-1])} (raise keep_last to retain "
+        "more history)"
+    )
+
+
 def publish_version(
     root: str, dirname: str, keep_last: int = 1, grace_seconds: float = 0.0
 ) -> str:
@@ -1031,6 +1094,7 @@ def publish_version(
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
     retained = [dirname] + [n for n in _read_pointer(root) if n != dirname]
     retained = retained[:keep_last]
+    _stamp_commit_ts(root, dirname)
     tmp = os.path.join(root, CURRENT + ".tmp")
     with open(tmp, "w", encoding="utf-8") as f:
         f.write("\n".join(retained))
@@ -1316,6 +1380,7 @@ def try_publish_version(
             if actual != expected_current:
                 raise CommitConflict(expected_current, actual)
             retained = ([dirname] + [n for n in names if n != dirname])[:keep_last]
+            _stamp_commit_ts(root, dirname)
             tmp = os.path.join(root, CURRENT + ".tmp")
             with open(tmp, "w", encoding="utf-8") as f:
                 f.write("\n".join(retained))
@@ -1328,6 +1393,7 @@ def try_publish_version(
         if actual != expected_current:
             raise CommitConflict(expected_current, actual)
         retained = ([dirname] + [n for n in names if n != dirname])[:keep_last]
+        _stamp_commit_ts(root, dirname)
         try:
             pointer_store.put_if(retained, tag)
         except PointerConflict:

@@ -303,3 +303,66 @@ def test_multiprocess_soak_no_lost_updates(tmp_path, use_store):
     assert values == list(range(1, total + 1)), (
         "history is not the serial chain — a commit was lost or forked"
     )
+
+
+# ---------------------------------------------------------------------------
+# Timestamp time travel (round 8): commit stamps written at publish,
+# TIMESTAMP AS OF resolution over the retained chain.
+
+
+def test_timestamp_time_travel(tmp_path):
+    import time as _t
+
+    root = str(tmp_path / "tt")
+    stamps = []
+    for i in range(3):
+        def build(cur, new, i=i):
+            _write_value(new, i + 1)
+
+        txn.commit_with_retry(root, build, keep_last=5)
+        stamps.append(txn.commit_timestamp(root, txn.list_versions(root)[0]))
+        _t.sleep(0.02)
+    assert all(s is not None for s in stamps)
+    assert stamps == sorted(stamps)
+    names = txn.list_versions(root)  # newest first
+    # exact stamp resolves to its version; a midpoint to the earlier one
+    assert txn.version_at_timestamp(root, stamps[0]) == names[2]
+    assert txn.version_at_timestamp(root, (stamps[0] + stamps[1]) / 2) == names[2]
+    assert txn.version_at_timestamp(root, stamps[1]) == names[1]
+    assert txn.version_at_timestamp(root, stamps[2] + 100) == names[0]
+    # the resolved contents are the historical ones
+    assert _read_value(os.path.join(root, txn.version_at_timestamp(root, stamps[1]))) == 2
+    # before every retained commit: refuse rather than silently serve newer
+    with pytest.raises(KeyError, match="retained"):
+        txn.version_at_timestamp(root, stamps[0] - 100)
+    # an unstamped (pre-feature) version is the final fallback
+    os.remove(os.path.join(root, names[2], txn.COMMIT_TS))
+    assert txn.version_at_timestamp(root, stamps[0] - 100) == names[2]
+
+
+def test_read_version_as_of_timestamp(spark, tmp_path):
+    import time as _t
+
+    from cultural_heritage_bigdata_project_spark.streaming import (
+        pipelines as streaming,
+    )
+
+    root = str(tmp_path / "t")
+    marks = []
+    for seq, val in [(1, "a"), (2, "b"), (3, "c")]:
+        df = spark.createDataFrame(
+            [(1, seq, val)], "k long, seq long, v string"
+        )
+        streaming.batch_upsert_commit(
+            spark, df, keys=["k"], order_desc=["seq"], target_dir=root,
+            keep_last=5,
+        )
+        marks.append(_t.time())
+        _t.sleep(0.02)
+    got = [
+        txn.read_version(spark, root, as_of_timestamp=m).collect()[0]["v"]
+        for m in marks
+    ]
+    assert got == ["a", "b", "c"]
+    with pytest.raises(ValueError, match="not both"):
+        txn.read_version(spark, root, version=0, as_of_timestamp=marks[0])
