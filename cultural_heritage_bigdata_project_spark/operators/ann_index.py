@@ -255,7 +255,7 @@ def build_ann_index(
             },
         )
 
-    return txn.commit_with_retry(root, build, keep_last=keep_last)
+    return txn.commit_with_retry(root, build, keep_last=keep_last, op="ann_build")
 
 
 def _next_epoch(root: str, current_dir: str | None) -> int:
@@ -337,7 +337,7 @@ def ann_index_upsert(
         out[CODES_COMPONENT] = comp
         txn.write_manifest(root, os.path.basename(new_dir), out)
 
-    return txn.commit_with_retry(root, build, keep_last=keep_last)
+    return txn.commit_with_retry(root, build, keep_last=keep_last, op="ann_upsert")
 
 
 def _stored_m(spark: SparkSession, root: str) -> int:

@@ -1018,28 +1018,67 @@ def read_version(
 COMMIT_TS = "_committed_at"
 
 
-def _stamp_commit_ts(root: str, dirname: str) -> None:
-    """Record the commit wall-clock in the version dir, written
-    immediately before the pointer swap (a stamp in a dir whose swap
-    then loses the CAS is removed with the dir — harmless). Powers
-    timestamp time travel (`version_at_timestamp`, the Delta
-    ``TIMESTAMP AS OF`` analog)."""
+def _stamp_commit_ts(root: str, dirname: str, op: str | None = None) -> None:
+    """Record the commit wall-clock (and the operation kind when the
+    writer names one) in the version dir, written immediately before
+    the pointer swap (a stamp in a dir whose swap then loses the CAS
+    is removed with the dir — harmless). Powers timestamp time travel
+    (`version_at_timestamp`, the Delta ``TIMESTAMP AS OF`` analog) and
+    `describe_history` (the DESCRIBE HISTORY analog)."""
     path = os.path.join(root, dirname, COMMIT_TS)
     with open(path, "w", encoding="utf-8") as f:
-        f.write(repr(time.time()))
+        json.dump({"ts": time.time(), "op": op}, f)
         f.flush()
         os.fsync(f.fileno())
+
+
+def commit_info(root: str, version: str | int) -> dict | None:
+    """``{"ts": <float>, "op": <str | None>}`` for a retained version,
+    or None for versions published before stamping existed. Reads both
+    the JSON stamp and the round-8 plain-float legacy format."""
+    path = os.path.join(version_dir(root, version), COMMIT_TS)
+    try:
+        with open(path, encoding="utf-8") as f:
+            raw = f.read().strip()
+    except FileNotFoundError:
+        return None
+    try:
+        info = json.loads(raw)
+    except json.JSONDecodeError:
+        return {"ts": float(raw), "op": None}
+    if isinstance(info, dict):
+        return {"ts": float(info["ts"]), "op": info.get("op")}
+    return {"ts": float(info), "op": None}
 
 
 def commit_timestamp(root: str, version: str | int) -> float | None:
     """The recorded commit wall-clock of a retained version, or None
     for versions published before stamping existed."""
-    path = os.path.join(version_dir(root, version), COMMIT_TS)
-    try:
-        with open(path, encoding="utf-8") as f:
-            return float(f.read().strip())
-    except FileNotFoundError:
-        return None
+    info = commit_info(root, version)
+    return None if info is None else info["ts"]
+
+
+def describe_history(root: str) -> list[dict]:
+    """DESCRIBE HISTORY analog: one dict per retained version, newest
+    first — ``version``, ``committed_at`` (None pre-stamping),
+    ``operation`` (the writer-declared kind: 'stream_upsert',
+    'batch_upsert', 'compact', 'widen', 'restore', 'ann_build', …;
+    None when the writer declared none), ``is_current``. Driver-side
+    metadata only — no Spark job, no parquet footer reads; history
+    depth is the publisher's ``keep_last``."""
+    names = list_versions(root)
+    out = []
+    for i, name in enumerate(names):
+        info = commit_info(root, name) or {}
+        out.append(
+            {
+                "version": name,
+                "committed_at": info.get("ts"),
+                "operation": info.get("op"),
+                "is_current": i == 0,
+            }
+        )
+    return out
 
 
 def version_at_timestamp(root: str, ts: float) -> str:
@@ -1072,7 +1111,11 @@ def version_at_timestamp(root: str, ts: float) -> str:
 
 
 def publish_version(
-    root: str, dirname: str, keep_last: int = 1, grace_seconds: float = 0.0
+    root: str,
+    dirname: str,
+    keep_last: int = 1,
+    grace_seconds: float = 0.0,
+    op: str | None = None,
 ) -> str:
     """Atomically point ``CURRENT`` at ``root/dirname`` (which must be
     fully written), then garbage-collect unreferenced versions.
@@ -1094,7 +1137,7 @@ def publish_version(
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
     retained = [dirname] + [n for n in _read_pointer(root) if n != dirname]
     retained = retained[:keep_last]
-    _stamp_commit_ts(root, dirname)
+    _stamp_commit_ts(root, dirname, op=op)
     tmp = os.path.join(root, CURRENT + ".tmp")
     with open(tmp, "w", encoding="utf-8") as f:
         f.write("\n".join(retained))
@@ -1346,6 +1389,7 @@ def try_publish_version(
     keep_last: int = 1,
     grace_seconds: float = 3600.0,
     pointer_store: ConditionalPutStore | None = None,
+    op: str | None = None,
 ) -> str:
     """Optimistic-concurrency publish: atomically repoint ``CURRENT``
     at ``root/dirname`` ONLY if the committed version is still
@@ -1380,7 +1424,7 @@ def try_publish_version(
             if actual != expected_current:
                 raise CommitConflict(expected_current, actual)
             retained = ([dirname] + [n for n in names if n != dirname])[:keep_last]
-            _stamp_commit_ts(root, dirname)
+            _stamp_commit_ts(root, dirname, op=op)
             tmp = os.path.join(root, CURRENT + ".tmp")
             with open(tmp, "w", encoding="utf-8") as f:
                 f.write("\n".join(retained))
@@ -1393,7 +1437,7 @@ def try_publish_version(
         if actual != expected_current:
             raise CommitConflict(expected_current, actual)
         retained = ([dirname] + [n for n in names if n != dirname])[:keep_last]
-        _stamp_commit_ts(root, dirname)
+        _stamp_commit_ts(root, dirname, op=op)
         try:
             pointer_store.put_if(retained, tag)
         except PointerConflict:
@@ -1426,6 +1470,7 @@ def commit_with_retry(
     max_attempts: int = 10,
     grace_seconds: float = 3600.0,
     pointer_store: ConditionalPutStore | None = None,
+    op: str | None = None,
 ) -> str:
     """Serializable read-modify-write commit loop over the versioned
     table: ``build(current_dir_or_None, new_dir)`` must write the new
@@ -1481,6 +1526,7 @@ def commit_with_retry(
                 keep_last=keep_last,
                 grace_seconds=grace_seconds,
                 pointer_store=pointer_store,
+                op=op,
             )
         except CommitConflict:
             # safe: new_dir was exclusively created by THIS writer (the
@@ -1823,6 +1869,7 @@ def restore_version(
                 expected_current=cur_name,
                 keep_last=len(list_versions(root)) + 1,
                 grace_seconds=3600.0,
+                op="restore",
             )
         except CommitConflict:
             shutil.rmtree(vdir, ignore_errors=True)
@@ -2008,6 +2055,7 @@ def _maintenance_rewrite(
                 expected_current=cur_name,
                 keep_last=len(list_versions(root)) + 1,
                 grace_seconds=3600.0,
+                op=kind,
             )
             return committed, payload
         except CommitConflict:

@@ -462,6 +462,7 @@ def batch_upsert_commit(
                 expected_current=cur_name,
                 keep_last=keep_last,
                 grace_seconds=3600.0,
+                op="batch_upsert",
             )
             return vname
         except txn.CommitConflict:
@@ -946,6 +947,7 @@ def foreach_batch_upsert_run(
                     vname_view,
                     keep_last=keep_last,
                     grace_seconds=grace_seconds,
+                    op="view_refresh",
                 )
         segments.extend(changes)
         segments, collapsed = _roll_segments(
@@ -971,6 +973,7 @@ def foreach_batch_upsert_run(
                 expected_current=os.path.basename(cur) if cur else None,
                 keep_last=keep_last,
                 grace_seconds=grace_seconds,
+                op="stream_upsert",
             )
             return True
         except txn.CommitConflict:
@@ -1104,7 +1107,7 @@ def foreach_batch_scd2_run(
         txn.write_manifest(
             tdir, vname, {"": {"base": "current", "segments": segments}}
         )
-        txn.publish_version(tdir, vname, keep_last=keep_last)
+        txn.publish_version(tdir, vname, keep_last=keep_last, op="stream_scd2")
 
     writer = stream.writeStream.foreachBatch(scd2_batch).trigger(availableNow=True)
     with _scoped_shuffle_partitions(spark):
@@ -1300,7 +1303,7 @@ def streaming_corpus_dedup_run(
             shutil.rmtree(vdir, ignore_errors=True)
             os.makedirs(vdir)
             txn.write_manifest(tdir, vname, manifest)
-            txn.publish_version(tdir, vname, keep_last=keep_last)
+            txn.publish_version(tdir, vname, keep_last=keep_last, op="stream_dedup")
         finally:
             dedup._unpersist_local_checkpoint(batch_df)
             if idx_ckpt is not None:

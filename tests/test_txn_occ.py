@@ -366,3 +366,33 @@ def test_read_version_as_of_timestamp(spark, tmp_path):
     assert got == ["a", "b", "c"]
     with pytest.raises(ValueError, match="not both"):
         txn.read_version(spark, root, version=0, as_of_timestamp=marks[0])
+
+
+def test_describe_history_operations(spark, tmp_path):
+    from cultural_heritage_bigdata_project_spark.streaming import (
+        pipelines as streaming,
+    )
+
+    root = str(tmp_path / "t")
+    for seq, val in [(1, "a"), (2, "b")]:
+        df = spark.createDataFrame([(1, seq, val)], "k long, seq long, v string")
+        streaming.batch_upsert_commit(
+            spark, df, keys=["k"], order_desc=["seq"], target_dir=root,
+            keep_last=10,
+        )
+    txn.compact_component(spark, root)
+    hist = txn.describe_history(root)
+    assert hist[0]["is_current"] and not any(h["is_current"] for h in hist[1:])
+    ops = [h["operation"] for h in hist]
+    assert ops[0] == "compact"
+    assert set(ops[1:]) == {"batch_upsert"}
+    ts = [h["committed_at"] for h in hist]
+    assert all(t is not None for t in ts)
+    assert ts == sorted(ts, reverse=True)  # newest first
+    # restore is its own operation; historical stamps survive the rollback
+    txn.restore_version(root, hist[-1]["version"])
+    hist2 = txn.describe_history(root)
+    assert hist2[0]["operation"] == "restore" and hist2[0]["is_current"]
+    assert {
+        (h["version"], h["operation"]) for h in hist
+    } <= {(h["version"], h["operation"]) for h in hist2}
