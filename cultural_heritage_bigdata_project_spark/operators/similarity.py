@@ -1544,3 +1544,86 @@ def hybrid_rrf_search(
         .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def mmr_rerank(
+    vectors: DataFrame,
+    query,
+    k: int = 10,
+    lambda_: float = 0.7,
+    top_n: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein, SIGIR 1998): greedily pick the candidate maximizing
+    ``lambda * sim(q, d) - (1 - lambda) * max_{s in S} sim(d, s)`` —
+    the standard diversification pass over a retrieval shortlist
+    (diverse few-shot selection, dedup-aware recommendation; the
+    reference serves raw kNN order only, app.py:208-264).
+
+    Shape: the DISTRIBUTED part is the shortlist itself — exact cosine
+    top-``top_n`` (swap in the persisted ANN index for repeated
+    queries); the greedy selection is O(top_n * k) pairwise sims over
+    a BOUNDED collect (top_n rows, like the IVF centroid collect), the
+    right design for an inherently sequential argmax chain — a
+    distributed implementation would run k tiny barrier jobs for rows
+    that fit in one L2 cache. Determinism: relevance uses the same
+    round-6 cosine as `knn_brute_force`; ties break by id; the
+    returned ``mmr_score`` is the selection-time objective.
+
+    Returns ``(mmr_rank, id, cosine_sim, mmr_score)``, ``k`` rows in
+    selection order.
+    """
+    import numpy as np
+
+    qarr = np.asarray(list(query), dtype=np.float64)
+    qlit = F.array(*[F.lit(float(x)) for x in qarr]).cast("array<double>")
+    short = knn_brute_force(
+        vectors, qlit, k=top_n, id_col=id_col, vec_col=vec_col
+    )
+    cand = (
+        short.join(
+            vectors.select(id_col, F.col(vec_col).cast("array<double>").alias("__v")),
+            on=id_col,
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+        .collect()  # bounded: top_n rows
+    )
+    if not cand:
+        spark = vectors.sparkSession
+        id_type = vectors.schema[id_col].dataType.simpleString()
+        return spark.createDataFrame(
+            [],
+            f"mmr_rank int, {id_col} {id_type}, cosine_sim double, "
+            "mmr_score double",
+        )
+    ids = [r[id_col] for r in cand]
+    rel = np.asarray([r["cosine_sim"] for r in cand], dtype=np.float64)
+    mat = np.stack([np.asarray(r["__v"], dtype=np.float64) for r in cand])
+    nmat = mat / np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+    pair = np.round(nmat @ nmat.T, 6)  # same rounding discipline as rel
+    n = len(ids)
+    selected: list[int] = []
+    remaining = list(range(n))
+    out_rows = []
+    for rank in range(1, min(k, n) + 1):
+        best_i, best_score = None, None
+        for i in remaining:
+            penalty = max(pair[i, j] for j in selected) if selected else 0.0
+            score = lambda_ * rel[i] - (1.0 - lambda_) * penalty
+            if (
+                best_score is None
+                or score > best_score
+                or (score == best_score and ids[i] < ids[best_i])
+            ):
+                best_i, best_score = i, score
+        selected.append(best_i)
+        remaining.remove(best_i)
+        out_rows.append((rank, ids[best_i], float(rel[best_i]), float(best_score)))
+    spark = vectors.sparkSession
+    id_type = vectors.schema[id_col].dataType.simpleString()
+    return spark.createDataFrame(
+        out_rows,
+        f"mmr_rank int, {id_col} {id_type}, cosine_sim double, mmr_score double",
+    )

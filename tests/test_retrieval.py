@@ -141,3 +141,76 @@ def test_remove_duplicate_spans_overlapping_spans_union(spark):
     assert out[1]["n_removed_tokens"] == 0
     assert out[2]["n_removed_tokens"] == 9
     assert out[2]["clean_text"] == "beta"
+
+
+def test_mmr_rerank_matches_reference_greedy(spark):
+    """Referee test (numpy reimplementation, like the BPE trainer): the
+    operator's selection equals an independent greedy over the same
+    round-6 similarities, the first pick is the plain cosine argmax,
+    and diversification provably changed the order vs plain top-k."""
+    import numpy as np
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q_row = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    q = [float(x) for x in q_row[0]]
+    base = emb.filter(F.col("vec_id") != 0)
+    out = similarity.mmr_rerank(base, q, k=10, lambda_=0.5, top_n=50).collect()
+    assert [r["mmr_rank"] for r in out] == list(range(1, 11))
+
+    # independent reference: collect the same shortlist and re-run greedy
+    short = similarity.knn_brute_force(base, _qvec(spark), k=50).collect()
+    ids = [r["vec_id"] for r in short]
+    rel = {r["vec_id"]: r["cosine_sim"] for r in short}
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in base.filter(F.col("vec_id").isin(ids)).collect()
+    }
+    for v in vecs:
+        vecs[v] = vecs[v] / np.sqrt((vecs[v] ** 2).sum())
+    chosen = []
+    pool = sorted(ids)
+    for _ in range(10):
+        best, best_s = None, None
+        for i in pool:
+            pen = max(
+                (round(float(vecs[i] @ vecs[j]), 6) for j in chosen),
+                default=0.0,
+            )
+            s = 0.5 * rel[i] - 0.5 * pen
+            if best_s is None or s > best_s or (s == best_s and i < best):
+                best, best_s = i, s
+        chosen.append(best)
+        pool.remove(best)
+    assert [r["vec_id"] for r in out] == chosen
+    # first pick is the relevance argmax (ties by id)
+    top1 = short[0]["vec_id"]
+    assert out[0]["vec_id"] == top1 and out[0]["cosine_sim"] == rel[top1]
+    # low lambda diversifies: selection differs from the plain top-10
+    plain = [r["vec_id"] for r in short[:10]]
+    assert [r["vec_id"] for r in out] != plain
+
+
+def test_mmr_rerank_lambda_one_is_plain_topk(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q_row = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    q = [float(x) for x in q_row[0]]
+    base = emb.filter(F.col("vec_id") != 0)
+    out = [
+        r["vec_id"]
+        for r in similarity.mmr_rerank(base, q, k=10, lambda_=1.0).collect()
+    ]
+    plain = [
+        r["vec_id"]
+        for r in similarity.knn_brute_force(base, _qvec(spark), k=10).collect()
+    ]
+    assert out == plain
+
+
+def test_mmr_rerank_empty_candidates(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q_row = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    q = [float(x) for x in q_row[0]]
+    empty = emb.filter(F.col("vec_id") < 0)
+    out = similarity.mmr_rerank(empty, q, k=10)
+    assert out.count() == 0
+    assert out.columns == ["mmr_rank", "vec_id", "cosine_sim", "mmr_score"]
