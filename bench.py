@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "incremental_dedup_snapshot",
     "semdedup_prune",
     "bm25_search",
+    "bm25_index_search",
     "hybrid_rrf_search",
     "charlm_quality",
     "corpus_temperature_mix",

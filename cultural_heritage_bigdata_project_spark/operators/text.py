@@ -926,6 +926,23 @@ def bm25_search(
         .groupBy(id_col, "__dl", "__term")
         .agg(F.count(F.lit(1)).alias("__tf"))
     )
+    return bm25_rank_hits(hits, corpus, top_k=top_k, k1=k1, b=b, id_col=id_col)
+
+
+def bm25_rank_hits(
+    hits: DataFrame,
+    corpus: DataFrame,
+    top_k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The shared BM25 scoring tail: ``hits`` carries one row per
+    (doc, query term) as ``(id_col, __dl, __term, __tf)``; ``corpus``
+    is one row ``(__n_docs, __avgdl)``. Factored out so the corpus-scan
+    path (`bm25_search`) and the persisted inverted-index path
+    (`text_index.text_index_search`) run the IDENTICAL IEEE expression
+    tree — their scores are bit-equal by construction, not by luck."""
     dfreq = hits.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
     n_docs = F.col("__n_docs").cast("double")
     idf = (n_docs - F.col("__df") + F.lit(0.5)) / (F.col("__df") + F.lit(0.5))

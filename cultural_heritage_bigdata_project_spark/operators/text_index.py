@@ -1,0 +1,402 @@
+"""Persisted inverted text index as components of a versioned table —
+the Lucene/Elasticsearch-collection analog of `ann_index` for LEXICAL
+retrieval: build the postings once, serve BM25 queries many times
+without rescanning the corpus (the reference rescans nothing only
+because Postgres/Qdrant hold its serving state, curated_to_postgres.py
+/ extracting_embeddings.py:60-84; this is the native engine shape).
+
+Layout (one txn-layer table root, CAS-published versions):
+
+- component ``postings``: ``(term, doc_id, tf, dl, tix_epoch,
+  __sg_seq)``, one row per (term, doc). The BUILD writes one segment
+  **per term-hash bucket** (``tix_{version}_b{K}``, md5-portable
+  bucket so the driver computes a query's buckets with hashlib, no
+  Spark job) with manifest stats pinning ``term_bucket = K`` — a
+  query's probe selects exactly the buckets its terms hash to,
+  metadata-only, before Spark lists a file. UPSERTS append one delta
+  segment per batch (``tixd_{version}``), read whole by every probe
+  (O(changes since rebuild)).
+- component ``doclen``: ``(doc_id, dl, …)`` latest-per-key, hash-
+  bucketed on doc_id — the exact corpus stats source (a BM25 score
+  needs n_docs and avgdl over ALL docs, including ones matching no
+  query term).
+- manifest ``tix`` block: bucket→segment map, delta list, and the
+  exact ``(n_docs, sum_dl)`` pair maintained at every commit, so a
+  query's corpus stats are METADATA-ONLY (no doclen scan at serve
+  time).
+
+Merge-on-read: a doc update can change its whole posting SET (terms
+disappear), so latest-per-(term,doc) is NOT sufficient — the fold
+drops every base posting of any doc present in the delta tail (one
+broadcast anti join on the O(changes) delta doc set) and unions the
+delta postings, exactly the ann_index doc-supersede shape.
+
+At 100 TB: the build is one tokenize+aggregate pass and a hash
+shuffle on the bucket; a query reads ~|terms|/n_buckets of the
+posting bytes plus the delta tail, and the BM25 math runs the SAME
+expression tree as the corpus-scan `text.bm25_search`
+(`text.bm25_rank_hits`), so index-vs-scan scores are bit-equal. The
+upsert's one non-O(batch) cost is the doclen correction scan (narrow
+2-column component) that keeps (n_docs, sum_dl) exact — documented
+where it happens.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize
+from . import txn
+from .text import bm25_rank_hits
+
+POSTINGS_COMPONENT = "postings"
+DOCLEN_COMPONENT = "doclen"
+_SEQ = "__sg_seq"
+
+
+def _bucket_expr(term_col, n_buckets: int):
+    """md5-portable term bucket (JVM side) — must agree with
+    `_bucket_py` so the driver can pick probe buckets without a job."""
+    h60 = F.conv(
+        F.substring(F.md5(term_col.cast("binary")), 1, 15), 16, 10
+    ).cast("long")
+    return F.pmod(h60, F.lit(int(n_buckets)))
+
+
+def _bucket_py(term: str, n_buckets: int) -> int:
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:15], 16) % n_buckets
+
+
+def _doclen_spec() -> dict:
+    return {
+        "kind": "latest_by_key",
+        "keys": ["doc_id"],
+        "order_desc": ["tix_epoch"],
+        "seq_col": _SEQ,
+    }
+
+
+def _postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, term, tf, dl) — the same tokenize/lower/groupBy shape
+    as `text.bm25_search`'s hits stage, unrestricted by query terms."""
+    toks = tokenize(F.lower(F.col(text_col)))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("__t"), F.size(toks).alias("dl")
+    )
+    return (
+        base.select("doc_id", "dl", F.explode("__t").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def _next_epoch(root: str, current_dir: str | None) -> int:
+    if current_dir is None:
+        return 0
+    comp = (txn.read_manifest(root, os.path.basename(current_dir)) or {}).get(
+        POSTINGS_COMPONENT
+    )
+    if comp is None:
+        return 0
+    stamped = (comp.get("tix") or {}).get("epoch")
+    return 0 if stamped is None else int(stamped) + 1
+
+
+def build_text_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    root: str,
+    n_buckets: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_last: int = 2,
+) -> str:
+    """Full index (re)build over ``docs``: one tokenize+aggregate pass,
+    one hash shuffle on the term bucket, per-bucket segments renamed
+    into place (metadata-only re-homing, as the ANN build), the doclen
+    component, and the exact corpus stats in the manifest. A rebuild
+    over a table with prior upsert deltas FOLDS them (the caller passes
+    the current corpus — text is not stored in the index). Segment
+    names carry the exclusively-claimed VERSION name, never the epoch
+    (two racing builders compute the same epoch; the claimed vname is
+    unique — the ann_index round-7 lesson applied from birth)."""
+    postings = _postings(docs, id_col, text_col)
+
+    def build(current_dir, new_dir):
+        vname = os.path.basename(new_dir)
+        epoch = _next_epoch(root, current_dir)
+        stamped = postings.withColumn(
+            "tix_epoch", F.lit(epoch).cast("long")
+        ).withColumn(_SEQ, F.lit(epoch).cast("long"))
+        scratch = os.path.join(new_dir, "_build")
+        stamped.withColumn(
+            "term_bucket", _bucket_expr(F.col("term"), n_buckets)
+        ).withColumn("__tb_p", F.col("term_bucket")).write.partitionBy(
+            "__tb_p"
+        ).parquet(scratch)
+        seg_names: list[str] = []
+        stats: dict[str, dict] = {}
+        bucket_map: dict[str, str] = {}
+        for entry in sorted(os.listdir(scratch)):
+            if not entry.startswith("__tb_p="):
+                continue
+            k = int(entry.split("=", 1)[1])
+            seg = f"tix_{vname}_b{k}"
+            sdir = txn.segment_path(root, seg)
+            shutil.rmtree(sdir, ignore_errors=True)  # own aborted leftovers
+            os.makedirs(os.path.dirname(sdir), exist_ok=True)
+            os.rename(os.path.join(scratch, entry), sdir)
+            seg_names.append(seg)
+            bucket_map[str(k)] = seg
+            stats[seg] = txn.collect_parquet_stats(sdir)
+            stats[seg]["term_bucket"] = [k, k]  # exact: the partition value
+        shutil.rmtree(scratch, ignore_errors=True)
+
+        dl_seg = f"tixdl_{vname}"
+        dl_dir = txn.segment_path(root, dl_seg)
+        shutil.rmtree(dl_dir, ignore_errors=True)
+        # doclen from the postings ALREADY ON DISK — no re-tokenize job
+        written = txn._read_segment_union(
+            spark, [txn.segment_path(root, s) for s in seg_names]
+        ) if seg_names else stamped.limit(0)
+        doclen = written.select("doc_id", "dl", "tix_epoch", _SEQ).distinct()
+        txn._write_maybe_bucketed(doclen, dl_dir, _doclen_spec() | {"buckets": n_buckets})
+        # exact corpus stats: one narrow agg at BUILD time, then
+        # metadata-only at serve time
+        agg = doclen.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+        ).first()
+        n_docs, sum_dl = int(agg["n"] or 0), int(agg["s"] or 0)
+        txn.write_manifest(
+            root,
+            vname,
+            {
+                POSTINGS_COMPONENT: {
+                    "base": None,
+                    "segments": seg_names,
+                    "changes": seg_names,
+                    "reconstruct": None,  # doc-supersede fold is custom:
+                    # latest-per-(term,doc) cannot express "a term left
+                    # the doc"; serve through text_index_search
+                    "schema": [
+                        ["term", "string"], ["doc_id", "bigint"],
+                        ["tf", "bigint"], ["dl", "int"],
+                        ["tix_epoch", "bigint"],
+                    ],
+                    "stats": stats,
+                    "tix": {
+                        "n_buckets": n_buckets,
+                        "epoch": epoch,
+                        "bucket_segments": bucket_map,
+                        "delta_segments": [],
+                        "n_docs": n_docs,
+                        "sum_dl": sum_dl,
+                    },
+                },
+                DOCLEN_COMPONENT: {
+                    "base": None,
+                    "segments": [dl_seg],
+                    "changes": [dl_seg],
+                    "reconstruct": _doclen_spec() | {"buckets": n_buckets},
+                },
+            },
+        )
+
+    return txn.commit_with_retry(
+        root, build, keep_last=keep_last, op="text_index_build"
+    )
+
+
+def text_index_upsert(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    root: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_last: int = 2,
+) -> str:
+    """O(batch) incremental maintenance: tokenize ONLY the new/changed
+    docs into one delta posting segment + one doclen delta. The
+    manifest's exact ``(n_docs, sum_dl)`` is corrected with the
+    replaced docs' OLD lengths — the one step that reads beyond the
+    batch: a semi-join scan of the narrow doclen component (2 columns;
+    at 100 TB this is the bounded price of exact corpus stats, and a
+    deployment that tolerates approximate avgdl can skip it)."""
+    postings = _postings(new_docs, id_col, text_col)
+
+    def build(current_dir, new_dir):
+        if current_dir is None:
+            raise FileNotFoundError(
+                f"no index published under {root!r}; run build_text_index first"
+            )
+        cur_name = os.path.basename(current_dir)
+        components = txn.read_manifest(root, cur_name)
+        comp = dict(components[POSTINGS_COMPONENT])
+        tix = dict(comp.get("tix") or {})
+        n_buckets = int(tix.get("n_buckets", 16))
+        epoch = _next_epoch(root, current_dir)
+        vname = os.path.basename(new_dir)
+        stamped = (
+            postings.withColumn("tix_epoch", F.lit(epoch).cast("long"))
+            .withColumn(_SEQ, F.lit(epoch).cast("long"))
+            .withColumn("term_bucket", _bucket_expr(F.col("term"), n_buckets))
+        )
+        seg = f"tixd_{vname}"
+        sdir = txn.segment_path(root, seg)
+        shutil.rmtree(sdir, ignore_errors=True)
+        stamped.write.parquet(sdir)
+
+        # doclen delta + exact stats correction, derived from the delta
+        # already on disk (no re-tokenize)
+        delta_dl = (
+            spark.read.parquet(sdir)
+            .select("doc_id", "dl", "tix_epoch", _SEQ)
+            .distinct()
+        )
+        dl_seg = f"tixdld_{vname}"
+        dl_dir = txn.segment_path(root, dl_seg)
+        shutil.rmtree(dl_dir, ignore_errors=True)
+        spec = _doclen_spec() | {"buckets": n_buckets}
+        txn._write_maybe_bucketed(delta_dl, dl_dir, spec)
+        # pinned to the EXPECTED current: on a CAS conflict this whole
+        # build re-runs against the new current, so the correction is
+        # always derived from the predecessor it publishes against
+        prior_dl = txn.read_version(
+            spark, root, version=cur_name, subdir=DOCLEN_COMPONENT
+        )
+        batch_keys = delta_dl.select("doc_id").distinct()
+        replaced = prior_dl.join(F.broadcast(batch_keys), on="doc_id", how="leftsemi")
+        rep = replaced.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+        ).first()
+        add = delta_dl.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+        ).first()
+        n_docs = int(tix.get("n_docs", 0)) - int(rep["n"] or 0) + int(add["n"] or 0)
+        sum_dl = int(tix.get("sum_dl", 0)) - int(rep["s"] or 0) + int(add["s"] or 0)
+
+        comp["segments"] = list(comp.get("segments", [])) + [seg]
+        comp["changes"] = [seg]
+        stats = dict(comp.get("stats") or {})
+        stats[seg] = txn.collect_parquet_stats(sdir)
+        comp["stats"] = stats
+        tix.update(
+            {
+                "epoch": epoch,
+                "delta_segments": list(tix.get("delta_segments", [])) + [seg],
+                "n_docs": n_docs,
+                "sum_dl": sum_dl,
+            }
+        )
+        comp["tix"] = tix
+        dlcomp = dict(components[DOCLEN_COMPONENT])
+        dlcomp["segments"] = list(dlcomp.get("segments", [])) + [dl_seg]
+        dlcomp["changes"] = [dl_seg]
+        out = dict(components)
+        out[POSTINGS_COMPONENT] = comp
+        out[DOCLEN_COMPONENT] = dlcomp
+        txn.write_manifest(root, vname, out)
+
+    return txn.commit_with_retry(
+        root, build, keep_last=keep_last, op="text_index_upsert"
+    )
+
+
+def text_index_search(
+    spark: SparkSession,
+    root: str,
+    query_terms: list[str],
+    top_k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Serve a BM25 query from the PREBUILT index: manifest read →
+    driver-side bucket selection (md5-portable, no job) → metadata-
+    pruned scan of the probed bucket segments ∪ the delta tail →
+    doc-supersede fold → term filter → the SHARED scoring tail
+    (`text.bm25_rank_hits`) with metadata-only corpus stats. Scores are
+    bit-equal to `text.bm25_search` over the same corpus — pinned by
+    tests and by the bm25_index_search catalog oracle (which is the
+    corpus-scan SQL, exactly because the index must not change the
+    answer)."""
+    terms = sorted(set(query_terms))
+    cur = txn.current_version_dir(root)
+    if cur is None:
+        raise FileNotFoundError(f"nothing published under {root!r}")
+    comp = txn.read_manifest(root, os.path.basename(cur))[POSTINGS_COMPONENT]
+    tix = comp.get("tix") or {}
+    n_buckets = int(tix.get("n_buckets", 16))
+    bucket_map = tix.get("bucket_segments", {})
+    probe = sorted({_bucket_py(t, n_buckets) for t in terms})
+    probe_segs = [bucket_map[str(p)] for p in probe if str(p) in bucket_map]
+    delta_segs = list(tix.get("delta_segments", []))
+
+    if not probe_segs and not delta_segs:
+        if comp.get("segments"):
+            rows = txn._read_segment_union(
+                spark,
+                [txn.segment_path(root, s) for s in comp["segments"]],
+            )
+        else:
+            raise FileNotFoundError(f"index under {root!r} has no segments")
+    else:
+        base_rows = (
+            txn._read_segment_union(
+                spark, [txn.segment_path(root, s) for s in probe_segs]
+            )
+            if probe_segs
+            else None
+        )
+        if delta_segs:
+            delta_rows = txn._read_segment_union(
+                spark, [txn.segment_path(root, s) for s in delta_segs]
+            )
+            # doc-supersede fold: a delta doc's postings REPLACE its
+            # base postings entirely (terms may have left the doc);
+            # the delta tail itself folds latest-per-(doc) epoch so two
+            # updates of one doc keep only the newest posting set
+            latest_key = delta_rows.groupBy("doc_id").agg(
+                F.max(_SEQ).alias("__keep")
+            )
+            delta_latest = (
+                delta_rows.join(F.broadcast(latest_key), on="doc_id")
+                .filter(F.col(_SEQ) == F.col("__keep"))
+                .drop("__keep", _SEQ)
+            )
+            if base_rows is not None:
+                survivors = base_rows.join(
+                    F.broadcast(delta_rows.select("doc_id").distinct()),
+                    on="doc_id",
+                    how="left_anti",
+                ).drop(_SEQ)
+                rows = survivors.unionByName(
+                    delta_latest, allowMissingColumns=True
+                )
+            else:
+                rows = delta_latest
+        else:
+            rows = base_rows.drop(_SEQ)
+    hits = (
+        rows.filter(F.col("term").isin(terms))
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.col("dl").cast("int").alias("__dl"),
+            F.col("term").alias("__term"),
+            F.col("tf").alias("__tf"),
+        )
+    )
+    n_docs = int(tix.get("n_docs", 0))
+    sum_dl = int(tix.get("sum_dl", 0))
+    # metadata-only corpus stats; the division is the same long/long
+    # double division the scan path computes
+    corpus = spark.range(1).select(
+        F.lit(n_docs).cast("long").alias("__n_docs"),
+        (F.lit(sum_dl).cast("long") / F.lit(n_docs).cast("long")).alias("__avgdl"),
+    )
+    return bm25_rank_hits(hits, corpus, top_k=top_k, k1=k1, b=b, id_col=id_col)

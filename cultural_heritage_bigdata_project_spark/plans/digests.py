@@ -78,6 +78,11 @@ GROUPS: dict[str, list[str]] = {
         "unpivot_customer_metrics",
         "from_json_extract",
         "scalar_function_gallery",
+        # round-8 rebalance: NFC normalization is a scalar text
+        # function — moved here to keep text_profile at 8 after
+        # bm25_search joined it (bm25_index_search took its old
+        # text_model slot; every registered query must hold a seat)
+        "nfc_normalize_docs",
     ],
     "subquery_digest": [
         "correlated_exists",
@@ -155,12 +160,16 @@ GROUPS: dict[str, list[str]] = {
         "hash_ordered_sample",
         "pii_scrub",
         "quality_rule_filter",
-        "nfc_normalize_docs",
+        "bm25_search",
         "line_quality_filter",
         "paragraph_dedup",
     ],
     "text_model_digest": [
-        "bm25_search",
+        # bm25_index_search replaces bm25_search in the DRIVER slot
+        # (round 8): the index path is what a deployment serves, and it
+        # must give the scan path's exact answer — which stays pinned
+        # by its own member-level parity test
+        "bm25_index_search",
         "chunk_documents",
         "charlm_quality",
         "duplicate_spans",
@@ -517,6 +526,11 @@ PART_COLS: dict[str, tuple[tuple[str, str], ...]] = {
         ("words_ok", "s"),
     ),
     "bm25_search": (
+        ("bm25", "f"),
+        ("doc_id", "s"),
+        ("n_terms_hit", "s"),
+    ),
+    "bm25_index_search": (
         ("bm25", "f"),
         ("doc_id", "s"),
         ("n_terms_hit", "s"),

@@ -962,6 +962,95 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Persisted inverted text index (operators/text_index.py): built + upserted
+# ONCE per process per sf_dir — bench/driver repeats time the PROBE, which
+# is the point of a persisted index (same memo discipline as _ANN_FIXTURE).
+_TIX_FIXTURE: dict[str, str] = {}
+
+
+def _text_index_root(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir not in _TIX_FIXTURE:
+        import os
+        import shutil
+        import tempfile
+
+        from ..operators import text_index
+
+        tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+        root = os.path.join(tempfile.gettempdir(), f"spark_graft_tix_{tag}")
+        shutil.rmtree(root, ignore_errors=True)
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        base = docs.filter(F.col("doc_id") % 5 != 0)
+        text_index.build_text_index(spark, base, root)
+        # incremental maintenance through the delta path: docs %5==0
+        # arrive NEW with ' merge merge' appended; docs %7==3 among the
+        # indexed are UPDATED with ' spark' appended (deterministic,
+        # SQL-replayable; changes dl, tf, df AND the corpus stats)
+        ups = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+            "text", F.concat(F.col("text"), F.lit(" merge merge"))
+        ).unionByName(
+            docs.filter(
+                (F.col("doc_id") % 5 != 0) & (F.col("doc_id") % 7 == 3)
+            ).withColumn("text", F.concat(F.col("text"), F.lit(" spark")))
+        )
+        text_index.text_index_upsert(spark, ups, root)
+        _TIX_FIXTURE[sf_dir] = root
+    return _TIX_FIXTURE[sf_dir]
+
+
+@register(
+    "bm25_index_search",
+    description="BM25 served from the PERSISTED inverted index "
+    "(operators/text_index.py — the Lucene-collection analog of the "
+    "ANN index): md5-portable term-bucket segments selected driver-"
+    "side + delta tail, doc-supersede fold, metadata-only corpus "
+    "stats, then the SAME scoring tail as bm25_search — the oracle is "
+    "the corpus-scan SQL over the post-upsert corpus, because an "
+    "index must not change the answer; exercises the build AND the "
+    "incremental path (new docs + updated docs with changed lengths)",
+    survey_ref="A1,A9,W4,J1,S14",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(lower(trim(
+           CASE WHEN doc_id % 5 = 0 THEN text || ' merge merge'
+                WHEN doc_id % 7 = 3 THEN text || ' spark'
+                ELSE text END)), ' ') AS toks
+  FROM documents
+), base AS (
+  SELECT doc_id, toks, len(toks) AS dl FROM t
+), corpus AS (
+  SELECT count(*) AS n_docs, sum(len(toks)) / count(*) AS avgdl FROM t
+), hits AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM base)
+  WHERE term IN ('merge', 'spark', 'window')
+  GROUP BY doc_id, dl, term
+), dfreq AS (
+  SELECT term, count(*) AS dfr FROM hits GROUP BY term
+), scored AS (
+  SELECT h.doc_id,
+         ((cast(c.n_docs AS DOUBLE) - d.dfr + 0.5) / (d.dfr + 0.5))
+         * ((cast(h.tf AS DOUBLE) * 2.2)
+            / (cast(h.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (h.dl / c.avgdl)))) AS s
+  FROM hits h JOIN dfreq d USING (term), corpus c
+)
+SELECT doc_id,
+       cast(sum(cast(s AS DECIMAL(38, 6))) AS DOUBLE) AS bm25,
+       count(*) AS n_terms_hit
+FROM scored GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 10
+""",
+)
+def bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text_index
+
+    root = _text_index_root(spark, sf_dir)
+    return text_index.text_index_search(
+        spark, root, ["merge", "spark", "window"], top_k=10
+    )
+
+
 @register(
     "chunk_documents",
     description="Sliding-window character chunking (size 120, stride 80): "

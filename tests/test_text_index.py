@@ -1,0 +1,172 @@
+"""Persisted inverted text index (operators/text_index.py): build/probe
+score parity with the corpus-scan bm25_search (bit-equal — the shared
+`bm25_rank_hits` tail plus exact manifest corpus stats), O(changes)
+upserts with doc-supersede semantics (terms leaving a doc disappear),
+metadata-only bucket pruning, and exact (n_docs, sum_dl) maintenance.
+
+Reference analog: the reference's lexical serving lives in Postgres
+(curated_to_postgres.py staging swap) — queries never rescan the lake;
+this gives the engine the same serve-without-rescan property natively."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cultural_heritage_bigdata_project_spark.operators import text, text_index, txn
+from cultural_heritage_bigdata_project_spark.sources.tables import load_table
+
+from .conftest import SF_DIR
+
+TERMS = ["merge", "spark", "window"]
+
+
+def _docs(spark):
+    return load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+
+
+def _rows(df):
+    return [(r["doc_id"], r["bm25"], r["n_terms_hit"]) for r in df.collect()]
+
+
+def test_index_search_equals_corpus_scan(spark, tmp_path):
+    docs = _docs(spark)
+    root = str(tmp_path / "tix")
+    text_index.build_text_index(spark, docs, root)
+    got = _rows(text_index.text_index_search(spark, root, TERMS, top_k=10))
+    want = _rows(text.bm25_search(docs, TERMS, top_k=10))
+    assert got == want  # bit-equal scores, same order
+
+
+def test_probe_reads_only_probed_buckets(spark, tmp_path, monkeypatch):
+    docs = _docs(spark)
+    root = str(tmp_path / "tix")
+    text_index.build_text_index(spark, docs, root, n_buckets=16)
+    seen: list[list[str]] = []
+    real = txn._read_segment_union
+
+    def spy(s, paths):
+        seen.append(list(paths))
+        return real(s, paths)
+
+    monkeypatch.setattr(txn, "_read_segment_union", spy)
+    text_index.text_index_search(spark, root, TERMS, top_k=10).collect()
+    probe = [p for p in seen if any("/tix_" in x for x in p)]
+    assert probe, "probe did not go through the segment union"
+    want_buckets = {text_index._bucket_py(t, 16) for t in TERMS}
+    assert len(probe[-1]) == len(want_buckets)  # probed buckets only
+
+
+def test_upsert_new_and_updated_docs_exact(spark, tmp_path):
+    """The post-upsert index must serve the corpus-scan answer over the
+    UPDATED corpus: new docs appear, updated docs' old postings vanish
+    (doc-supersede — including terms that LEFT the doc), and the
+    manifest (n_docs, sum_dl) stays exact."""
+    docs = _docs(spark)
+    root = str(tmp_path / "tix")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    text_index.build_text_index(spark, base, root)
+
+    new_docs = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" merge merge"))
+    )
+    # updated docs REPLACE their text entirely: every old term leaves
+    updated = docs.filter(
+        (F.col("doc_id") % 5 != 0) & (F.col("doc_id") % 7 == 3)
+    ).withColumn("text", F.lit("window window spark"))
+    text_index.text_index_upsert(spark, new_docs.unionByName(updated), root)
+
+    state = (
+        docs.filter((F.col("doc_id") % 5 != 0) & (F.col("doc_id") % 7 != 3))
+        .unionByName(new_docs)
+        .unionByName(updated)
+    )
+    got = _rows(text_index.text_index_search(spark, root, TERMS, top_k=10))
+    want = _rows(text.bm25_search(state, TERMS, top_k=10))
+    assert got == want
+    # exact corpus stats in the manifest
+    cur = txn.current_version_dir(root)
+    tix = txn.read_manifest(root, os.path.basename(cur))[
+        text_index.POSTINGS_COMPONENT
+    ]["tix"]
+    n_docs = state.count()
+    toks = F.size(F.split(F.trim(F.lower(F.col("text"))), " +"))
+    sum_dl = state.select(F.sum(toks).alias("s")).first()["s"]
+    assert tix["n_docs"] == n_docs
+    assert tix["sum_dl"] == sum_dl
+    # doclen component folds to one row per doc
+    dl = txn.read_version(spark, root, subdir=text_index.DOCLEN_COMPONENT)
+    assert dl.count() == n_docs
+    # a term that left an updated doc is gone from the served postings:
+    # the updated docs now contain ONLY window/window/spark tokens
+    upd_ids = {r["doc_id"] for r in updated.select("doc_id").collect()}
+    hit_rows = text_index.text_index_search(
+        spark, root, ["merge"], top_k=10_000
+    ).collect()
+    assert not ({r["doc_id"] for r in hit_rows} & upd_ids)
+
+
+def test_rebuild_folds_deltas(spark, tmp_path):
+    docs = _docs(spark)
+    root = str(tmp_path / "tix")
+    text_index.build_text_index(spark, docs.filter(F.col("doc_id") < 400), root)
+    text_index.text_index_upsert(
+        spark, docs.filter(F.col("doc_id") >= 400), root
+    )
+    text_index.build_text_index(spark, docs, root)  # rebuild folds
+    cur = txn.current_version_dir(root)
+    tix = txn.read_manifest(root, os.path.basename(cur))[
+        text_index.POSTINGS_COMPONENT
+    ]["tix"]
+    assert tix["delta_segments"] == []
+    got = _rows(text_index.text_index_search(spark, root, TERMS, top_k=10))
+    want = _rows(text.bm25_search(docs, TERMS, top_k=10))
+    assert got == want
+
+
+def test_double_update_keeps_newest_posting_set(spark, tmp_path):
+    """Two upserts of the SAME doc: the delta-tail fold must keep only
+    the newest posting set (max epoch), not union both."""
+    spark_df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    )
+    root = str(tmp_path / "tix")
+    text_index.build_text_index(spark, spark_df, root, n_buckets=4)
+    u1 = spark.createDataFrame([(1, "epsilon zeta")], "doc_id long, text string")
+    u2 = spark.createDataFrame([(1, "eta theta")], "doc_id long, text string")
+    text_index.text_index_upsert(spark, u1, root)
+    text_index.text_index_upsert(spark, u2, root)
+    state = spark.createDataFrame(
+        [(1, "eta theta"), (2, "gamma delta")], "doc_id long, text string"
+    )
+    for terms in (["eta"], ["epsilon"], ["alpha"], ["gamma", "eta"]):
+        got = _rows(text_index.text_index_search(spark, root, terms, top_k=10))
+        want = _rows(text.bm25_search(state, terms, top_k=10))
+        assert got == want, terms
+
+
+def test_index_errors_clearly(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        text_index.text_index_search(spark, str(tmp_path / "nope"), TERMS)
+    with pytest.raises(FileNotFoundError, match="build_text_index"):
+        text_index.text_index_upsert(
+            spark,
+            spark.createDataFrame([(1, "a")], "doc_id long, text string"),
+            str(tmp_path / "nope2"),
+        )
+
+
+def test_history_shows_index_operations(spark, tmp_path):
+    docs = _docs(spark).limit(50)
+    root = str(tmp_path / "tix")
+    text_index.build_text_index(spark, docs, root, keep_last=5)
+    text_index.text_index_upsert(
+        spark,
+        spark.createDataFrame([(9001, "merge window")], "doc_id long, text string"),
+        root,
+        keep_last=5,
+    )
+    ops = [h["operation"] for h in txn.describe_history(root)]
+    assert ops == ["text_index_upsert", "text_index_build"]
