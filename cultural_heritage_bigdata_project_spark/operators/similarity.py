@@ -1519,12 +1519,26 @@ def hybrid_rrf_search(
     lex = bm25_search(
         docs, query_terms, top_k=top_n, id_col=id_col, text_col=text_col
     )
+    sem = knn_brute_force(vectors, query_vec, k=top_n, id_col=vec_id_col, vec_col=vec_col)
+    return _rrf_fuse(lex, sem, id_col, vec_id_col, rrf_k, k)
+
+
+def _rrf_fuse(
+    lex: DataFrame,
+    sem: DataFrame,
+    id_col: str,
+    vec_id_col: str,
+    rrf_k: int,
+    k: int,
+) -> DataFrame:
+    """Shared fusion tail: rank each branch (its own score order, id
+    tiebreak), full-outer join on the doc id, sum 1/(rrf_k+rank) —
+    absent-from-a-list = rank 0, contributing nothing."""
     w_l = W.orderBy(F.col("bm25").desc(), F.col(id_col).asc())
     lex_r = lex.select(
         F.col(id_col),
         F.row_number().over(w_l).cast("long").alias("lex_rank"),
     )
-    sem = knn_brute_force(vectors, query_vec, k=top_n, id_col=vec_id_col, vec_col=vec_col)
     w_s = W.orderBy(F.col("cosine_sim").desc(), F.col(vec_id_col).asc())
     sem_r = sem.select(
         F.col(vec_id_col).alias(id_col),
@@ -1544,6 +1558,53 @@ def hybrid_rrf_search(
         .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def hybrid_rrf_search_indexed(
+    spark,
+    text_root: str,
+    ann_root: str,
+    query_terms: list[str],
+    query,
+    k: int = 10,
+    top_n: int = 50,
+    rrf_k: int = 60,
+    n_probe: int = 4,
+    shortlist: int = 200,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """`hybrid_rrf_search` served ENTIRELY from persisted state — the
+    full serving stack with zero corpus scans: the lexical branch reads
+    the inverted text index (`text_index.text_index_search`, bit-equal
+    to corpus-scan BM25 by construction) and the semantic branch reads
+    the persisted ANN index (`ann_index.ann_index_top_k`, BQ shortlist
+    + exact cosine re-rank); both top-``top_n`` lists fuse through the
+    same RRF tail. This is the query path a deployment keeps hot while
+    the streaming sinks maintain both indexes behind it.
+
+    Recall: the lexical branch is exact; the semantic branch's recall
+    is governed by ``n_probe``/``shortlist`` exactly as in
+    `ann_index.ann_index_top_k` — with every list probed and a
+    shortlist covering the probed rows it is exact too (how the parity
+    test pins this function)."""
+    from . import ann_index
+    from .text_index import text_index_search
+
+    lex = text_index_search(
+        spark, text_root, query_terms, top_k=top_n, id_col=id_col
+    )
+    sem = ann_index.ann_index_top_k(
+        spark,
+        ann_root,
+        query,
+        k=top_n,
+        n_probe=n_probe,
+        shortlist=shortlist,
+        id_col=vec_id_col,
+        codec="bq",
+    )
+    return _rrf_fuse(lex, sem, id_col, vec_id_col, rrf_k, k)
 
 
 def mmr_rerank(

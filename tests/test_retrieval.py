@@ -214,3 +214,67 @@ def test_mmr_rerank_empty_candidates(spark):
     out = similarity.mmr_rerank(empty, q, k=10)
     assert out.count() == 0
     assert out.columns == ["mmr_rank", "vec_id", "cosine_sim", "mmr_score"]
+
+
+def test_hybrid_indexed_matches_scan_hybrid(spark, tmp_path):
+    """The fully-index-served hybrid (persisted text index + persisted
+    ANN index, zero corpus scans) equals the scan-based hybrid when the
+    ANN probe is exhaustive (all lists, covering shortlist) — the
+    lexical branch is bit-equal by construction, so any divergence
+    could only come from the semantic branch's recall knobs."""
+    from cultural_heritage_bigdata_project_spark.operators import (
+        ann_index,
+        text_index,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    troot = str(tmp_path / "tix")
+    aroot = str(tmp_path / "ann")
+    text_index.build_text_index(spark, docs, troot)
+    ann_index.build_ann_index(spark, emb, aroot, n_lists=8)
+    q_row = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    q = [float(x) for x in q_row[0]]
+
+    got = similarity.hybrid_rrf_search_indexed(
+        spark, troot, aroot, TERMS, q,
+        k=10, top_n=50, n_probe=8, shortlist=1000,
+    ).collect()
+    want = similarity.hybrid_rrf_search(
+        docs, emb, TERMS, _qvec(spark), k=10, top_n=50
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_hybrid_indexed_serves_post_upsert_state(spark, tmp_path):
+    """Both indexes absorb incremental updates; the hybrid serve
+    reflects the merged state without any rebuild."""
+    from cultural_heritage_bigdata_project_spark.operators import (
+        ann_index,
+        text_index,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    troot = str(tmp_path / "tix")
+    aroot = str(tmp_path / "ann")
+    text_index.build_text_index(spark, docs.filter(F.col("doc_id") % 3 != 0), troot)
+    ann_index.build_ann_index(
+        spark, emb.filter(F.col("vec_id") % 3 != 0), aroot, n_lists=8
+    )
+    text_index.text_index_upsert(
+        spark, docs.filter(F.col("doc_id") % 3 == 0), troot
+    )
+    ann_index.ann_index_upsert(
+        spark, emb.filter(F.col("vec_id") % 3 == 0), aroot
+    )
+    q_row = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    q = [float(x) for x in q_row[0]]
+    got = similarity.hybrid_rrf_search_indexed(
+        spark, troot, aroot, TERMS, q,
+        k=10, top_n=50, n_probe=8, shortlist=1000,
+    ).collect()
+    want = similarity.hybrid_rrf_search(
+        docs, emb, TERMS, _qvec(spark), k=10, top_n=50
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
