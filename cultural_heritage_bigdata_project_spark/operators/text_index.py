@@ -115,6 +115,7 @@ def build_text_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     keep_last: int = 2,
+    stop_terms: list[str] | None = None,
 ) -> str:
     """Full index (re)build over ``docs``: one tokenize+aggregate pass,
     one hash shuffle on the term bucket, per-bucket segments renamed
@@ -124,8 +125,18 @@ def build_text_index(
     the current corpus — text is not stored in the index). Segment
     names carry the exclusively-claimed VERSION name, never the epoch
     (two racing builders compute the same epoch; the claimed vname is
-    unique — the ann_index round-7 lesson applied from birth)."""
+    unique — the ann_index round-7 lesson applied from birth).
+
+    ``stop_terms`` prunes the named terms' postings at build time —
+    the bucket-skew mitigation for hot terms (a stopword's posting list
+    is O(corpus) and concentrates in one bucket; nobody ranks by it).
+    Document lengths stay TRUE lengths (dl is computed before the
+    prune), so scores for every other term are unchanged; a stopped
+    term simply has no postings, like a term that never occurred. The
+    list is recorded in the manifest and applied to upserts too."""
     postings = _postings(docs, id_col, text_col)
+    if stop_terms:
+        postings = postings.filter(~F.col("term").isin(sorted(set(stop_terms))))
 
     def build(current_dir, new_dir):
         vname = os.path.basename(new_dir)
@@ -160,11 +171,21 @@ def build_text_index(
         dl_seg = f"tixdl_{vname}"
         dl_dir = txn.segment_path(root, dl_seg)
         shutil.rmtree(dl_dir, ignore_errors=True)
-        # doclen from the postings ALREADY ON DISK — no re-tokenize job
-        written = txn._read_segment_union(
-            spark, [txn.segment_path(root, s) for s in seg_names]
-        ) if seg_names else stamped.limit(0)
-        doclen = written.select("doc_id", "dl", "tix_epoch", _SEQ).distinct()
+        if stop_terms:
+            # stopped terms may be a doc's ONLY tokens: doclen must
+            # cover every doc, so derive it from the docs themselves
+            toks = tokenize(F.lower(F.col(text_col)))
+            doclen = docs.select(
+                F.col(id_col).alias("doc_id"), F.size(toks).alias("dl")
+            ).withColumn("tix_epoch", F.lit(epoch).cast("long")).withColumn(
+                _SEQ, F.lit(epoch).cast("long")
+            )
+        else:
+            # doclen from the postings ALREADY ON DISK — no re-tokenize
+            written = txn._read_segment_union(
+                spark, [txn.segment_path(root, s) for s in seg_names]
+            ) if seg_names else stamped.limit(0)
+            doclen = written.select("doc_id", "dl", "tix_epoch", _SEQ).distinct()
         txn._write_maybe_bucketed(doclen, dl_dir, _doclen_spec() | {"buckets": n_buckets})
         # exact corpus stats: one narrow agg at BUILD time, then
         # metadata-only at serve time
@@ -194,8 +215,10 @@ def build_text_index(
                         "epoch": epoch,
                         "bucket_segments": bucket_map,
                         "delta_segments": [],
+                        "dl_delta_segments": [],
                         "n_docs": n_docs,
                         "sum_dl": sum_dl,
+                        "stop_terms": sorted(set(stop_terms or [])),
                     },
                 },
                 DOCLEN_COMPONENT: {
@@ -241,8 +264,12 @@ def text_index_upsert(
         n_buckets = int(tix.get("n_buckets", 16))
         epoch = _next_epoch(root, current_dir)
         vname = os.path.basename(new_dir)
+        stopped = tix.get("stop_terms") or []
+        delta_postings = (
+            postings.filter(~F.col("term").isin(stopped)) if stopped else postings
+        )
         stamped = (
-            postings.withColumn("tix_epoch", F.lit(epoch).cast("long"))
+            delta_postings.withColumn("tix_epoch", F.lit(epoch).cast("long"))
             .withColumn(_SEQ, F.lit(epoch).cast("long"))
             .withColumn("term_bucket", _bucket_expr(F.col("term"), n_buckets))
         )
@@ -251,12 +278,18 @@ def text_index_upsert(
         shutil.rmtree(sdir, ignore_errors=True)
         stamped.write.parquet(sdir)
 
-        # doclen delta + exact stats correction, derived from the delta
-        # already on disk (no re-tokenize)
+        # doclen delta from the RAW batch, not the (possibly stop-term-
+        # pruned) postings: a doc updated to all-stopped content has NO
+        # delta postings, yet must still supersede its base postings and
+        # keep exact corpus stats — the doclen delta is the authoritative
+        # per-upsert doc set (the serving fold keys on it)
+        toks = tokenize(F.lower(F.col(text_col)))
         delta_dl = (
-            spark.read.parquet(sdir)
-            .select("doc_id", "dl", "tix_epoch", _SEQ)
-            .distinct()
+            new_docs.select(
+                F.col(id_col).alias("doc_id"), F.size(toks).alias("dl")
+            )
+            .withColumn("tix_epoch", F.lit(epoch).cast("long"))
+            .withColumn(_SEQ, F.lit(epoch).cast("long"))
         )
         dl_seg = f"tixdld_{vname}"
         dl_dir = txn.segment_path(root, dl_seg)
@@ -289,6 +322,8 @@ def text_index_upsert(
             {
                 "epoch": epoch,
                 "delta_segments": list(tix.get("delta_segments", [])) + [seg],
+                "dl_delta_segments": list(tix.get("dl_delta_segments", []))
+                + [dl_seg],
                 "n_docs": n_docs,
                 "sum_dl": sum_dl,
             }
@@ -336,15 +371,16 @@ def text_index_search(
     probe = sorted({_bucket_py(t, n_buckets) for t in terms})
     probe_segs = [bucket_map[str(p)] for p in probe if str(p) in bucket_map]
     delta_segs = list(tix.get("delta_segments", []))
+    dl_delta_segs = list(tix.get("dl_delta_segments", []))
 
-    if not probe_segs and not delta_segs:
-        if comp.get("segments"):
-            rows = txn._read_segment_union(
-                spark,
-                [txn.segment_path(root, s) for s in comp["segments"]],
-            )
-        else:
-            raise FileNotFoundError(f"index under {root!r} has no segments")
+    if not comp.get("segments"):
+        raise FileNotFoundError(f"index under {root!r} has no segments")
+    if not probe_segs and not delta_segs and not dl_delta_segs:
+        # posting-list map gone (a generic rewrite rebuilt the component
+        # dict) and no delta tail: serve correctly, unpruned
+        rows = txn._read_segment_union(
+            spark, [txn.segment_path(root, s) for s in comp["segments"]]
+        )
     else:
         base_rows = (
             txn._read_segment_union(
@@ -353,32 +389,56 @@ def text_index_search(
             if probe_segs
             else None
         )
-        if delta_segs:
-            delta_rows = txn._read_segment_union(
-                spark, [txn.segment_path(root, s) for s in delta_segs]
-            )
+        if delta_segs or dl_delta_segs:
             # doc-supersede fold: a delta doc's postings REPLACE its
-            # base postings entirely (terms may have left the doc);
-            # the delta tail itself folds latest-per-(doc) epoch so two
-            # updates of one doc keep only the newest posting set
-            latest_key = delta_rows.groupBy("doc_id").agg(
+            # base postings entirely (terms may have left the doc).
+            # The authoritative per-doc supersede key is the DOCLEN
+            # delta tail — it carries every upserted doc, including one
+            # whose new content is all stop terms (zero delta postings)
+            # — and its max epoch per doc keeps only the newest posting
+            # set when one doc was upserted twice. Pre-dl-delta
+            # manifests fall back to the posting-delta doc set.
+            delta_rows = (
+                txn._read_segment_union(
+                    spark, [txn.segment_path(root, s) for s in delta_segs]
+                )
+                if delta_segs
+                else None
+            )
+            key_src = (
+                txn._read_segment_union(
+                    spark,
+                    [txn.segment_path(root, s) for s in dl_delta_segs],
+                )
+                if dl_delta_segs
+                else delta_rows
+            )
+            latest_key = key_src.groupBy("doc_id").agg(
                 F.max(_SEQ).alias("__keep")
             )
             delta_latest = (
                 delta_rows.join(F.broadcast(latest_key), on="doc_id")
                 .filter(F.col(_SEQ) == F.col("__keep"))
                 .drop("__keep", _SEQ)
+                if delta_rows is not None
+                else None
             )
             if base_rows is not None:
                 survivors = base_rows.join(
-                    F.broadcast(delta_rows.select("doc_id").distinct()),
+                    F.broadcast(latest_key.select("doc_id")),
                     on="doc_id",
                     how="left_anti",
                 ).drop(_SEQ)
-                rows = survivors.unionByName(
-                    delta_latest, allowMissingColumns=True
+                rows = (
+                    survivors.unionByName(delta_latest, allowMissingColumns=True)
+                    if delta_latest is not None
+                    else survivors
                 )
             else:
+                if delta_latest is None:
+                    raise FileNotFoundError(
+                        f"index under {root!r} has no posting segments to probe"
+                    )
                 rows = delta_latest
         else:
             rows = base_rows.drop(_SEQ)

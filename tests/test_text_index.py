@@ -170,3 +170,62 @@ def test_history_shows_index_operations(spark, tmp_path):
     )
     ops = [h["operation"] for h in txn.describe_history(root)]
     assert ops == ["text_index_upsert", "text_index_build"]
+
+
+def test_stoplist_prunes_hot_terms_without_touching_other_scores(spark, tmp_path):
+    """stop_terms drops the named terms' postings (bucket-skew relief);
+    dl stays the TRUE length, so other terms' scores are unchanged vs
+    the unstopped corpus scan; a stopped term just has no postings."""
+    docs = _docs(spark)
+    root = str(tmp_path / "tix")
+    text_index.build_text_index(spark, docs, root, stop_terms=["merge"])
+    got = _rows(text_index.text_index_search(spark, root, ["spark", "window"], top_k=10))
+    want = _rows(text.bm25_search(docs, ["spark", "window"], top_k=10))
+    assert got == want
+    assert text_index.text_index_search(spark, root, ["merge"], top_k=10).count() == 0
+    cur = txn.current_version_dir(root)
+    tix = txn.read_manifest(root, os.path.basename(cur))[
+        text_index.POSTINGS_COMPONENT
+    ]["tix"]
+    assert tix["stop_terms"] == ["merge"]
+    # corpus stats still count every doc at TRUE length
+    n = docs.count()
+    assert tix["n_docs"] == n
+    dl = txn.read_version(spark, root, subdir=text_index.DOCLEN_COMPONENT)
+    assert dl.count() == n
+
+
+def test_all_stopped_update_still_supersedes(spark, tmp_path):
+    """A doc updated to content that is ENTIRELY stop terms produces no
+    delta postings — its base postings must still vanish (the doclen
+    delta is the supersede key), and corpus stats track the new length."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta alpha")],
+        "doc_id long, text string",
+    )
+    root = str(tmp_path / "tix")
+    text_index.build_text_index(
+        spark, docs, root, n_buckets=4, stop_terms=["the"]
+    )
+    upd = spark.createDataFrame([(1, "the the")], "doc_id long, text string")
+    text_index.text_index_upsert(spark, upd, root)
+    # doc 1's old terms are gone from serving
+    hits = text_index.text_index_search(spark, root, ["alpha"], top_k=10).collect()
+    assert [r["doc_id"] for r in hits] == [2]
+    assert (
+        text_index.text_index_search(spark, root, ["beta"], top_k=10).count() == 0
+    )
+    # stats: doc 1 now has length 2 (true length incl. stopped tokens)
+    cur = txn.current_version_dir(root)
+    tix = txn.read_manifest(root, os.path.basename(cur))[
+        text_index.POSTINGS_COMPONENT
+    ]["tix"]
+    assert tix["n_docs"] == 2
+    assert tix["sum_dl"] == 2 + 2  # "the the" + "delta alpha"
+    # and the served score for doc 2 equals the scan over the merged state
+    state = spark.createDataFrame(
+        [(1, "the the"), (2, "delta alpha")], "doc_id long, text string"
+    )
+    got = _rows(text_index.text_index_search(spark, root, ["alpha"], top_k=10))
+    want = _rows(text.bm25_search(state, ["alpha"], top_k=10))
+    assert got == want
