@@ -361,6 +361,31 @@ def text_index_search(
     corpus-scan SQL, exactly because the index must not change the
     answer)."""
     terms = sorted(set(query_terms))
+    rows, tix = _probed_rows(spark, root, terms)
+    hits = (
+        rows.filter(F.col("term").isin(terms))
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.col("dl").cast("int").alias("__dl"),
+            F.col("term").alias("__term"),
+            F.col("tf").alias("__tf"),
+        )
+    )
+    n_docs = int(tix.get("n_docs", 0))
+    sum_dl = int(tix.get("sum_dl", 0))
+    # metadata-only corpus stats; the division is the same long/long
+    # double division the scan path computes
+    corpus = spark.range(1).select(
+        F.lit(n_docs).cast("long").alias("__n_docs"),
+        (F.lit(sum_dl).cast("long") / F.lit(n_docs).cast("long")).alias("__avgdl"),
+    )
+    return bm25_rank_hits(hits, corpus, top_k=top_k, k1=k1, b=b, id_col=id_col)
+
+
+def _probed_rows(spark: SparkSession, root: str, terms: list[str]):
+    """The folded posting rows a query over ``terms`` must see, plus the
+    manifest ``tix`` block: probed base buckets ∪ delta tail with the
+    doc-supersede fold (shared by single-query and batch serving)."""
     cur = txn.current_version_dir(root)
     if cur is None:
         raise FileNotFoundError(f"nothing published under {root!r}")
@@ -442,21 +467,92 @@ def text_index_search(
                 rows = delta_latest
         else:
             rows = base_rows.drop(_SEQ)
-    hits = (
-        rows.filter(F.col("term").isin(terms))
-        .select(
-            F.col("doc_id").alias(id_col),
-            F.col("dl").cast("int").alias("__dl"),
-            F.col("term").alias("__term"),
-            F.col("tf").alias("__tf"),
-        )
+    return rows, tix
+
+
+def text_index_search_all(
+    spark: SparkSession,
+    root: str,
+    queries: DataFrame,
+    top_k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    q_id_col: str = "q_id",
+    terms_col: str = "terms",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Batch serving: BM25 top-k for EVERY query in ``queries``
+    (``(q_id, terms array<string>)``) in ONE job against the persisted
+    index — the lexical mirror of `ann_index.ann_index_top_k_all`
+    (amortized retrieval for recommendation refresh / eval sweeps; the
+    reference loops per-query requests instead, app.py:208-264).
+
+    Shape: the batch's distinct terms are collected (bounded by the
+    query batch, the same contract as the ANN batch's probe-list
+    collect) to pick probe buckets driver-side; the probed rows fold
+    once (shared with the single-query path), per-term df and the
+    metadata corpus stats attach once, and each query joins its terms
+    to the postings — per-(q, doc) scores run the SAME expression tree
+    as `text.bm25_rank_hits`, so every query's rows are bit-equal to
+    its single-query serve (tested). Two q_id windows do the ranking;
+    skew note: the join key is the term — a hot term fans out to its
+    queries, which AQE's skew split handles, and the query side is
+    |Q|·|terms| rows, broadcast when small.
+
+    Returns ``(q_id, doc_id, bm25, n_terms_hit)``, ``top_k`` rows per
+    query with the (bm25 desc, id asc) tie-break."""
+    from pyspark.sql import Window
+
+    qterms = queries.select(
+        F.col(q_id_col).alias("__qid"),
+        F.explode(F.array_distinct(F.col(terms_col))).alias("__term"),
     )
+    terms = sorted(
+        r["__term"] for r in qterms.select("__term").distinct().collect()
+    )
+    if not terms:
+        q_type = queries.schema[q_id_col].dataType.simpleString()
+        return spark.createDataFrame(
+            [],
+            f"{q_id_col} {q_type}, {id_col} bigint, bm25 double, "
+            "n_terms_hit bigint",
+        )
+    rows, tix = _probed_rows(spark, root, terms)
+    hits = rows.filter(F.col("term").isin(terms)).select(
+        F.col("doc_id"),
+        F.col("dl").cast("int").alias("dl"),
+        F.col("term"),
+        F.col("tf"),
+    )
+    dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
     n_docs = int(tix.get("n_docs", 0))
     sum_dl = int(tix.get("sum_dl", 0))
-    # metadata-only corpus stats; the division is the same long/long
-    # double division the scan path computes
-    corpus = spark.range(1).select(
-        F.lit(n_docs).cast("long").alias("__n_docs"),
-        (F.lit(sum_dl).cast("long") / F.lit(n_docs).cast("long")).alias("__avgdl"),
+    n_docs_d = F.lit(n_docs).cast("long").cast("double")
+    avgdl = F.lit(sum_dl).cast("long") / F.lit(n_docs).cast("long")
+    idf = (n_docs_d - F.col("__df") + F.lit(0.5)) / (F.col("__df") + F.lit(0.5))
+    tf = F.col("tf").cast("double")
+    dl_norm = F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("dl") / avgdl)
+    term_score = idf * ((tf * F.lit(k1 + 1.0)) / (tf + F.lit(k1) * dl_norm))
+    scored = (
+        hits.join(F.broadcast(dfreq), on="term")
+        .join(qterms, hits.term == qterms["__term"])
+        .select(F.col("__qid"), F.col("doc_id"), term_score.alias("__s"))
+        .groupBy("__qid", "doc_id")
+        .agg(
+            F.sum(F.col("__s").cast("decimal(38,6)")).cast("double").alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
     )
-    return bm25_rank_hits(hits, corpus, top_k=top_k, k1=k1, b=b, id_col=id_col)
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= top_k)
+        .select(
+            F.col("__qid").alias(q_id_col),
+            F.col("doc_id").alias(id_col),
+            "bm25",
+            "n_terms_hit",
+        )
+    )

@@ -229,3 +229,39 @@ def test_all_stopped_update_still_supersedes(spark, tmp_path):
     got = _rows(text_index.text_index_search(spark, root, ["alpha"], top_k=10))
     want = _rows(text.bm25_search(state, ["alpha"], top_k=10))
     assert got == want
+
+
+def test_batch_serving_matches_per_query(spark, tmp_path):
+    """text_index_search_all: one job serves every query; each query's
+    rows equal its single-query serve bit-for-bit (same expression
+    tree, same metadata stats), including over a post-upsert tail."""
+    docs = _docs(spark)
+    root = str(tmp_path / "tix")
+    text_index.build_text_index(spark, docs.filter(F.col("doc_id") % 4 != 0), root)
+    text_index.text_index_upsert(
+        spark, docs.filter(F.col("doc_id") % 4 == 0), root
+    )
+    queries = spark.createDataFrame(
+        [
+            (0, ["merge", "spark", "window"]),
+            (1, ["join", "table"]),
+            (2, ["spark"]),
+            (3, ["nosuchterm"]),
+        ],
+        "q_id long, terms array<string>",
+    )
+    out = text_index.text_index_search_all(spark, root, queries, top_k=5)
+    by_q: dict = {}
+    for r in out.collect():
+        by_q.setdefault(r["q_id"], []).append(
+            (r["doc_id"], r["bm25"], r["n_terms_hit"])
+        )
+    assert 3 not in by_q  # no hits for the unseen term
+    for q_id, terms in [(0, ["merge", "spark", "window"]), (1, ["join", "table"]), (2, ["spark"])]:
+        want = _rows(text_index.text_index_search(spark, root, terms, top_k=5))
+        assert by_q.get(q_id, []) == want, q_id
+    # empty query batch: typed empty result
+    empty = queries.filter(F.col("q_id") < 0)
+    res = text_index.text_index_search_all(spark, root, empty, top_k=5)
+    assert res.count() == 0
+    assert res.columns == ["q_id", "doc_id", "bm25", "n_terms_hit"]
