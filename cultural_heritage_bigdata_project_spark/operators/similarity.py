@@ -1688,3 +1688,101 @@ def mmr_rerank(
         out_rows,
         f"mmr_rank int, {id_col} {id_type}, cosine_sim double, mmr_score double",
     )
+
+
+def hybrid_rrf_search_all(
+    spark,
+    text_root: str,
+    ann_root: str,
+    queries: DataFrame,
+    k: int = 10,
+    top_n: int = 50,
+    rrf_k: int = 60,
+    n_probe: int = 4,
+    shortlist: int = 200,
+    q_id_col: str = "q_id",
+    terms_col: str = "terms",
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch hybrid serving: RRF-fused results for EVERY query in
+    ``queries`` (``(q_id, terms array<string>, embedding)``) in ONE
+    pass over each persisted index — the lexical branch via
+    `text_index.text_index_search_all` (its per-query rows are
+    bit-equal to single-query serves) and the semantic branch via
+    `ann_index.ann_index_top_k_all` (one index read for the whole
+    batch). The amortized shape for recommendation refresh or eval
+    sweeps: two index reads total, regardless of |Q|; per-query cost is
+    its probed postings + probed lists. Per-query results equal
+    `hybrid_rrf_search_indexed` run query-by-query (tested under an
+    exhaustive probe).
+
+    Returns ``(q_id, doc_id, lex_rank, sem_rank, rrf_score)``, ``k``
+    rows per query, rank 0 = absent from that branch's top-``top_n``."""
+    from pyspark.sql import Window
+
+    from . import ann_index
+    from .text_index import text_index_search_all
+
+    lex = text_index_search_all(
+        spark,
+        text_root,
+        queries.select(q_id_col, terms_col),
+        top_k=top_n,
+        q_id_col=q_id_col,
+        terms_col=terms_col,
+        id_col=id_col,
+    )
+    sem = ann_index.ann_index_top_k_all(
+        spark,
+        ann_root,
+        queries.select(q_id_col, vec_col),
+        k=top_n,
+        n_probe=n_probe,
+        shortlist=shortlist,
+        q_id_col=q_id_col,
+        q_vec_col=vec_col,
+    )
+    w_l = Window.partitionBy("__q").orderBy(
+        F.col("bm25").desc(), F.col(id_col).asc()
+    )
+    lex_r = (
+        lex.select(F.col(q_id_col).alias("__q"), F.col(id_col), F.col("bm25"))
+        .withColumn("lex_rank", F.row_number().over(w_l).cast("long"))
+        .select("__q", id_col, "lex_rank")
+    )
+    w_s = Window.partitionBy("__q").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id").asc()
+    )
+    sem_r = (
+        sem.select(
+            F.col(q_id_col).alias("__q"), F.col("vec_id"), F.col("cosine_sim")
+        )
+        .withColumn("sem_rank", F.row_number().over(w_s).cast("long"))
+        .select("__q", F.col("vec_id").alias(id_col), "sem_rank")
+    )
+    fused = lex_r.join(sem_r, on=["__q", id_col], how="full_outer")
+    term = lambda c: F.coalesce(  # noqa: E731 - tiny local shape
+        F.lit(1.0) / (F.lit(float(rrf_k)) + F.col(c).cast("double")), F.lit(0.0)
+    )
+    w_top = Window.partitionBy("__q").orderBy(
+        F.col("rrf_score").desc(), F.col(id_col).asc()
+    )
+    return (
+        fused.select(
+            F.col("__q"),
+            F.col(id_col),
+            F.coalesce(F.col("lex_rank"), F.lit(0).cast("long")).alias("lex_rank"),
+            F.coalesce(F.col("sem_rank"), F.lit(0).cast("long")).alias("sem_rank"),
+            (term("lex_rank") + term("sem_rank")).alias("rrf_score"),
+        )
+        .withColumn("__rk", F.row_number().over(w_top))
+        .filter(F.col("__rk") <= k)
+        .select(
+            F.col("__q").alias(q_id_col),
+            F.col(id_col),
+            "lex_rank",
+            "sem_rank",
+            "rrf_score",
+        )
+    )

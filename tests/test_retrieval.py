@@ -278,3 +278,49 @@ def test_hybrid_indexed_serves_post_upsert_state(spark, tmp_path):
         docs, emb, TERMS, _qvec(spark), k=10, top_n=50
     ).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_batch_hybrid_matches_per_query_indexed(spark, tmp_path):
+    """hybrid_rrf_search_all: one pass over each persisted index serves
+    every query; per-query rows equal hybrid_rrf_search_indexed run
+    query-by-query (exhaustive probe so the semantic branch is exact)."""
+    from cultural_heritage_bigdata_project_spark.operators import (
+        ann_index,
+        text_index,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    troot = str(tmp_path / "tix")
+    aroot = str(tmp_path / "ann")
+    text_index.build_text_index(spark, docs, troot)
+    ann_index.build_ann_index(spark, emb, aroot, n_lists=8)
+    qrows = emb.filter(F.col("vec_id") < 3).collect()
+    queries = spark.createDataFrame(
+        [
+            (0, ["merge", "spark", "window"], list(qrows[0]["embedding"])),
+            (1, ["join", "table"], list(qrows[1]["embedding"])),
+            (2, ["spark"], list(qrows[2]["embedding"])),
+        ],
+        "q_id long, terms array<string>, embedding array<float>",
+    )
+    out = similarity.hybrid_rrf_search_all(
+        spark, troot, aroot, queries,
+        k=5, top_n=50, n_probe=8, shortlist=1000,
+    )
+    by_q: dict = {}
+    for r in out.collect():
+        by_q.setdefault(r["q_id"], []).append(
+            (r["doc_id"], r["lex_rank"], r["sem_rank"], r["rrf_score"])
+        )
+    assert set(by_q) == {0, 1, 2}
+    for q in queries.collect():
+        want = [
+            (r["doc_id"], r["lex_rank"], r["sem_rank"], r["rrf_score"])
+            for r in similarity.hybrid_rrf_search_indexed(
+                spark, troot, aroot, list(q["terms"]),
+                [float(x) for x in q["embedding"]],
+                k=5, top_n=50, n_probe=8, shortlist=1000,
+            ).collect()
+        ]
+        assert by_q[q["q_id"]] == want, q["q_id"]
