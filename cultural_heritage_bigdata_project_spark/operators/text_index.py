@@ -430,6 +430,32 @@ def _probed_rows(spark: SparkSession, root: str, terms: list[str]):
                 if delta_segs
                 else None
             )
+            if dl_delta_segs and not all(
+                os.path.isdir(txn.segment_path(root, s)) for s in dl_delta_segs
+            ):
+                # a generic compact of the DOCLEN component rewrote its
+                # read list and GC took the delta files this tix block
+                # still names — serve CORRECTLY from the folded doclen:
+                # keep each posting row iff its epoch equals the doc's
+                # doclen-latest epoch (O(docs) join instead of the
+                # O(changes) keyset — the same graceful degradation as
+                # the ann_index post-compaction path; rebuild to restore
+                # the pruned shape)
+                latest_dl = txn.read_version(
+                    spark, root, subdir=DOCLEN_COMPONENT
+                ).select("doc_id", F.col("tix_epoch").alias("__keep"))
+                cand = base_rows
+                if delta_rows is not None:
+                    cand = (
+                        cand.unionByName(delta_rows, allowMissingColumns=True)
+                        if cand is not None
+                        else delta_rows
+                    )
+                return (
+                    cand.join(latest_dl, on="doc_id")
+                    .filter(F.col("tix_epoch") == F.col("__keep"))
+                    .drop("__keep", _SEQ)
+                ), tix
             key_src = (
                 txn._read_segment_union(
                     spark,

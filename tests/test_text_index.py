@@ -265,3 +265,39 @@ def test_batch_serving_matches_per_query(spark, tmp_path):
     res = text_index.text_index_search_all(spark, root, empty, top_k=5)
     assert res.count() == 0
     assert res.columns == ["q_id", "doc_id", "bm25", "n_terms_hit"]
+
+
+def test_doclen_compaction_degrades_gracefully(spark, tmp_path):
+    """A generic compact of the DOCLEN component rewrites its read list;
+    GC then removes the dl-delta files the postings' tix block still
+    names. Serving must fall back to the folded-doclen supersede rule
+    and stay CORRECT (unpruned) until a rebuild."""
+    docs = _docs(spark)
+    root = str(tmp_path / "tix")
+    base = docs.filter(F.col("doc_id") % 4 != 0)
+    text_index.build_text_index(spark, base, root)
+    upd = docs.filter(F.col("doc_id") % 4 == 0).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" merge"))
+    )
+    text_index.text_index_upsert(spark, upd, root)
+    state = base.unionByName(upd)
+    want = _rows(text_index.text_index_search(spark, root, TERMS, top_k=10))
+
+    txn.compact_component(spark, root, component=text_index.DOCLEN_COMPONENT)
+    # the compacted DOCLEN no longer lists the dl deltas; once the
+    # pre-compaction versions age out of retention, GC removes the
+    # files while the postings' tix block still names them — simulate
+    # that aged-out state directly
+    import shutil
+
+    cur = txn.current_version_dir(root)
+    tix = txn.read_manifest(root, os.path.basename(cur))[
+        text_index.POSTINGS_COMPONENT
+    ]["tix"]
+    assert tix["dl_delta_segments"], "fixture lost its dl-delta references"
+    for s in tix["dl_delta_segments"]:
+        shutil.rmtree(txn.segment_path(root, s), ignore_errors=True)
+    got = _rows(text_index.text_index_search(spark, root, TERMS, top_k=10))
+    assert got == want
+    scan = _rows(text.bm25_search(state, TERMS, top_k=10))
+    assert got == scan
