@@ -1662,7 +1662,12 @@ def mmr_rerank(
     ids = [r[id_col] for r in cand]
     rel = np.asarray([r["cosine_sim"] for r in cand], dtype=np.float64)
     mat = np.stack([np.asarray(r["__v"], dtype=np.float64) for r in cand])
-    nmat = mat / np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+    # zero-norm guard (round-8 ADVICE): a zero vector would yield NaN
+    # pairwise rows, and a NaN score can win the greedy argmax when it
+    # is the first remaining candidate — clamp the norm instead (its
+    # pairwise sims become 0, matching its cosine relevance)
+    norms = np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+    nmat = mat / np.maximum(norms, 1e-300)
     pair = np.round(nmat @ nmat.T, 6)  # same rounding discipline as rel
     n = len(ids)
     selected: list[int] = []

@@ -893,8 +893,16 @@ def bm25_search(
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    allowed_ids: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 ranked retrieval over the corpus for one bag of query terms.
+
+    ``allowed_ids`` (a DataFrame whose ``id_col`` names the permitted
+    docs) applies BEFORE ranking — the retrieval universe becomes the
+    filtered candidate set (per-term df over it, top-k of it), while
+    the corpus stats (n_docs, avgdl) stay whole-corpus, matching the
+    persisted-index path (`text_index.text_index_search`) bit-for-bit
+    under the same filter.
 
     Classic Robertson/Spärck Jones BM25 shape with a *rational* idf,
     ``(N - df + 0.5) / (df + 0.5)`` — the standard ``ln(·+1)`` wrapper
@@ -926,6 +934,12 @@ def bm25_search(
         .groupBy(id_col, "__dl", "__term")
         .agg(F.count(F.lit(1)).alias("__tf"))
     )
+    if allowed_ids is not None:
+        hits = hits.join(
+            allowed_ids.select(F.col(id_col)).distinct(),
+            on=id_col,
+            how="leftsemi",
+        )
     return bm25_rank_hits(hits, corpus, top_k=top_k, k1=k1, b=b, id_col=id_col)
 
 

@@ -582,7 +582,7 @@ def bucketed_reconstruct(
     spec: dict,
     keep_seq: bool = False,
     pre_filter=None,
-    only_bucket: int | None = None,
+    only_bucket: int | list[int] | None = None,
 ):
     """Exchange-free merge-on-read fold over key-bucketed base+delta
     directories: one union branch per bucket, each reading ONLY that
@@ -597,10 +597,18 @@ def bucketed_reconstruct(
     ``only_bucket`` restricts the fold to ONE bucket's leaf dirs — the
     point-lookup path: when every merge key is pinned to a single
     value, that key can only live in ``pmod(hash(keys), n)``, so the
-    other n-1 buckets' files are never listed, let alone read."""
+    other n-1 buckets' files are never listed, let alone read. A
+    LIST/SET of bucket ids restricts to that subset — the batch-lookup
+    shape (e.g. the text index upsert's corpus-stats correction probes
+    exactly the batch's key buckets)."""
     n = int(spec["buckets"])
     branches = []
-    bucket_ids = range(n) if only_bucket is None else [int(only_bucket)]
+    if only_bucket is None:
+        bucket_ids = range(n)
+    elif isinstance(only_bucket, int):
+        bucket_ids = [int(only_bucket)]
+    else:
+        bucket_ids = sorted({int(b) for b in only_bucket})
     for i in bucket_ids:
         leaf = [os.path.join(p, f"{BUCKET_COL}={i}") for p in paths]
         leaf = [p for p in leaf if os.path.isdir(p)]

@@ -970,15 +970,27 @@ _TIX_FIXTURE: dict[str, str] = {}
 
 def _text_index_root(spark: SparkSession, sf_dir: str) -> str:
     if sf_dir not in _TIX_FIXTURE:
+        import atexit
+        import hashlib
         import os
         import shutil
         import tempfile
 
         from ..operators import text_index
 
-        tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-        root = os.path.join(tempfile.gettempdir(), f"spark_graft_tix_{tag}")
+        # keyed by the FULL sf_dir path + pid (round-8 ADVICE): two
+        # concurrent bench/correctness processes on the same scale
+        # factor — or distinct sf_dirs sharing a basename — must never
+        # alias onto one root and destroy each other's index mid-probe;
+        # the atexit hook reclaims this process's dir
+        tag = hashlib.md5(
+            os.path.abspath(sf_dir).encode("utf-8")
+        ).hexdigest()[:10]
+        root = os.path.join(
+            tempfile.gettempdir(), f"spark_graft_tix_{tag}_p{os.getpid()}"
+        )
         shutil.rmtree(root, ignore_errors=True)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
         docs = _docs(spark, sf_dir).select("doc_id", "text")
         base = docs.filter(F.col("doc_id") % 5 != 0)
         text_index.build_text_index(spark, base, root)
