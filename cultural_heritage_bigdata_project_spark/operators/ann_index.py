@@ -597,6 +597,7 @@ def ann_index_top_k_all(
     vec_col: str = "embedding",
     q_id_col: str = "q_id",
     q_vec_col: str = "embedding",
+    allowed_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Batch serving: top-k for EVERY query vector in ``queries`` in
     ONE job against the persisted index — the amortized path when a
@@ -658,6 +659,13 @@ def ann_index_top_k_all(
     rows = latest.filter(F.col("ann_list").isin(probe_ids)).select(
         id_col, "ann_list", "bq_words", vec_col
     )
+    if allowed_ids is not None:
+        # payload filter BEFORE the shortlist (Qdrant filter-during-
+        # traversal semantics, as the single-query path): every query's
+        # k fills from the filtered candidates
+        rows = rows.join(
+            allowed_ids.select(id_col).distinct(), on=id_col, how="leftsemi"
+        )
     qside = queries.select(
         F.col(q_id_col).alias("__qid"),
         F.col(q_vec_col).cast("array<double>").alias("__qv"),

@@ -1489,6 +1489,7 @@ def hybrid_rrf_search(
     vec_id_col: str = "vec_id",
     text_col: str = "text",
     vec_col: str = "embedding",
+    allowed_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Hybrid lexical + semantic retrieval fused by reciprocal-rank
     fusion (Cormack/Clarke/Büttcher, SIGIR 2009): BM25 top-``top_n``
@@ -1513,13 +1514,32 @@ def hybrid_rrf_search(
     Determinism note: the RRF terms are single IEEE divisions on
     integer-valued operands, identical on both engines; ties in the
     fused score break by id.
+
+    ``allowed_ids`` (ids in ``id_col``) filters BOTH branches BEFORE
+    ranking — the reference's dashboard flow (facet-filter THEN serve,
+    app.py:119-156 → :208-264): each branch's top-``top_n`` is the
+    top-``top_n`` of the filtered set, so the fused top-k is exactly
+    the hybrid answer over the filtered universe (equal to filtering
+    each branch independently — pinned by tests).
     """
     from .text import bm25_search
 
     lex = bm25_search(
-        docs, query_terms, top_k=top_n, id_col=id_col, text_col=text_col
+        docs,
+        query_terms,
+        top_k=top_n,
+        id_col=id_col,
+        text_col=text_col,
+        allowed_ids=allowed_ids,
     )
-    sem = knn_brute_force(vectors, query_vec, k=top_n, id_col=vec_id_col, vec_col=vec_col)
+    sem_src = vectors
+    if allowed_ids is not None:
+        sem_src = vectors.join(
+            allowed_ids.select(F.col(id_col).alias(vec_id_col)).distinct(),
+            on=vec_id_col,
+            how="leftsemi",
+        )
+    sem = knn_brute_force(sem_src, query_vec, k=top_n, id_col=vec_id_col, vec_col=vec_col)
     return _rrf_fuse(lex, sem, id_col, vec_id_col, rrf_k, k)
 
 
@@ -1573,6 +1593,7 @@ def hybrid_rrf_search_indexed(
     shortlist: int = 200,
     id_col: str = "doc_id",
     vec_id_col: str = "vec_id",
+    allowed_ids: DataFrame | None = None,
 ) -> DataFrame:
     """`hybrid_rrf_search` served ENTIRELY from persisted state — the
     full serving stack with zero corpus scans: the lexical branch reads
@@ -1587,12 +1608,27 @@ def hybrid_rrf_search_indexed(
     is governed by ``n_probe``/``shortlist`` exactly as in
     `ann_index.ann_index_top_k` — with every list probed and a
     shortlist covering the probed rows it is exact too (how the parity
-    test pins this function)."""
+    test pins this function).
+
+    ``allowed_ids`` pushes the filter into BOTH index probes before
+    ranking (the text index's pre-ranking semi-join; the ANN index's
+    Qdrant-semantics payload filter) — each branch's top-``top_n`` is
+    of the filtered set, equal to filtering each branch independently."""
     from . import ann_index
     from .text_index import text_index_search
 
     lex = text_index_search(
-        spark, text_root, query_terms, top_k=top_n, id_col=id_col
+        spark,
+        text_root,
+        query_terms,
+        top_k=top_n,
+        id_col=id_col,
+        allowed_ids=allowed_ids,
+    )
+    sem_allowed = (
+        allowed_ids.select(F.col(id_col).alias(vec_id_col))
+        if allowed_ids is not None
+        else None
     )
     sem = ann_index.ann_index_top_k(
         spark,
@@ -1602,6 +1638,7 @@ def hybrid_rrf_search_indexed(
         n_probe=n_probe,
         shortlist=shortlist,
         id_col=vec_id_col,
+        allowed_ids=sem_allowed,
         codec="bq",
     )
     return _rrf_fuse(lex, sem, id_col, vec_id_col, rrf_k, k)
@@ -1709,6 +1746,7 @@ def hybrid_rrf_search_all(
     terms_col: str = "terms",
     id_col: str = "doc_id",
     vec_col: str = "embedding",
+    allowed_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Batch hybrid serving: RRF-fused results for EVERY query in
     ``queries`` (``(q_id, terms array<string>, embedding)``) in ONE
@@ -1737,6 +1775,7 @@ def hybrid_rrf_search_all(
         q_id_col=q_id_col,
         terms_col=terms_col,
         id_col=id_col,
+        allowed_ids=allowed_ids,
     )
     sem = ann_index.ann_index_top_k_all(
         spark,
@@ -1747,6 +1786,11 @@ def hybrid_rrf_search_all(
         shortlist=shortlist,
         q_id_col=q_id_col,
         q_vec_col=vec_col,
+        allowed_ids=(
+            allowed_ids.select(F.col(id_col).alias("vec_id"))
+            if allowed_ids is not None
+            else None
+        ),
     )
     w_l = Window.partitionBy("__q").orderBy(
         F.col("bm25").desc(), F.col(id_col).asc()

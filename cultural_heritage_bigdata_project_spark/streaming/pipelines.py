@@ -1319,3 +1319,97 @@ def streaming_corpus_dedup_run(
         finally:
             q.stop()
     return txn.read_version(spark, tdir, subdir="corpus")
+
+
+def streaming_text_index_run(
+    spark: SparkSession,
+    stream: DataFrame,
+    root: str,
+    n_buckets: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_last: int = 3,
+    compact_every: int | None = None,
+    stop_terms: list[str] | None = None,
+    checkpoint: str | None = None,
+) -> None:
+    """Continuous maintenance of the persisted inverted text index
+    (`operators/text_index`) behind a live BM25/hybrid serving path —
+    the lexical twin of the ANN index's streaming upkeep and the
+    engine-native analog of the reference's continuous extractor loop
+    feeding Qdrant (extracting_embeddings.py:266-457): documents
+    arriving on ``stream`` are folded into the index one O(batch)
+    upsert per micro-batch (postings delta + doclen delta + exact
+    corpus-stats correction, all committed together via the versioned
+    CURRENT pointer), so index-served answers equal a corpus scan
+    after EVERY epoch, not just after rebuilds.
+
+    Exactly-once across restarts: each commit stamps the micro-batch's
+    ``stream_epoch`` into the manifest ``tix`` block; a replayed epoch
+    (crash between index commit and checkpoint write, then resume)
+    sees ``stream_epoch >= epoch_id`` on the current version and
+    SKIPS — the same claimed-epoch discipline as
+    ``foreach_batch_upsert_run``, here with the manifest itself as the
+    claim record. The first epoch against an empty root runs the full
+    build (establishing bucket count and stop list); every subsequent
+    epoch upserts.
+
+    ``compact_every`` folds the delta tail back into per-bucket base
+    segments every N epochs (`text_index_compact`) so a long-running
+    stream's probe shape stays pruned without any out-of-band
+    maintenance job; the compaction is CAS-published and skipped
+    epochs never trigger it twice. At 100 TB: per-epoch cost is
+    O(batch) + the batch's doclen buckets; compaction cost is
+    O(postings bytes), amortized over ``compact_every`` epochs.
+    """
+    from ..operators import text_index
+
+    os.makedirs(root, exist_ok=True)
+    txn.cleanup_unpublished(root)
+
+    def index_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        cur = txn.current_version_dir(root)
+        if cur is not None:
+            comp = txn.read_manifest(root, os.path.basename(cur)).get(
+                text_index.POSTINGS_COMPONENT
+            )
+            tix = (comp or {}).get("tix") or {}
+            last = tix.get("stream_epoch")
+            if last is not None and int(last) >= int(epoch_id):
+                return  # replayed epoch: already committed
+            text_index.text_index_upsert(
+                spark,
+                batch_df,
+                root,
+                id_col=id_col,
+                text_col=text_col,
+                keep_last=keep_last,
+                tix_extra={"stream_epoch": int(epoch_id)},
+            )
+        else:
+            text_index.build_text_index(
+                spark,
+                batch_df,
+                root,
+                n_buckets=n_buckets,
+                id_col=id_col,
+                text_col=text_col,
+                keep_last=keep_last,
+                stop_terms=stop_terms,
+                tix_extra={"stream_epoch": int(epoch_id)},
+            )
+        if compact_every and (int(epoch_id) + 1) % int(compact_every) == 0:
+            text_index.text_index_compact(spark, root, keep_last=keep_last)
+
+    writer = stream.writeStream.foreachBatch(index_batch).trigger(
+        availableNow=True
+    )
+    with _scoped_shuffle_partitions(spark):
+        q = writer.option(
+            "checkpointLocation",
+            checkpoint or os.path.join(root, "_stream_checkpoint"),
+        ).start()
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()

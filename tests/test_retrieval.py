@@ -324,3 +324,69 @@ def test_batch_hybrid_matches_per_query_indexed(spark, tmp_path):
             ).collect()
         ]
         assert by_q[q["q_id"]] == want, q["q_id"]
+
+
+def test_filtered_hybrid_equals_filtering_each_branch(spark, tmp_path):
+    """allowed_ids on the hybrid paths (round-8 VERDICT item 3 — the
+    reference's filter-THEN-recommend dashboard flow): the filter
+    applies to BOTH branches BEFORE ranking, so (a) the index-served
+    filtered hybrid equals the scan-based filtered hybrid, (b) it
+    equals fusing each independently-filtered branch, and (c) every
+    result satisfies the filter while k still fills from the filtered
+    universe."""
+    from cultural_heritage_bigdata_project_spark.operators import (
+        ann_index,
+        text_index,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    troot = str(tmp_path / "tix")
+    aroot = str(tmp_path / "ann")
+    text_index.build_text_index(spark, docs, troot)
+    ann_index.build_ann_index(spark, emb, aroot, n_lists=8)
+    allowed = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    q_row = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    q = [float(x) for x in q_row[0]]
+
+    got = similarity.hybrid_rrf_search_indexed(
+        spark, troot, aroot, TERMS, q,
+        k=10, top_n=50, n_probe=8, shortlist=1000, allowed_ids=allowed,
+    ).collect()
+    want = similarity.hybrid_rrf_search(
+        docs, emb, TERMS, _qvec(spark), k=10, top_n=50, allowed_ids=allowed
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert got and all(r["doc_id"] % 3 == 0 for r in got)
+    assert len(got) == 10  # k fills from the filtered universe
+
+    # (b) fusing each independently-filtered branch gives the same rows
+    lex = text_index.text_index_search(
+        spark, troot, TERMS, top_k=50, allowed_ids=allowed
+    )
+    sem = ann_index.ann_index_top_k(
+        spark, aroot, q, k=50, n_probe=8, shortlist=1000,
+        allowed_ids=allowed.select(F.col("doc_id").alias("vec_id")),
+        codec="bq",
+    )
+    fused = similarity._rrf_fuse(lex, sem, "doc_id", "vec_id", 60, 10).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in fused]
+
+    # batch path agrees with the single-query path under the filter
+    queries = spark.createDataFrame(
+        [(0, TERMS, [float(x) for x in q_row[0]])],
+        "q_id long, terms array<string>, embedding array<float>",
+    )
+    out = similarity.hybrid_rrf_search_all(
+        spark, troot, aroot, queries,
+        k=10, top_n=50, n_probe=8, shortlist=1000, allowed_ids=allowed,
+    ).collect()
+    got_b = [(r["doc_id"], r["lex_rank"], r["sem_rank"], r["rrf_score"]) for r in out]
+    want_b = [
+        (r["doc_id"], r["lex_rank"], r["sem_rank"], r["rrf_score"])
+        for r in similarity.hybrid_rrf_search_indexed(
+            spark, troot, aroot, TERMS, q,
+            k=10, top_n=50, n_probe=8, shortlist=1000, allowed_ids=allowed,
+        ).collect()
+    ]
+    assert got_b == want_b
