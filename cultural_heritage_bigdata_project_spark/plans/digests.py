@@ -83,6 +83,9 @@ GROUPS: dict[str, list[str]] = {
         # bm25_search joined it (bm25_index_search took its old
         # text_model slot; every registered query must hold a seat)
         "nfc_normalize_docs",
+        # round-9 rebalance: vector concat+normalize is a scalar
+        # function gallery shape (vector_codec_digest was at 8)
+        "vector_concat_norm",
     ],
     "subquery_digest": [
         "correlated_exists",
@@ -113,6 +116,9 @@ GROUPS: dict[str, list[str]] = {
         "flatten_distinct_union",
         "complex_types_gallery",
         "temporal_scalar_gallery",
+        # round-9 rebalance: the posexplode chunking shape lives with
+        # the other array/explode queries (text_model_digest was at 8)
+        "chunk_documents",
     ],
     "landing_roundtrip_digest": [
         "json_landing_roundtrip",
@@ -168,9 +174,11 @@ GROUPS: dict[str, list[str]] = {
         # bm25_index_search replaces bm25_search in the DRIVER slot
         # (round 8): the index path is what a deployment serves, and it
         # must give the scan path's exact answer — which stays pinned
-        # by its own member-level parity test
+        # by its own member-level parity test. Round 9: chunk_documents
+        # moved to complex_types_digest (it is a posexplode shape) to
+        # seat the FILTERED index serve here under the 8-member cap
         "bm25_index_search",
-        "chunk_documents",
+        "bm25_filtered_search",
         "charlm_quality",
         "duplicate_spans",
         "ccnet_buckets",
@@ -198,7 +206,10 @@ GROUPS: dict[str, list[str]] = {
         "epoch_upsample",
     ],
     "vector_codec_digest": [
-        "vector_concat_norm",
+        # round-9 rebalance: vector_concat_norm (a scalar-function
+        # gallery shape) moved to shape_gallery_digest to seat the MMR
+        # re-rank here under the 8-member cap
+        "mmr_rerank_topk",
         "pq_ann_topk",
         "semdedup_prune",
         "hard_negative_mining",
@@ -534,6 +545,17 @@ PART_COLS: dict[str, tuple[tuple[str, str], ...]] = {
         ("bm25", "f"),
         ("doc_id", "s"),
         ("n_terms_hit", "s"),
+    ),
+    "bm25_filtered_search": (
+        ("bm25", "f"),
+        ("doc_id", "s"),
+        ("n_terms_hit", "s"),
+    ),
+    "mmr_rerank_topk": (
+        ("cosine_sim", "f"),
+        ("mmr_rank", "s"),
+        ("mmr_score", "f"),
+        ("vec_id", "s"),
     ),
     "charlm_quality": (
         ("avg_logprob", "f"),

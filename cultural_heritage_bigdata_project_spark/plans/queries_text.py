@@ -1064,6 +1064,67 @@ def bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bm25_filtered_search",
+    description="FILTERED BM25 served from the persisted inverted "
+    "index: allowed_ids semi-joins the candidates BEFORE ranking "
+    "(per-term df over the filtered universe, top-k of the filtered "
+    "set, whole-corpus n_docs/avgdl) — the reference dashboard's "
+    "facet-filter-then-serve flow (app.py:119-156 -> :208-264; Qdrant "
+    "query_filter, deduplicate_from_qdrant.py:53-83), here over the "
+    "same post-upsert fixture index as bm25_index_search; the oracle "
+    "is the filtered corpus-scan SQL, so the index cannot change the "
+    "filtered answer either",
+    survey_ref="J8,M2,W4,S14",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(lower(trim(
+           CASE WHEN doc_id % 5 = 0 THEN text || ' merge merge'
+                WHEN doc_id % 7 = 3 THEN text || ' spark'
+                ELSE text END)), ' ') AS toks
+  FROM documents
+), base AS (
+  SELECT doc_id, toks, len(toks) AS dl FROM t
+), corpus AS (
+  SELECT count(*) AS n_docs, sum(len(toks)) / count(*) AS avgdl FROM t
+), hits AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM base)
+  WHERE term IN ('merge', 'spark', 'window') AND doc_id % 3 = 0
+  GROUP BY doc_id, dl, term
+), dfreq AS (
+  SELECT term, count(*) AS dfr FROM hits GROUP BY term
+), scored AS (
+  SELECT h.doc_id,
+         ((cast(c.n_docs AS DOUBLE) - d.dfr + 0.5) / (d.dfr + 0.5))
+         * ((cast(h.tf AS DOUBLE) * 2.2)
+            / (cast(h.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (h.dl / c.avgdl)))) AS s
+  FROM hits h JOIN dfreq d USING (term), corpus c
+)
+SELECT doc_id,
+       cast(sum(cast(s AS DECIMAL(38, 6))) AS DOUBLE) AS bm25,
+       count(*) AS n_terms_hit
+FROM scored GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 10
+""",
+)
+def bm25_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text_index
+
+    root = _text_index_root(spark, sf_dir)
+    allowed = _docs(spark, sf_dir).select("doc_id").filter(
+        F.col("doc_id") % 3 == 0
+    )
+    return text_index.text_index_search(
+        spark,
+        root,
+        ["merge", "spark", "window"],
+        top_k=10,
+        allowed_ids=allowed,
+    )
+
+
+@register(
     "chunk_documents",
     description="Sliding-window character chunking (size 120, stride 80): "
     "the context-window prep before embedding/training on long docs — "

@@ -949,3 +949,95 @@ def ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_index.ann_index_top_k(
         spark, root, _query_list(spark, sf_dir, 0), k=10, n_probe=4, shortlist=100
     )
+
+
+@register(
+    "mmr_rerank_topk",
+    description="M5 MMR diversified re-rank (Carbonell/Goldstein 1998): "
+    "greedy top-5 over the exact-cosine top-20 shortlist, "
+    "lambda=0.7 — the diversification pass over raw kNN order the "
+    "reference never applies (app.py:208-264 serves raw order). The "
+    "greedy argmax chain is deterministic (round-6 sims, id "
+    "tie-break), so the oracle UNROLLS the five selection steps as "
+    "CTEs: both engines compute lambda*rel - (1-lambda)*max_sim from "
+    "bit-identical rounded inputs with identical IEEE "
+    "parenthesization (the (1.0 - 0.7) subtraction is spelled out on "
+    "both sides because its result is NOT the literal 0.3)",
+    survey_ref="J8,M5,W4",
+    oracle="""
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+), cand AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+         round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 6) AS rel
+  FROM embeddings e, q
+  WHERE e.vec_id <> 0
+  ORDER BY rel DESC, e.vec_id ASC
+  LIMIT 20
+), pair AS (
+  SELECT a.vec_id AS ai, b.vec_id AS bi,
+         round(list_dot_product(
+                 list_transform(a.v, x -> x / sqrt(list_dot_product(a.v, a.v))),
+                 list_transform(b.v, x -> x / sqrt(list_dot_product(b.v, b.v)))),
+               6) AS sim
+  FROM cand a, cand b
+), lam AS (
+  SELECT CAST(0.7 AS DOUBLE) AS l,
+         CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE) AS m
+), s1 AS (
+  SELECT c.vec_id, c.rel, lam.l * c.rel AS score
+  FROM cand c, lam ORDER BY score DESC, c.vec_id ASC LIMIT 1
+), s2 AS (
+  SELECT c.vec_id, c.rel,
+         lam.l * c.rel - lam.m * (
+           SELECT max(p.sim) FROM pair p
+           WHERE p.ai = c.vec_id AND p.bi IN (SELECT vec_id FROM s1)) AS score
+  FROM cand c, lam WHERE c.vec_id NOT IN (SELECT vec_id FROM s1)
+  ORDER BY score DESC, c.vec_id ASC LIMIT 1
+), sel2 AS (
+  SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2
+), s3 AS (
+  SELECT c.vec_id, c.rel,
+         lam.l * c.rel - lam.m * (
+           SELECT max(p.sim) FROM pair p
+           WHERE p.ai = c.vec_id AND p.bi IN (SELECT vec_id FROM sel2)) AS score
+  FROM cand c, lam WHERE c.vec_id NOT IN (SELECT vec_id FROM sel2)
+  ORDER BY score DESC, c.vec_id ASC LIMIT 1
+), sel3 AS (
+  SELECT vec_id FROM sel2 UNION ALL SELECT vec_id FROM s3
+), s4 AS (
+  SELECT c.vec_id, c.rel,
+         lam.l * c.rel - lam.m * (
+           SELECT max(p.sim) FROM pair p
+           WHERE p.ai = c.vec_id AND p.bi IN (SELECT vec_id FROM sel3)) AS score
+  FROM cand c, lam WHERE c.vec_id NOT IN (SELECT vec_id FROM sel3)
+  ORDER BY score DESC, c.vec_id ASC LIMIT 1
+), sel4 AS (
+  SELECT vec_id FROM sel3 UNION ALL SELECT vec_id FROM s4
+), s5 AS (
+  SELECT c.vec_id, c.rel,
+         lam.l * c.rel - lam.m * (
+           SELECT max(p.sim) FROM pair p
+           WHERE p.ai = c.vec_id AND p.bi IN (SELECT vec_id FROM sel4)) AS score
+  FROM cand c, lam WHERE c.vec_id NOT IN (SELECT vec_id FROM sel4)
+  ORDER BY score DESC, c.vec_id ASC LIMIT 1
+)
+SELECT CAST(mmr_rank AS INTEGER) AS mmr_rank, vec_id,
+       rel AS cosine_sim, score AS mmr_score
+FROM (
+  SELECT 1 AS mmr_rank, vec_id, rel, score FROM s1
+  UNION ALL SELECT 2, vec_id, rel, score FROM s2
+  UNION ALL SELECT 3, vec_id, rel, score FROM s3
+  UNION ALL SELECT 4, vec_id, rel, score FROM s4
+  UNION ALL SELECT 5, vec_id, rel, score FROM s5
+)
+ORDER BY mmr_rank
+""",
+)
+def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vectors = _emb(spark, sf_dir).filter(F.col("vec_id") != 0)
+    return similarity.mmr_rerank(
+        vectors, _query_list(spark, sf_dir, 0), k=5, lambda_=0.7, top_n=20
+    )
