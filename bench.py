@@ -233,18 +233,35 @@ def main() -> None:
             except OSError:
                 return -1.0
 
+    # round-8 VERDICT item 5: stream_upsert_view drifted 2.7->4.1s with
+    # its implementation untouched. Its wall time = foreachBatch commit
+    # work + Structured-Streaming trigger/scheduling wait; only the
+    # former is the operator. Record the split per repeat so the
+    # artifact itself names which component moved.
+    from cultural_heritage_bigdata_project_spark.streaming import pipelines as _sp
+
+    _split_queries = {"stream_upsert_view", "stream_upsert_latest"}
+    stream_commit: dict[str, list[float]] = {}
+
     timings: dict[str, float] = {}
     repeats: dict[str, list[float]] = {}
     load: dict[str, float] = {"_start": _load1m()}
     for name in BENCH_QUERIES:
         load[name] = _load1m()
         samples: list[float] = []
-        target = n_repeats
+        # the split queries carry ~2.5s of per-run stream bootstrap
+        # (query start/checkpoint setup) around ~1.1s of commit work —
+        # median-of-5 keeps that jitter out of round-over-round deltas
+        target = short_repeats if name in _split_queries else n_repeats
         while len(samples) < target:
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             samples.append(round(time.perf_counter() - t0, 3))
+            if name in _split_queries and "in_batch_sec" in _sp.RUN_STATS:
+                stream_commit.setdefault(name, []).append(
+                    round(_sp.RUN_STATS["in_batch_sec"], 3)
+                )
             if len(samples) == 1 and samples[0] < 1.5:
                 target = short_repeats
         repeats[name] = samples
@@ -260,6 +277,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "repeats": repeats,
+                # per-repeat seconds spent INSIDE foreachBatch bodies
+                # for the streaming-sink queries: wall - commit =
+                # trigger/scheduling wait, the noisy non-operator part
+                "stream_commit_sec": stream_commit,
                 "flagship_first_run_sec": flagship_first,
                 "load": load,
                 "cpus": os.cpu_count(),

@@ -49,17 +49,56 @@ def decode_meta_batches(
     signature, schema and batching stay identical. Deterministic fake:
     width/height/channels derived from byte length so oracles can
     reproduce it.
+
+    Status contract mirrors the reference's extractor row statuses
+    (extracting_embeddings.py:337-348): ``OK`` on success, ``NO_IMAGE``
+    when the payload is absent/empty (the reference's missing-URL
+    path), ``FAILED`` when the decode itself raises (here the stub
+    "decode" is a strict UTF-8 parse, so undecodable bytes fail exactly
+    like corrupt image bytes under PIL) — failed rows keep ``n_bytes``
+    (known before decode) and NULL decode-derived metadata, and the
+    pipeline CONTINUES: one bad object never kills the batch.
     """
     for pdf in batches:
-        n = pdf["payload"].map(len)
+        rows = {
+            "doc_id": pdf["doc_id"],
+            "n_bytes": [],
+            "width": [],
+            "height": [],
+            "channels": [],
+            "status": [],
+        }
+        for payload in pdf["payload"]:
+            if payload is None or len(payload) == 0:
+                rows["n_bytes"].append(0 if payload is not None else None)
+                rows["width"].append(None)
+                rows["height"].append(None)
+                rows["channels"].append(None)
+                rows["status"].append("NO_IMAGE")
+                continue
+            n = len(payload)
+            try:
+                bytes(payload).decode("utf-8")  # the stub "decode"
+            except (UnicodeDecodeError, ValueError):
+                rows["n_bytes"].append(n)
+                rows["width"].append(None)
+                rows["height"].append(None)
+                rows["channels"].append(None)
+                rows["status"].append("FAILED")
+                continue
+            rows["n_bytes"].append(n)
+            rows["width"].append(n % 997)
+            rows["height"].append(n % 991)
+            rows["channels"].append(3)
+            rows["status"].append("OK")
         yield pd.DataFrame(
             {
-                "doc_id": pdf["doc_id"],
-                "n_bytes": n.astype("int32"),
-                "width": (n % 997).astype("int32"),
-                "height": (n % 991).astype("int32"),
-                "channels": 3,
-                "status": "OK",
+                "doc_id": rows["doc_id"],
+                "n_bytes": pd.array(rows["n_bytes"], dtype="Int32"),
+                "width": pd.array(rows["width"], dtype="Int32"),
+                "height": pd.array(rows["height"], dtype="Int32"),
+                "channels": pd.array(rows["channels"], dtype="Int32"),
+                "status": rows["status"],
             }
         )
 

@@ -703,3 +703,31 @@ def test_ivf_bq_recall_vs_brute_force(spark):
     }
     recall = len(exact & got) / len(exact)
     assert recall >= 0.3, f"IVF-BQ recall vs brute force too low: {recall}"
+
+
+def test_multimodal_decode_status_paths(spark):
+    """Reference extractor status contract (extracting_embeddings.py:
+    337-348): OK on success, NO_IMAGE for an absent/empty payload,
+    FAILED when the decode raises — one bad object never kills the
+    batch, and failed rows keep pre-decode metadata (n_bytes) with
+    NULL decode-derived fields."""
+    from cultural_heritage_bigdata_project_spark.operators import multimodal
+
+    rows = spark.createDataFrame(
+        [
+            (1, bytearray("valid utf8 payload", "utf-8")),
+            (2, None),
+            (3, bytearray(b"")),
+            (4, bytearray(b"\xff\xfe corrupt \x80")),
+        ],
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: r for r in multimodal.decode_metadata(rows).collect()}
+    assert out[1]["status"] == "OK"
+    assert out[1]["width"] == len("valid utf8 payload") % 997
+    assert out[2]["status"] == "NO_IMAGE" and out[2]["width"] is None
+    assert out[3]["status"] == "NO_IMAGE" and out[3]["n_bytes"] == 0
+    assert out[4]["status"] == "FAILED"
+    assert out[4]["n_bytes"] == 12 and out[4]["width"] is None
+    # the OK path over fixture payloads is unchanged (catalog oracle
+    # replays width/height from byte length — pinned by parity)
