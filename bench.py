@@ -72,7 +72,9 @@ BENCH_QUERIES = [
     "semdedup_prune",
     "bm25_search",
     "bm25_index_search",
+    "bm25_filtered_search",
     "hybrid_rrf_search",
+    "mmr_rerank_topk",
     "charlm_quality",
     "corpus_temperature_mix",
     "duplicate_spans",
