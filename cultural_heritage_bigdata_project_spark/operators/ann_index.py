@@ -734,3 +734,60 @@ def ann_index_top_k_all(
             "cosine_sim",
         )
     )
+
+
+def mmr_rerank_indexed(
+    spark: SparkSession,
+    root: str,
+    query,
+    k: int = 10,
+    lambda_: float = 0.7,
+    top_n: int = 50,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    allowed_ids: DataFrame | None = None,
+) -> DataFrame:
+    """MMR diversified top-k served from the PERSISTED ANN index —
+    zero corpus scans: the probed index rows (n_probe lists + delta
+    tail, the same metadata-pruned read as `ann_index_top_k`) supply
+    BOTH the relevance shortlist and the candidate vectors for the
+    pairwise diversity penalty, then `similarity.mmr_rerank` runs its
+    exact-cosine top-``top_n`` + greedy selection over them. Completes
+    the index-served stack: raw kNN (`ann_index_top_k`), hybrid
+    (`hybrid_rrf_search_indexed`), and diversified re-rank all serve
+    without touching the corpus (the reference serves raw Qdrant order
+    only, app.py:208-264; MMR is the natural diversification pass over
+    it). ``allowed_ids`` filters candidates BEFORE the shortlist
+    (Qdrant filter semantics, as everywhere in this module). Recall is
+    governed by ``n_probe`` exactly as in `ann_index_top_k`; with
+    every list probed the result equals `mmr_rerank` over the full
+    vector table (pinned by tests)."""
+    import numpy as np
+
+    from .similarity import mmr_rerank
+
+    centroids, _codebook = read_index_meta(spark, root)
+    cur = txn.current_version_dir(root)
+    if cur is None:
+        raise FileNotFoundError(f"nothing published under {root!r}")
+    comp = txn.read_manifest(root, os.path.basename(cur))[CODES_COMPONENT]
+    ann = comp.get("ann") or {}
+
+    cmat = np.asarray(centroids, dtype=np.float64)
+    qv = np.asarray(list(query), dtype=np.float64)
+    d = ((cmat - qv[None, :]) ** 2).sum(axis=1)
+    probe_ids = [int(i) for i in np.argsort(d, kind="stable")[:n_probe]]
+
+    latest = _probed_latest(spark, root, comp, ann, probe_ids, id_col)
+    probed = latest.filter(F.col("ann_list").isin(probe_ids)).select(
+        id_col, vec_col
+    )
+    if allowed_ids is not None:
+        probed = probed.join(
+            allowed_ids.select(id_col).distinct(), on=id_col, how="leftsemi"
+        )
+    return mmr_rerank(
+        probed, query, k=k, lambda_=lambda_, top_n=top_n,
+        id_col=id_col, vec_col=vec_col,
+    )

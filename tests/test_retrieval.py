@@ -390,3 +390,34 @@ def test_filtered_hybrid_equals_filtering_each_branch(spark, tmp_path):
         ).collect()
     ]
     assert got_b == want_b
+
+
+def test_mmr_indexed_matches_scan_mmr(spark, tmp_path):
+    """mmr_rerank_indexed serves the diversified top-k from the
+    persisted ANN index (zero corpus scans); with every list probed its
+    shortlist is exact, so the greedy selection equals mmr_rerank over
+    the full vector table — and the allowed_ids filter applies before
+    the shortlist."""
+    from cultural_heritage_bigdata_project_spark.operators import ann_index
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    aroot = str(tmp_path / "ann")
+    ann_index.build_ann_index(spark, emb, aroot, n_lists=8)
+    q_row = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    q = [float(x) for x in q_row[0]]
+
+    got = ann_index.mmr_rerank_indexed(
+        spark, aroot, q, k=5, top_n=20, n_probe=8
+    ).collect()
+    want = similarity.mmr_rerank(emb, q, k=5, top_n=20).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    allowed = emb.filter(F.col("vec_id") % 2 == 1).select("vec_id")
+    got_f = ann_index.mmr_rerank_indexed(
+        spark, aroot, q, k=5, top_n=20, n_probe=8, allowed_ids=allowed
+    ).collect()
+    want_f = similarity.mmr_rerank(
+        emb.join(allowed, "vec_id", "leftsemi"), q, k=5, top_n=20
+    ).collect()
+    assert [tuple(r) for r in got_f] == [tuple(r) for r in want_f]
+    assert got_f and all(r["vec_id"] % 2 == 1 for r in got_f)
