@@ -536,6 +536,7 @@ def foreach_batch_ann_index_run(
     vec_col: str = "embedding",
     rebuild_every_deltas: int | None = 8,
     keep_last: int = 2,
+    compact_every_deltas: int | None = None,
 ):
     """Streaming maintenance of the persisted index: each micro-batch of
     new/changed vectors is encoded with the STORED quantizers and
@@ -546,6 +547,14 @@ def foreach_batch_ann_index_run(
     ``compact_every``. Requires a built index (``build_ann_index``)
     before the stream starts; runs with ``availableNow`` so bounded
     replays drain and stop (the engine's standard test trigger).
+
+    ``compact_every_deltas`` (round 9) interposes the CHEAP fold:
+    `ann_index_compact` re-homes the delta tail without re-deriving
+    quantizers or re-encoding anything — O(code bytes) vs the
+    rebuild's O(corpus encode). Set it a few batches below
+    ``rebuild_every_deltas``: compactions keep every probe pruned
+    between the (rare) rebuilds that refresh the quantizers against
+    distribution drift.
 
     At 100 TB this is the embedding-ingest path: the index stays
     serveable at every instant (CAS-published versions), queries read
@@ -559,6 +568,14 @@ def foreach_batch_ann_index_run(
             spark, batch_df, root, id_col=id_col, vec_col=vec_col,
             keep_last=keep_last,
         )
+        if compact_every_deltas is not None:
+            cur = txn.current_version_dir(root)
+            comp = txn.read_manifest(root, os.path.basename(cur))[
+                CODES_COMPONENT
+            ]
+            tail = (comp.get("ann") or {}).get("delta_segments", [])
+            if len(tail) >= compact_every_deltas:
+                ann_index_compact(spark, root, keep_last=keep_last)
         if rebuild_every_deltas is not None:
             cur = txn.current_version_dir(root)
             comp = txn.read_manifest(root, os.path.basename(cur))[
@@ -790,4 +807,121 @@ def mmr_rerank_indexed(
     return mmr_rerank(
         probed, query, k=k, lambda_=lambda_, top_n=top_n,
         id_col=id_col, vec_col=vec_col,
+    )
+
+
+def ann_index_compact(
+    spark: SparkSession, root: str, keep_last: int = 2
+) -> str | None:
+    """Fold the upsert delta tail back into per-list base segments —
+    the ANN twin of `text_index.text_index_compact` (round 9; before
+    this the only fold-down was a full rebuild, which re-derives
+    quantizers and re-encodes the corpus): only the codes component is
+    read, no vectors are re-encoded, the STORED codebook stays
+    authoritative, and every subsequent probe is back to the pruned
+    build shape (n_probe list segments, zero delta files).
+
+    Mechanics: base rows are one-per-key by construction, so the fold
+    is a broadcast anti join against the O(changes) delta keyset plus
+    the delta tail's own latest-per-key window (a moved key lands in
+    its NEW list's segment — the move is physical after compaction,
+    so probes stop paying the move's supersede join); one
+    ``partitionBy`` write + renames re-home the folded rows, and one
+    CAS commit refreshes the ``ann`` block (new list map, empty delta
+    list, epoch and quantizer meta unchanged). No-op (returns None)
+    without a delta tail. At 100 TB this is O(code bytes) maintenance
+    I/O — orders cheaper than the rebuild's encode pass — amortized
+    over every probe's restored pruning."""
+    cur0 = txn.current_version_dir(root)
+    if cur0 is None:
+        raise FileNotFoundError(f"nothing published under {root!r}")
+    ann0 = (
+        txn.read_manifest(root, os.path.basename(cur0))[CODES_COMPONENT]
+    ).get("ann") or {}
+    if not ann0.get("delta_segments"):
+        return None
+
+    def build(current_dir, new_dir):
+        vname = os.path.basename(new_dir)
+        cur_name = os.path.basename(current_dir)
+        components = txn.read_manifest(root, cur_name)
+        comp = dict(components[CODES_COMPONENT])
+        ann = dict(comp.get("ann") or {})
+        if not ann.get("list_segments") and comp.get("segments"):
+            raise ValueError(
+                f"index under {root!r} lost its list map (a generic "
+                "rewrite rebuilt the component); run build_ann_index "
+                "to restore the per-list layout before compacting"
+            )
+        spec = comp.get("reconstruct") or _spec("vec_id")
+        id_col = spec["keys"][0]
+        list_map = ann.get("list_segments", {})
+        base_segs = [list_map[k] for k in sorted(list_map, key=int)]
+        delta_segs = list(ann.get("delta_segments", []))
+
+        base_rows = (
+            txn._read_segment_union(
+                spark, [txn.segment_path(root, s) for s in base_segs]
+            )
+            if base_segs
+            else None
+        )
+        folded = base_rows
+        if delta_segs:
+            delta_rows = txn._read_segment_union(
+                spark, [txn.segment_path(root, s) for s in delta_segs]
+            )
+            delta_latest = txn.reconstruct_latest(
+                delta_rows, spec, keep_seq=True
+            )
+            if base_rows is not None:
+                survivors = base_rows.join(
+                    F.broadcast(delta_latest.select(id_col).distinct()),
+                    on=id_col,
+                    how="left_anti",
+                )
+                folded = survivors.unionByName(
+                    delta_latest, allowMissingColumns=True
+                )
+            else:
+                folded = delta_latest
+        if folded is None:
+            raise FileNotFoundError(
+                f"index under {root!r} has no code segments to compact"
+            )
+
+        scratch = os.path.join(new_dir, "_compact")
+        folded.withColumn("ann_list_p", F.col("ann_list")).write.partitionBy(
+            "ann_list_p"
+        ).parquet(scratch)
+        seg_names: list[str] = []
+        stats: dict[str, dict] = {}
+        new_map: dict[str, str] = {}
+        for entry in sorted(os.listdir(scratch)):
+            if not entry.startswith("ann_list_p="):
+                continue
+            k = int(entry.split("=", 1)[1])
+            seg = f"ann_{vname}_l{k}"
+            sdir = txn.segment_path(root, seg)
+            shutil.rmtree(sdir, ignore_errors=True)  # own aborted leftovers
+            os.makedirs(os.path.dirname(sdir), exist_ok=True)
+            os.rename(os.path.join(scratch, entry), sdir)
+            seg_names.append(seg)
+            new_map[str(k)] = seg
+            stats[seg] = txn.collect_parquet_stats(sdir)
+            stats[seg]["ann_list"] = [k, k]
+        shutil.rmtree(scratch, ignore_errors=True)
+
+        comp["base"] = None
+        comp["segments"] = seg_names
+        comp["changes"] = []  # a rewrite is not a change
+        comp["stats"] = stats
+        ann.update({"list_segments": new_map, "delta_segments": []})
+        comp["ann"] = ann
+        out = dict(components)
+        out[CODES_COMPONENT] = comp
+        txn.write_manifest(root, vname, out)
+
+    return txn.commit_with_retry(
+        root, build, keep_last=keep_last, op="ann_index_compact"
     )

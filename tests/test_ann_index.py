@@ -524,3 +524,120 @@ def test_generic_compaction_degrades_gracefully(spark, tmp_path):
     cur = txn.current_version_dir(root)
     comp = txn.read_manifest(root, os.path.basename(cur))[ann_index.CODES_COMPONENT]
     assert comp["ann"]["list_segments"]
+
+
+def test_ann_compaction_folds_delta_tail(spark, tmp_path, monkeypatch):
+    """ann_index_compact (round 9, the ANN twin of text_index_compact):
+    the delta tail folds into per-list base segments WITHOUT
+    re-encoding — served results are unchanged, the probe is back to
+    the pruned build shape (only probed-list files, no deltas), moved
+    keys land physically in their new list, and a later upsert still
+    works. No-op when there is nothing to fold."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    root = str(tmp_path / "idx")
+    base = emb.filter((F.col("vec_id") != 0) & (F.col("vec_id") % 4 != 0))
+    ann_index.build_ann_index(spark, base, root, n_lists=8)
+    assert ann_index.ann_index_compact(spark, root) is None  # no tail
+
+    ups = emb.filter((F.col("vec_id") != 0) & (F.col("vec_id") % 4 == 0))
+    ann_index.ann_index_upsert(spark, ups, root)
+    # an UPDATED vector that changes content (list may move): negate it
+    upd = emb.filter(F.col("vec_id") == 8).withColumn(
+        "embedding",
+        F.transform(F.col("embedding"), lambda x: -x),
+    )
+    ann_index.ann_index_upsert(spark, upd, root)
+
+    q = _query(spark)
+    before = ann_index.ann_index_top_k(
+        spark, root, q, k=10, n_probe=8, shortlist=10_000
+    ).collect()
+
+    assert ann_index.ann_index_compact(spark, root) is not None
+    ann = txn.read_manifest(
+        root, os.path.basename(txn.current_version_dir(root))
+    )[ann_index.CODES_COMPONENT]["ann"]
+    assert ann["delta_segments"] == []
+
+    after = ann_index.ann_index_top_k(
+        spark, root, q, k=10, n_probe=8, shortlist=10_000
+    ).collect()
+    assert [tuple(r) for r in after] == [tuple(r) for r in before]
+
+    # pruned probe shape: only probed-list segments, no delta files
+    seen: list[list[str]] = []
+    real = txn._read_segment_union
+
+    def spy(s, paths):
+        seen.append(list(paths))
+        return real(s, paths)
+
+    monkeypatch.setattr(txn, "_read_segment_union", spy)
+    ann_index.ann_index_top_k(spark, root, q, k=5, n_probe=2).collect()
+    probe = [p for p in seen if any("/ann_" in x for x in p)]
+    assert probe and len(probe[-1]) <= 2
+    assert not any("annd_" in x for x in probe[-1])
+    monkeypatch.undo()
+
+    # exactly one folded row per key, and doc 8's update is physical
+    total = base.count() + ups.count()
+    rows = txn._read_segment_union(
+        spark,
+        [
+            txn.segment_path(root, s)
+            for s in txn.read_manifest(
+                root, os.path.basename(txn.current_version_dir(root))
+            )[ann_index.CODES_COMPONENT]["segments"]
+        ],
+    )
+    assert rows.count() == total
+    assert rows.filter(F.col("vec_id") == 8).count() == 1
+
+    # maintenance keeps composing: upsert after compaction serves exactly
+    late = emb.filter(F.col("vec_id") == 0)
+    ann_index.ann_index_upsert(spark, late, root)
+    got = ann_index.ann_index_top_k(
+        spark, root, q, k=10, n_probe=8, shortlist=10_000
+    ).collect()
+    assert any(r["vec_id"] == 0 for r in got)  # the query vec itself
+
+
+def test_streaming_maintenance_with_inline_compaction(spark, tmp_path):
+    """compact_every_deltas folds the tail WITHOUT a rebuild (stored
+    quantizers untouched); serving reflects every ingested vector and
+    the tail stays bounded."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") != 0).filter(F.col("vec_id") % 3 == 1)
+    root = str(tmp_path / "idx")
+    ann_index.build_ann_index(spark, base, root)
+    meta_before = ann_index.read_index_meta(spark, root)
+
+    incr = emb.filter(F.col("vec_id") != 0).filter(F.col("vec_id") % 3 != 1)
+    src = tmp_path / "src"
+    incr.filter(F.col("vec_id") % 3 == 0).coalesce(1).write.parquet(str(src / "f0"))
+    incr.filter(F.col("vec_id") % 3 == 2).coalesce(1).write.parquet(str(src / "f1"))
+    stream = (
+        spark.readStream.schema(incr.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    ann_index.foreach_batch_ann_index_run(
+        spark, stream, root, str(tmp_path / "ckpt"),
+        rebuild_every_deltas=None, compact_every_deltas=1,
+    )
+    cur = txn.current_version_dir(root)
+    ann = txn.read_manifest(root, os.path.basename(cur))[
+        ann_index.CODES_COMPONENT
+    ]["ann"]
+    assert ann["delta_segments"] == []  # folded by compaction
+    # quantizers untouched (no rebuild happened)
+    meta_after = ann_index.read_index_meta(spark, root)
+    assert meta_after[0] == meta_before[0]
+    full = emb.filter(F.col("vec_id") != 0)
+    n = txn.read_version(spark, root, subdir=ann_index.CODES_COMPONENT).count()
+    assert n == full.count()
+    q = _query(spark)
+    got = ann_index.ann_index_top_k(
+        spark, root, q, k=10, n_probe=16, shortlist=10_000
+    ).collect()
+    assert len(got) == 10
