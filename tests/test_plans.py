@@ -383,3 +383,18 @@ def test_bucketed_uncompacted_read_has_no_exchange(spark, tmp_path):
     cplan = plan_of(collapsed)
     assert "Exchange" not in cplan and "Window" not in cplan, cplan[:2000]
     assert {(r.user_id, r.ts, r.val) for r in collapsed.collect()} == got
+
+
+def test_filtered_index_search_plan_shape(spark):
+    """bm25_filtered_search (round 9): the query-term filter is PUSHED
+    into the probed bucket segments' parquet scan, the allowed_ids
+    filter is a broadcast LEFT SEMI (never a sort-merge join or a
+    driver-side list), and the allowed side's scan is column-pruned to
+    the id."""
+    plan = _formatted_plan(spark, "bm25_filtered_search")
+    assert re.search(r"PushedFilters: \[[^\]]*In\(term", plan), plan
+    assert re.search(r"BroadcastHashJoin [^\n]*LeftSemi", plan), plan
+    assert "SortMergeJoin" not in plan, plan
+    assert re.search(r"ReadSchema: struct<doc_id:bigint>", plan), (
+        "allowed side not pruned to the id column"
+    )
