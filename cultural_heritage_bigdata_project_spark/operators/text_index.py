@@ -436,6 +436,12 @@ def text_index_compact(
                 "to restore the bucketed layout before compacting"
             )
         n_buckets = int(tix.get("n_buckets", 16))
+
+        def _rehome(folded):
+            _compact_rehome(
+                spark, root, new_dir, components, comp, tix, n_buckets, folded
+            )
+
         bucket_map = tix.get("bucket_segments", {})
         base_segs = [bucket_map[k] for k in sorted(bucket_map, key=int)]
         delta_segs = list(tix.get("delta_segments", []))
@@ -457,6 +463,34 @@ def text_index_compact(
                 if delta_segs
                 else None
             )
+            if dl_delta_segs and not all(
+                os.path.isdir(txn.segment_path(root, s)) for s in dl_delta_segs
+            ):
+                # degraded state: a generic doclen compaction folded the
+                # dl deltas and GC removed their files while the tix
+                # block still names them (serving handles this at
+                # O(docs) per probe — see _probed_rows). Compaction is
+                # the RESTORE tool for exactly this state, so fold from
+                # the same source of truth: keep each posting row iff
+                # its epoch equals the doc's doclen-latest epoch, then
+                # re-home — no rebuild, and probes get pruning back.
+                latest_dl = txn.read_version(
+                    spark, root, subdir=DOCLEN_COMPONENT
+                ).select("doc_id", F.col("tix_epoch").alias("__keep"))
+                cand = base_rows
+                if delta_rows is not None:
+                    cand = (
+                        cand.unionByName(delta_rows, allowMissingColumns=True)
+                        if cand is not None
+                        else delta_rows
+                    )
+                folded = (
+                    cand.join(latest_dl, on="doc_id")
+                    .filter(F.col("tix_epoch") == F.col("__keep"))
+                    .drop("__keep")
+                )
+                _rehome(folded)
+                return
             key_src = (
                 txn._read_segment_union(
                     spark, [txn.segment_path(root, s) for s in dl_delta_segs]
@@ -490,75 +524,83 @@ def text_index_compact(
             raise FileNotFoundError(
                 f"index under {root!r} has no posting segments to compact"
             )
-
-        # re-home into per-bucket segments: rows already carry
-        # term_bucket (build and upsert both stamp it), so this is one
-        # partitioned write + renames, no term re-hash
-        scratch = os.path.join(new_dir, "_compact")
-        folded.withColumn("__tb_p", F.col("term_bucket")).write.partitionBy(
-            "__tb_p"
-        ).parquet(scratch)
-        seg_names: list[str] = []
-        stats: dict[str, dict] = {}
-        new_map: dict[str, str] = {}
-        for entry in sorted(os.listdir(scratch)):
-            if not entry.startswith("__tb_p="):
-                continue
-            k = int(entry.split("=", 1)[1])
-            seg = f"tix_{vname}_b{k}"
-            sdir = txn.segment_path(root, seg)
-            shutil.rmtree(sdir, ignore_errors=True)  # own aborted leftovers
-            os.makedirs(os.path.dirname(sdir), exist_ok=True)
-            os.rename(os.path.join(scratch, entry), sdir)
-            seg_names.append(seg)
-            new_map[str(k)] = seg
-            stats[seg] = txn.collect_parquet_stats(sdir)
-            stats[seg]["term_bucket"] = [k, k]
-        shutil.rmtree(scratch, ignore_errors=True)
-
-        # doclen: exchange-free bucketed latest-per-doc fold to one
-        # segment (keep_seq: rows keep their original epochs)
-        dlc = dict(components[DOCLEN_COMPONENT])
-        dl_spec = dlc.get("reconstruct") or (
-            _doclen_spec() | {"buckets": n_buckets}
-        )
-        dl_folded = txn.bucketed_reconstruct(
-            spark,
-            [txn.segment_path(root, s) for s in dlc.get("segments", [])],
-            dl_spec,
-            keep_seq=True,
-        )
-        dl_seg = f"tixdl_{vname}"
-        dl_dir = txn.segment_path(root, dl_seg)
-        shutil.rmtree(dl_dir, ignore_errors=True)
-        txn._write_maybe_bucketed(dl_folded, dl_dir, dl_spec, align=True)
-
-        comp["base"] = None
-        comp["segments"] = seg_names
-        comp["changes"] = []  # a rewrite is not a change
-        comp["stats"] = stats
-        tix.update(
-            {
-                "bucket_segments": new_map,
-                "delta_segments": [],
-                "dl_delta_segments": [],
-            }
-        )
-        comp["tix"] = tix
-        out = dict(components)
-        out[POSTINGS_COMPONENT] = comp
-        out[DOCLEN_COMPONENT] = dlc | {
-            "base": None,
-            "segments": [dl_seg],
-            "changes": [],
-            "reconstruct": dl_spec,
-            "collapsed": True,  # one row per doc now
-        }
-        txn.write_manifest(root, vname, out)
+        _rehome(folded)
 
     return txn.commit_with_retry(
         root, build, keep_last=keep_last, op="text_index_compact"
     )
+
+
+def _compact_rehome(
+    spark, root, new_dir, components, comp, tix, n_buckets, folded
+):
+    """Shared tail of `text_index_compact`: re-home the folded posting
+    rows into per-bucket segments (rows already carry ``term_bucket`` —
+    build and upsert both stamp it, so this is one partitioned write +
+    renames, no term re-hash), fold doclen to latest-per-doc, and write
+    the refreshed manifest."""
+    vname = os.path.basename(new_dir)
+    scratch = os.path.join(new_dir, "_compact")
+    folded.withColumn("__tb_p", F.col("term_bucket")).write.partitionBy(
+        "__tb_p"
+    ).parquet(scratch)
+    seg_names: list[str] = []
+    stats: dict[str, dict] = {}
+    new_map: dict[str, str] = {}
+    for entry in sorted(os.listdir(scratch)):
+        if not entry.startswith("__tb_p="):
+            continue
+        k = int(entry.split("=", 1)[1])
+        seg = f"tix_{vname}_b{k}"
+        sdir = txn.segment_path(root, seg)
+        shutil.rmtree(sdir, ignore_errors=True)  # own aborted leftovers
+        os.makedirs(os.path.dirname(sdir), exist_ok=True)
+        os.rename(os.path.join(scratch, entry), sdir)
+        seg_names.append(seg)
+        new_map[str(k)] = seg
+        stats[seg] = txn.collect_parquet_stats(sdir)
+        stats[seg]["term_bucket"] = [k, k]
+    shutil.rmtree(scratch, ignore_errors=True)
+
+    # doclen: exchange-free bucketed latest-per-doc fold to one
+    # segment (keep_seq: rows keep their original epochs)
+    dlc = dict(components[DOCLEN_COMPONENT])
+    dl_spec = dlc.get("reconstruct") or (
+        _doclen_spec() | {"buckets": n_buckets}
+    )
+    dl_folded = txn.bucketed_reconstruct(
+        spark,
+        [txn.segment_path(root, s) for s in dlc.get("segments", [])],
+        dl_spec,
+        keep_seq=True,
+    )
+    dl_seg = f"tixdl_{vname}"
+    dl_dir = txn.segment_path(root, dl_seg)
+    shutil.rmtree(dl_dir, ignore_errors=True)
+    txn._write_maybe_bucketed(dl_folded, dl_dir, dl_spec, align=True)
+
+    comp["base"] = None
+    comp["segments"] = seg_names
+    comp["changes"] = []  # a rewrite is not a change
+    comp["stats"] = stats
+    tix.update(
+        {
+            "bucket_segments": new_map,
+            "delta_segments": [],
+            "dl_delta_segments": [],
+        }
+    )
+    comp["tix"] = tix
+    out = dict(components)
+    out[POSTINGS_COMPONENT] = comp
+    out[DOCLEN_COMPONENT] = dlc | {
+        "base": None,
+        "segments": [dl_seg],
+        "changes": [],
+        "reconstruct": dl_spec,
+        "collapsed": True,  # one row per doc now
+    }
+    txn.write_manifest(root, vname, out)
 
 
 def text_index_search(

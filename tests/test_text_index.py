@@ -547,3 +547,50 @@ def test_empty_and_all_stopped_upsert_batches_stay_servable(spark, tmp_path):
     got2 = _rows(text_index.text_index_search(spark, root, ["alpha", "beta"], top_k=5))
     want2 = _rows(text.bm25_search(state, ["alpha", "beta"], top_k=5))
     assert got2 == want2
+
+
+def test_compaction_restores_pruning_from_degraded_state(spark, tmp_path, monkeypatch):
+    """After a generic doclen compaction + GC of the dl-delta files
+    (the degraded O(docs)-serving state), text_index_compact is the
+    RESTORE tool: it folds via the doclen-latest epochs — no rebuild,
+    no corpus read — and probes return to the pruned shape."""
+    import shutil as _sh
+
+    docs = _docs(spark)
+    root = str(tmp_path / "tix")
+    base = docs.filter(F.col("doc_id") % 4 != 0)
+    text_index.build_text_index(spark, base, root, n_buckets=16)
+    upd = docs.filter(F.col("doc_id") % 4 == 0).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" merge"))
+    )
+    text_index.text_index_upsert(spark, upd, root)
+    state = base.unionByName(upd)
+    want = _rows(text.bm25_search(state, TERMS, top_k=10))
+
+    txn.compact_component(spark, root, component=text_index.DOCLEN_COMPONENT)
+    tix = txn.read_manifest(
+        root, os.path.basename(txn.current_version_dir(root))
+    )[text_index.POSTINGS_COMPONENT]["tix"]
+    for s in tix["dl_delta_segments"]:  # simulate aged-out GC
+        _sh.rmtree(txn.segment_path(root, s), ignore_errors=True)
+
+    assert text_index.text_index_compact(spark, root) is not None
+    tix2 = txn.read_manifest(
+        root, os.path.basename(txn.current_version_dir(root))
+    )[text_index.POSTINGS_COMPONENT]["tix"]
+    assert tix2["delta_segments"] == [] and tix2["dl_delta_segments"] == []
+    got = _rows(text_index.text_index_search(spark, root, TERMS, top_k=10))
+    assert got == want
+
+    seen: list[list[str]] = []
+    real = txn._read_segment_union
+
+    def spy(s, paths):
+        seen.append(list(paths))
+        return real(s, paths)
+
+    monkeypatch.setattr(txn, "_read_segment_union", spy)
+    text_index.text_index_search(spark, root, TERMS, top_k=10).collect()
+    probe = [p for p in seen if any("/tix_" in x for x in p)]
+    want_buckets = {text_index._bucket_py(t, 16) for t in TERMS}
+    assert probe and len(probe[-1]) == len(want_buckets)  # pruning restored
