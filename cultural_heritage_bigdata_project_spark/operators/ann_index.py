@@ -54,6 +54,7 @@ from .similarity import (
 META_COMPONENT = "meta"
 CODES_COMPONENT = "codes"
 _SEQ = "__sg_seq"
+_DEL = "__ann_del"
 
 
 def _encode_pass(
@@ -130,6 +131,11 @@ def _spec(id_col: str) -> dict:
         "keys": [id_col],
         "order_desc": ["ann_epoch"],
         "seq_col": _SEQ,
+        # tombstone deletes (round 9): a delete is a delta row whose
+        # flag wins the latest-per-key fold — the Qdrant
+        # delete-points analog (deduplicate_from_qdrant.py's removal
+        # of confirmed duplicates); a newer upsert resurrects the key
+        "delete_col": _DEL,
     }
 
 
@@ -340,6 +346,81 @@ def ann_index_upsert(
     return txn.commit_with_retry(root, build, keep_last=keep_last, op="ann_upsert")
 
 
+def ann_index_delete(
+    spark: SparkSession,
+    ids,
+    root: str,
+    id_col: str = "vec_id",
+    keep_last: int = 2,
+) -> str:
+    """Remove vectors from the persisted index — the Qdrant
+    delete-points analog (the reference's dedup job deletes confirmed
+    duplicate points from the live collection,
+    deduplicate_from_qdrant.py:160-186; this is that operation against
+    the engine-native index). ``ids`` is a DataFrame carrying
+    ``id_col`` or a plain list of ids.
+
+    Mechanics: one O(batch) tombstone delta segment (id + epoch +
+    ``__ann_del``); the serving fold drops a tombstoned key's base row
+    (the delta keyset anti join) and the tombstone itself never
+    serves. A LATER upsert of the same key resurrects it (newer epoch
+    wins the fold), and `ann_index_compact` physically reclaims
+    tombstoned rows — after a full fold nothing older remains to
+    resurrect, so the tombstones themselves are dropped. The commit
+    also stamps the component's reconstruct spec with the delete
+    column so generic `txn.read_version` reads honor deletions."""
+    if not isinstance(ids, DataFrame):
+        ids = spark.createDataFrame([(int(i),) for i in ids], f"{id_col} bigint")
+
+    def build(current_dir, new_dir):
+        if current_dir is None:
+            raise FileNotFoundError(
+                f"no index published under {root!r}; run build_ann_index first"
+            )
+        cur_name = os.path.basename(current_dir)
+        components = txn.read_manifest(root, cur_name)
+        comp = dict(components[CODES_COMPONENT])
+        epoch = _next_epoch(root, current_dir)
+        vname = os.path.basename(new_dir)
+        stamped = (
+            ids.select(id_col)
+            .distinct()
+            .withColumn("ann_epoch", F.lit(epoch).cast("long"))
+            .withColumn(_SEQ, F.lit(epoch).cast("long"))
+            .withColumn(_DEL, F.lit(True))
+        )
+        seg = f"annd_{vname}"
+        sdir = txn.segment_path(root, seg)
+        shutil.rmtree(sdir, ignore_errors=True)  # own aborted leftovers only
+        stamped.write.parquet(sdir)
+        if not txn._has_parquet(sdir):
+            # empty id set: manifest-only no-op commit
+            txn.write_manifest(root, vname, components)
+            return
+        segments = list(comp.get("segments", [])) + [seg]
+        stats = dict(comp.get("stats") or {})
+        stats[seg] = txn.collect_parquet_stats(sdir)
+        ann = dict(comp.get("ann") or {})
+        ann["epoch"] = epoch
+        ann["delta_segments"] = list(ann.get("delta_segments", [])) + [seg]
+        comp.update(
+            {
+                "segments": segments,
+                "changes": [seg],
+                "stats": stats,
+                "ann": ann,
+                # pre-delete-support manifests carry a spec without the
+                # delete column; refresh so generic reads filter it
+                "reconstruct": _spec(id_col),
+            }
+        )
+        out = dict(components)
+        out[CODES_COMPONENT] = comp
+        txn.write_manifest(root, vname, out)
+
+    return txn.commit_with_retry(root, build, keep_last=keep_last, op="ann_delete")
+
+
 def _stored_m(spark: SparkSession, root: str) -> int:
     cur = txn.current_version_dir(root)
     comp = (txn.read_manifest(root, os.path.basename(cur)) or {}).get(
@@ -449,15 +530,20 @@ def _probed_latest(
         delta_rows = txn._read_segment_union(
             spark, [txn.segment_path(root, s) for s in delta_segs]
         )
+        # tombstones filter out of delta_latest (their keys serve
+        # nothing), but the base anti join must key on ALL delta keys
+        # including tombstoned ones — a deleted key's base row must
+        # vanish, not survive the fold
+        delta_keys = delta_rows.select(id_col).distinct()
         delta_latest = txn.reconstruct_latest(delta_rows, _spec(id_col))
         if base_rows is None:
             return delta_latest
         survivors = base_rows.join(
-            F.broadcast(delta_latest.select(id_col).distinct()),
+            F.broadcast(delta_keys),
             on=id_col,
             how="left_anti",
         ).drop(_SEQ)
-        return survivors.unionByName(delta_latest)
+        return survivors.unionByName(delta_latest, allowMissingColumns=True)
     return base_rows.drop(_SEQ)
 
 
@@ -889,6 +975,13 @@ def ann_index_compact(
             raise FileNotFoundError(
                 f"index under {root!r} has no code segments to compact"
             )
+        if _DEL in folded.columns:
+            # a FULL fold leaves nothing older to resurrect a deleted
+            # key, so winning tombstones are physically reclaimed here
+            # (they also have no ann_list to re-home under)
+            folded = folded.filter(
+                ~F.coalesce(F.col(_DEL), F.lit(False))
+            ).drop(_DEL)
 
         scratch = os.path.join(new_dir, "_compact")
         folded.withColumn("ann_list_p", F.col("ann_list")).write.partitionBy(

@@ -61,6 +61,7 @@ from .text import bm25_rank_hits
 POSTINGS_COMPONENT = "postings"
 DOCLEN_COMPONENT = "doclen"
 _SEQ = "__sg_seq"
+_DEL = "__tix_del"
 
 
 def _bucket_expr(term_col, n_buckets: int):
@@ -82,6 +83,13 @@ def _doclen_spec() -> dict:
         "keys": ["doc_id"],
         "order_desc": ["tix_epoch"],
         "seq_col": _SEQ,
+        # tombstone deletes (round 9): a deleted doc's dl row wins the
+        # fold with this flag set, so it drops out of the doclen view
+        # (and therefore out of recomputed corpus stats); the doclen
+        # delta tail is ALSO the posting-supersede keyset, so the
+        # doc's base postings vanish from serving with zero posting
+        # writes — the Qdrant delete-points analog for lexical search
+        "delete_col": _DEL,
     }
 
 
@@ -386,6 +394,117 @@ def text_index_upsert(
     )
 
 
+def text_index_delete(
+    spark: SparkSession,
+    doc_ids,
+    root: str,
+    keep_last: int = 2,
+) -> str:
+    """Remove documents from the index — the lexical twin of
+    `ann_index.ann_index_delete` (the reference's dedup job deletes
+    confirmed duplicates from its serving store,
+    deduplicate_from_qdrant.py:160-186). ``doc_ids`` is a DataFrame
+    carrying ``doc_id`` or a plain list of ids.
+
+    O(batch) throughout: one tombstone doclen-delta segment (no
+    posting writes at all — the doclen delta tail is the posting-
+    supersede keyset, so the docs' base postings stop serving the
+    moment the tombstones commit), a bucket-pruned correction that
+    subtracts the removed docs' lengths from the exact (n_docs,
+    sum_dl), and nothing else. A later upsert of the same doc
+    resurrects it (newer epoch wins); `text_index_compact` physically
+    reclaims tombstoned postings and doclen rows."""
+    if not isinstance(doc_ids, DataFrame):
+        doc_ids = spark.createDataFrame(
+            [(int(i),) for i in doc_ids], "doc_id bigint"
+        )
+
+    def build(current_dir, new_dir):
+        if current_dir is None:
+            raise FileNotFoundError(
+                f"no index published under {root!r}; run build_text_index first"
+            )
+        cur_name = os.path.basename(current_dir)
+        components = txn.read_manifest(root, cur_name)
+        comp = dict(components[POSTINGS_COMPONENT])
+        tix = dict(comp.get("tix") or {})
+        n_buckets = int(tix.get("n_buckets", 16))
+        epoch = _next_epoch(root, current_dir)
+        vname = os.path.basename(new_dir)
+
+        tomb = (
+            doc_ids.select("doc_id")
+            .distinct()
+            .withColumn("dl", F.lit(None).cast("int"))
+            .withColumn("tix_epoch", F.lit(epoch).cast("long"))
+            .withColumn(_SEQ, F.lit(epoch).cast("long"))
+            .withColumn(_DEL, F.lit(True))
+        )
+        dl_seg = f"tixdld_{vname}"
+        dl_dir = txn.segment_path(root, dl_seg)
+        shutil.rmtree(dl_dir, ignore_errors=True)
+        spec = _doclen_spec() | {"buckets": n_buckets}
+        txn._write_maybe_bucketed(tomb, dl_dir, spec)
+        has_dl = txn._has_parquet(dl_dir)
+
+        # exact-stats correction, bucket-pruned as in the upsert; the
+        # reconstruct filters ALREADY-deleted docs, so a double delete
+        # never double-subtracts
+        dlc = dict(components[DOCLEN_COMPONENT])
+        dl_spec = dlc.get("reconstruct") or spec
+        batch_buckets = [
+            int(r["b"])
+            for r in doc_ids.select(
+                txn.bucket_expr(["doc_id"], int(dl_spec["buckets"])).alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        if has_dl and batch_buckets:
+            prior_dl = txn.bucketed_reconstruct(
+                spark,
+                [txn.segment_path(root, s) for s in dlc.get("segments", [])],
+                dl_spec,
+                only_bucket=batch_buckets,
+            )
+            rep = prior_dl.join(
+                F.broadcast(doc_ids.select("doc_id").distinct()),
+                on="doc_id",
+                how="leftsemi",
+            ).agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")).first()
+        else:
+            rep = {"n": 0, "s": 0}
+        tix.update(
+            {
+                "epoch": epoch,
+                "dl_delta_segments": list(tix.get("dl_delta_segments", []))
+                + ([dl_seg] if has_dl else []),
+                "n_docs": int(tix.get("n_docs", 0)) - int(rep["n"] or 0),
+                "sum_dl": int(tix.get("sum_dl", 0)) - int(rep["s"] or 0),
+            }
+        )
+        comp["tix"] = tix
+        comp["changes"] = []
+        dlc["segments"] = list(dlc.get("segments", [])) + (
+            [dl_seg] if has_dl else []
+        )
+        dlc["changes"] = [dl_seg] if has_dl else []
+        # pre-delete-support manifests carry a spec without the delete
+        # column; refresh so generic doclen reads filter tombstones
+        dlc["reconstruct"] = spec
+        if has_dl:
+            # a delta after a compaction: the fold is required again
+            dlc.pop("collapsed", None)
+        out = dict(components)
+        out[POSTINGS_COMPONENT] = comp
+        out[DOCLEN_COMPONENT] = dlc
+        txn.write_manifest(root, vname, out)
+
+    return txn.commit_with_retry(
+        root, build, keep_last=keep_last, op="text_index_delete"
+    )
+
+
 def text_index_compact(
     spark: SparkSession, root: str, keep_last: int = 2
 ) -> str | None:
@@ -574,6 +693,12 @@ def _compact_rehome(
         dl_spec,
         keep_seq=True,
     )
+    if _DEL in dl_folded.columns:
+        # a FULL fold leaves nothing older to resurrect a deleted doc,
+        # so winning tombstones are physically reclaimed here
+        dl_folded = dl_folded.filter(
+            ~F.coalesce(F.col(_DEL), F.lit(False))
+        ).drop(_DEL)
     dl_seg = f"tixdl_{vname}"
     dl_dir = txn.segment_path(root, dl_seg)
     shutil.rmtree(dl_dir, ignore_errors=True)

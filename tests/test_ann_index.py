@@ -641,3 +641,65 @@ def test_streaming_maintenance_with_inline_compaction(spark, tmp_path):
         spark, root, q, k=10, n_probe=16, shortlist=10_000
     ).collect()
     assert len(got) == 10
+
+
+def test_ann_delete_tombstones_and_reclaim(spark, tmp_path):
+    """ann_index_delete (round 9 — the reference's Qdrant
+    delete-points analog, deduplicate_from_qdrant.py:160-186): deleted
+    vectors vanish from every serve path (single, batch, MMR, generic
+    read), a later upsert resurrects the key, and compaction
+    physically reclaims tombstones."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    root = str(tmp_path / "idx")
+    all_v = emb.filter(F.col("vec_id") != 0)
+    ann_index.build_ann_index(spark, all_v, root, n_lists=8)
+    q = _query(spark)
+
+    full = ann_index.ann_index_top_k(
+        spark, root, q, k=10, n_probe=8, shortlist=10_000
+    ).collect()
+    victims = [r["vec_id"] for r in full[:3]]
+    ann_index.ann_index_delete(spark, victims, root)
+
+    got = ann_index.ann_index_top_k(
+        spark, root, q, k=10, n_probe=8, shortlist=10_000
+    ).collect()
+    assert not ({r["vec_id"] for r in got} & set(victims))
+    assert len(got) == 10  # k refills from the survivors
+    # equals serving over the corpus minus the victims
+    want = similarity.ivf_pq_top_k(
+        all_v.filter(~F.col("vec_id").isin(victims)), q, k=10,
+        n_lists=8, n_probe=8, shortlist=10_000,
+    ).collect()
+    assert {r["vec_id"] for r in got} == {r["vec_id"] for r in want}
+
+    # generic read honors the tombstones too
+    n_live = txn.read_version(spark, root, subdir=ann_index.CODES_COMPONENT).count()
+    assert n_live == all_v.count() - len(victims)
+
+    # batch + MMR paths exclude deleted keys
+    mmr = ann_index.mmr_rerank_indexed(spark, root, q, k=5, top_n=20, n_probe=8).collect()
+    assert not ({r["vec_id"] for r in mmr} & set(victims))
+
+    # resurrect one victim with a newer upsert
+    back = emb.filter(F.col("vec_id") == victims[0])
+    ann_index.ann_index_upsert(spark, back, root)
+    got2 = ann_index.ann_index_top_k(
+        spark, root, q, k=10, n_probe=8, shortlist=10_000
+    ).collect()
+    assert victims[0] in {r["vec_id"] for r in got2}
+
+    # compaction reclaims tombstones physically and answers hold
+    before = ann_index.ann_index_top_k(
+        spark, root, q, k=10, n_probe=8, shortlist=10_000
+    ).collect()
+    assert ann_index.ann_index_compact(spark, root) is not None
+    after = ann_index.ann_index_top_k(
+        spark, root, q, k=10, n_probe=8, shortlist=10_000
+    ).collect()
+    assert [tuple(r) for r in after] == [tuple(r) for r in before]
+    rows = txn.read_version(spark, root, subdir=ann_index.CODES_COMPONENT)
+    assert rows.count() == all_v.count() - len(victims) + 1
+    assert ann_index._DEL not in rows.columns or rows.filter(
+        F.col(ann_index._DEL)
+    ).count() == 0

@@ -594,3 +594,56 @@ def test_compaction_restores_pruning_from_degraded_state(spark, tmp_path, monkey
     probe = [p for p in seen if any("/tix_" in x for x in p)]
     want_buckets = {text_index._bucket_py(t, 16) for t in TERMS}
     assert probe and len(probe[-1]) == len(want_buckets)  # pruning restored
+
+
+def test_text_delete_tombstones_and_reclaim(spark, tmp_path):
+    """text_index_delete (round 9 — the lexical twin of
+    ann_index_delete): deleted docs vanish from serving with ZERO
+    posting writes, corpus stats stay exact (no double-subtract on a
+    repeated delete), a later upsert resurrects the doc, and
+    compaction physically reclaims tombstones."""
+    docs = _docs(spark)
+    root = str(tmp_path / "tix")
+    text_index.build_text_index(spark, docs, root)
+    full = _rows(text_index.text_index_search(spark, root, TERMS, top_k=10))
+    victims = [r[0] for r in full[:2]]
+
+    text_index.text_index_delete(spark, victims, root)
+    state = docs.filter(~F.col("doc_id").isin(victims))
+    got = _rows(text_index.text_index_search(spark, root, TERMS, top_k=10))
+    want = _rows(text.bm25_search(state, TERMS, top_k=10))
+    assert got == want  # bit-equal over the shrunken corpus
+    tix = txn.read_manifest(
+        root, os.path.basename(txn.current_version_dir(root))
+    )[text_index.POSTINGS_COMPONENT]["tix"]
+    assert tix["n_docs"] == state.count()
+    toks = F.size(F.split(F.trim(F.lower(F.col("text"))), " +"))
+    assert tix["sum_dl"] == state.select(F.sum(toks)).first()[0]
+
+    # repeated delete: no double-subtract
+    text_index.text_index_delete(spark, victims, root)
+    tix2 = txn.read_manifest(
+        root, os.path.basename(txn.current_version_dir(root))
+    )[text_index.POSTINGS_COMPONENT]["tix"]
+    assert tix2["n_docs"] == tix["n_docs"] and tix2["sum_dl"] == tix["sum_dl"]
+
+    # resurrect one victim, then compact: serving stays exact and the
+    # tombstones are physically gone
+    back = docs.filter(F.col("doc_id") == victims[0])
+    text_index.text_index_upsert(spark, back, root)
+    state2 = docs.filter(~F.col("doc_id").isin(victims[1:]))
+    got2 = _rows(text_index.text_index_search(spark, root, TERMS, top_k=10))
+    want2 = _rows(text.bm25_search(state2, TERMS, top_k=10))
+    assert got2 == want2
+    assert text_index.text_index_compact(spark, root) is not None
+    got3 = _rows(text_index.text_index_search(spark, root, TERMS, top_k=10))
+    assert got3 == want2
+    dl = txn.read_version(spark, root, subdir=text_index.DOCLEN_COMPONENT)
+    assert dl.count() == state2.count()
+    assert text_index._DEL not in dl.columns or dl.filter(
+        F.col(text_index._DEL)
+    ).count() == 0
+    tix3 = txn.read_manifest(
+        root, os.path.basename(txn.current_version_dir(root))
+    )[text_index.POSTINGS_COMPONENT]["tix"]
+    assert tix3["n_docs"] == state2.count()
