@@ -1018,3 +1018,73 @@ def ann_index_compact(
     return txn.commit_with_retry(
         root, build, keep_last=keep_last, op="ann_index_compact"
     )
+
+
+def ann_index_dedup_purge(
+    spark: SparkSession,
+    root: str,
+    threshold: float = 0.97,
+    n_probe: int = 4,
+    shortlist: int = 200,
+    top_n: int = 10,
+    candidate_ids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_last: int = 2,
+) -> DataFrame:
+    """The reference's dedup job end-to-end on the engine-native index
+    (deduplicate_from_qdrant.py: scroll candidate points, search the
+    collection for >= SIMILARITY_THRESHOLD neighbors, keep the
+    canonical, remove duplicates): batch-serve the index's own vectors
+    (ONE index read for the whole candidate set via
+    `ann_index_top_k_all` — the reference loops per-point HTTP
+    searches), mark every id that has a SMALLER-id neighbor at
+    ``cosine >= threshold`` as a duplicate, tombstone-delete the
+    duplicates, and return them.
+
+    ``candidate_ids`` restricts the checked points — the reference's
+    incremental shape (only 'pending' points are deduped against the
+    validated collection); None sweeps the whole index (the full
+    nightly pass). Keep-min-id is the same canonical rule as
+    `minhash_lsh_dedup`/`semantic_dedup_canonical`, so cross-modality
+    dedup decisions agree on which copy survives.
+
+    Returns the deleted ids as an (eagerly pinned) DataFrame — pinned
+    BEFORE the delete commits, because a lazy plan would re-serve the
+    post-delete index and read back empty. Recall of the duplicate
+    scan is governed by ``n_probe``/``shortlist``/``top_n`` exactly as
+    in serving; near-identical vectors land in the same IVF list, so
+    modest probes find them (exhaustive probe = exact, how the test
+    pins it)."""
+    live = txn.read_version(spark, root, subdir=CODES_COMPONENT).select(
+        F.col(id_col), F.col(vec_col)
+    )
+    qs = live
+    if candidate_ids is not None:
+        qs = live.join(
+            candidate_ids.select(id_col).distinct(), on=id_col, how="leftsemi"
+        )
+    res = ann_index_top_k_all(
+        spark,
+        root,
+        qs.select(F.col(id_col).alias("__q"), F.col(vec_col)),
+        k=top_n,
+        n_probe=n_probe,
+        shortlist=shortlist,
+        id_col=id_col,
+        vec_col=vec_col,
+        q_id_col="__q",
+        q_vec_col=vec_col,
+    )
+    losers = (
+        res.filter(
+            (F.col("cosine_sim") >= F.lit(float(threshold)))
+            & (F.col(id_col) < F.col("__q"))
+        )
+        .select(F.col("__q").alias(id_col))
+        .distinct()
+        .localCheckpoint(eager=True)  # pin before the index mutates
+    )
+    if losers.limit(1).count():
+        ann_index_delete(spark, losers, root, id_col=id_col, keep_last=keep_last)
+    return losers

@@ -703,3 +703,40 @@ def test_ann_delete_tombstones_and_reclaim(spark, tmp_path):
     assert ann_index._DEL not in rows.columns or rows.filter(
         F.col(ann_index._DEL)
     ).count() == 0
+
+
+def test_ann_index_dedup_purge_reference_flow(spark, tmp_path):
+    """ann_index_dedup_purge = deduplicate_from_qdrant.py on the
+    engine-native index: planted duplicate vectors are found via ONE
+    batch serve over the index itself, the min-id copy survives, the
+    losers are tombstone-deleted, and a second pass finds nothing."""
+    emb = load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") != 0)
+    # plant exact duplicates: ids 9001.. copy vectors of ids 1..3
+    dups = (
+        emb.filter(F.col("vec_id").isin([1, 2, 3]))
+        .withColumn("vec_id", F.col("vec_id") + F.lit(9000))
+    )
+    corpus = emb.unionByName(dups)
+    root = str(tmp_path / "idx")
+    ann_index.build_ann_index(spark, corpus, root, n_lists=8)
+
+    losers = ann_index.ann_index_dedup_purge(
+        spark, root, threshold=0.999999, n_probe=8, shortlist=10_000, top_n=5
+    )
+    got = sorted(r["vec_id"] for r in losers.collect())
+    assert got == [9001, 9002, 9003]  # larger-id copies lose
+    live = txn.read_version(spark, root, subdir=ann_index.CODES_COMPONENT)
+    live_ids = {r["vec_id"] for r in live.select("vec_id").collect()}
+    assert not (live_ids & {9001, 9002, 9003})
+    assert {1, 2, 3} <= live_ids  # canonicals survive
+    # idempotent: nothing left to purge
+    again = ann_index.ann_index_dedup_purge(
+        spark, root, threshold=0.999999, n_probe=8, shortlist=10_000, top_n=5
+    )
+    assert again.count() == 0
+    # incremental shape: candidate restriction checks only named points
+    more = ann_index.ann_index_dedup_purge(
+        spark, root, threshold=0.999999, n_probe=8, shortlist=10_000, top_n=5,
+        candidate_ids=spark.createDataFrame([(2,)], "vec_id bigint"),
+    )
+    assert more.count() == 0  # id 2 has no SMALLER-id duplicate
