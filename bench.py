@@ -98,6 +98,8 @@ BENCH_QUERIES = [
     "change_feed_cursor",
     "cdc_replication",
     "ann_index_topk",
+    "ann_recommend_topk",
+    "ann_grouped_topk",
     # production-hash-family variants (bench-only, defined below): the
     # catalog queries pin hash_family="md5-portable" so the DuckDB
     # oracle can replay candidate sets, but the path you'd run at

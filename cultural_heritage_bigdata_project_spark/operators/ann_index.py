@@ -440,6 +440,7 @@ def ann_index_top_k(
     vec_col: str = "embedding",
     allowed_ids: DataFrame | None = None,
     codec: str = "pq",
+    exclude_ids=None,
 ) -> DataFrame:
     """Serve a kNN query from the PREBUILT index: meta read (KBs) →
     driver-side probe selection → metadata-pruned scan of the n_probe
@@ -484,6 +485,12 @@ def ann_index_top_k(
 
     latest = _probed_latest(spark, root, comp, ann, probe_ids, id_col)
     probed = latest.filter(F.col("ann_list").isin(probe_ids))
+    if exclude_ids:
+        # small literal NOT IN (recommend's example exclusion) —
+        # a pushed-down filter, never a join
+        probed = probed.filter(
+            ~F.col(id_col).isin([int(i) for i in exclude_ids])
+        )
     return _shortlist_rerank(
         probed, codebook, query, k, shortlist, id_col, vec_col,
         allowed_ids, codec, m,
@@ -1088,3 +1095,255 @@ def ann_index_dedup_purge(
     if losers.limit(1).count():
         ann_index_delete(spark, losers, root, id_col=id_col, keep_last=keep_last)
     return losers
+
+
+def ann_index_live(
+    spark: SparkSession, root: str, id_col: str = "vec_id"
+) -> DataFrame:
+    """The index's live point set: generic latest-per-key fold over the
+    codes component, tombstones dropped (`_spec`'s delete column rides
+    the manifest's reconstruct spec, so `txn.read_version` honors
+    deletions committed by `ann_index_delete`). The shared base of the
+    point-management APIs below (scroll / count / example fetch) —
+    the SERVING paths never call this; they stay on the probe-pruned
+    `_probed_latest` read."""
+    return txn.read_version(spark, root, subdir=CODES_COMPONENT)
+
+
+def ann_index_count(
+    spark: SparkSession,
+    root: str,
+    allowed_ids: DataFrame | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Qdrant count-points analog (``client.count(collection,
+    count_filter=...)`` — the reference sizes its collection this way
+    before the dedup sweep, deduplicate_from_qdrant.py's scroll loop
+    bookkeeping): one row ``(n_points)`` of live (non-tombstoned,
+    latest-per-key) points, optionally restricted to ``allowed_ids``
+    (the payload-filter shape shared with serving — one semi-join,
+    applied after the fold so resurrections and deletes count
+    correctly).
+
+    At 100 TB: the scan reads ONLY the id/epoch/flag columns (column-
+    pruned ReadSchema — no codes, no vectors), partial-aggregates
+    map-side, and returns a single row."""
+    live = ann_index_live(spark, root, id_col).select(id_col)
+    if allowed_ids is not None:
+        live = live.join(
+            allowed_ids.select(id_col).distinct(), on=id_col, how="leftsemi"
+        )
+    return live.agg(F.count(F.lit(1)).alias("n_points"))
+
+
+def ann_index_scroll(
+    spark: SparkSession,
+    root: str,
+    limit: int = 100,
+    after_id=None,
+    allowed_ids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    with_vectors: bool = False,
+) -> DataFrame:
+    """Qdrant scroll analog — keyset-paginated listing of live points
+    in id order, the exact API the reference's dedup job drives its
+    sweep with (deduplicate_from_qdrant.py: ``client.scroll(...,
+    limit=1000, offset=next_page)`` — its ``next_page`` is this
+    ``after_id``; the caller passes the previous page's max id, the
+    engine's own W1 keyset rule, never OFFSET).
+
+    Returns ``limit`` rows of ``(vec_id, ann_list)`` (+ the vector when
+    ``with_vectors`` — Qdrant's ``with_vectors=True``), ids strictly
+    greater than ``after_id``; ``allowed_ids`` is the scroll filter.
+    The keyset predicate is applied BEFORE the latest-per-key fold —
+    it commutes (the fold is per key) and Catalyst pushes it through
+    the fold's window into the parquet scans, so a deep page does not
+    re-fold the ids already scrolled past. Page order is data-derived
+    (the id), stable across partition layouts."""
+    live = ann_index_live(spark, root, id_col)
+    if after_id is not None:
+        live = live.filter(F.col(id_col) > F.lit(after_id))
+    if allowed_ids is not None:
+        live = live.join(
+            allowed_ids.select(id_col).distinct(), on=id_col, how="leftsemi"
+        )
+    cols = [F.col(id_col), F.col("ann_list")]
+    if with_vectors:
+        cols.append(F.col(vec_col))
+    return live.select(*cols).orderBy(F.col(id_col).asc()).limit(int(limit))
+
+
+def ann_index_fetch_vectors(
+    spark: SparkSession,
+    root: str,
+    ids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Point lookup of a FEW ids' stored vectors (Qdrant ``retrieve``):
+    returns ``{id: [float, ...]}`` from the live fold, id-filtered
+    before the fold (pushed IN predicate; only id/vector/epoch columns
+    read). Bounded collect — callers pass example-sized id lists.
+    Raises ``KeyError`` on any missing (or tombstoned) id, the 404 the
+    reference's recommend flow surfaces for an unknown point."""
+    want = sorted(int(i) for i in ids)
+    rows = (
+        ann_index_live(spark, root, id_col)
+        .filter(F.col(id_col).isin(want))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    got = {int(r[id_col]): [float(x) for x in r[vec_col]] for r in rows}
+    missing = [i for i in want if i not in got]
+    if missing:
+        raise KeyError(f"ids not in index {root!r}: {missing}")
+    return got
+
+
+def recommend_query_vector(positive: dict, negative: dict | None = None):
+    """Qdrant ``average_vector`` recommend strategy, bit-deterministic:
+    with ``P = avg(positive vectors)`` and ``N = avg(negative)``,
+    the search vector is ``P`` (no negatives) or ``P + (P - N)``.
+    Averages accumulate in ASCENDING-id order with sequential float64
+    adds (``((v_a + v_b) + v_c) / n`` — the exact parenthesization the
+    DuckDB oracle spells out), so every engine derives the same IEEE
+    bits."""
+    def _avg(vecs: dict):
+        items = [v for _, v in sorted(vecs.items())]
+        acc = list(items[0])
+        for v in items[1:]:
+            acc = [a + b for a, b in zip(acc, v)]
+        return [a / float(len(items)) for a in acc]
+
+    p = _avg(positive)
+    if not negative:
+        return p
+    n = _avg(negative)
+    return [pi + (pi - ni) for pi, ni in zip(p, n)]
+
+
+def ann_index_recommend(
+    spark: SparkSession,
+    root: str,
+    positive_ids,
+    negative_ids=None,
+    k: int = 10,
+    n_probe: int = 4,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    allowed_ids: DataFrame | None = None,
+    codec: str = "pq",
+) -> DataFrame:
+    """Qdrant recommend API on the engine-native index (``client.
+    recommend(collection, positive=[...], negative=[...])`` — the
+    serving mode the reference's dashboard builds its 'more like
+    these' flow on, streamlit/app/app.py:208-264, there served as raw
+    per-point search because Qdrant hides this composition): fetch the
+    example points' STORED vectors (id-pruned point lookup, includes
+    any upserted re-embeddings — recommendations follow the index
+    state, not the original corpus), form the ``average_vector``
+    search point (`recommend_query_vector`), and serve it through the
+    standard probe path with the examples excluded from results
+    (Qdrant's default; a recommendation that returns its own seeds is
+    useless). ``allowed_ids``/``codec`` behave exactly as
+    `ann_index_top_k`.
+
+    At 100 TB: example fetch is a pushed-IN point read (a few rows);
+    everything after is the ordinary pruned probe — recommend costs
+    one kNN serve plus a KB-sized lookup."""
+    pos = sorted(int(i) for i in positive_ids)
+    if not pos:
+        raise ValueError("recommend requires at least one positive id")
+    neg = sorted(int(i) for i in negative_ids) if negative_ids else []
+    fetched = ann_index_fetch_vectors(
+        spark, root, pos + neg, id_col=id_col, vec_col=vec_col
+    )
+    q = recommend_query_vector(
+        {i: fetched[i] for i in pos},
+        {i: fetched[i] for i in neg} if neg else None,
+    )
+    return ann_index_top_k(
+        spark, root, q, k=k, n_probe=n_probe, shortlist=shortlist,
+        id_col=id_col, vec_col=vec_col, allowed_ids=allowed_ids,
+        codec=codec, exclude_ids=pos + neg,
+    )
+
+
+def ann_index_top_k_grouped(
+    spark: SparkSession,
+    root: str,
+    query,
+    groups: DataFrame,
+    group_col: str,
+    k_groups: int = 3,
+    group_size: int = 2,
+    fetch_k: int = 40,
+    n_probe: int = 4,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    allowed_ids: DataFrame | None = None,
+) -> DataFrame:
+    """Qdrant search-groups analog (``client.search_groups(...,
+    group_by=payload_field, limit=k_groups, group_size=...)``) — the
+    dashboard shape that shows the best few hits PER PROVIDER instead
+    of one provider's near-duplicates filling the page (the reference
+    serves raw flat order, app.py:208-264; its heritage corpus is
+    exactly the provider-skewed case this exists for).
+
+    Mechanics: one ordinary index serve fetches the flat top
+    ``fetch_k`` (`ann_index_top_k` — probe-pruned, filtered,
+    deterministic), the group key joins on at most ``fetch_k`` rows
+    (``groups`` is (id, group) — broadcast-scale after the semi
+    restriction to a shortlist), then two windows: rank hits within a
+    group (cosine desc, id asc; keep ``group_size``), rank groups by
+    their BEST hit (its cosine desc, then its id — Qdrant orders
+    groups by top-hit score; keep ``k_groups``). Returns
+    ``(group_col, group_rank, rank_in_group, vec_id, cosine_sim)``.
+
+    Caveat shared with Qdrant: a group whose best hit ranks below the
+    flat ``fetch_k`` cannot appear — size ``fetch_k`` generously
+    (it only widens one window over shortlist-scale rows)."""
+    from pyspark.sql import Window
+
+    flat = ann_index_top_k(
+        spark, root, query, k=int(fetch_k), n_probe=n_probe,
+        shortlist=shortlist, id_col=id_col, vec_col=vec_col,
+        allowed_ids=allowed_ids,
+    )
+    tagged = flat.join(
+        F.broadcast(groups.select(id_col, group_col).distinct()), on=id_col
+    )
+    w_in = Window.partitionBy(group_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    ranked = tagged.withColumn(
+        "rank_in_group", F.row_number().over(w_in)
+    ).filter(F.col("rank_in_group") <= int(group_size))
+    w_best = Window.orderBy(
+        F.col("__best_sim").desc(), F.col("__best_id").asc()
+    )
+    best = (
+        ranked.filter(F.col("rank_in_group") == 1)
+        .select(
+            F.col(group_col),
+            F.col("cosine_sim").alias("__best_sim"),
+            F.col(id_col).alias("__best_id"),
+        )
+        .withColumn("group_rank", F.row_number().over(w_best))
+        .filter(F.col("group_rank") <= int(k_groups))
+        .select(group_col, "group_rank")
+    )
+    return (
+        ranked.join(F.broadcast(best), on=group_col)
+        .select(
+            F.col(group_col),
+            F.col("group_rank"),
+            F.col("rank_in_group"),
+            F.col(id_col),
+            F.col("cosine_sim"),
+        )
+        .orderBy("group_rank", "rank_in_group")
+    )

@@ -116,7 +116,10 @@ CATALOG_ORDER: tuple[str, ...] = (
     "precision_at_k",
     "ann_lsh_topk",
     "ivf_ann_topk",
-    "ann_index_topk",
+    # round 9: ann_index_topk folded into ann_serving_digest with the
+    # Qdrant API-parity family (recommend / search-groups / scroll /
+    # count) — one slot now carries the whole serving surface
+    "ann_serving_digest",
     "text_dedup_keep_canonical",
     "vector_codec_digest",
     # hash_embed_knn folded into pandas_udf_digest (round 8) to free

@@ -205,6 +205,17 @@ GROUPS: dict[str, list[str]] = {
         "token_budget_select",
         "epoch_upsample",
     ],
+    # round 9: the Qdrant serving-API parity family shares one slot —
+    # the flat serve plus the point-management / composition APIs
+    # (recommend, search-groups, scroll, count) all replay the SAME
+    # index-state CTEs in their oracles (queries_vector._ANN_IDX_CTES)
+    "ann_serving_digest": [
+        "ann_index_topk",
+        "ann_recommend_topk",
+        "ann_grouped_topk",
+        "ann_scroll_page",
+        "ann_index_count",
+    ],
     "vector_codec_digest": [
         # round-9 rebalance: vector_concat_norm (a scalar-function
         # gallery shape) moved to shape_gallery_digest to seat the MMR
@@ -556,6 +567,30 @@ PART_COLS: dict[str, tuple[tuple[str, str], ...]] = {
         ("mmr_rank", "s"),
         ("mmr_score", "f"),
         ("vec_id", "s"),
+    ),
+    "ann_index_topk": (
+        ("adc_micro", "s"),
+        ("cosine_sim", "f"),
+        ("vec_id", "s"),
+    ),
+    "ann_recommend_topk": (
+        ("adc_micro", "s"),
+        ("cosine_sim", "f"),
+        ("vec_id", "s"),
+    ),
+    "ann_grouped_topk": (
+        ("cosine_sim", "f"),
+        ("group_rank", "s"),
+        ("label", "s"),
+        ("rank_in_group", "s"),
+        ("vec_id", "s"),
+    ),
+    "ann_scroll_page": (
+        ("ann_list", "s"),
+        ("vec_id", "s"),
+    ),
+    "ann_index_count": (
+        ("n_points", "s"),
     ),
     "charlm_quality": (
         ("avg_logprob", "f"),

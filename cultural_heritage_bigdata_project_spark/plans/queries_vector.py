@@ -862,21 +862,17 @@ def _ann_index_root(spark: SparkSession, sf_dir: str) -> str:
     return _ANN_FIXTURE[sf_dir]
 
 
-@register(
-    "ann_index_topk",
-    description="Persisted ANN index served from versioned-table "
-    "components (operators/ann_index.py — the Qdrant persistent-"
-    "collection analog, ref extracting_embeddings.py:60-84): IVF "
-    "per-list segments with manifest stats + PQ codes + stored "
-    "centroid/codebook meta, built once and UPSERTED once (vec_id%7 "
-    "re-embedded as reversed vectors, encoded with the stored "
-    "quantizers); the timed body is index-read + probe only — meta "
-    "read, 4 metadata-pruned list segments ∪ the delta tail, latest-"
-    "per-key fold, JVM ADC shortlist, exact re-rank. Hash-checked "
-    "end-to-end including ADC scores over the post-upsert state",
-    survey_ref="M5,S14,J8,S12",
-    oracle="""
-WITH eb AS (
+# DuckDB replay of the persisted-index fixture, factored once: the
+# post-upsert STATE (vec_id%7 reversed), the deterministic quantizers
+# (md5-sample centroids + codebook), and the list ASSIGNMENT every
+# serving member's oracle starts from. `_ann_serve_sql` composes the
+# full probe → ADC shortlist → exact re-rank replay around a member-
+# specific query-vector CTE (named `q`, columns v0/v), an optional
+# exclusion predicate on the probed rows, and the member's final
+# SELECT — so the index arithmetic is spelled out exactly once and
+# every member (top-k, recommend, grouped) is hash-checked against
+# the identical state.
+_ANN_IDX_CTES = """eb AS (
   SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings WHERE vec_id <> 0
 ), state AS (
   SELECT vec_id,
@@ -895,11 +891,6 @@ WITH eb AS (
   FROM eb ORDER BY md5(eb.vec_id::VARCHAR), eb.vec_id LIMIT 16
 ), dims AS (
   SELECT len(v0) // 8 AS sd FROM eb LIMIT 1
-), q0 AS (
-  SELECT embedding::DOUBLE[] AS v0 FROM embeddings WHERE vec_id = 0
-), q AS (
-  SELECT v0, list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v
-  FROM q0
 ), assign AS (
   SELECT vec_id, list_id FROM (
     SELECT s.vec_id, c.list_id,
@@ -907,13 +898,34 @@ WITH eb AS (
                               ORDER BY list_distance(s.v0, c.v), c.list_id) AS rn
     FROM state s CROSS JOIN cent c
   ) WHERE rn = 1
-), qprobe AS (
+)"""
+
+_ANN_Q0_CTE = """q0 AS (
+  SELECT embedding::DOUBLE[] AS v0 FROM embeddings WHERE vec_id = 0
+), q AS (
+  SELECT v0, list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v
+  FROM q0
+)"""
+
+_ANN_TOPK_TAIL = """
+SELECT p.vec_id, s.adc_micro,
+       round(list_dot_product(p.v0, q.v0)
+             / (sqrt(list_dot_product(p.v0, p.v0)) * sqrt(list_dot_product(q.v0, q.v0))),
+             6) AS cosine_sim
+FROM probed p JOIN short s ON p.vec_id = s.vec_id, q
+ORDER BY cosine_sim DESC, p.vec_id ASC
+LIMIT 10"""
+
+
+def _ann_serve_sql(q_cte: str, exclude_sql: str, tail_sql: str) -> str:
+    return f"""
+WITH {_ANN_IDX_CTES}, {q_cte}, qprobe AS (
   SELECT c.list_id FROM cent c, q
   ORDER BY list_distance(q.v0, c.v), c.list_id LIMIT 4
 ), probed AS (
   SELECT sn.vec_id, sn.v0, sn.v FROM sn
   JOIN assign a ON sn.vec_id = a.vec_id
-  WHERE a.list_id IN (SELECT list_id FROM qprobe)
+  WHERE a.list_id IN (SELECT list_id FROM qprobe){exclude_sql}
 ), codes AS (
   SELECT vec_id, j, c FROM (
     SELECT p.vec_id, j.j, cwc.c,
@@ -932,15 +944,24 @@ WITH eb AS (
   FROM codes cds JOIN lut l ON cds.j = l.j AND cds.c = l.c
   GROUP BY cds.vec_id
   ORDER BY adc_micro DESC, vec_id LIMIT 100
-)
-SELECT p.vec_id, s.adc_micro,
-       round(list_dot_product(p.v0, q.v0)
-             / (sqrt(list_dot_product(p.v0, p.v0)) * sqrt(list_dot_product(q.v0, q.v0))),
-             6) AS cosine_sim
-FROM probed p JOIN short s ON p.vec_id = s.vec_id, q
-ORDER BY cosine_sim DESC, p.vec_id ASC
-LIMIT 10
-""",
+){tail_sql}
+"""
+
+
+@register(
+    "ann_index_topk",
+    description="Persisted ANN index served from versioned-table "
+    "components (operators/ann_index.py — the Qdrant persistent-"
+    "collection analog, ref extracting_embeddings.py:60-84): IVF "
+    "per-list segments with manifest stats + PQ codes + stored "
+    "centroid/codebook meta, built once and UPSERTED once (vec_id%7 "
+    "re-embedded as reversed vectors, encoded with the stored "
+    "quantizers); the timed body is index-read + probe only — meta "
+    "read, 4 metadata-pruned list segments ∪ the delta tail, latest-"
+    "per-key fold, JVM ADC shortlist, exact re-rank. Hash-checked "
+    "end-to-end including ADC scores over the post-upsert state",
+    survey_ref="M5,S14,J8,S12",
+    oracle=_ann_serve_sql(_ANN_Q0_CTE, "", _ANN_TOPK_TAIL),
 )
 def ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import ann_index
@@ -949,6 +970,162 @@ def ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_index.ann_index_top_k(
         spark, root, _query_list(spark, sf_dir, 0), k=10, n_probe=4, shortlist=100
     )
+
+
+# Qdrant average_vector recommend: P + (P - N) over the STORED example
+# vectors (7 is %7-reversed — the oracle reads `state`, not the raw
+# corpus), sequential ascending-id accumulation, examples excluded.
+_ANN_RECO_Q_CTE = """pex AS (
+  SELECT vec_id, v0 FROM state WHERE vec_id IN (5, 7, 11, 13)
+), qp AS (
+  SELECT list_transform(list_zip(a.v0, b.v0, c.v0),
+                        z -> ((z[1] + z[2]) + z[3]) / 3.0) AS p
+  FROM (SELECT v0 FROM pex WHERE vec_id = 7) a,
+       (SELECT v0 FROM pex WHERE vec_id = 11) b,
+       (SELECT v0 FROM pex WHERE vec_id = 13) c
+), qv AS (
+  SELECT list_transform(list_zip(qp.p, n.v0),
+                        z -> z[1] + (z[1] - z[2])) AS v0
+  FROM qp, (SELECT v0 FROM pex WHERE vec_id = 5) n
+), q AS (
+  SELECT v0, list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v
+  FROM qv
+)"""
+
+
+@register(
+    "ann_recommend_topk",
+    description="Qdrant recommend API on the persisted index "
+    "(client.recommend(positive=[7,11,13], negative=[5]), the "
+    "average_vector strategy: search P + (P - N) with the examples "
+    "excluded — the 'more like these' flow the reference's dashboard "
+    "approximates with raw per-point searches, app.py:208-264): "
+    "example vectors come from the INDEX state (7 carries its "
+    "upserted re-embedding, not the corpus row), the derived point "
+    "serves through the standard pruned probe, and the oracle spells "
+    "out the identical sequential-IEEE average arithmetic before "
+    "replaying the whole probe → ADC → re-rank chain",
+    survey_ref="M5,J8,S14",
+    oracle=_ann_serve_sql(
+        _ANN_RECO_Q_CTE,
+        " AND sn.vec_id NOT IN (5, 7, 11, 13)",
+        _ANN_TOPK_TAIL,
+    ),
+)
+def ann_recommend_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import ann_index
+
+    root = _ann_index_root(spark, sf_dir)
+    return ann_index.ann_index_recommend(
+        spark, root, positive_ids=[7, 11, 13], negative_ids=[5],
+        k=10, n_probe=4, shortlist=100,
+    )
+
+
+_ANN_GROUPED_TAIL = """, flat AS (
+  SELECT p.vec_id,
+         round(list_dot_product(p.v0, q.v0)
+               / (sqrt(list_dot_product(p.v0, p.v0)) * sqrt(list_dot_product(q.v0, q.v0))),
+               6) AS cosine_sim
+  FROM probed p JOIN short s ON p.vec_id = s.vec_id, q
+  ORDER BY cosine_sim DESC, p.vec_id ASC
+  LIMIT 40
+), tagged AS (
+  SELECT f.vec_id, f.cosine_sim, e.label
+  FROM flat f JOIN embeddings e ON f.vec_id = e.vec_id
+), ranked AS (
+  SELECT label, vec_id, cosine_sim,
+         CAST(row_number() OVER (PARTITION BY label
+              ORDER BY cosine_sim DESC, vec_id ASC) AS INTEGER) AS rank_in_group
+  FROM tagged
+), best AS (
+  SELECT label, CAST(row_number() OVER (
+              ORDER BY cosine_sim DESC, vec_id ASC) AS INTEGER) AS group_rank
+  FROM ranked WHERE rank_in_group = 1
+)
+SELECT r.label, b.group_rank, r.rank_in_group, r.vec_id, r.cosine_sim
+FROM ranked r JOIN best b ON r.label = b.label
+WHERE r.rank_in_group <= 2 AND b.group_rank <= 3"""
+
+
+@register(
+    "ann_grouped_topk",
+    description="Qdrant search-groups analog on the persisted index "
+    "(client.search_groups(group_by='label', limit=3, group_size=2)): "
+    "one flat pruned serve fetches top-40, the group key joins on "
+    "those 40 rows only, groups rank by their BEST hit (cosine desc, "
+    "id asc) and each shows at most group_size hits — the diversified "
+    "provider-level page the reference's flat Qdrant order cannot "
+    "produce (app.py:208-264 over a provider-skewed heritage corpus)",
+    survey_ref="M5,J8,W5,W4",
+    oracle=_ann_serve_sql(_ANN_Q0_CTE, "", _ANN_GROUPED_TAIL),
+)
+def ann_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import ann_index
+
+    root = _ann_index_root(spark, sf_dir)
+    return ann_index.ann_index_top_k_grouped(
+        spark, root, _query_list(spark, sf_dir, 0),
+        groups=_emb(spark, sf_dir).select("vec_id", "label"),
+        group_col="label", k_groups=3, group_size=2, fetch_k=40,
+    )
+
+
+@register(
+    "ann_scroll_page",
+    description="Qdrant scroll analog over the persisted index — the "
+    "keyset-paged point listing the reference's dedup job sweeps with "
+    "(deduplicate_from_qdrant.py: client.scroll(limit=1000, "
+    "offset=next_page)): one mid-stream page (after_id=13, limit=17) "
+    "of the live fold under a payload filter (even ids), returning "
+    "(vec_id, ann_list) — the stored list placements, so the page "
+    "hash-checks the post-upsert assignment state; keyset predicate "
+    "pushes below the fold, page order is data-derived (W1, never "
+    "OFFSET)",
+    survey_ref="M5,W1,S14",
+    oracle=f"""
+WITH {_ANN_IDX_CTES}
+SELECT s.vec_id, CAST(a.list_id AS INTEGER) AS ann_list
+FROM state s JOIN assign a ON s.vec_id = a.vec_id
+WHERE s.vec_id > 13 AND s.vec_id % 2 = 0
+ORDER BY s.vec_id ASC
+LIMIT 17
+""",
+)
+def ann_scroll_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import ann_index
+
+    root = _ann_index_root(spark, sf_dir)
+    allowed = _emb(spark, sf_dir).filter(F.col("vec_id") % 2 == 0).select(
+        "vec_id"
+    )
+    return ann_index.ann_index_scroll(
+        spark, root, limit=17, after_id=13, allowed_ids=allowed
+    )
+
+
+@register(
+    "ann_index_count",
+    description="Qdrant count-points analog (client.count(collection, "
+    "count_filter=...)): live (latest-per-key, tombstone-aware) point "
+    "count under a payload filter (label = 2) — the collection-size "
+    "bookkeeping the reference's dedup sweep runs before scrolling; "
+    "the scan reads ONLY id/epoch/flag columns and partial-aggregates "
+    "map-side",
+    survey_ref="M5,A1,S14",
+    oracle="""
+SELECT count(*) AS n_points
+FROM embeddings
+WHERE vec_id <> 0
+  AND vec_id IN (SELECT vec_id FROM embeddings WHERE label = 2)
+""",
+)
+def ann_index_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import ann_index
+
+    root = _ann_index_root(spark, sf_dir)
+    allowed = _emb(spark, sf_dir).filter(F.col("label") == 2).select("vec_id")
+    return ann_index.ann_index_count(spark, root, allowed_ids=allowed)
 
 
 @register(

@@ -1,0 +1,203 @@
+"""Qdrant point-management / serving-composition parity for the
+persisted ANN index: count (count-points), scroll (keyset point
+listing — what the reference's dedup job drives its sweep with),
+retrieve (point lookup), recommend (average_vector strategy), and
+search-groups. Reference analogs: qdrant-deduplicator/
+deduplicate_from_qdrant.py:31-83 (scroll + count bookkeeping),
+streamlit/app/app.py:208-264 (serving flows)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cultural_heritage_bigdata_project_spark.operators import ann_index
+from cultural_heritage_bigdata_project_spark.sources.tables import load_table
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("annpt") / "idx")
+    base = load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") != 0)
+    ann_index.build_ann_index(spark, base, root)
+    return root, base
+
+
+def _live_ids(spark, root):
+    return sorted(
+        r["vec_id"]
+        for r in ann_index.ann_index_live(spark, root).select("vec_id").collect()
+    )
+
+
+def test_count_tracks_deletes_and_resurrections(spark, tmp_path):
+    root = str(tmp_path / "idx")
+    base = load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") != 0)
+    n = base.count()
+    ann_index.build_ann_index(spark, base, root)
+    assert ann_index.ann_index_count(spark, root).first()["n_points"] == n
+
+    ann_index.ann_index_delete(spark, [1, 2], root)
+    assert ann_index.ann_index_count(spark, root).first()["n_points"] == n - 2
+
+    # a later upsert resurrects one of the deleted keys
+    back = base.filter(F.col("vec_id") == 1)
+    ann_index.ann_index_upsert(spark, back, root)
+    assert ann_index.ann_index_count(spark, root).first()["n_points"] == n - 1
+
+    # payload-filtered count (the count_filter shape): only allowed live ids
+    allowed = base.filter(F.col("vec_id") % 3 == 0).select("vec_id")
+    want = {r["vec_id"] for r in allowed.collect()} & set(_live_ids(spark, root))
+    got = (
+        ann_index.ann_index_count(spark, root, allowed_ids=allowed)
+        .first()["n_points"]
+    )
+    assert got == len(want)
+
+
+def test_scroll_pages_cover_live_set_exactly_once(spark, tmp_path):
+    root = str(tmp_path / "idx")
+    base = load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") != 0)
+    ann_index.build_ann_index(spark, base, root)
+    ann_index.ann_index_delete(spark, [3, 9], root)
+
+    live = _live_ids(spark, root)
+    pages, after = [], None
+    while True:
+        page = [
+            r["vec_id"]
+            for r in ann_index.ann_index_scroll(
+                spark, root, limit=7, after_id=after
+            ).collect()
+        ]
+        if not page:
+            break
+        assert page == sorted(page) and len(page) <= 7
+        pages.extend(page)
+        after = page[-1]  # Qdrant's next_page_offset = the page's max id
+    assert pages == live  # every live point exactly once, in id order
+    assert 3 not in pages and 9 not in pages  # tombstones never scroll
+
+    # filtered scroll + with_vectors (the reference's scroll(..., with_vectors))
+    allowed = base.filter(F.col("vec_id") % 2 == 0).select("vec_id")
+    rows = ann_index.ann_index_scroll(
+        spark, root, limit=1000, allowed_ids=allowed, with_vectors=True
+    ).collect()
+    assert [r["vec_id"] for r in rows] == [
+        i for i in live if i % 2 == 0
+    ]
+    assert all(len(r["embedding"]) > 0 for r in rows)
+
+
+def test_fetch_vectors_point_lookup_and_missing_id(spark, built):
+    root, base = built
+    got = ann_index.ann_index_fetch_vectors(spark, root, [5, 7])
+    want = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in base.filter(F.col("vec_id").isin([5, 7])).collect()
+    }
+    assert got == want
+    with pytest.raises(KeyError):
+        ann_index.ann_index_fetch_vectors(spark, root, [5, 10**9])
+
+
+def test_recommend_is_average_vector_serve_with_exclusion(spark, built):
+    root, _ = built
+    pos, neg = [7, 11, 13], [5]
+    fetched = ann_index.ann_index_fetch_vectors(spark, root, pos + neg)
+    q = ann_index.recommend_query_vector(
+        {i: fetched[i] for i in pos}, {i: fetched[i] for i in neg}
+    )
+    want = ann_index.ann_index_top_k(
+        spark, root, q, k=10, exclude_ids=pos + neg
+    ).collect()
+    got = ann_index.ann_index_recommend(
+        spark, root, positive_ids=pos, negative_ids=neg, k=10
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    returned = {r["vec_id"] for r in got}
+    assert returned.isdisjoint(pos + neg)  # seeds never recommended
+    assert len(got) == 10
+
+    # positives only: plain average, still excluded
+    got_p = ann_index.ann_index_recommend(spark, root, positive_ids=pos, k=5)
+    assert {r["vec_id"] for r in got_p.collect()}.isdisjoint(pos)
+
+    with pytest.raises(ValueError):
+        ann_index.ann_index_recommend(spark, root, positive_ids=[])
+    with pytest.raises(KeyError):
+        ann_index.ann_index_recommend(spark, root, positive_ids=[10**9])
+
+
+def test_recommend_query_vector_formula():
+    # P + (P - N), sequential ascending-id accumulation
+    p = ann_index.recommend_query_vector({1: [1.0, 3.0], 2: [3.0, 5.0]})
+    assert p == [2.0, 4.0]
+    q = ann_index.recommend_query_vector(
+        {1: [1.0, 3.0], 2: [3.0, 5.0]}, {9: [1.0, 1.0]}
+    )
+    assert q == [3.0, 7.0]
+
+
+def test_recommend_follows_index_state_not_corpus(spark, tmp_path):
+    """An upserted re-embedding changes what the example id means —
+    recommend must read the STORED vector, not the original corpus."""
+    root = str(tmp_path / "idx")
+    base = load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") != 0)
+    ann_index.build_ann_index(spark, base, root)
+    upd = base.filter(F.col("vec_id") == 7).withColumn(
+        "embedding", F.reverse(F.col("embedding"))
+    )
+    ann_index.ann_index_upsert(spark, upd, root)
+    stored = ann_index.ann_index_fetch_vectors(spark, root, [7])[7]
+    orig = [
+        float(x)
+        for x in base.filter(F.col("vec_id") == 7).first()["embedding"]
+    ]
+    assert stored == list(reversed(orig)) and stored != orig
+    got = ann_index.ann_index_recommend(
+        spark, root, positive_ids=[7], k=5
+    ).collect()
+    want = ann_index.ann_index_top_k(
+        spark, root, stored, k=5, exclude_ids=[7]
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_grouped_topk_qdrant_semantics(spark, built):
+    root, base = built
+    q = [
+        float(x)
+        for x in load_table(spark, SF_DIR, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .first()["embedding"]
+    ]
+    groups = base.select("vec_id", "label")
+    got = ann_index.ann_index_top_k_grouped(
+        spark, root, q, groups, "label", k_groups=3, group_size=2, fetch_k=40
+    ).collect()
+
+    # recompute expectations from the flat serve
+    flat = ann_index.ann_index_top_k(spark, root, q, k=40).collect()
+    lbl = {r["vec_id"]: r["label"] for r in groups.collect()}
+    per_group: dict[int, list] = {}
+    for r in sorted(flat, key=lambda r: (-r["cosine_sim"], r["vec_id"])):
+        per_group.setdefault(lbl[r["vec_id"]], []).append(r)
+    best = sorted(
+        ((v[0]["cosine_sim"], v[0]["vec_id"], g) for g, v in per_group.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:3]
+    want = []
+    for rank, (_, _, g) in enumerate(best, start=1):
+        for i, r in enumerate(per_group[g][:2], start=1):
+            want.append((g, rank, i, r["vec_id"], r["cosine_sim"]))
+    assert [tuple(r) for r in got] == want
+
+    # groups ranked by BEST hit; inside a group ranks are 1..<=group_size
+    ranks = {}
+    for g, grank, rin, _, _ in (tuple(r) for r in got):
+        ranks.setdefault((g, grank), []).append(rin)
+    for (_, _), rins in ranks.items():
+        assert rins == list(range(1, len(rins) + 1)) and len(rins) <= 2
