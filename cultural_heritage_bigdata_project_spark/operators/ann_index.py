@@ -1306,7 +1306,7 @@ def ann_index_top_k_grouped(
     Caveat shared with Qdrant: a group whose best hit ranks below the
     flat ``fetch_k`` cannot appear — size ``fetch_k`` generously
     (it only widens one window over shortlist-scale rows)."""
-    from pyspark.sql import Window
+    from .windows import group_top_k
 
     flat = ann_index_top_k(
         spark, root, query, k=int(fetch_k), n_probe=n_probe,
@@ -1316,34 +1316,49 @@ def ann_index_top_k_grouped(
     tagged = flat.join(
         F.broadcast(groups.select(id_col, group_col).distinct()), on=id_col
     )
-    w_in = Window.partitionBy(group_col).orderBy(
-        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    return group_top_k(
+        tagged, group_col, "cosine_sim", id_col, k_groups, group_size
+    ).select(
+        F.col(group_col),
+        F.col("group_rank"),
+        F.col("rank_in_group"),
+        F.col(id_col),
+        F.col("cosine_sim"),
     )
-    ranked = tagged.withColumn(
-        "rank_in_group", F.row_number().over(w_in)
-    ).filter(F.col("rank_in_group") <= int(group_size))
-    w_best = Window.orderBy(
-        F.col("__best_sim").desc(), F.col("__best_id").asc()
-    )
-    best = (
-        ranked.filter(F.col("rank_in_group") == 1)
-        .select(
-            F.col(group_col),
-            F.col("cosine_sim").alias("__best_sim"),
-            F.col(id_col).alias("__best_id"),
+
+
+def ann_index_describe(spark: SparkSession, root: str, with_count: bool = False) -> dict:
+    """Qdrant get-collection analog (``client.get_collection(name)`` —
+    status + config + segment bookkeeping): one manifest read, NO
+    Spark job. Returns the serving-relevant facts a deployment watches:
+    quantizer config (n_lists/m/n_codes), the current epoch, how many
+    pruned base list segments vs delta-tail segments a probe would
+    read (the compaction-pressure signal `foreach_batch_ann_index_run`
+    thresholds on), and whether serving is in the pruned shape
+    (``pruned_serving`` False = a generic component rewrite dropped
+    the list map; run `build_ann_index` to restore it).
+
+    ``with_count=True`` adds the live point count — that one field is
+    a (columns-pruned) scan, so it is opt-in, like Qdrant's exact
+    count vs the cached collection info."""
+    cur = txn.current_version_dir(root)
+    if cur is None:
+        raise FileNotFoundError(f"nothing published under {root!r}")
+    vname = os.path.basename(cur)
+    comp = txn.read_manifest(root, vname)[CODES_COMPONENT]
+    ann = comp.get("ann") or {}
+    out = {
+        "version": vname,
+        "epoch": int(ann.get("epoch", 0)),
+        "n_lists": int(ann.get("n_lists", 0)),
+        "m": int(ann.get("m", 0)),
+        "n_codes": int(ann.get("n_codes", 0)),
+        "n_list_segments": len(ann.get("list_segments", {}) or {}),
+        "n_delta_segments": len(ann.get("delta_segments", []) or []),
+        "pruned_serving": bool(ann.get("list_segments")),
+    }
+    if with_count:
+        out["n_points"] = int(
+            ann_index_count(spark, root).first()["n_points"]
         )
-        .withColumn("group_rank", F.row_number().over(w_best))
-        .filter(F.col("group_rank") <= int(k_groups))
-        .select(group_col, "group_rank")
-    )
-    return (
-        ranked.join(F.broadcast(best), on=group_col)
-        .select(
-            F.col(group_col),
-            F.col("group_rank"),
-            F.col("rank_in_group"),
-            F.col(id_col),
-            F.col("cosine_sim"),
-        )
-        .orderBy("group_rank", "rank_in_group")
-    )
+    return out

@@ -1028,3 +1028,83 @@ def text_index_search_all(
             "n_terms_hit",
         )
     )
+
+
+def text_index_describe(root: str) -> dict:
+    """DESCRIBE-INDEX observability for the inverted text index — the
+    lexical twin of `ann_index.ann_index_describe` and the engine
+    analog of Lucene's segment/stats introspection: one manifest
+    read, NO Spark job, because the tix block already carries EXACT
+    corpus stats (n_docs / sum_dl are maintained at every commit).
+    Reports the probe shape a query would see: base bucket count,
+    posting + doclen delta-tail lengths (the `text_index_compact`
+    pressure signal), the build-time stoplist, and whether serving is
+    pruned (``pruned_serving`` False = a generic doclen compaction
+    degraded the bucket map; `text_index_compact` restores it)."""
+    cur = txn.current_version_dir(root)
+    if cur is None:
+        raise FileNotFoundError(f"nothing published under {root!r}")
+    vname = os.path.basename(cur)
+    comp = txn.read_manifest(root, vname)[POSTINGS_COMPONENT]
+    tix = comp.get("tix") or {}
+    n_docs = int(tix.get("n_docs", 0))
+    sum_dl = int(tix.get("sum_dl", 0))
+    return {
+        "version": vname,
+        "epoch": int(tix.get("epoch", 0)),
+        "n_buckets": int(tix.get("n_buckets", 0)),
+        "n_bucket_segments": len(tix.get("bucket_segments", {}) or {}),
+        "n_delta_segments": len(tix.get("delta_segments", []) or []),
+        "n_dl_delta_segments": len(tix.get("dl_delta_segments", []) or []),
+        "n_docs": n_docs,
+        "sum_dl": sum_dl,
+        "avgdl": (sum_dl / n_docs) if n_docs else None,
+        "stop_terms": list(tix.get("stop_terms", []) or []),
+        "pruned_serving": bool(tix.get("bucket_segments")),
+    }
+
+
+def text_index_search_grouped(
+    spark: SparkSession,
+    root: str,
+    query_terms: list[str],
+    groups: DataFrame,
+    group_col: str,
+    k_groups: int = 3,
+    group_size: int = 2,
+    fetch_k: int = 40,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    allowed_ids: DataFrame | None = None,
+) -> DataFrame:
+    """Search-groups over the LEXICAL index — the BM25 twin of
+    `ann_index.ann_index_top_k_grouped` (Qdrant ``search_groups``),
+    sharing the same window tail (`windows.group_top_k`) so both
+    modalities diversify identically: one index-served flat top
+    ``fetch_k`` (`text_index_search` — pruned probe, filtered,
+    bit-equal to the corpus scan), the group key joined on those
+    ``fetch_k`` rows only, best ``group_size`` hits per group, groups
+    ranked by their top hit. The dashboard page this exists for is the
+    reference's provider-skewed result list (app.py:94-156 serves raw
+    flat order): one museum's near-identical records stop monopolizing
+    the lexical page the same way they stop monopolizing the vector
+    page. Returns (group_col, group_rank, rank_in_group, id, bm25)."""
+    from .windows import group_top_k
+
+    flat = text_index_search(
+        spark, root, query_terms, top_k=int(fetch_k), k1=k1, b=b,
+        id_col=id_col, allowed_ids=allowed_ids,
+    )
+    tagged = flat.join(
+        F.broadcast(groups.select(id_col, group_col).distinct()), on=id_col
+    )
+    return group_top_k(
+        tagged, group_col, "bm25", id_col, k_groups, group_size
+    ).select(
+        F.col(group_col),
+        F.col("group_rank"),
+        F.col("rank_in_group"),
+        F.col(id_col),
+        F.col("bm25"),
+    )

@@ -85,3 +85,45 @@ def seeded_random_page(
         )
         .drop("__rn")
     )
+
+
+def group_top_k(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+    k_groups: int,
+    group_size: int,
+) -> DataFrame:
+    """Search-groups windowing (the Qdrant ``search_groups`` tail,
+    shared by the ANN and BM25 index serves): over an already-scored
+    candidate frame, keep the best ``group_size`` rows per group and
+    the best ``k_groups`` groups RANKED BY THEIR TOP HIT (score desc,
+    then the hit's id — Qdrant orders groups by best-member score).
+    Adds ``group_rank`` / ``rank_in_group``; deterministic whenever
+    the input scores are (id tie-break everywhere).
+
+    Scale: callers pass a top-``fetch_k`` shortlist, so both windows
+    run over shortlist-sized input — the group diversification never
+    touches corpus-scale data."""
+    w_in = W.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    ranked = df.withColumn("rank_in_group", F.row_number().over(w_in)).filter(
+        F.col("rank_in_group") <= int(group_size)
+    )
+    w_best = W.orderBy(F.col("__best_score").desc(), F.col("__best_id").asc())
+    best = (
+        ranked.filter(F.col("rank_in_group") == 1)
+        .select(
+            F.col(group_col),
+            F.col(score_col).alias("__best_score"),
+            F.col(id_col).alias("__best_id"),
+        )
+        .withColumn("group_rank", F.row_number().over(w_best))
+        .filter(F.col("group_rank") <= int(k_groups))
+        .select(group_col, "group_rank")
+    )
+    return ranked.join(F.broadcast(best), on=group_col).orderBy(
+        "group_rank", "rank_in_group"
+    )

@@ -1,0 +1,100 @@
+"""Collection-info (describe) APIs for both persisted indexes — the
+Qdrant get-collection analog — and the shared search-groups tail
+(`windows.group_top_k`) serving the LEXICAL modality. Metadata-only:
+describe must never launch a scan, so its fields come from the
+manifest the commits already maintain."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cultural_heritage_bigdata_project_spark.operators import (
+    ann_index,
+    text,
+    text_index,
+)
+from cultural_heritage_bigdata_project_spark.sources.tables import load_table
+
+from .conftest import SF_DIR
+
+
+def test_ann_describe_tracks_lifecycle(spark, tmp_path):
+    root = str(tmp_path / "idx")
+    base = load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") != 0)
+    ann_index.build_ann_index(spark, base, root, n_lists=16, m=8, n_codes=16)
+    d0 = ann_index.ann_index_describe(spark, root, with_count=True)
+    assert (d0["n_lists"], d0["m"], d0["n_codes"]) == (16, 8, 16)
+    assert d0["n_delta_segments"] == 0 and d0["pruned_serving"]
+    assert d0["n_points"] == base.count()
+    assert 0 < d0["n_list_segments"] <= 16  # only non-empty lists persist
+
+    upd = base.filter(F.col("vec_id") % 7 == 0).withColumn(
+        "embedding", F.reverse(F.col("embedding"))
+    )
+    ann_index.ann_index_upsert(spark, upd, root)
+    d1 = ann_index.ann_index_describe(spark, root)
+    assert d1["n_delta_segments"] == 1  # the compaction-pressure signal
+    assert d1["epoch"] > d0["epoch"]
+    assert "n_points" not in d1  # the scan field is opt-in
+
+    ann_index.ann_index_compact(spark, root)
+    d2 = ann_index.ann_index_describe(spark, root, with_count=True)
+    assert d2["n_delta_segments"] == 0 and d2["pruned_serving"]
+    assert d2["n_points"] == d0["n_points"]
+
+
+def test_text_describe_is_metadata_only_and_exact(spark, tmp_path, monkeypatch):
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    root = str(tmp_path / "tix")
+    text_index.build_text_index(spark, docs, root, n_buckets=16)
+
+    # no Spark job may run: describe reads the manifest, nothing else
+    from cultural_heritage_bigdata_project_spark.operators import txn
+
+    def boom(*a, **k):
+        raise AssertionError("describe must not read segments")
+
+    monkeypatch.setattr(txn, "_read_segment_union", boom)
+    d0 = text_index.text_index_describe(root)
+    monkeypatch.undo()
+
+    n = docs.count()
+    assert d0["n_docs"] == n and d0["n_buckets"] == 16
+    assert d0["avgdl"] == d0["sum_dl"] / n
+    assert d0["n_delta_segments"] == 0 and d0["pruned_serving"]
+
+    text_index.text_index_delete(spark, [0, 1], root)
+    d1 = text_index.text_index_describe(root)
+    assert d1["n_docs"] == n - 2  # exact stats corrected at the commit
+    assert d1["n_dl_delta_segments"] == 1
+    assert d1["epoch"] > d0["epoch"]
+
+
+def test_grouped_bm25_matches_manual_grouping(spark, tmp_path):
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    root = str(tmp_path / "tix")
+    text_index.build_text_index(spark, docs, root)
+    terms = ["merge", "spark", "window"]
+    groups = docs.select("doc_id", (F.col("doc_id") % 5).alias("grp"))
+
+    got = [
+        tuple(r)
+        for r in text_index.text_index_search_grouped(
+            spark, root, terms, groups, "grp",
+            k_groups=3, group_size=2, fetch_k=20,
+        ).collect()
+    ]
+
+    flat = text.bm25_search(docs, terms, top_k=20).collect()
+    per: dict[int, list] = {}
+    for r in sorted(flat, key=lambda r: (-r["bm25"], r["doc_id"])):
+        per.setdefault(r["doc_id"] % 5, []).append(r)
+    best = sorted(
+        ((v[0]["bm25"], v[0]["doc_id"], g) for g, v in per.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:3]
+    want = []
+    for rank, (_, _, g) in enumerate(best, start=1):
+        for i, r in enumerate(per[g][:2], start=1):
+            want.append((g, rank, i, r["doc_id"], r["bm25"]))
+    assert got == want
