@@ -2341,3 +2341,80 @@ def table_info(root: str) -> dict:
             "change_segments": comp.get("changes", []),
         }
     return out
+
+
+def snapshot_table(root: str, dest_root: str, version: str | int | None = None) -> str:
+    """Export ONE retained version as a brand-new single-version table
+    at ``dest_root`` — the Qdrant collection-snapshot / Delta DEEP
+    CLONE analog (and the backup/restore flow the reference has no
+    native answer for: its Qdrant state survives only as the container
+    volume). Works for ANY table of this layer, including both
+    persisted index families — a snapshotted ANN/text index serves at
+    the destination immediately, probe pruning intact, because the
+    manifest travels verbatim.
+
+    Copies exactly: the version dir (manifest, version-local ``base``
+    dirs, commit stamp is re-written fresh with ``op="snapshot"``) and
+    the segments that version REFERENCES — never the whole segment
+    store, never other versions, never delta/tombstone segments that
+    only older versions name. O(referenced bytes); an object-store
+    deployment replaces the local copy with server-side copy requests.
+
+    The destination must be unpublished (no CURRENT) — a snapshot is a
+    new table, not a merge; restoring over an existing table is what
+    `restore_version` is for. Publishing at the destination goes
+    through the standard CAS commit (so even a racing second snapshot
+    into the same dest resolves to one winner and one clean
+    CommitConflict). Returns the committed destination version dir.
+
+    The snapshot starts fresh history: ``changes`` are cleared (a
+    backup is not a change event — the RESTORE+CDF caveat) and the
+    source's older versions do not travel; time travel at the
+    destination begins at the snapshot."""
+    if current_version_dir(dest_root) is not None:
+        raise FileExistsError(
+            f"{dest_root!r} is already a published table; snapshot only "
+            "creates new tables (use restore_version to move CURRENT)"
+        )
+    src_dir = (
+        version_dir(root, version)
+        if version is not None
+        else current_version_dir(root)
+    )
+    if src_dir is None:
+        raise FileNotFoundError(f"nothing published under {root!r}")
+    src_name = os.path.basename(src_dir)
+    components = read_manifest(root, src_name)
+
+    def build(current_dir, new_dir):
+        if components is None:
+            # plain (pre-manifest) parquet version: the version dir IS
+            # the data — copy it wholesale
+            for entry in os.listdir(src_dir):
+                if entry == COMMIT_TS:
+                    continue
+                src = os.path.join(src_dir, entry)
+                dst = os.path.join(new_dir, entry)
+                if os.path.isdir(src):
+                    shutil.copytree(src, dst)
+                else:
+                    shutil.copy2(src, dst)
+            return
+        new_components = {}
+        for name, comp in components.items():
+            comp = dict(comp)
+            if comp.get("base"):
+                shutil.copytree(
+                    os.path.join(src_dir, comp["base"]),
+                    os.path.join(new_dir, comp["base"]),
+                )
+            for seg in comp.get("segments", []):
+                dst = segment_path(dest_root, seg)
+                if not os.path.isdir(dst):  # components may share names
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    shutil.copytree(segment_path(root, seg), dst)
+            comp["changes"] = []  # a backup is not a change event
+            new_components[name] = comp
+        write_manifest(dest_root, os.path.basename(new_dir), new_components)
+
+    return commit_with_retry(dest_root, build, keep_last=1, op="snapshot")
