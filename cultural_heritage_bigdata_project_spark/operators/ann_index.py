@@ -1362,3 +1362,116 @@ def ann_index_describe(spark: SparkSession, root: str, with_count: bool = False)
             ann_index_count(spark, root).first()["n_points"]
         )
     return out
+
+
+def ann_index_recommend_all(
+    spark: SparkSession,
+    root: str,
+    examples: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    user_col: str = "user_id",
+    positive_col: str = "is_positive",
+    allowed_ids: DataFrame | None = None,
+) -> DataFrame:
+    """Batch recommend: `ann_index_recommend` for EVERY user in one
+    job — the recommendation-refresh shape (the reference's ML-model
+    loops per-user HTTP recommends; this is that nightly job as one
+    DataFrame program). ``examples`` carries
+    ``(user_col, id_col, positive_col: bool)`` example points per
+    user; each user gets the ``average_vector`` search point
+    ``P + (P - N)`` (``P`` when the user has no negatives) and k
+    results excluding their own examples.
+
+    Distributed end to end — nothing per-user happens on the driver:
+    ONE columns-pruned pass over the live fold fetches every example
+    vector for the whole batch (a semi-join, amortizing what the
+    single-query path does with a pushed-IN read), the per-user
+    averages are a posexplode → (user, sign, position) partial agg →
+    array re-assembly (rows bounded by |examples| x dim), the serve is
+    the shared `ann_index_top_k_all` batch probe (index read ONCE for
+    all users), and the example exclusion is an anti-join on
+    (user, id) with the per-user top-k window re-applied after it (the
+    serve over-fetches by the batch's max examples-per-user so
+    exclusion can never under-fill k).
+
+    Float caveat: the distributed average reassociates float64 adds,
+    so scores can differ from the driver-side single-user path in the
+    last bits — ranks agree in practice (pinned by tests), but do not
+    expect bit-equality between the two paths."""
+    from pyspark.sql import Window
+
+    ex = examples.select(
+        F.col(user_col).alias("__u"),
+        F.col(id_col),
+        F.col(positive_col).cast("boolean").alias("__pos"),
+    )
+    live = ann_index_live(spark, root, id_col).select(id_col, vec_col)
+    exvec = ex.join(live, on=id_col, how="inner")
+
+    # per-user, per-sign elementwise mean over the example vectors
+    cell = exvec.select(
+        "__u", "__pos", F.posexplode(F.col(vec_col).cast("array<double>"))
+    ).groupBy("__u", "__pos", "pos").agg(F.avg("col").alias("__m"))
+    comp = (
+        cell.groupBy("__u", "pos")
+        .agg(
+            F.max(F.when(F.col("__pos"), F.col("__m"))).alias("__p"),
+            F.max(F.when(~F.col("__pos"), F.col("__m"))).alias("__n"),
+        )
+        .withColumn(
+            "__q",
+            F.when(F.col("__n").isNull(), F.col("__p")).otherwise(
+                F.col("__p") + (F.col("__p") - F.col("__n"))
+            ),
+        )
+    )
+    queries = comp.groupBy("__u").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "__q"))),
+            lambda s: s["__q"],
+        ).alias(vec_col)
+    )
+    # users with ONLY negative examples have a NULL query vector —
+    # refuse them the way the single path's ValueError does
+    bad = queries.filter(
+        F.exists(F.col(vec_col), lambda x: x.isNull())
+    ).limit(1).count()
+    if bad:
+        raise ValueError(
+            "recommend requires at least one positive example per user"
+        )
+
+    n_ex_max = int(
+        ex.groupBy("__u").count().agg(F.max("count")).first()[0] or 0
+    )
+    res = ann_index_top_k_all(
+        spark,
+        root,
+        queries,
+        k=int(k) + n_ex_max,
+        n_probe=n_probe,
+        shortlist=shortlist,
+        id_col=id_col,
+        vec_col=vec_col,
+        q_id_col="__u",
+        q_vec_col=vec_col,
+        allowed_ids=allowed_ids,
+    )
+    res = res.join(ex.select("__u", id_col), on=["__u", id_col], how="left_anti")
+    w = Window.partitionBy("__u").orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        res.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= int(k))
+        .select(
+            F.col("__u").alias(user_col),
+            F.col(id_col),
+            "hamming",
+            "cosine_sim",
+        )
+    )

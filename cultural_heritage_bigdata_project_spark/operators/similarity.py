@@ -475,12 +475,15 @@ def _assign_probe_lists(
                 }
             )
 
+    # query ids keep their own type (batch recommend passes string
+    # user ids through this path; point serving passes bigints)
+    id_type = vectors.schema[id_col].dataType.simpleString()
     return (
         vectors.select(
             F.col(id_col).alias("__id"),
             F.col(vec_col).cast("array<double>").alias("__v"),
         )
-        .mapInPandas(compute, "__id long, __list int")
+        .mapInPandas(compute, f"__id {id_type}, __list int")
         .withColumnRenamed("__id", id_col)
     )
 

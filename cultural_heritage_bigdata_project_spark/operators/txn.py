@@ -2418,3 +2418,58 @@ def snapshot_table(root: str, dest_root: str, version: str | int | None = None) 
         write_manifest(dest_root, os.path.basename(new_dir), new_components)
 
     return commit_with_retry(dest_root, build, keep_last=1, op="snapshot")
+
+
+def set_alias(aliases_root: str, alias: str, table_root: str) -> None:
+    """Point ``alias`` at ``table_root`` — the Qdrant
+    update-collection-aliases analog, and the missing piece of the
+    zero-downtime reindex flow the reference cannot do (its dashboard
+    hardcodes one collection name, app.py:64-66): build or
+    `snapshot_table` a NEW index root, validate it, then repoint the
+    alias serving reads resolve through — one atomic metadata swap,
+    readers see the old index or the new one, never a mix (each
+    resolved root is itself CAS-versioned). The alias is a one-line
+    file swapped by atomic rename, the same primitive the CURRENT
+    pointer trusts; an object-store deployment uses a conditional PUT.
+    """
+    if os.sep in alias or not alias:
+        raise ValueError(f"alias must be a plain name, got {alias!r}")
+    os.makedirs(aliases_root, exist_ok=True)
+    tmp = os.path.join(aliases_root, f".{alias}.tmp.{os.getpid()}")
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(os.path.abspath(table_root) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(aliases_root, alias))
+
+
+def resolve_alias(aliases_root: str, alias: str) -> str:
+    """The table root an alias currently serves. Raises KeyError for
+    unknown aliases — callers pass the result straight to the serving
+    APIs (`ann_index_top_k(spark, resolve_alias(...), ...)`)."""
+    try:
+        with open(os.path.join(aliases_root, alias), encoding="utf-8") as f:
+            return f.read().strip()
+    except FileNotFoundError:
+        raise KeyError(f"alias {alias!r} not found under {aliases_root!r}") from None
+
+
+def drop_alias(aliases_root: str, alias: str) -> None:
+    """Remove an alias (idempotent — dropping a missing alias is a
+    no-op, matching Qdrant's delete_alias semantics)."""
+    try:
+        os.remove(os.path.join(aliases_root, alias))
+    except FileNotFoundError:
+        pass
+
+
+def list_aliases(aliases_root: str) -> dict[str, str]:
+    """{alias: table_root} for every alias under the store."""
+    if not os.path.isdir(aliases_root):
+        return {}
+    out = {}
+    for name in sorted(os.listdir(aliases_root)):
+        if name.startswith("."):
+            continue  # in-flight swap temp files
+        out[name] = resolve_alias(aliases_root, name)
+    return out

@@ -201,3 +201,86 @@ def test_grouped_topk_qdrant_semantics(spark, built):
         ranks.setdefault((g, grank), []).append(rin)
     for (_, _), rins in ranks.items():
         assert rins == list(range(1, len(rins) + 1)) and len(rins) <= 2
+
+
+def test_batch_recommend_matches_single_user_path(spark, built):
+    root, base = built
+    rows = [
+        ("alice", 7, True), ("alice", 11, True), ("alice", 13, True),
+        ("alice", 5, False),
+        ("bob", 4, True), ("bob", 8, True),
+    ]
+    ex = spark.createDataFrame(
+        rows, "user_id string, vec_id long, is_positive boolean"
+    )
+    # exhaustive shortlist: both paths reduce to exact cosine ranking,
+    # so the only cross-path difference left is float reassociation in
+    # the distributed average (last-bit scale)
+    got = ann_index.ann_index_recommend_all(
+        spark, root, ex, k=8, n_probe=16, shortlist=10_000
+    ).collect()
+    by_user = {}
+    for r in got:
+        by_user.setdefault(r["user_id"], []).append(r)
+
+    for user, pos, neg in [("alice", [7, 11, 13], [5]), ("bob", [4, 8], [])]:
+        want = ann_index.ann_index_recommend(
+            spark, root, positive_ids=pos, negative_ids=neg or None,
+            k=8, n_probe=16, shortlist=10_000,
+        ).collect()
+        g = by_user[user]
+        assert [r["vec_id"] for r in g] == [r["vec_id"] for r in want]
+        for a, b in zip(g, want):
+            assert abs(a["cosine_sim"] - b["cosine_sim"]) < 1e-6
+        assert {r["vec_id"] for r in g}.isdisjoint(pos + neg)
+
+
+def test_batch_recommend_rejects_negative_only_user(spark, built):
+    root, _ = built
+    ex = spark.createDataFrame(
+        [("carol", 5, False)], "user_id string, vec_id long, is_positive boolean"
+    )
+    with pytest.raises(ValueError):
+        ann_index.ann_index_recommend_all(spark, root, ex, k=3)
+
+
+def test_alias_blue_green_reindex(spark, tmp_path):
+    """Qdrant update-collection-aliases flow: serve via an alias, build
+    a replacement index, repoint atomically — readers see old or new,
+    never a mix."""
+    from cultural_heritage_bigdata_project_spark.operators import txn
+
+    aliases = str(tmp_path / "aliases")
+    blue = str(tmp_path / "blue")
+    green = str(tmp_path / "green")
+    base = load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") != 0)
+    ann_index.build_ann_index(spark, base, blue)
+    txn.set_alias(aliases, "prod", blue)
+
+    q = [
+        float(x)
+        for x in load_table(spark, SF_DIR, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .first()["embedding"]
+    ]
+    served_blue = ann_index.ann_index_top_k(
+        spark, txn.resolve_alias(aliases, "prod"), q, k=5
+    ).collect()
+    assert len(served_blue) == 5
+
+    # reindex: fewer lists => different physical layout, same corpus
+    ann_index.build_ann_index(spark, base, green, n_lists=8)
+    txn.set_alias(aliases, "prod", green)  # the atomic swap
+    assert txn.resolve_alias(aliases, "prod") == green
+    served_green = ann_index.ann_index_top_k(
+        spark, txn.resolve_alias(aliases, "prod"), q, k=5, n_probe=8
+    ).collect()
+    assert len(served_green) == 5
+
+    assert txn.list_aliases(aliases) == {"prod": green}
+    txn.drop_alias(aliases, "prod")
+    txn.drop_alias(aliases, "prod")  # idempotent
+    with pytest.raises(KeyError):
+        txn.resolve_alias(aliases, "prod")
+    with pytest.raises(ValueError):
+        txn.set_alias(aliases, "", blue)
