@@ -71,7 +71,10 @@ def _encode_pass(
     packed BQ sign-bit words (63 per long, first-element-most-
     significant — bit-identical to ``similarity._bq_words_expr``) —
     the vectors are streamed through a single mapInPandas GEMM instead
-    of the three passes the per-query operators run."""
+    of the three passes the per-query operators run. Also emits
+    ``__qd``: the exact squared L2 distance to the assigned centroid
+    (free from the same GEMM) — the per-row quantization error that
+    `ann_index_drift` aggregates to decide rebuild-vs-compact."""
     import numpy as np
     import pandas as pd
 
@@ -83,7 +86,7 @@ def _encode_pass(
     schema = (
         "__id long, ann_list int, "
         + ", ".join(f"c{j} int" for j in range(m))
-        + ", bq_words array<long>, __v array<double>"
+        + ", bq_words array<long>, __qd double, __v array<double>"
     )
 
     def compute(batches):
@@ -96,6 +99,9 @@ def _encode_pass(
             out = {
                 "__id": pdf["__id"].to_numpy(),
                 "ann_list": np.argmin(d, axis=1).astype(np.int32),
+                # exact squared L2 to the winning centroid: d omits
+                # |x|^2 (argmin-invariant), add it back for the error
+                "__qd": d.min(axis=1) + (mat * mat).sum(axis=1),
             }
             nmat = mat / np.sqrt((mat * mat).sum(axis=1, keepdims=True))
             for j in range(m):
@@ -251,7 +257,13 @@ def build_ann_index(
                     "ann": {"n_lists": n_lists, "m": m, "n_codes": n_codes,
                             "epoch": epoch,
                             "list_segments": list_map,
-                            "delta_segments": []},
+                            "delta_segments": [],
+                            # build-time quantization error baseline
+                            # (one narrow __qd read of the segments
+                            # just written): the fixed reference
+                            # `ann_index_drift` compares against
+                            "qerr_build": _qerr_of(spark, root, seg_names),
+                            "qerr_deltas": {}},
                 },
                 META_COMPONENT: {
                     "base": None,
@@ -336,6 +348,11 @@ def ann_index_upsert(
         ann = dict(comp.get("ann") or {})
         ann["epoch"] = epoch
         ann["delta_segments"] = list(ann.get("delta_segments", [])) + [seg]
+        # per-delta quantization error (narrow __qd read of the one
+        # segment just written): drift monitoring stays metadata-only
+        qd = dict(ann.get("qerr_deltas") or {})
+        qd[seg] = _qerr_of(spark, root, [seg])
+        ann["qerr_deltas"] = qd
         comp.update(
             {"segments": segments, "changes": [seg], "stats": stats, "ann": ann}
         )
@@ -344,6 +361,19 @@ def ann_index_upsert(
         txn.write_manifest(root, os.path.basename(new_dir), out)
 
     return txn.commit_with_retry(root, build, keep_last=keep_last, op="ann_upsert")
+
+
+def _qerr_of(spark: SparkSession, root: str, seg_names: list[str]) -> dict:
+    """{"mean": <avg __qd>, "n": <rows>} over the named code segments —
+    one columns-pruned agg, recorded into the manifest so later drift
+    checks never rescan."""
+    df = txn._read_segment_union(
+        spark, [txn.segment_path(root, s) for s in seg_names]
+    )
+    row = df.agg(
+        F.avg("__qd").alias("m"), F.count(F.lit(1)).alias("n")
+    ).first()
+    return {"mean": float(row["m"] or 0.0), "n": int(row["n"] or 0)}
 
 
 def ann_index_delete(
@@ -630,6 +660,7 @@ def foreach_batch_ann_index_run(
     rebuild_every_deltas: int | None = 8,
     keep_last: int = 2,
     compact_every_deltas: int | None = None,
+    rebuild_on_drift: float | None = None,
 ):
     """Streaming maintenance of the persisted index: each micro-batch of
     new/changed vectors is encoded with the STORED quantizers and
@@ -640,6 +671,13 @@ def foreach_batch_ann_index_run(
     ``compact_every``. Requires a built index (``build_ann_index``)
     before the stream starts; runs with ``availableNow`` so bounded
     replays drain and stop (the engine's standard test trigger).
+
+    ``rebuild_on_drift`` (round 9) makes the rebuild DATA-DRIVEN
+    instead of purely cadence-driven: when the metadata drift ratio
+    (`ann_index_drift` — the delta tail's quantization error over the
+    build baseline) exceeds the threshold, the batch triggers the
+    quantizer-refreshing rebuild immediately, even with a short tail;
+    a stable distribution never pays it. Typical setting ~1.5-2.0.
 
     ``compact_every_deltas`` (round 9) interposes the CHEAP fold:
     `ann_index_compact` re-homes the delta tail without re-deriving
@@ -654,6 +692,18 @@ def foreach_batch_ann_index_run(
     probe segments + a bounded delta tail, and rebuild cost is amortized
     over ``rebuild_every_deltas`` batches."""
 
+    def rebuild_from_live(comp: dict) -> None:
+        state = txn.read_version(
+            spark, root, subdir=CODES_COMPONENT
+        ).select(id_col, vec_col)
+        build_ann_index(
+            spark, state, root,
+            n_lists=int(comp["ann"].get("n_lists", 16)),
+            m=int(comp["ann"].get("m", 8)),
+            n_codes=int(comp["ann"].get("n_codes", 16)),
+            id_col=id_col, vec_col=vec_col, keep_last=keep_last,
+        )
+
     def apply(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
@@ -661,6 +711,20 @@ def foreach_batch_ann_index_run(
             spark, batch_df, root, id_col=id_col, vec_col=vec_col,
             keep_last=keep_last,
         )
+        if rebuild_on_drift is not None:
+            # drift-triggered quantizer refresh BEFORE the cheap fold:
+            # the metadata ratio (ann_index_drift) compares the delta
+            # tail's quantization error against the build baseline,
+            # so a distribution shift forces the rebuild even when the
+            # tail is still short
+            ratio = ann_index_drift(spark, root)["incoming_ratio"]
+            if ratio is not None and ratio > rebuild_on_drift:
+                cur = txn.current_version_dir(root)
+                comp = txn.read_manifest(root, os.path.basename(cur))[
+                    CODES_COMPONENT
+                ]
+                rebuild_from_live(comp)
+                return
         if compact_every_deltas is not None:
             cur = txn.current_version_dir(root)
             comp = txn.read_manifest(root, os.path.basename(cur))[
@@ -675,16 +739,7 @@ def foreach_batch_ann_index_run(
                 CODES_COMPONENT
             ]
             if len((comp.get("ann") or {}).get("delta_segments", [])) > rebuild_every_deltas:
-                state = txn.read_version(
-                    spark, root, subdir=CODES_COMPONENT
-                ).select(id_col, vec_col)
-                build_ann_index(
-                    spark, state, root,
-                    n_lists=int(comp["ann"].get("n_lists", 16)),
-                    m=int(comp["ann"].get("m", 8)),
-                    n_codes=int(comp["ann"].get("n_codes", 16)),
-                    id_col=id_col, vec_col=vec_col, keep_last=keep_last,
-                )
+                rebuild_from_live(comp)
 
     q = (
         stream.writeStream.foreachBatch(apply)
@@ -1017,6 +1072,13 @@ def ann_index_compact(
         comp["changes"] = []  # a rewrite is not a change
         comp["stats"] = stats
         ann.update({"list_segments": new_map, "delta_segments": []})
+        if ann.get("qerr_build") is not None and "__qd" in folded.columns:
+            # folded rows keep their per-row error: refresh the live
+            # mean so drift monitoring SURVIVES compaction (folding
+            # deltas in must not hide a drifting distribution) — the
+            # build baseline itself is never touched
+            ann["qerr_live"] = _qerr_of(spark, root, seg_names)
+        ann["qerr_deltas"] = {}
         comp["ann"] = ann
         out = dict(components)
         out[CODES_COMPONENT] = comp
@@ -1356,6 +1418,9 @@ def ann_index_describe(spark: SparkSession, root: str, with_count: bool = False)
         "n_list_segments": len(ann.get("list_segments", {}) or {}),
         "n_delta_segments": len(ann.get("delta_segments", []) or []),
         "pruned_serving": bool(ann.get("list_segments")),
+        # the rebuild-vs-compact signal, already metadata (see
+        # ann_index_drift for the field semantics)
+        "drift": ann_index_drift(spark, root) if ann.get("qerr_build") else None,
     }
     if with_count:
         out["n_points"] = int(
@@ -1475,3 +1540,51 @@ def ann_index_recommend_all(
             "cosine_sim",
         )
     )
+
+
+def ann_index_drift(spark: SparkSession, root: str) -> dict:
+    """Quantizer-drift signal — METADATA ONLY, no scan: every commit
+    already recorded its rows' mean squared quantization error
+    (`_qerr_of` over the ``__qd`` column the encode pass emits), so
+    deciding rebuild-vs-compact costs one manifest read. Returns
+
+    - ``build_mean``: the baseline error of the corpus the quantizers
+      were DERIVED from (fixed at `build_ann_index` time),
+    - ``incoming_mean`` / ``n_incoming``: weighted mean over the
+      delta tail — the error of data the stored quantizers have never
+      seen (None with no deltas),
+    - ``live_mean``: refreshed by `ann_index_compact` so folding the
+      tail cannot hide drift (falls back to build_mean pre-compaction),
+    - ``incoming_ratio``: incoming/build — the rebuild trigger.
+      ~1.0 = same distribution, compact freely; >> 1 = the centroids
+      no longer fit arriving data, schedule `build_ann_index`.
+
+    Superseded base rows keep their recorded weight until a fold
+    reclaims them — this is a monitoring signal with segment-level
+    granularity, not an exact statistic (the serving paths are).
+    Indexes built before the error column existed return all-None."""
+    cur = txn.current_version_dir(root)
+    if cur is None:
+        raise FileNotFoundError(f"nothing published under {root!r}")
+    ann = (
+        txn.read_manifest(root, os.path.basename(cur))[CODES_COMPONENT]
+    ).get("ann") or {}
+    build = ann.get("qerr_build")
+    deltas = list((ann.get("qerr_deltas") or {}).values())
+    n_in = sum(int(d["n"]) for d in deltas)
+    incoming = (
+        sum(float(d["mean"]) * int(d["n"]) for d in deltas) / n_in
+        if n_in
+        else None
+    )
+    live = ann.get("qerr_live") or build
+    build_mean = float(build["mean"]) if build else None
+    return {
+        "build_mean": build_mean,
+        "incoming_mean": incoming,
+        "n_incoming": n_in,
+        "live_mean": float(live["mean"]) if live else None,
+        "incoming_ratio": (
+            incoming / build_mean if incoming is not None and build_mean else None
+        ),
+    }
