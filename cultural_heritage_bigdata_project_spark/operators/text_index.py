@@ -1108,3 +1108,58 @@ def text_index_search_grouped(
         F.col(id_col),
         F.col("bm25"),
     )
+
+
+def text_index_bucket_stats(root: str) -> dict:
+    """Bucket-skew observability — the lexical counterpart of
+    `ann_index.ann_index_drift`'s rebuild signal: per-bucket posting
+    row counts read from parquet FOOTERS only (num_rows; zero data
+    pages, zero Spark jobs), plus the delta-tail row count. A term
+    that became hot AFTER the build skews its md5 bucket — every
+    probe containing that term then reads the oversized segment — and
+    the fix is a rebuild with the term in ``stop_terms`` (the
+    build-time stoplist) or a higher ``n_buckets``. ``skew_ratio``
+    (max bucket / median bucket) near 1 = balanced layout; the
+    hottest buckets are named so the operator can be mapped back to
+    candidate terms with `_bucket_py`.
+
+    At 100 TB this is the ops dashboard read: footer metadata is KBs
+    per segment regardless of data volume."""
+    import statistics
+
+    import pyarrow.parquet as pq
+
+    def _rows(seg: str) -> int:
+        total = 0
+        sdir = txn.segment_path(root, seg)
+        for dirpath, _dirs, files in os.walk(sdir):
+            for fname in files:
+                if fname.endswith(".parquet"):
+                    total += pq.ParquetFile(
+                        os.path.join(dirpath, fname)
+                    ).metadata.num_rows
+        return total
+
+    cur = txn.current_version_dir(root)
+    if cur is None:
+        raise FileNotFoundError(f"nothing published under {root!r}")
+    comp = txn.read_manifest(root, os.path.basename(cur))[POSTINGS_COMPONENT]
+    tix = comp.get("tix") or {}
+    bucket_rows = {
+        int(b): _rows(seg)
+        for b, seg in (tix.get("bucket_segments") or {}).items()
+    }
+    delta_rows = sum(_rows(s) for s in tix.get("delta_segments", []) or [])
+    counts = sorted(bucket_rows.values())
+    med = statistics.median(counts) if counts else 0
+    hottest = sorted(bucket_rows, key=lambda b: (-bucket_rows[b], b))[:3]
+    return {
+        "n_buckets": int(tix.get("n_buckets", 0)),
+        "n_base_buckets": len(bucket_rows),
+        "bucket_rows": bucket_rows,
+        "total_base_rows": sum(counts),
+        "delta_rows": delta_rows,
+        "skew_ratio": (max(counts) / med) if counts and med else None,
+        "hottest_buckets": hottest,
+        "stop_terms": list(tix.get("stop_terms", []) or []),
+    }

@@ -98,3 +98,49 @@ def test_grouped_bm25_matches_manual_grouping(spark, tmp_path):
         for i, r in enumerate(per[g][:2], start=1):
             want.append((g, rank, i, r["doc_id"], r["bm25"]))
     assert got == want
+
+
+def test_bucket_stats_find_the_hot_term_bucket(spark, tmp_path):
+    """A term that explodes in document frequency after corpus growth
+    must surface as its md5 bucket leading the skew stats — the signal
+    to rebuild with it stoplisted."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    hot = spark.range(3000).select(
+        (F.col("id") + 100_000).alias("doc_id"),
+        F.concat(F.lit("hotterm filler"), F.col("id").cast("string")).alias(
+            "text"
+        ),
+    )
+    root = str(tmp_path / "tix")
+    text_index.build_text_index(spark, docs.unionByName(hot), root, n_buckets=16)
+
+    st = text_index.text_index_bucket_stats(root)
+    assert st["n_buckets"] == 16 and st["n_base_buckets"] <= 16
+    assert st["skew_ratio"] > 1.5  # the injected hot term shows
+    assert st["hottest_buckets"][0] == text_index._bucket_py("hotterm", 16)
+    # footer counts are exact: they sum to the full posting row count
+    total = sum(st["bucket_rows"].values())
+    assert total == st["total_base_rows"] > 0
+    assert st["delta_rows"] == 0
+
+    # upserts land in the delta tail, visible without a scan
+    text_index.text_index_upsert(
+        spark,
+        docs.filter(F.col("doc_id") < 5).withColumn(
+            "text", F.concat(F.col("text"), F.lit(" newword"))
+        ),
+        root,
+    )
+    st2 = text_index.text_index_bucket_stats(root)
+    assert st2["delta_rows"] > 0
+    assert st2["bucket_rows"] == st["bucket_rows"]  # base untouched
+
+    # the prescribed fix flattens the layout: rebuild with the hot
+    # term stoplisted
+    text_index.build_text_index(
+        spark, docs.unionByName(hot), root, n_buckets=16,
+        stop_terms=["hotterm"],
+    )
+    st3 = text_index.text_index_bucket_stats(root)
+    assert st3["skew_ratio"] < st["skew_ratio"]
+    assert "hotterm" in st3["stop_terms"]
