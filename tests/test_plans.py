@@ -398,3 +398,40 @@ def test_filtered_index_search_plan_shape(spark):
     assert re.search(r"ReadSchema: struct<doc_id:bigint>", plan), (
         "allowed side not pruned to the id column"
     )
+
+
+def test_ann_scroll_page_plan_shape(spark):
+    """ann_scroll_page (round 9): the keyset predicate (vec_id > 13)
+    pushes through the latest-per-key fold into the parquet scans, the
+    payload filter is a broadcast LEFT SEMI, the page plans as
+    TakeOrdered (never a global Sort + Limit pair materializing the
+    whole live set), and no sort-merge join appears anywhere."""
+    plan = _formatted_plan(spark, "ann_scroll_page")
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThan\(vec_id,13\)", plan), plan
+    assert re.search(r"BroadcastHashJoin [^\n]*LeftSemi", plan), plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_ann_index_count_is_columns_pruned(spark):
+    """ann_index_count (round 9): counting live points must never read
+    code or vector bytes — every parquet scan in the plan reads only
+    the id / epoch / flag / seq columns."""
+    plan = _formatted_plan(spark, "ann_index_count")
+    for read in re.findall(r"ReadSchema: struct<([^\n]*)", plan):
+        assert "embedding" not in read, plan
+        assert "bq_words" not in read, plan
+        assert "c0" not in read.split(","), plan
+    # partial aggregation before the single-row exchange
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_grouped_serve_windows_stay_shortlist_sized(spark):
+    """ann_grouped_topk (round 9): the group join must broadcast (the
+    group map joins at most fetch_k scored rows — a sort-merge join
+    here would shuffle the whole dimension), and both ranking windows
+    run after a Limit, never over corpus-scale input."""
+    plan = _formatted_plan(spark, "ann_grouped_topk")
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "GlobalLimit" in plan or "TakeOrderedAndProject" in plan, plan
