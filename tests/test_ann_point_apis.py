@@ -284,3 +284,58 @@ def test_alias_blue_green_reindex(spark, tmp_path):
         txn.resolve_alias(aliases, "prod")
     with pytest.raises(ValueError):
         txn.set_alias(aliases, "", blue)
+
+
+def test_point_lifecycle_random_walk_matches_model(spark, tmp_path):
+    """Model-based check of the point-management surface: a seeded
+    random walk of upsert / delete / resurrect ops against a plain
+    dict model, with count + scroll + fetch compared after every
+    commit. Catches fold/tombstone interactions no single-scenario
+    test enumerates (delete-then-upsert-then-delete chains, repeated
+    deletes, upserts that re-embed)."""
+    import random
+
+    base = load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") != 0)
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in base.collect()
+    }
+    ids = sorted(vecs)
+
+    root = str(tmp_path / "idx")
+    ann_index.build_ann_index(spark, base, root)
+    model = dict(vecs)  # id -> currently stored vector
+
+    rng = random.Random(20260816)
+    for step in range(8):
+        op = rng.choice(["upsert", "delete", "delete", "upsert"])
+        chosen = rng.sample(ids, rng.randint(1, 4))
+        if op == "delete":
+            ann_index.ann_index_delete(spark, chosen, root)
+            for i in chosen:
+                model.pop(i, None)
+        else:
+            flip = rng.random() < 0.5
+            batch = base.filter(F.col("vec_id").isin(chosen))
+            if flip:
+                batch = batch.withColumn(
+                    "embedding", F.reverse(F.col("embedding"))
+                )
+            ann_index.ann_index_upsert(spark, batch, root)
+            for i in chosen:
+                model[i] = list(reversed(vecs[i])) if flip else vecs[i]
+        if step == 5:
+            # fold mid-walk: reclamation must not change the live set
+            ann_index.ann_index_compact(spark, root)
+
+        got_n = ann_index.ann_index_count(spark, root).first()["n_points"]
+        assert got_n == len(model), f"step {step}: count {got_n} != {len(model)}"
+        page = [
+            r["vec_id"]
+            for r in ann_index.ann_index_scroll(spark, root, limit=10_000).collect()
+        ]
+        assert page == sorted(model), f"step {step}: scroll diverged"
+        if model:
+            probe = rng.choice(sorted(model))
+            fetched = ann_index.ann_index_fetch_vectors(spark, root, [probe])
+            assert fetched[probe] == model[probe], f"step {step}: stored vector wrong"
