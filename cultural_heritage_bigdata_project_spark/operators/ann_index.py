@@ -180,16 +180,33 @@ def build_ann_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     keep_last: int = 2,
+    payload_cols: list[str] | None = None,
 ) -> str:
     """Full index (re)build: derive the deterministic quantizers
     (md5-sample centroids + codebook — engine-portable, as the per-query
     deterministic operators), encode every vector in one pass, write one
     segment per inverted list + the meta segment, and CAS-publish. A
     rebuild over a table with prior upsert deltas FOLDS them: the new
-    base is the only read list. Returns the committed version dir."""
+    base is the only read list. Returns the committed version dir.
+
+    ``payload_cols`` stores the named columns of ``vectors`` IN the
+    index rows — Qdrant's payload-on-point model: serving can then
+    filter with ``payload_filter`` (a plain predicate over these
+    columns, applied BEFORE the shortlist) with no side table and no
+    join; the predicate pushes into the probed segments' parquet
+    scans. Upserts must carry the same columns (enforced), so the
+    payload is as current as the vector it rides with."""
+    payload_cols = list(payload_cols or [])
     centroids = _deterministic_centroids(vectors, n_lists, id_col, vec_col)
     codebook = pq_codebook(vectors, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col)
     encoded = _encode_pass(vectors, centroids, codebook, m, id_col, vec_col)
+    if payload_cols:
+        # one equi-join on the id re-attaches the payload the encode
+        # pass's narrow schema dropped (build-time only; AQE broadcasts
+        # the smaller side when it fits)
+        encoded = encoded.join(
+            vectors.select(id_col, *payload_cols), on=id_col
+        )
 
     def build(current_dir, new_dir):
         vname = os.path.basename(new_dir)
@@ -263,7 +280,8 @@ def build_ann_index(
                             # just written): the fixed reference
                             # `ann_index_drift` compares against
                             "qerr_build": _qerr_of(spark, root, seg_names),
-                            "qerr_deltas": {}},
+                            "qerr_deltas": {},
+                            "payload_cols": payload_cols},
                 },
                 META_COMPONENT: {
                     "base": None,
@@ -315,10 +333,24 @@ def ann_index_upsert(
     and commit them as one delta segment of the ``codes`` component.
     Latest-per-key fold at read time supersedes the base rows; a
     periodic ``build_ann_index`` rebuild folds deltas back into pruned
-    per-list segments."""
+    per-list segments. An index built with ``payload_cols`` requires
+    every upsert batch to carry those columns (the payload rides the
+    vector's row — a batch without it would silently null out fields
+    filters depend on)."""
     centroids, codebook = read_index_meta(spark, root)
     m = _stored_m(spark, root)
+    payload_cols = _stored_payload_cols(root)
+    missing = [c for c in payload_cols if c not in new_vectors.columns]
+    if missing:
+        raise ValueError(
+            f"index at {root!r} stores payload columns {payload_cols}; "
+            f"the upsert batch is missing {missing}"
+        )
     encoded = _encode_pass(new_vectors, centroids, codebook, m, id_col, vec_col)
+    if payload_cols:
+        encoded = encoded.join(
+            new_vectors.select(id_col, *payload_cols), on=id_col
+        )
 
     def build(current_dir, new_dir):
         if current_dir is None:
@@ -459,6 +491,16 @@ def _stored_m(spark: SparkSession, root: str) -> int:
     return int((comp.get("ann") or {}).get("m", 8))
 
 
+def _stored_payload_cols(root: str) -> list[str]:
+    cur = txn.current_version_dir(root)
+    if cur is None:
+        return []
+    comp = (txn.read_manifest(root, os.path.basename(cur)) or {}).get(
+        CODES_COMPONENT, {}
+    )
+    return list((comp.get("ann") or {}).get("payload_cols", []) or [])
+
+
 def ann_index_top_k(
     spark: SparkSession,
     root: str,
@@ -471,6 +513,7 @@ def ann_index_top_k(
     allowed_ids: DataFrame | None = None,
     codec: str = "pq",
     exclude_ids=None,
+    payload_filter=None,
 ) -> DataFrame:
     """Serve a kNN query from the PREBUILT index: meta read (KBs) →
     driver-side probe selection → metadata-pruned scan of the n_probe
@@ -520,6 +563,17 @@ def ann_index_top_k(
         # a pushed-down filter, never a join
         probed = probed.filter(
             ~F.col(id_col).isin([int(i) for i in exclude_ids])
+        )
+    if payload_filter is not None:
+        # predicate over STORED payload columns (build_ann_index
+        # payload_cols — the Qdrant payload-on-point filter): no side
+        # table, no join; a simple predicate pushes into the probed
+        # segments' parquet scans, and like allowed_ids it applies
+        # BEFORE the shortlist so k fills from the filtered candidates
+        probed = probed.filter(
+            F.expr(payload_filter)
+            if isinstance(payload_filter, str)
+            else payload_filter
         )
     return _shortlist_rerank(
         probed, codebook, query, k, shortlist, id_col, vec_col,
@@ -1177,6 +1231,7 @@ def ann_index_count(
     root: str,
     allowed_ids: DataFrame | None = None,
     id_col: str = "vec_id",
+    payload_filter=None,
 ) -> DataFrame:
     """Qdrant count-points analog (``client.count(collection,
     count_filter=...)`` — the reference sizes its collection this way
@@ -1187,10 +1242,18 @@ def ann_index_count(
     applied after the fold so resurrections and deletes count
     correctly).
 
-    At 100 TB: the scan reads ONLY the id/epoch/flag columns (column-
-    pruned ReadSchema — no codes, no vectors), partial-aggregates
+    At 100 TB: the scan reads ONLY the id/epoch/flag columns (plus any
+    payload columns a ``payload_filter`` names — column-pruned
+    ReadSchema either way, no codes, no vectors), partial-aggregates
     map-side, and returns a single row."""
-    live = ann_index_live(spark, root, id_col).select(id_col)
+    live = ann_index_live(spark, root, id_col)
+    if payload_filter is not None:
+        live = live.filter(
+            F.expr(payload_filter)
+            if isinstance(payload_filter, str)
+            else payload_filter
+        )
+    live = live.select(id_col)
     if allowed_ids is not None:
         live = live.join(
             allowed_ids.select(id_col).distinct(), on=id_col, how="leftsemi"
@@ -1207,6 +1270,8 @@ def ann_index_scroll(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     with_vectors: bool = False,
+    payload_filter=None,
+    with_payload: bool = False,
 ) -> DataFrame:
     """Qdrant scroll analog — keyset-paginated listing of live points
     in id order, the exact API the reference's dedup job drives its
@@ -1226,11 +1291,21 @@ def ann_index_scroll(
     live = ann_index_live(spark, root, id_col)
     if after_id is not None:
         live = live.filter(F.col(id_col) > F.lit(after_id))
+    if payload_filter is not None:
+        # scroll filter over STORED payload (Qdrant scroll_filter):
+        # same pushed-predicate shape as serving, no side table
+        live = live.filter(
+            F.expr(payload_filter)
+            if isinstance(payload_filter, str)
+            else payload_filter
+        )
     if allowed_ids is not None:
         live = live.join(
             allowed_ids.select(id_col).distinct(), on=id_col, how="leftsemi"
         )
     cols = [F.col(id_col), F.col("ann_list")]
+    if with_payload:
+        cols += [F.col(c) for c in _stored_payload_cols(root)]
     if with_vectors:
         cols.append(F.col(vec_col))
     return live.select(*cols).orderBy(F.col(id_col).asc()).limit(int(limit))
@@ -1297,6 +1372,7 @@ def ann_index_recommend(
     vec_col: str = "embedding",
     allowed_ids: DataFrame | None = None,
     codec: str = "pq",
+    payload_filter=None,
 ) -> DataFrame:
     """Qdrant recommend API on the engine-native index (``client.
     recommend(collection, positive=[...], negative=[...])`` — the
@@ -1329,7 +1405,7 @@ def ann_index_recommend(
     return ann_index_top_k(
         spark, root, q, k=k, n_probe=n_probe, shortlist=shortlist,
         id_col=id_col, vec_col=vec_col, allowed_ids=allowed_ids,
-        codec=codec, exclude_ids=pos + neg,
+        codec=codec, exclude_ids=pos + neg, payload_filter=payload_filter,
     )
 
 
@@ -1337,7 +1413,7 @@ def ann_index_top_k_grouped(
     spark: SparkSession,
     root: str,
     query,
-    groups: DataFrame,
+    groups: DataFrame | None,
     group_col: str,
     k_groups: int = 3,
     group_size: int = 2,
@@ -1367,9 +1443,16 @@ def ann_index_top_k_grouped(
 
     Caveat shared with Qdrant: a group whose best hit ranks below the
     flat ``fetch_k`` cannot appear — size ``fetch_k`` generously
-    (it only widens one window over shortlist-scale rows)."""
+    (it only widens one window over shortlist-scale rows).
+
+    ``groups=None`` groups by a STORED payload column (an index built
+    with ``payload_cols`` — Qdrant's group_by a payload field): the
+    (id, group) map comes from the live fold, columns-pruned to those
+    two fields."""
     from .windows import group_top_k
 
+    if groups is None:
+        groups = ann_index_live(spark, root, id_col).select(id_col, group_col)
     flat = ann_index_top_k(
         spark, root, query, k=int(fetch_k), n_probe=n_probe,
         shortlist=shortlist, id_col=id_col, vec_col=vec_col,
@@ -1418,6 +1501,7 @@ def ann_index_describe(spark: SparkSession, root: str, with_count: bool = False)
         "n_list_segments": len(ann.get("list_segments", {}) or {}),
         "n_delta_segments": len(ann.get("delta_segments", []) or []),
         "pruned_serving": bool(ann.get("list_segments")),
+        "payload_cols": list(ann.get("payload_cols", []) or []),
         # the rebuild-vs-compact signal, already metadata (see
         # ann_index_drift for the field semantics)
         "drift": ann_index_drift(spark, root) if ann.get("qerr_build") else None,

@@ -211,6 +211,7 @@ GROUPS: dict[str, list[str]] = {
     # index-state CTEs in their oracles (queries_vector._ANN_IDX_CTES)
     "ann_serving_digest": [
         "ann_index_topk",
+        "ann_payload_topk",
         "ann_recommend_topk",
         "ann_grouped_topk",
         "ann_scroll_page",
@@ -574,6 +575,11 @@ PART_COLS: dict[str, tuple[tuple[str, str], ...]] = {
         ("vec_id", "s"),
     ),
     "ann_recommend_topk": (
+        ("adc_micro", "s"),
+        ("cosine_sim", "f"),
+        ("vec_id", "s"),
+    ),
+    "ann_payload_topk": (
         ("adc_micro", "s"),
         ("cosine_sim", "f"),
         ("vec_id", "s"),

@@ -850,7 +850,10 @@ def _ann_index_root(spark: SparkSession, sf_dir: str) -> str:
         root = os.path.join(tempfile.gettempdir(), f"spark_graft_annidx_{tag}")
         shutil.rmtree(root, ignore_errors=True)
         base = _emb(spark, sf_dir).filter(F.col("vec_id") != 0)
-        ann_index.build_ann_index(spark, base, root)
+        # label stored IN the index (payload-on-point): the
+        # ann_payload_topk member filters on it with no side table;
+        # storing it changes nothing for the other members' outputs
+        ann_index.build_ann_index(spark, base, root, payload_cols=["label"])
         # incremental maintenance: vectors divisible by 7 are re-embedded
         # (deterministically: reversed array — norm-preserving and
         # SQL-replayable) and upserted through the stored quantizers
@@ -1019,6 +1022,34 @@ def ann_recommend_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_index.ann_index_recommend(
         spark, root, positive_ids=[7, 11, 13], negative_ids=[5],
         k=10, n_probe=4, shortlist=100,
+    )
+
+
+@register(
+    "ann_payload_topk",
+    description="Payload-on-point filtered serve (Qdrant's payload "
+    "model, one step past the allowed_ids side-table shape): the "
+    "index stores the label column IN its rows (build_ann_index "
+    "payload_cols), and payload_filter='label = 2' applies BEFORE "
+    "the shortlist with no join at all — the predicate pushes into "
+    "the probed segments' parquet scans (plan-gated in "
+    "tests/test_ann_payload.py). k fills from the filtered "
+    "candidates; oracle replays the filter as the equivalent id set "
+    "over the same index state",
+    survey_ref="M5,J8,S14,M2",
+    oracle=_ann_serve_sql(
+        _ANN_Q0_CTE,
+        " AND sn.vec_id IN (SELECT vec_id FROM embeddings WHERE label = 2)",
+        _ANN_TOPK_TAIL,
+    ),
+)
+def ann_payload_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import ann_index
+
+    root = _ann_index_root(spark, sf_dir)
+    return ann_index.ann_index_top_k(
+        spark, root, _query_list(spark, sf_dir, 0), k=10, n_probe=4,
+        shortlist=100, payload_filter="label = 2",
     )
 
 

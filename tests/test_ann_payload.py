@@ -1,0 +1,123 @@
+"""Payload-on-point for the persisted ANN index (Qdrant's payload
+model): columns stored IN the index rows, filtered at serve time with
+a plain predicate — no side table, no join — applied BEFORE the
+shortlist so k fills from the filtered candidates."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from cultural_heritage_bigdata_project_spark.operators import ann_index
+from cultural_heritage_bigdata_project_spark.sources.tables import load_table
+
+from .conftest import SF_DIR
+
+
+def _base(spark):
+    return load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") != 0)
+
+
+def _q(spark):
+    return [
+        float(x)
+        for x in load_table(spark, SF_DIR, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .first()["embedding"]
+    ]
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("annpl") / "idx")
+    base = load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") != 0)
+    ann_index.build_ann_index(spark, base, root, payload_cols=["label"])
+    return root, base
+
+
+def test_payload_filter_equals_allowed_ids_filter(spark, built):
+    root, base = built
+    q = _q(spark)
+    assert ann_index.ann_index_describe(spark, root)["payload_cols"] == ["label"]
+
+    got = ann_index.ann_index_top_k(
+        spark, root, q, k=5, payload_filter="label = 2"
+    ).collect()
+    want = ann_index.ann_index_top_k(
+        spark, root, q, k=5,
+        allowed_ids=base.filter(F.col("label") == 2).select("vec_id"),
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(got) == 5  # k fills from the filtered candidate set
+
+    lbl = {r["vec_id"]: r["label"] for r in base.collect()}
+    assert all(lbl[r["vec_id"]] == 2 for r in got)
+
+
+def test_payload_rides_the_upsert_and_is_enforced(spark, tmp_path):
+    root = str(tmp_path / "idx")
+    base = _base(spark)
+    ann_index.build_ann_index(spark, base, root, payload_cols=["label"])
+
+    # a batch without the stored payload column is refused
+    with pytest.raises(ValueError, match="label"):
+        ann_index.ann_index_upsert(
+            spark, base.select("vec_id", "embedding").limit(2), root
+        )
+
+    # an upsert that CHANGES the payload: the filter sees the new value
+    moved = base.filter(F.col("vec_id") == 7).withColumn("label", F.lit(99))
+    ann_index.ann_index_upsert(spark, moved, root)
+    hits = ann_index.ann_index_scroll(
+        spark, root, limit=1000, payload_filter="label = 99", with_payload=True
+    ).collect()
+    assert [r["vec_id"] for r in hits] == [7]
+    assert hits[0]["label"] == 99
+    old_label = base.filter(F.col("vec_id") == 7).first()["label"]
+    still_old = ann_index.ann_index_scroll(
+        spark, root, limit=1000, payload_filter=f"label = {old_label}"
+    ).collect()
+    assert 7 not in {r["vec_id"] for r in still_old}
+
+    # count with the same predicate; survives the cheap fold
+    n99 = ann_index.ann_index_count(
+        spark, root, payload_filter="label = 99"
+    ).first()["n_points"]
+    assert n99 == 1
+    ann_index.ann_index_compact(spark, root)
+    assert (
+        ann_index.ann_index_count(spark, root, payload_filter="label = 99")
+        .first()["n_points"]
+        == 1
+    )
+
+
+def test_grouped_by_stored_payload_column(spark, built):
+    root, base = built
+    q = _q(spark)
+    got = ann_index.ann_index_top_k_grouped(
+        spark, root, q, groups=None, group_col="label",
+        k_groups=3, group_size=2, fetch_k=40,
+    ).collect()
+    want = ann_index.ann_index_top_k_grouped(
+        spark, root, q, groups=base.select("vec_id", "label"),
+        group_col="label", k_groups=3, group_size=2, fetch_k=40,
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want] and got
+
+
+def test_payload_predicate_pushes_into_probed_scans(spark, built):
+    root, _ = built
+    df = ann_index.ann_index_top_k(
+        spark, root, _q(spark), k=5, payload_filter="label = 2"
+    )
+    jvm = spark._jvm
+    plan = df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # note: the same PushedFilters list carries In(ann_list,[...]) whose
+    # nested brackets defeat a [^\]]* match — anchor on the line instead
+    assert re.search(r"PushedFilters: \[.*EqualTo\(label,2\)", plan), plan
+    assert "SortMergeJoin" not in plan, plan
