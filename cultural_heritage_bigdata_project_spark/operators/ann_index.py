@@ -747,15 +747,20 @@ def foreach_batch_ann_index_run(
     over ``rebuild_every_deltas`` batches."""
 
     def rebuild_from_live(comp: dict) -> None:
+        # stored payload columns must survive the quantizer refresh —
+        # a rebuild that dropped them would silently break every
+        # payload_filter downstream
+        pcols = list(comp["ann"].get("payload_cols", []) or [])
         state = txn.read_version(
             spark, root, subdir=CODES_COMPONENT
-        ).select(id_col, vec_col)
+        ).select(id_col, vec_col, *pcols)
         build_ann_index(
             spark, state, root,
             n_lists=int(comp["ann"].get("n_lists", 16)),
             m=int(comp["ann"].get("m", 8)),
             n_codes=int(comp["ann"].get("n_codes", 16)),
             id_col=id_col, vec_col=vec_col, keep_last=keep_last,
+            payload_cols=pcols,
         )
 
     def apply(batch_df: DataFrame, epoch_id: int) -> None:

@@ -121,3 +121,42 @@ def test_payload_predicate_pushes_into_probed_scans(spark, built):
     # nested brackets defeat a [^\]]* match — anchor on the line instead
     assert re.search(r"PushedFilters: \[.*EqualTo\(label,2\)", plan), plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_payload_survives_delete_and_streaming_rebuild(spark, tmp_path):
+    """Tombstones carry no payload (mergeSchema fold handles the gap),
+    and the streaming maintenance rebuild must re-store the payload
+    columns — a quantizer refresh that dropped them would silently
+    break every payload_filter afterwards."""
+    import os
+
+    root = str(tmp_path / "idx")
+    base = _base(spark)
+    ann_index.build_ann_index(spark, base, root, payload_cols=["label"])
+    ann_index.ann_index_delete(spark, [2], root)
+    got = ann_index.ann_index_scroll(
+        spark, root, limit=10_000, payload_filter="label >= 0"
+    ).collect()
+    live = {r["vec_id"] for r in got}
+    assert 2 not in live and len(live) == base.count() - 1
+
+    # drive the drift-triggered rebuild through the streaming loop
+    inc = str(tmp_path / "inc")
+    os.makedirs(inc)
+    shifted = base.filter(F.col("vec_id") % 4 == 0).withColumn(
+        "embedding", F.transform("embedding", lambda x: x * 10.0)
+    )
+    shifted.write.parquet(os.path.join(inc, "b0"))
+    stream = spark.readStream.schema(shifted.schema).parquet(inc + "/*")
+    ann_index.foreach_batch_ann_index_run(
+        spark, stream, root, checkpoint=str(tmp_path / "ckpt"),
+        rebuild_every_deltas=None, rebuild_on_drift=2.0,
+    )
+    desc = ann_index.ann_index_describe(spark, root)
+    assert desc["n_delta_segments"] == 0  # the rebuild ran
+    assert desc["payload_cols"] == ["label"]  # ...and kept the payload
+    lbl2 = ann_index.ann_index_count(
+        spark, root, payload_filter="label = 2"
+    ).first()["n_points"]
+    want = base.filter((F.col("label") == 2) & (F.col("vec_id") != 2)).count()
+    assert lbl2 == want
