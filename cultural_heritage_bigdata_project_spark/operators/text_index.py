@@ -129,6 +129,7 @@ def build_text_index(
     keep_last: int = 2,
     stop_terms: list[str] | None = None,
     tix_extra: dict | None = None,
+    payload_cols: list[str] | None = None,
 ) -> str:
     """Full index (re)build over ``docs``: one tokenize+aggregate pass,
     one hash shuffle on the term bucket, per-bucket segments renamed
@@ -146,7 +147,16 @@ def build_text_index(
     Document lengths stay TRUE lengths (dl is computed before the
     prune), so scores for every other term are unchanged; a stopped
     term simply has no postings, like a term that never occurred. The
-    list is recorded in the manifest and applied to upserts too."""
+    list is recorded in the manifest and applied to upserts too.
+
+    ``payload_cols`` stores the named columns of ``docs`` in the
+    DOCLEN component (one row per doc — the per-point metadata store,
+    Qdrant's payload model for the lexical side): serving can then
+    filter with ``payload_filter`` over a doclen-only scan, never
+    touching corpus text or a side table. Upserts must carry the same
+    columns (enforced); the reference dashboard's facet-filter-then-
+    serve flow (app.py:119-156) runs on exactly this shape."""
+    payload_cols = list(payload_cols or [])
     postings = _postings(docs, id_col, text_col)
     if stop_terms:
         postings = postings.filter(~F.col("term").isin(sorted(set(stop_terms))))
@@ -192,7 +202,9 @@ def build_text_index(
         # corpora and breaks the bit-equal invariant (round-8 ADVICE)
         toks = tokenize(F.lower(F.col(text_col)))
         doclen = docs.select(
-            F.col(id_col).alias("doc_id"), F.size(toks).alias("dl")
+            F.col(id_col).alias("doc_id"),
+            F.size(toks).alias("dl"),
+            *[F.col(c) for c in payload_cols],
         ).withColumn("tix_epoch", F.lit(epoch).cast("long")).withColumn(
             _SEQ, F.lit(epoch).cast("long")
         )
@@ -232,6 +244,7 @@ def build_text_index(
                         "n_docs": n_docs,
                         "sum_dl": sum_dl,
                         "stop_terms": sorted(set(stop_terms or [])),
+                        "payload_cols": payload_cols,
                         # caller bookkeeping (e.g. the streaming sink's
                         # last-applied epoch for replay idempotency)
                         **(tix_extra or {}),
@@ -265,7 +278,16 @@ def text_index_upsert(
     manifest's exact ``(n_docs, sum_dl)`` is corrected with the
     replaced docs' OLD lengths, read BUCKET-PRUNED: doclen is hash-
     bucketed on doc_id, so only the batch keys' buckets are listed and
-    folded — O(batch-buckets), never a scan of the doc universe."""
+    folded — O(batch-buckets), never a scan of the doc universe. An
+    index built with ``payload_cols`` requires every upsert batch to
+    carry those columns (the payload rides the doc's doclen row)."""
+    pcols = _stored_text_payload_cols(root)
+    missing = [c for c in pcols if c not in new_docs.columns]
+    if missing:
+        raise ValueError(
+            f"index at {root!r} stores payload columns {pcols}; "
+            f"the upsert batch is missing {missing}"
+        )
     postings = _postings(new_docs, id_col, text_col)
 
     def build(current_dir, new_dir):
@@ -302,7 +324,9 @@ def text_index_upsert(
         toks = tokenize(F.lower(F.col(text_col)))
         delta_dl = (
             new_docs.select(
-                F.col(id_col).alias("doc_id"), F.size(toks).alias("dl")
+                F.col(id_col).alias("doc_id"),
+                F.size(toks).alias("dl"),
+                *[F.col(c) for c in pcols],
             )
             .withColumn("tix_epoch", F.lit(epoch).cast("long"))
             .withColumn(_SEQ, F.lit(epoch).cast("long"))
@@ -737,6 +761,7 @@ def text_index_search(
     b: float = 0.75,
     id_col: str = "doc_id",
     allowed_ids: DataFrame | None = None,
+    payload_filter=None,
 ) -> DataFrame:
     """Serve a BM25 query from the PREBUILT index: manifest read →
     driver-side bucket selection (md5-portable, no job) → metadata-
@@ -770,6 +795,23 @@ def text_index_search(
             F.col("tf").alias("__tf"),
         )
     )
+    if payload_filter is not None:
+        pf = (
+            txn.read_version(spark, root, subdir=DOCLEN_COMPONENT)
+            .filter(
+                F.expr(payload_filter)
+                if isinstance(payload_filter, str)
+                else payload_filter
+            )
+            .select(F.col("doc_id").alias(id_col))
+        )
+        allowed_ids = (
+            pf
+            if allowed_ids is None
+            else allowed_ids.select(F.col(id_col)).join(
+                pf, on=id_col, how="leftsemi"
+            )
+        )
     if allowed_ids is not None:
         hits = hits.join(
             allowed_ids.select(F.col(id_col)).distinct(),
@@ -1030,6 +1072,16 @@ def text_index_search_all(
     )
 
 
+def _stored_text_payload_cols(root: str) -> list[str]:
+    cur = txn.current_version_dir(root)
+    if cur is None:
+        return []
+    comp = (txn.read_manifest(root, os.path.basename(cur)) or {}).get(
+        POSTINGS_COMPONENT, {}
+    )
+    return list(((comp.get("tix") or {}).get("payload_cols", [])) or [])
+
+
 def text_index_describe(root: str) -> dict:
     """DESCRIBE-INDEX observability for the inverted text index — the
     lexical twin of `ann_index.ann_index_describe` and the engine
@@ -1060,6 +1112,7 @@ def text_index_describe(root: str) -> dict:
         "sum_dl": sum_dl,
         "avgdl": (sum_dl / n_docs) if n_docs else None,
         "stop_terms": list(tix.get("stop_terms", []) or []),
+        "payload_cols": list(tix.get("payload_cols", []) or []),
         "pruned_serving": bool(tix.get("bucket_segments")),
     }
 
@@ -1068,7 +1121,7 @@ def text_index_search_grouped(
     spark: SparkSession,
     root: str,
     query_terms: list[str],
-    groups: DataFrame,
+    groups: DataFrame | None,
     group_col: str,
     k_groups: int = 3,
     group_size: int = 2,
@@ -1077,6 +1130,7 @@ def text_index_search_grouped(
     b: float = 0.75,
     id_col: str = "doc_id",
     allowed_ids: DataFrame | None = None,
+    payload_filter=None,
 ) -> DataFrame:
     """Search-groups over the LEXICAL index — the BM25 twin of
     `ann_index.ann_index_top_k_grouped` (Qdrant ``search_groups``),
@@ -1089,12 +1143,21 @@ def text_index_search_grouped(
     reference's provider-skewed result list (app.py:94-156 serves raw
     flat order): one museum's near-identical records stop monopolizing
     the lexical page the same way they stop monopolizing the vector
-    page. Returns (group_col, group_rank, rank_in_group, id, bm25)."""
+    page. Returns (group_col, group_rank, rank_in_group, id, bm25).
+
+    ``groups=None`` groups by a STORED payload column (an index built
+    with ``payload_cols``): the (id, group) map is a doclen-only
+    columns-pruned read. ``payload_filter`` forwards to the flat
+    serve."""
     from .windows import group_top_k
 
+    if groups is None:
+        groups = txn.read_version(
+            spark, root, subdir=DOCLEN_COMPONENT
+        ).select(F.col("doc_id").alias(id_col), F.col(group_col))
     flat = text_index_search(
         spark, root, query_terms, top_k=int(fetch_k), k1=k1, b=b,
-        id_col=id_col, allowed_ids=allowed_ids,
+        id_col=id_col, allowed_ids=allowed_ids, payload_filter=payload_filter,
     )
     tagged = flat.join(
         F.broadcast(groups.select(id_col, group_col).distinct()), on=id_col

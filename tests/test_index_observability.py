@@ -6,6 +6,7 @@ manifest the commits already maintain."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from cultural_heritage_bigdata_project_spark.operators import (
@@ -144,3 +145,82 @@ def test_bucket_stats_find_the_hot_term_bucket(spark, tmp_path):
     st3 = text_index.text_index_bucket_stats(root)
     assert st3["skew_ratio"] < st["skew_ratio"]
     assert "hotterm" in st3["stop_terms"]
+
+
+def test_text_payload_filtered_serving(spark, tmp_path):
+    """Payload-on-doc for the lexical index: facet columns stored in
+    the doclen component, filtered at serve time from a doclen-only
+    read — the reference dashboard's filter-by-provider flow with no
+    join to the corpus."""
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    root = str(tmp_path / "tix")
+    text_index.build_text_index(
+        spark, docs, root, payload_cols=["lang", "source"]
+    )
+    assert text_index.text_index_describe(root)["payload_cols"] == [
+        "lang",
+        "source",
+    ]
+    terms = ["merge", "spark", "window"]
+
+    got = [
+        tuple(r)
+        for r in text_index.text_index_search(
+            spark, root, terms, top_k=10, payload_filter="lang = 'en'"
+        ).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in text_index.text_index_search(
+            spark, root, terms, top_k=10,
+            allowed_ids=docs.filter(F.col("lang") == "en").select("doc_id"),
+        ).collect()
+    ]
+    assert got == want and len(got) > 0
+
+    # composition: payload_filter AND allowed_ids intersect
+    evens = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id")
+    both = [
+        r["doc_id"]
+        for r in text_index.text_index_search(
+            spark, root, terms, top_k=50,
+            allowed_ids=evens, payload_filter="lang = 'en'",
+        ).collect()
+    ]
+    lang = {r["doc_id"]: r["lang"] for r in docs.collect()}
+    assert all(d % 2 == 0 and lang[d] == "en" for d in both)
+
+    # enforcement + payload update via upsert + tombstone interplay
+    with pytest.raises(ValueError, match="lang"):
+        text_index.text_index_upsert(
+            spark, docs.select("doc_id", "text").limit(1), root
+        )
+    moved = docs.filter(F.col("doc_id") == both[0]).withColumn(
+        "lang", F.lit("xx")
+    )
+    text_index.text_index_upsert(spark, moved, root)
+    after = [
+        r["doc_id"]
+        for r in text_index.text_index_search(
+            spark, root, terms, top_k=50, payload_filter="lang = 'xx'"
+        ).collect()
+    ]
+    assert after == [both[0]]
+    text_index.text_index_delete(spark, [both[0]], root)
+    gone = text_index.text_index_search(
+        spark, root, terms, top_k=50, payload_filter="lang = 'xx'"
+    ).collect()
+    assert gone == []
+
+    # grouped by a STORED payload column == grouped by an explicit map
+    g_stored = text_index.text_index_search_grouped(
+        spark, root, terms, groups=None, group_col="source",
+        k_groups=3, group_size=2, fetch_k=20,
+    ).collect()
+    g_explicit = text_index.text_index_search_grouped(
+        spark, root, terms, groups=docs.select("doc_id", "source"),
+        group_col="source", k_groups=3, group_size=2, fetch_k=20,
+    ).collect()
+    assert [tuple(r) for r in g_stored] == [tuple(r) for r in g_explicit]
