@@ -840,15 +840,27 @@ _ANN_FIXTURE: dict[str, str] = {}
 
 def _ann_index_root(spark: SparkSession, sf_dir: str) -> str:
     if sf_dir not in _ANN_FIXTURE:
+        import atexit
+        import hashlib
         import os
         import shutil
         import tempfile
 
         from ..operators import ann_index
 
-        tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-        root = os.path.join(tempfile.gettempdir(), f"spark_graft_annidx_{tag}")
+        # keyed by the FULL sf_dir path + pid, exactly as the text-index
+        # fixture (round-8 ADVICE): two concurrent bench/correctness
+        # processes on the same scale factor — or distinct sf_dirs
+        # sharing a basename — must never alias onto one root and
+        # destroy each other's index mid-probe
+        tag = hashlib.md5(
+            os.path.abspath(sf_dir).encode("utf-8")
+        ).hexdigest()[:10]
+        root = os.path.join(
+            tempfile.gettempdir(), f"spark_graft_annidx_{tag}_p{os.getpid()}"
+        )
         shutil.rmtree(root, ignore_errors=True)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
         base = _emb(spark, sf_dir).filter(F.col("vec_id") != 0)
         # label stored IN the index (payload-on-point): the
         # ann_payload_topk member filters on it with no side table;
