@@ -986,6 +986,7 @@ def text_index_search_all(
     terms_col: str = "terms",
     id_col: str = "doc_id",
     allowed_ids: DataFrame | None = None,
+    payload_filter=None,
 ) -> DataFrame:
     """Batch serving: BM25 top-k for EVERY query in ``queries``
     (``(q_id, terms array<string>)``) in ONE job against the persisted
@@ -1030,6 +1031,26 @@ def text_index_search_all(
         F.col("term"),
         F.col("tf"),
     )
+    if payload_filter is not None:
+        # stored-payload facet filter (build_text_index payload_cols):
+        # resolved once from the doclen component for the whole batch,
+        # then the same semi-join path as allowed_ids
+        pf = (
+            txn.read_version(spark, root, subdir=DOCLEN_COMPONENT)
+            .filter(
+                F.expr(payload_filter)
+                if isinstance(payload_filter, str)
+                else payload_filter
+            )
+            .select(F.col("doc_id").alias(id_col))
+        )
+        allowed_ids = (
+            pf
+            if allowed_ids is None
+            else allowed_ids.select(F.col(id_col)).join(
+                pf, on=id_col, how="leftsemi"
+            )
+        )
     if allowed_ids is not None:
         # same pre-ranking semi-join semantics as the single-query path
         # (one shared filter for the whole batch): df over the filtered

@@ -224,3 +224,31 @@ def test_text_payload_filtered_serving(spark, tmp_path):
         group_col="source", k_groups=3, group_size=2, fetch_k=20,
     ).collect()
     assert [tuple(r) for r in g_stored] == [tuple(r) for r in g_explicit]
+
+
+def test_batch_bm25_payload_filter_matches_single(spark, tmp_path):
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    root = str(tmp_path / "tix")
+    text_index.build_text_index(spark, docs, root, payload_cols=["lang"])
+    qs = spark.createDataFrame(
+        [(1, ["merge", "spark"]), (2, ["window"])],
+        "q_id int, terms array<string>",
+    )
+    got = text_index.text_index_search_all(
+        spark, root, qs, top_k=5, payload_filter="lang = 'en'"
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["q_id"], []).append(
+            (r["doc_id"], r["bm25"], r["n_terms_hit"])
+        )
+    for qid, terms in [(1, ["merge", "spark"]), (2, ["window"])]:
+        want = [
+            (r["doc_id"], r["bm25"], r["n_terms_hit"])
+            for r in text_index.text_index_search(
+                spark, root, terms, top_k=5, payload_filter="lang = 'en'"
+            ).collect()
+        ]
+        assert by_q.get(qid, []) == want and want
