@@ -1438,12 +1438,18 @@ def ann_index_top_k_grouped(
 
     Mechanics: one ordinary index serve fetches the flat top
     ``fetch_k`` (`ann_index_top_k` — probe-pruned, filtered,
-    deterministic), the group key joins on at most ``fetch_k`` rows
-    (``groups`` is (id, group) — broadcast-scale after the semi
-    restriction to a shortlist), then two windows: rank hits within a
-    group (cosine desc, id asc; keep ``group_size``), rank groups by
-    their BEST hit (its cosine desc, then its id — Qdrant orders
-    groups by top-hit score; keep ``k_groups``). Returns
+    deterministic). The (id, group) map is CORPUS-scale (with
+    ``groups=None`` it is the whole live fold), so it is never
+    broadcast and never globally distinct-shuffled: the shortlist is
+    the broadcast side of a LEFT SEMI that restricts the map to at
+    most ``fetch_k`` ids first, the (now shortlist-sized) map is
+    deduped, and the same broadcast shortlist joins the group key
+    back on — both BroadcastExchanges in the plan build the
+    ≤``fetch_k``-row serve output (Catalyst prunes the semi's copy to
+    the bare id column), the map only ever streams. Then two windows: rank hits within a group
+    (cosine desc, id asc; keep ``group_size``), rank groups by their
+    BEST hit (its cosine desc, then its id — Qdrant orders groups by
+    top-hit score; keep ``k_groups``). Returns
     ``(group_col, group_rank, rank_in_group, vec_id, cosine_sim)``.
 
     Caveat shared with Qdrant: a group whose best hit ranks below the
@@ -1463,9 +1469,16 @@ def ann_index_top_k_grouped(
         shortlist=shortlist, id_col=id_col, vec_col=vec_col,
         allowed_ids=allowed_ids,
     )
-    tagged = flat.join(
-        F.broadcast(groups.select(id_col, group_col).distinct()), on=id_col
+    # semi-restrict the corpus-scale map by the shortlist FIRST — the
+    # broadcast side is always the <= fetch_k serve output, and the
+    # distinct runs on the restricted rows only
+    flat_b = F.broadcast(flat)
+    restricted = (
+        groups.select(id_col, group_col)
+        .join(flat_b, on=id_col, how="leftsemi")
+        .distinct()
     )
+    tagged = restricted.join(flat_b, on=id_col)
     return group_top_k(
         tagged, group_col, "cosine_sim", id_col, k_groups, group_size
     ).select(

@@ -1158,9 +1158,15 @@ def text_index_search_grouped(
     sharing the same window tail (`windows.group_top_k`) so both
     modalities diversify identically: one index-served flat top
     ``fetch_k`` (`text_index_search` — pruned probe, filtered,
-    bit-equal to the corpus scan), the group key joined on those
-    ``fetch_k`` rows only, best ``group_size`` hits per group, groups
-    ranked by their top hit. The dashboard page this exists for is the
+    bit-equal to the corpus scan); the (id, group) map is
+    CORPUS-scale (with ``groups=None`` it is the whole doclen
+    component), so the shortlist — never the map — is the broadcast
+    side: a LEFT SEMI against the broadcast ≤``fetch_k`` serve output
+    restricts the map first, the restricted rows are deduped, and the
+    broadcast shortlist joins the scores back on (the map only ever
+    streams; Catalyst prunes the semi's broadcast copy to the bare
+    id). Best
+    ``group_size`` hits per group, groups ranked by their top hit. The dashboard page this exists for is the
     reference's provider-skewed result list (app.py:94-156 serves raw
     flat order): one museum's near-identical records stop monopolizing
     the lexical page the same way they stop monopolizing the vector
@@ -1180,9 +1186,16 @@ def text_index_search_grouped(
         spark, root, query_terms, top_k=int(fetch_k), k1=k1, b=b,
         id_col=id_col, allowed_ids=allowed_ids, payload_filter=payload_filter,
     )
-    tagged = flat.join(
-        F.broadcast(groups.select(id_col, group_col).distinct()), on=id_col
+    # semi-restrict the corpus-scale map by the shortlist FIRST — the
+    # broadcast side is always the <= fetch_k serve output, and the
+    # distinct runs on the restricted rows only
+    flat_b = F.broadcast(flat)
+    restricted = (
+        groups.select(id_col, group_col)
+        .join(flat_b, on=id_col, how="leftsemi")
+        .distinct()
     )
+    tagged = restricted.join(flat_b, on=id_col)
     return group_top_k(
         tagged, group_col, "bm25", id_col, k_groups, group_size
     ).select(

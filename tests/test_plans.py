@@ -426,12 +426,73 @@ def test_ann_index_count_is_columns_pruned(spark):
     assert plan.count("HashAggregate") >= 2, plan
 
 
+def _tree_plan(spark, name: str) -> str:
+    """The executed physical plan as an indented tree string (simple
+    mode keeps BuildLeft/BuildRight and full FileScan args, which
+    formatted mode's detail blocks split away from the tree)."""
+    catalog_queries()
+    df = CATALOG[name].fn(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _broadcast_subtrees(tree: str) -> list[str]:
+    """Each BroadcastExchange node's full subtree, extracted by the
+    plan tree's branch-prefix indentation — what actually gets built
+    on the driver and shipped to every executor."""
+
+    def depth(line: str) -> int:
+        i = 0
+        while i < len(line) and line[i] in " :+-":
+            i += 1
+        return i
+
+    lines = tree.splitlines()
+    out = []
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" not in ln:
+            continue
+        d = depth(ln)
+        sub = [ln]
+        for nxt in lines[i + 1:]:
+            if nxt.strip() and depth(nxt) <= d:
+                break
+            sub.append(nxt)
+        out.append("\n".join(sub))
+    return out
+
+
 def test_grouped_serve_windows_stay_shortlist_sized(spark):
-    """ann_grouped_topk (round 9): the group join must broadcast (the
-    group map joins at most fetch_k scored rows — a sort-merge join
-    here would shuffle the whole dimension), and both ranking windows
-    run after a Limit, never over corpus-scale input."""
-    plan = _formatted_plan(spark, "ann_grouped_topk")
-    assert "SortMergeJoin" not in plan, plan
-    assert "BroadcastHashJoin" in plan, plan
-    assert "GlobalLimit" in plan or "TakeOrderedAndProject" in plan, plan
+    """ann_grouped_topk (round 10 hardening): the corpus-scale
+    (id, group) map must NEVER be the broadcast build side — round 9
+    broadcast the full dimension and this gate stayed green because it
+    only asserted a BroadcastHashJoin existed. Now: the embeddings
+    scan (the group map) appears in the plan but NOT under any
+    BroadcastExchange (it streams into a LeftSemi against the
+    broadcast shortlist), every broadcast over the map side is the
+    ≤fetch_k serve output (a Limit/TakeOrdered sits inside the
+    exchange subtree), no sort-merge join, and the ranking windows run
+    after the limit."""
+    tree = _tree_plan(spark, "ann_grouped_topk")
+    assert "SortMergeJoin" not in tree, tree
+    assert "BroadcastHashJoin" in tree, tree
+    assert "TakeOrderedAndProject" in tree or "GlobalLimit" in tree, tree
+    # the group map (embeddings.parquet) is scanned...
+    assert "embeddings.parquet" in tree, tree
+    subtrees = _broadcast_subtrees(tree)
+    assert subtrees, tree
+    for sub in subtrees:
+        # ...but never built into a broadcast relation raw: a subtree
+        # that touches the map (group_top_k's best-rank branch does,
+        # its broadcast OUTPUT is <= k_groups rows) must semi-restrict
+        # it against the shortlist before anything aggregates
+        if "embeddings.parquet" in sub:
+            assert "LeftSemi" in sub, (
+                "corpus-scale group map feeds a BroadcastExchange "
+                "without the shortlist semi restriction:\n" + sub
+            )
+    # the semi restriction broadcasts the shortlist, not the map:
+    # at least one broadcast subtree is exactly a limit of the serve
+    assert any(
+        "TakeOrderedAndProject" in sub or "GlobalLimit" in sub
+        for sub in subtrees
+    ), "\n\n".join(subtrees)
