@@ -88,8 +88,11 @@ def version_dir(root: str, version: str | int) -> str:
     if name not in list_versions(root):
         raise KeyError(
             f"version {name!r} is not retained under {root!r}; "
-            f"available: {list_versions(root)} (raise keep_last at publish "
-            "time to retain more history)"
+            f"available: {list_versions(root)} (either it aged out of "
+            "retention — raise keep_last at publish time — or that "
+            "number was never committed: a writer that loses a commit "
+            "race burns its claimed epoch, so numeric gaps between "
+            "retained versions are normal under multi-writer contention)"
         )
     return os.path.join(root, name)
 
@@ -1585,11 +1588,22 @@ def change_feed(
     to the added-segments diff, skipping rewrite segments (suffix
     ``_c*``/``_m*``).
 
-    Retention is the pointer's last-``keep_last`` contiguous commits,
-    so a feed over a partially-vacuumed range is detectable: every
-    version in (from, to] must still be retained or this raises
-    KeyError — a silently-partial change feed is worse than no feed.
+    Version NUMBERS on the publish chain are NOT dense: a writer that
+    loses a commit race burns its claimed epoch (its rows' sequence
+    column and segment names were already stamped with it before the
+    CAS), so retained tails like ``[5, 7, 8, 9]`` are normal under
+    contention — epoch 6 never committed and carried no changes.
+    Feed completeness therefore derives from the pointer's
+    chain-suffix invariant (every publish PREPENDS to the retained
+    list and truncation only drops the OLDEST entries, so
+    ``from_version`` still being retained guarantees every later
+    commit is too), never from epoch arithmetic. A feed from an epoch
+    that aged out of retention raises KeyError (via `version_dir`) —
+    a silently-partial change feed is worse than no feed — and a
+    pointer whose numeric epochs are out of publish order (possible
+    only by hand-editing) fails `_check_numeric_chain`.
     """
+    _check_numeric_chain(root)
     _epoch = _numeric_epoch
     numeric = {
         e: n for n in list_versions(root) if (e := _epoch(n)) is not None
@@ -1630,18 +1644,15 @@ def change_feed(
         return components[component]
 
     prev_read_list = set(_component(from_name).get("segments", []))
+    # from_name resolved through version_dir above, i.e. it is still
+    # retained — the chain-suffix invariant then guarantees every
+    # commit after it is retained too, so the walk is complete (an
+    # epoch absent from (lo, hi] was burned by a lost race, not
+    # vacuumed, and burned epochs committed nothing)
     walked = sorted(k for k in retained if lo < k <= hi)
     feed_segments = _collect_feed_segments(
         root, component, retained, walked, prev_read_list
     )
-    n_expected = hi - lo
-    n_walked = sum(1 for k in retained if lo < k <= hi)
-    if n_walked != n_expected:
-        raise KeyError(
-            f"change feed {from_name!r} -> {to_name!r} spans {n_expected} "
-            f"commits but only {n_walked} are retained — intermediate "
-            "versions were vacuumed; raise keep_last to keep a readable feed"
-        )
     if not feed_segments:
         return _empty_feed_df(spark, root, to_name, component)
     return _read_segment_union(
@@ -1696,9 +1707,14 @@ def poll_changes(
 
     Contract: poll → process/materialize → ``ack_cursor(path, hi)``.
     A fresh cursor (no file) reads the full retention window — every
-    retained numeric commit. A cursor that has fallen behind retention
-    raises KeyError (a silently-partial feed is worse than none; raise
-    ``keep_last`` at the sink or poll more often). A cursor AHEAD of
+    retained numeric commit. A cursor whose acked epoch aged out of
+    retention raises KeyError (a silently-partial feed is worse than
+    none; raise ``keep_last`` at the sink or poll more often) —
+    detected by the acked epoch no longer being retained, NOT by
+    epoch arithmetic: numeric epochs on the chain may skip values
+    burned by lost commit races (see `change_feed`), and acked epochs
+    are always real commits, so "acked but not retained" can only
+    mean retention passed the cursor. A cursor AHEAD of
     the table (``last > hi``) raises ValueError — the table was reset
     or restored under the consumer, which must re-seed explicitly.
     ``hi == last`` returns an empty DataFrame with the feed schema and
@@ -1738,14 +1754,15 @@ def poll_changes(
             f"current epoch is {hi} — the table was reset or restored; "
             "delete the cursor to re-seed from the retention window"
         )
+    if last is not None and last < hi and last not in numeric:
+        raise KeyError(
+            f"cursor {cursor_path!r} acked epoch {last}, which is no "
+            f"longer retained under {root!r} — the consumer fell behind "
+            "retention; raise keep_last at the sink or poll more often"
+        )
+    _check_numeric_chain(root)
     lo = last if last is not None else min(numeric) - 1
     walked = sorted(e for e in numeric if lo < e <= hi)
-    if len(walked) != hi - lo:
-        raise KeyError(
-            f"cursor at epoch {lo} needs {hi - lo} commits but only "
-            f"{len(walked)} are retained under {root!r} — the consumer "
-            "fell behind retention; raise keep_last at the sink"
-        )
     prev_read_list: set[str] = set()
     if last is not None and last in numeric:
         comp0 = (read_manifest(root, numeric[last]) or {}).get(component)
@@ -1770,6 +1787,27 @@ def _numeric_epoch(name: str) -> int | None:
     by construction and are skipped by feeds."""
     suffix = name.rsplit("v", 1)[-1]
     return int(suffix) if suffix.isdigit() else None
+
+
+def _check_numeric_chain(root: str) -> None:
+    """Validate the chain-suffix invariant feed reads rely on: numeric
+    epochs must be strictly decreasing in pointer (newest-first
+    publish) order. Every committer PREPENDS to the retained list and
+    truncation drops only the oldest entries, so a violation means the
+    pointer was edited outside the commit protocol — feeds refuse to
+    guess which commits are missing. Epochs are NOT required to be
+    dense: a writer that loses a commit race burns its claimed number
+    (rows and segments were already stamped with it), so gaps like
+    ``[9, 8, 7, 5]`` are normal under multi-writer contention."""
+    epochs = [
+        e for n in list_versions(root) if (e := _numeric_epoch(n)) is not None
+    ]
+    if any(a <= b for a, b in zip(epochs, epochs[1:])):
+        raise RuntimeError(
+            f"retained numeric versions under {root!r} are out of publish "
+            f"order ({epochs}); the pointer file was modified outside the "
+            "commit protocol"
+        )
 
 
 def _collect_feed_segments(

@@ -890,6 +890,54 @@ def test_poll_changes_cursor_lifecycle(spark, tmp_path):
     txn.ack_cursor(cursor, hi3)
 
 
+def test_feeds_complete_across_burned_epoch(spark, tmp_path):
+    """Round-10 adjudication of the multiwriter retention finding: a
+    writer that claims an epoch but loses the publish race BURNS the
+    number (its rows/segments were already stamped with it), so the
+    retained numeric tail has gaps — [.., 1, 3] here — with zero data
+    loss. Feeds must stay complete and quiet across the gap (the old
+    hi-lo commit arithmetic raised a false 'versions were vacuumed'
+    KeyError), and time travel to the burned number must explain
+    itself instead of looking like corruption."""
+    import pytest
+
+    tdir = str(tmp_path / "btbl")
+    cursor = str(tmp_path / "cursor.json")
+    for e in range(2):
+        df = spark.createDataFrame(
+            [(i, e, f"e{e}_{i}") for i in range(5)],
+            "id long, v long, val string",
+        )
+        streaming.batch_upsert_commit(spark, df, ["id"], ["v"], tdir, keep_last=6)
+    # a competitor claims epoch 2 (exclusive mkdir) and dies before
+    # publishing — exactly what a lost CAS race leaves behind
+    os.makedirs(os.path.join(tdir, "data_v2"))
+    third = spark.createDataFrame(
+        [(i, 3, f"e3_{i}") for i in range(5, 8)], "id long, v long, val string"
+    )
+    streaming.batch_upsert_commit(spark, third, ["id"], ["v"], tdir, keep_last=6)
+    numeric = [
+        e
+        for n in txn.list_versions(tdir)
+        if (e := txn._numeric_epoch(n)) is not None
+    ]
+    assert numeric == [3, 1, 0], numeric  # 2 burned, never published
+    # fresh cursor: the whole window, hi is the real max epoch
+    df1, hi1 = txn.poll_changes(spark, tdir, cursor)
+    assert hi1 == 3 and df1.count() == 13
+    # cursor acked mid-chain, feed crosses the burned number silently
+    txn.ack_cursor(cursor, 1)
+    df2, hi2 = txn.poll_changes(spark, tdir, cursor)
+    assert hi2 == 3
+    assert {r.id for r in df2.collect()} == {5, 6, 7}
+    # change_feed across the gap delivers exactly the committed epochs
+    feed = txn.change_feed(spark, tdir, from_version=0)
+    assert {r["__sg_seq"] for r in feed.collect()} == {1, 3}
+    # time travel to the burned number: loud, and names the cause
+    with pytest.raises(KeyError, match="never committed"):
+        txn.version_dir(tdir, 2)
+
+
 def test_poll_changes_behind_retention_raises(spark, tmp_path):
     """A cursor that fell behind the sink's retention must fail loudly,
     never deliver a silently-partial feed."""

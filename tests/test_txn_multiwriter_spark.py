@@ -147,7 +147,22 @@ def test_two_process_spark_writers_plus_compactor(tmp_path, spark):
         if (e := txn._numeric_epoch(n)) is not None
     ]
     assert len(numeric) == len(set(numeric))
-    # keep_last=4 retains a suffix of the chain; with 8 total commits
-    # at least the last 4 numeric epochs must be present and contiguous
-    tail = sorted(numeric)[-4:]
-    assert tail == list(range(tail[0], tail[0] + 4))
+    # Retention contract (round-10 adjudication): the retained list is
+    # a contiguous suffix of the PUBLISH CHAIN, not of the integers —
+    # a writer that loses a CAS race burns its claimed epoch (rows and
+    # segment names were already stamped with it), so tails like
+    # [5, 7, 8, 9] are legitimate: epoch 6 never committed. The
+    # checkable invariants are (a) pointer order IS publish order
+    # (numeric epochs strictly decreasing newest-first — what
+    # txn._check_numeric_chain enforces for feeds), and (b) a change
+    # feed from the OLDEST retained numeric epoch is complete without
+    # any density assumption.
+    txn._check_numeric_chain(root)
+    assert numeric == sorted(numeric, reverse=True), numeric
+    if len(numeric) >= 2:
+        lo_epoch = numeric[-1]
+        feed = txn.change_feed(spark, root, from_version=lo_epoch)
+        seqs = {r["__sg_seq"] for r in feed.select("__sg_seq").collect()}
+        # every newer retained epoch contributed its changes; burned
+        # epochs (absent from the retained list) committed nothing
+        assert seqs == set(numeric) - {lo_epoch}, (seqs, numeric)
