@@ -43,6 +43,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import payload_overlay as plov
 from . import txn
 from .similarity import (
     _deterministic_centroids,
@@ -483,6 +484,76 @@ def ann_index_delete(
     return txn.commit_with_retry(root, build, keep_last=keep_last, op="ann_delete")
 
 
+def ann_index_set_payload(
+    spark: SparkSession,
+    updates: DataFrame,
+    root: str,
+    id_col: str = "vec_id",
+    keep_last: int = 2,
+) -> str:
+    """Payload-only point mutation — the Qdrant ``set_payload`` analog
+    (the one client call round 9 left unmapped: re-labeling
+    ``status=pending→validated`` without re-sending the vector, which
+    the reference does by full upsert because its loop already holds
+    the vectors, deduplicate_from_qdrant.py:188-210).
+
+    ``updates`` carries ``id_col`` plus ANY SUBSET of the stored
+    payload columns; a column absent from the batch is untouched on
+    every point (Qdrant's key-merge semantics), a column present is
+    set — including to NULL. One O(batch) overlay segment commits via
+    CAS; serving folds merge it immediately (newest set-epoch per
+    column wins over the row's own epoch), so a ``payload_filter``
+    reflects the flip on the very next serve, a LATER full upsert of
+    the point resets its payload wholesale, and compaction bakes the
+    values in and clears the overlay. Ids not in the index are
+    ignored (Qdrant: set_payload never creates points). Vectors,
+    codes, and posting layout are never touched. See
+    `payload_overlay` for the merge contract."""
+    pcols = _stored_payload_cols(root)
+    upd_cols = plov.validate_update_cols(updates, pcols, id_col, root)
+
+    def build(current_dir, new_dir):
+        if current_dir is None:
+            raise FileNotFoundError(
+                f"no index published under {root!r}; run build_ann_index first"
+            )
+        cur_name = os.path.basename(current_dir)
+        components = txn.read_manifest(root, cur_name)
+        comp = dict(components[CODES_COMPONENT])
+        epoch = _next_epoch(root, current_dir)
+        vname = os.path.basename(new_dir)
+        stamped = updates.dropDuplicates([id_col]).select(
+            id_col,
+            *upd_cols,
+            *[
+                F.lit(True).alias(plov.set_flag_col(p)) for p in upd_cols
+            ],
+            F.lit(epoch).cast("long").alias("ann_epoch"),
+            F.lit(epoch).cast("long").alias(_SEQ),
+        )
+        seg = f"annp_{vname}"
+        sdir = txn.segment_path(root, seg)
+        shutil.rmtree(sdir, ignore_errors=True)  # own aborted leftovers only
+        stamped.write.parquet(sdir)
+        if not txn._has_parquet(sdir):
+            txn.write_manifest(root, vname, components)  # empty batch: no-op
+            return
+        ann = dict(comp.get("ann") or {})
+        ann["epoch"] = epoch
+        ann["payload_deltas"] = list(ann.get("payload_deltas", [])) + [seg]
+        # NOT in `segments`: a payload-only row winning the generic
+        # latest-per-key fold would null out codes/vectors. GC
+        # protection rides the change-feed record instead.
+        comp.update({"changes": [seg], "ann": ann})
+        out = dict(components)
+        out[CODES_COMPONENT] = comp
+        txn.write_manifest(root, vname, out)
+
+    return txn.commit_with_retry(
+        root, build, keep_last=keep_last, op="ann_set_payload"
+    )
+
+
 def _stored_m(spark: SparkSession, root: str) -> int:
     cur = txn.current_version_dir(root)
     comp = (txn.read_manifest(root, os.path.basename(cur)) or {}).get(
@@ -602,40 +673,67 @@ def _probed_latest(
     lists are empty — serve CORRECTLY from the generic full fold (no
     segment pruning; run ``build_ann_index`` to restore the pruned
     layout). Shared by the single-query and batch serving paths — the
-    batch path previously crashed on this case (round-7 ADVICE, low)."""
+    batch path previously crashed on this case (round-7 ADVICE, low).
+
+    Pending `ann_index_set_payload` overlays merge onto the fold here
+    (per-column, newest-set-epoch wins over the row's own epoch), so
+    every downstream ``payload_filter`` sees the mutated values —
+    filter-after-mutation composes immediately, no compaction needed."""
     list_segs = (ann or {}).get("list_segments", {})
     probe_segs = [list_segs[str(p)] for p in probe_ids if str(p) in list_segs]
     delta_segs = list((ann or {}).get("delta_segments", []))
     if not probe_segs and not delta_segs:
         if comp.get("segments"):
-            return txn.read_version(spark, root, subdir=CODES_COMPONENT)
-        raise FileNotFoundError(f"index under {root!r} has no segments")
-    base_rows = (
-        txn._read_segment_union(
-            spark, [txn.segment_path(root, s) for s in probe_segs]
+            out = txn.read_version(spark, root, subdir=CODES_COMPONENT)
+        else:
+            raise FileNotFoundError(f"index under {root!r} has no segments")
+    else:
+        base_rows = (
+            txn._read_segment_union(
+                spark, [txn.segment_path(root, s) for s in probe_segs]
+            )
+            if probe_segs
+            else None
         )
-        if probe_segs
-        else None
+        if delta_segs:
+            delta_rows = txn._read_segment_union(
+                spark, [txn.segment_path(root, s) for s in delta_segs]
+            )
+            # tombstones filter out of delta_latest (their keys serve
+            # nothing), but the base anti join must key on ALL delta keys
+            # including tombstoned ones — a deleted key's base row must
+            # vanish, not survive the fold
+            delta_keys = delta_rows.select(id_col).distinct()
+            delta_latest = txn.reconstruct_latest(delta_rows, _spec(id_col))
+            if base_rows is None:
+                out = delta_latest
+            else:
+                survivors = base_rows.join(
+                    F.broadcast(delta_keys),
+                    on=id_col,
+                    how="left_anti",
+                ).drop(_SEQ)
+                out = survivors.unionByName(
+                    delta_latest, allowMissingColumns=True
+                )
+        else:
+            out = base_rows.drop(_SEQ)
+    overlay, eff = _ann_payload_overlay(spark, root, ann, id_col)
+    return plov.overlay_merge(out, overlay, eff, id_col, "ann_epoch")
+
+
+def _ann_payload_overlay(spark: SparkSession, root: str, ann: dict, id_col: str):
+    """Fold of this index's pending payload-only mutations (see
+    `payload_overlay`): None when there are none — the common case,
+    whose plan is untouched."""
+    segs = list((ann or {}).get("payload_deltas", []) or [])
+    pcols = list((ann or {}).get("payload_cols", []) or [])
+    if not segs or not pcols:
+        return None, []
+    rows = txn._read_segment_union(
+        spark, [txn.segment_path(root, s) for s in segs]
     )
-    if delta_segs:
-        delta_rows = txn._read_segment_union(
-            spark, [txn.segment_path(root, s) for s in delta_segs]
-        )
-        # tombstones filter out of delta_latest (their keys serve
-        # nothing), but the base anti join must key on ALL delta keys
-        # including tombstoned ones — a deleted key's base row must
-        # vanish, not survive the fold
-        delta_keys = delta_rows.select(id_col).distinct()
-        delta_latest = txn.reconstruct_latest(delta_rows, _spec(id_col))
-        if base_rows is None:
-            return delta_latest
-        survivors = base_rows.join(
-            F.broadcast(delta_keys),
-            on=id_col,
-            how="left_anti",
-        ).drop(_SEQ)
-        return survivors.unionByName(delta_latest, allowMissingColumns=True)
-    return base_rows.drop(_SEQ)
+    return plov.overlay_fold(rows, pcols, id_col)
 
 
 def _shortlist_rerank(
@@ -751,9 +849,12 @@ def foreach_batch_ann_index_run(
         # a rebuild that dropped them would silently break every
         # payload_filter downstream
         pcols = list(comp["ann"].get("payload_cols", []) or [])
-        state = txn.read_version(
-            spark, root, subdir=CODES_COMPONENT
-        ).select(id_col, vec_col, *pcols)
+        # overlay-merged live view: a rebuild must bake pending
+        # set_payload mutations in, not erase them with the fresh
+        # manifest's empty payload_deltas
+        state = ann_index_live(spark, root, id_col).select(
+            id_col, vec_col, *pcols
+        )
         build_ann_index(
             spark, state, root,
             n_lists=int(comp["ann"].get("n_lists", 16)),
@@ -1103,6 +1204,12 @@ def ann_index_compact(
             folded = folded.filter(
                 ~F.coalesce(F.col(_DEL), F.lit(False))
             ).drop(_DEL)
+        # bake pending payload overlays into the rewritten rows — the
+        # one mutation family the latest-per-key fold above cannot
+        # absorb (payload-only rows carry no codes); cleared below so
+        # payload-predicate pushdown is physical again after compaction
+        overlay, eff = _ann_payload_overlay(spark, root, ann, id_col)
+        folded = plov.overlay_merge(folded, overlay, eff, id_col, "ann_epoch")
 
         scratch = os.path.join(new_dir, "_compact")
         folded.withColumn("ann_list_p", F.col("ann_list")).write.partitionBy(
@@ -1130,7 +1237,10 @@ def ann_index_compact(
         comp["segments"] = seg_names
         comp["changes"] = []  # a rewrite is not a change
         comp["stats"] = stats
-        ann.update({"list_segments": new_map, "delta_segments": []})
+        ann.update(
+            {"list_segments": new_map, "delta_segments": [],
+             "payload_deltas": []}
+        )
         if ann.get("qerr_build") is not None and "__qd" in folded.columns:
             # folded rows keep their per-row error: refresh the live
             # mean so drift monitoring SURVIVES compaction (folding
@@ -1227,8 +1337,20 @@ def ann_index_live(
     deletions committed by `ann_index_delete`). The shared base of the
     point-management APIs below (scroll / count / example fetch) —
     the SERVING paths never call this; they stay on the probe-pruned
-    `_probed_latest` read."""
-    return txn.read_version(spark, root, subdir=CODES_COMPONENT)
+    `_probed_latest` read. Pending set_payload overlays merge here
+    too, so counts, scrolls, and grouped maps see mutated payload."""
+    out = txn.read_version(spark, root, subdir=CODES_COMPONENT)
+    cur = txn.current_version_dir(root)
+    ann = {}
+    if cur is not None:
+        ann = (
+            (txn.read_manifest(root, os.path.basename(cur)) or {})
+            .get(CODES_COMPONENT, {})
+            .get("ann")
+            or {}
+        )
+    overlay, eff = _ann_payload_overlay(spark, root, ann, id_col)
+    return plov.overlay_merge(out, overlay, eff, id_col, "ann_epoch")
 
 
 def ann_index_count(
@@ -1518,6 +1640,7 @@ def ann_index_describe(spark: SparkSession, root: str, with_count: bool = False)
         "n_codes": int(ann.get("n_codes", 0)),
         "n_list_segments": len(ann.get("list_segments", {}) or {}),
         "n_delta_segments": len(ann.get("delta_segments", []) or []),
+        "n_payload_delta_segments": len(ann.get("payload_deltas", []) or []),
         "pruned_serving": bool(ann.get("list_segments")),
         "payload_cols": list(ann.get("payload_cols", []) or []),
         # the rebuild-vs-compact signal, already metadata (see

@@ -55,6 +55,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import tokenize
+from . import payload_overlay as plov
 from . import txn
 from .text import bm25_rank_hits
 
@@ -723,6 +724,11 @@ def _compact_rehome(
         dl_folded = dl_folded.filter(
             ~F.coalesce(F.col(_DEL), F.lit(False))
         ).drop(_DEL)
+    # bake pending set_payload overlays into the rewritten doclen rows
+    # (cleared from tix below) — facet-predicate pushdown is physical
+    # again after compaction
+    overlay, eff = _text_payload_overlay(spark, root, tix)
+    dl_folded = plov.overlay_merge(dl_folded, overlay, eff, "doc_id", "tix_epoch")
     dl_seg = f"tixdl_{vname}"
     dl_dir = txn.segment_path(root, dl_seg)
     shutil.rmtree(dl_dir, ignore_errors=True)
@@ -737,6 +743,7 @@ def _compact_rehome(
             "bucket_segments": new_map,
             "delta_segments": [],
             "dl_delta_segments": [],
+            "payload_deltas": [],
         }
     )
     comp["tix"] = tix
@@ -797,7 +804,7 @@ def text_index_search(
     )
     if payload_filter is not None:
         pf = (
-            txn.read_version(spark, root, subdir=DOCLEN_COMPONENT)
+            _doclen_with_payload(spark, root)
             .filter(
                 F.expr(payload_filter)
                 if isinstance(payload_filter, str)
@@ -1033,10 +1040,11 @@ def text_index_search_all(
     )
     if payload_filter is not None:
         # stored-payload facet filter (build_text_index payload_cols):
-        # resolved once from the doclen component for the whole batch,
-        # then the same semi-join path as allowed_ids
+        # resolved once from the doclen component (set_payload overlays
+        # merged) for the whole batch, then the same semi-join path as
+        # allowed_ids
         pf = (
-            txn.read_version(spark, root, subdir=DOCLEN_COMPONENT)
+            _doclen_with_payload(spark, root)
             .filter(
                 F.expr(payload_filter)
                 if isinstance(payload_filter, str)
@@ -1103,6 +1111,111 @@ def _stored_text_payload_cols(root: str) -> list[str]:
     return list(((comp.get("tix") or {}).get("payload_cols", [])) or [])
 
 
+def _stored_tix(root: str) -> dict:
+    cur = txn.current_version_dir(root)
+    if cur is None:
+        return {}
+    comp = (txn.read_manifest(root, os.path.basename(cur)) or {}).get(
+        POSTINGS_COMPONENT, {}
+    )
+    return dict(comp.get("tix") or {})
+
+
+def _doclen_with_payload(spark: SparkSession, root: str) -> DataFrame:
+    """The doclen fold every payload consumer reads (facet filters,
+    grouped maps): pending `text_index_set_payload` overlays merged
+    per column, newest set-epoch beating the doc row's own
+    ``tix_epoch`` (see `payload_overlay`). With no pending overlay —
+    the common case, and always right after a compaction — this IS the
+    plain component read, plan and pushdown untouched."""
+    out = txn.read_version(spark, root, subdir=DOCLEN_COMPONENT)
+    tix = _stored_tix(root)
+    overlay, eff = _text_payload_overlay(spark, root, tix)
+    return plov.overlay_merge(out, overlay, eff, "doc_id", "tix_epoch")
+
+
+def _text_payload_overlay(spark: SparkSession, root: str, tix: dict):
+    segs = list((tix or {}).get("payload_deltas", []) or [])
+    pcols = list((tix or {}).get("payload_cols", []) or [])
+    if not segs or not pcols:
+        return None, []
+    rows = txn._read_segment_union(
+        spark, [txn.segment_path(root, s) for s in segs]
+    )
+    return plov.overlay_fold(rows, pcols, "doc_id")
+
+
+def text_index_set_payload(
+    spark: SparkSession,
+    updates: DataFrame,
+    root: str,
+    id_col: str = "doc_id",
+    keep_last: int = 2,
+) -> str:
+    """Payload-only doc mutation — `ann_index.ann_index_set_payload`'s
+    lexical twin (Qdrant ``set_payload`` over the text side's
+    payload-on-doc model): re-label a doc's stored facet columns
+    WITHOUT re-tokenizing its text or touching a single posting.
+    ``updates`` carries ``doc_id`` plus any subset of the stored
+    payload columns (absent column = untouched, present = set, Qdrant
+    key-merge). One O(batch) overlay segment, CAS-committed; every
+    ``payload_filter`` and grouped serve reflects the flip on the next
+    query, a later full doc upsert resets payload wholesale (newer
+    ``tix_epoch`` wins), and `text_index_compact` bakes values into
+    the doclen rows and clears the overlay. Unknown ids are ignored.
+    See `payload_overlay` for the merge contract."""
+    pcols = _stored_text_payload_cols(root)
+    upd_cols = plov.validate_update_cols(updates, pcols, id_col, root)
+
+    def build(current_dir, new_dir):
+        if current_dir is None:
+            raise FileNotFoundError(
+                f"no index published under {root!r}; run build_text_index first"
+            )
+        cur_name = os.path.basename(current_dir)
+        components = txn.read_manifest(root, cur_name)
+        comp = dict(components[POSTINGS_COMPONENT])
+        tix = dict(comp.get("tix") or {})
+        epoch = _next_epoch(root, current_dir)
+        vname = os.path.basename(new_dir)
+        stamped = updates.dropDuplicates([id_col]).select(
+            F.col(id_col).alias("doc_id"),
+            *[F.col(c) for c in upd_cols],
+            *[F.lit(True).alias(plov.set_flag_col(p)) for p in upd_cols],
+            F.lit(epoch).cast("long").alias("tix_epoch"),
+            F.lit(epoch).cast("long").alias(_SEQ),
+        )
+        seg = f"tixp_{vname}"
+        sdir = txn.segment_path(root, seg)
+        shutil.rmtree(sdir, ignore_errors=True)  # own aborted leftovers only
+        stamped.write.parquet(sdir)
+        if not txn._has_parquet(sdir):
+            txn.write_manifest(root, vname, components)  # empty batch: no-op
+            return
+        tix.update(
+            {
+                "epoch": epoch,
+                "payload_deltas": list(tix.get("payload_deltas", []))
+                + [seg],
+            }
+        )
+        comp["tix"] = tix
+        comp["changes"] = []  # postings untouched this commit
+        dlc = dict(components[DOCLEN_COMPONENT])
+        # NOT in the doclen read list — an overlay row winning the
+        # latest-per-doc fold would null out dl (and with it corpus
+        # stats). GC protection rides the change-feed record.
+        dlc["changes"] = [seg]
+        out = dict(components)
+        out[POSTINGS_COMPONENT] = comp
+        out[DOCLEN_COMPONENT] = dlc
+        txn.write_manifest(root, vname, out)
+
+    return txn.commit_with_retry(
+        root, build, keep_last=keep_last, op="text_set_payload"
+    )
+
+
 def text_index_describe(root: str) -> dict:
     """DESCRIBE-INDEX observability for the inverted text index — the
     lexical twin of `ann_index.ann_index_describe` and the engine
@@ -1129,6 +1242,7 @@ def text_index_describe(root: str) -> dict:
         "n_bucket_segments": len(tix.get("bucket_segments", {}) or {}),
         "n_delta_segments": len(tix.get("delta_segments", []) or []),
         "n_dl_delta_segments": len(tix.get("dl_delta_segments", []) or []),
+        "n_payload_delta_segments": len(tix.get("payload_deltas", []) or []),
         "n_docs": n_docs,
         "sum_dl": sum_dl,
         "avgdl": (sum_dl / n_docs) if n_docs else None,
@@ -1179,9 +1293,9 @@ def text_index_search_grouped(
     from .windows import group_top_k
 
     if groups is None:
-        groups = txn.read_version(
-            spark, root, subdir=DOCLEN_COMPONENT
-        ).select(F.col("doc_id").alias(id_col), F.col(group_col))
+        groups = _doclen_with_payload(spark, root).select(
+            F.col("doc_id").alias(id_col), F.col(group_col)
+        )
     flat = text_index_search(
         spark, root, query_terms, top_k=int(fetch_k), k1=k1, b=b,
         id_col=id_col, allowed_ids=allowed_ids, payload_filter=payload_filter,

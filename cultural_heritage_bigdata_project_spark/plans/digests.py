@@ -215,6 +215,7 @@ GROUPS: dict[str, list[str]] = {
         "ann_recommend_topk",
         "ann_grouped_topk",
         "ann_scroll_page",
+        "ann_set_payload_page",
         "ann_index_count",
     ],
     "vector_codec_digest": [
@@ -593,6 +594,11 @@ PART_COLS: dict[str, tuple[tuple[str, str], ...]] = {
     ),
     "ann_scroll_page": (
         ("ann_list", "s"),
+        ("vec_id", "s"),
+    ),
+    "ann_set_payload_page": (
+        ("ann_list", "s"),
+        ("label", "s"),
         ("vec_id", "s"),
     ),
     "ann_index_count": (

@@ -873,6 +873,22 @@ def _ann_index_root(spark: SparkSession, sf_dir: str) -> str:
             "embedding", F.reverse(F.col("embedding"))
         )
         ann_index.ann_index_upsert(spark, upd, root)
+        # payload-only mutation (round 10): re-label WITHOUT touching
+        # vectors — ann_index_set_payload commits an overlay the
+        # serving fold merges; the flip rule is deterministic and
+        # SQL-replayable (the `plabel` CTE in _ANN_IDX_CTES), and the
+        # ann_payload_topk / ann_set_payload_page members are
+        # hash-checked against the post-flip payload state
+        flips = base.filter(
+            (F.col("vec_id") % 11 == 3)
+            | ((F.col("label") == 2) & (F.col("vec_id") % 13 == 1))
+        ).select(
+            "vec_id",
+            F.when(F.col("vec_id") % 11 == 3, F.lit(2))
+            .otherwise(F.lit(9))
+            .alias("label"),
+        )
+        ann_index.ann_index_set_payload(spark, flips, root)
         _ANN_FIXTURE[sf_dir] = root
     return _ANN_FIXTURE[sf_dir]
 
@@ -913,6 +929,12 @@ _ANN_IDX_CTES = """eb AS (
                               ORDER BY list_distance(s.v0, c.v), c.list_id) AS rn
     FROM state s CROSS JOIN cent c
   ) WHERE rn = 1
+), plabel AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 11 = 3 THEN 2
+              WHEN label = 2 AND vec_id % 13 = 1 THEN 9
+              ELSE label END AS label
+  FROM embeddings WHERE vec_id <> 0
 )"""
 
 _ANN_Q0_CTE = """q0 AS (
@@ -1045,13 +1067,16 @@ def ann_recommend_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "payload_cols), and payload_filter='label = 2' applies BEFORE "
     "the shortlist with no join at all — the predicate pushes into "
     "the probed segments' parquet scans (plan-gated in "
-    "tests/test_ann_payload.py). k fills from the filtered "
-    "candidates; oracle replays the filter as the equivalent id set "
-    "over the same index state",
+    "tests/test_ann_payload.py). The fixture then RE-LABELS points "
+    "through ann_index_set_payload (round 10 — Qdrant set_payload: "
+    "payload-only mutation, vectors untouched), so this member also "
+    "hash-checks that the filter sees the overlay-merged values: the "
+    "oracle replays the flip rule (plabel CTE) as the equivalent id "
+    "set over the same index state",
     survey_ref="M5,J8,S14,M2",
     oracle=_ann_serve_sql(
         _ANN_Q0_CTE,
-        " AND sn.vec_id IN (SELECT vec_id FROM embeddings WHERE label = 2)",
+        " AND sn.vec_id IN (SELECT vec_id FROM plabel WHERE label = 2)",
         _ANN_TOPK_TAIL,
     ),
 )
@@ -1144,6 +1169,37 @@ def ann_scroll_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ann_index.ann_index_scroll(
         spark, root, limit=17, after_id=13, allowed_ids=allowed
+    )
+
+
+@register(
+    "ann_set_payload_page",
+    description="Qdrant set_payload analog served back (round 10): the "
+    "fixture re-labels points payload-only (ann_index_set_payload — "
+    "an O(batch) overlay segment, vectors and posting layout "
+    "untouched; the reference does this flow by full upsert, "
+    "deduplicate_from_qdrant.py:188-210), and this member pages the "
+    "live fold WITH payload, hash-checking that every returned label "
+    "is the overlay-merged value (flip rule replayed by the plabel "
+    "CTE) — the re-labeling-without-re-embedding flow end-to-end",
+    survey_ref="M5,M2,S14,W1",
+    oracle=f"""
+WITH {_ANN_IDX_CTES}
+SELECT s.vec_id, CAST(a.list_id AS INTEGER) AS ann_list, p.label
+FROM state s
+JOIN assign a ON s.vec_id = a.vec_id
+JOIN plabel p ON s.vec_id = p.vec_id
+WHERE s.vec_id > 20
+ORDER BY s.vec_id ASC
+LIMIT 15
+""",
+)
+def ann_set_payload_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import ann_index
+
+    root = _ann_index_root(spark, sf_dir)
+    return ann_index.ann_index_scroll(
+        spark, root, limit=15, after_id=20, with_payload=True
     )
 
 

@@ -160,3 +160,120 @@ def test_payload_survives_delete_and_streaming_rebuild(spark, tmp_path):
     ).first()["n_points"]
     want = base.filter((F.col("label") == 2) & (F.col("vec_id") != 2)).count()
     assert lbl2 == want
+
+
+def test_set_payload_lifecycle(spark, tmp_path):
+    """Qdrant set_payload analog (round 10): flip a payload column
+    without re-sending vectors; the flip is immediately visible to
+    filtered serving / count / scroll, a later full upsert resets it,
+    delete → resurrect ignores pre-delete labels, and compaction bakes
+    the overlay in and clears it."""
+    root = str(tmp_path / "idx")
+    base = _base(spark).withColumn("status", F.lit("pending"))
+    ann_index.build_ann_index(
+        spark, base, root, payload_cols=["label", "status"]
+    )
+    q = _q(spark)
+    ids = [r["vec_id"] for r in base.orderBy("vec_id").limit(3).collect()]
+
+    pre = ann_index.ann_index_top_k(
+        spark, root, q, k=5, payload_filter="status = 'validated'"
+    ).collect()
+    assert pre == []
+
+    upd = spark.createDataFrame(
+        [(int(i), "validated") for i in ids], "vec_id long, status string"
+    )
+    ann_index.ann_index_set_payload(spark, upd, root)
+
+    # filter-after-mutation composes immediately
+    got = ann_index.ann_index_top_k(
+        spark, root, q, k=10, n_probe=64,
+        payload_filter="status = 'validated'",
+    ).collect()
+    assert {r["vec_id"] for r in got} == set(ids)
+    n = ann_index.ann_index_count(
+        spark, root, payload_filter="status = 'validated'"
+    ).first()["n_points"]
+    assert n == 3
+    # subset-column merge: label untouched by the status flip
+    lbl0 = {r["vec_id"]: r["label"] for r in base.collect()}
+    live = {
+        r["vec_id"]: (r["label"], r["status"])
+        for r in ann_index.ann_index_live(spark, root)
+        .select("vec_id", "label", "status")
+        .collect()
+    }
+    for i in ids:
+        assert live[i] == (lbl0[i], "validated")
+    assert (
+        ann_index.ann_index_describe(spark, root)[
+            "n_payload_delta_segments"
+        ]
+        == 1
+    )
+
+    # set → delete → resurrect: the resurrection's own payload wins
+    # (the overlay's set-epoch is older than the new upsert epoch)
+    victim = ids[0]
+    ann_index.ann_index_delete(spark, [victim], root)
+    assert (
+        ann_index.ann_index_count(
+            spark, root, payload_filter="status = 'validated'"
+        ).first()["n_points"]
+        == 2
+    )
+    ann_index.ann_index_upsert(
+        spark,
+        base.filter(F.col("vec_id") == victim).withColumn(
+            "status", F.lit("pending")
+        ),
+        root,
+    )
+    live2 = {
+        r["vec_id"]: r["status"]
+        for r in ann_index.ann_index_live(spark, root)
+        .select("vec_id", "status")
+        .collect()
+    }
+    assert live2[victim] == "pending"
+    assert live2[ids[1]] == "validated"
+
+    # compaction bakes the overlay into rows and clears it; the
+    # filtered serve answers identically from the baked layout
+    before = ann_index.ann_index_top_k(
+        spark, root, q, k=10, n_probe=64,
+        payload_filter="status = 'validated'",
+    ).collect()
+    ann_index.ann_index_compact(spark, root)
+    d = ann_index.ann_index_describe(spark, root)
+    assert d["n_payload_delta_segments"] == 0
+    after = ann_index.ann_index_top_k(
+        spark, root, q, k=10, n_probe=64,
+        payload_filter="status = 'validated'",
+    ).collect()
+    assert [tuple(r) for r in after] == [tuple(r) for r in before]
+
+
+def test_set_payload_rejects_bad_inputs(spark, tmp_path):
+    root = str(tmp_path / "idx")
+    base = _base(spark)
+    ann_index.build_ann_index(spark, base, root, payload_cols=["label"])
+    with pytest.raises(ValueError, match="unknown payload"):
+        ann_index.ann_index_set_payload(
+            spark,
+            spark.createDataFrame([(1, "x")], "vec_id long, nope string"),
+            root,
+        )
+    with pytest.raises(ValueError, match="at least one"):
+        ann_index.ann_index_set_payload(
+            spark, spark.createDataFrame([(1,)], "vec_id long"), root
+        )
+    bare = str(tmp_path / "bare")
+    ann_index.build_ann_index(spark, base, bare)
+    with pytest.raises(ValueError, match="no payload columns"):
+        ann_index.ann_index_set_payload(
+            spark,
+            spark.createDataFrame([(1, 2)], "vec_id long, label int"),
+            bare,
+        )

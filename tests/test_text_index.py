@@ -647,3 +647,82 @@ def test_text_delete_tombstones_and_reclaim(spark, tmp_path):
         root, os.path.basename(txn.current_version_dir(root))
     )[text_index.POSTINGS_COMPONENT]["tix"]
     assert tix3["n_docs"] == state2.count()
+
+
+def test_text_set_payload_lifecycle(spark, tmp_path):
+    """text_index_set_payload (round 10, ann_index_set_payload's
+    lexical twin): flip a stored facet column without re-tokenizing;
+    the flip hits the next filtered serve and the grouped map, a full
+    doc upsert resets it, and compaction bakes it into doclen rows."""
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text", "lang")
+        .withColumn("status", F.lit("pending"))
+    )
+    root = str(tmp_path / "tix")
+    text_index.build_text_index(
+        spark, docs, root, payload_cols=["status", "lang"]
+    )
+    hits = text_index.text_index_search(spark, root, TERMS, top_k=5).collect()
+    ids = [int(r["doc_id"]) for r in hits[:2]]
+
+    assert (
+        text_index.text_index_search(
+            spark, root, TERMS, top_k=5, payload_filter="status = 'validated'"
+        ).count()
+        == 0
+    )
+    text_index.text_index_set_payload(
+        spark,
+        spark.createDataFrame(
+            [(i, "validated") for i in ids], "doc_id long, status string"
+        ),
+        root,
+    )
+    got = text_index.text_index_search(
+        spark, root, TERMS, top_k=5, payload_filter="status = 'validated'"
+    ).collect()
+    assert {int(r["doc_id"]) for r in got} == set(ids)
+    # subset merge: lang untouched; grouped map reflects the flip
+    lang0 = {int(r["doc_id"]): r["lang"] for r in docs.collect()}
+    g = text_index.text_index_search_grouped(
+        spark, root, TERMS, None, "status", k_groups=2, group_size=5,
+        fetch_k=30,
+    ).collect()
+    by_status = {r["status"]: {int(r2["doc_id"]) for r2 in g if r2["status"] == r["status"]} for r in g}
+    assert set(ids) <= by_status.get("validated", set())
+    assert (
+        text_index.text_index_describe(root)["n_payload_delta_segments"] == 1
+    )
+
+    # a full doc upsert resets payload wholesale (newer tix_epoch)
+    reset_id = ids[0]
+    text_index.text_index_upsert(
+        spark,
+        docs.filter(F.col("doc_id") == reset_id),
+        root,
+    )
+    got2 = text_index.text_index_search(
+        spark, root, TERMS, top_k=5, payload_filter="status = 'validated'"
+    ).collect()
+    assert {int(r["doc_id"]) for r in got2} == {ids[1]}
+
+    # compaction bakes + clears; the filtered serve answers identically
+    before = text_index.text_index_search(
+        spark, root, TERMS, top_k=5, payload_filter="status = 'validated'"
+    ).collect()
+    text_index.text_index_compact(spark, root)
+    assert (
+        text_index.text_index_describe(root)["n_payload_delta_segments"] == 0
+    )
+    after = text_index.text_index_search(
+        spark, root, TERMS, top_k=5, payload_filter="status = 'validated'"
+    ).collect()
+    assert [tuple(r) for r in after] == [tuple(r) for r in before]
+    lang1 = {
+        int(r["doc_id"]): r["lang"]
+        for r in txn.read_version(spark, root, subdir="doclen")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    assert lang1 == {k: lang0[k] for k in lang1}
