@@ -102,7 +102,10 @@ CATALOG_ORDER: tuple[str, ...] = (
     "sessionization",
     "text_profile_digest",
     "text_model_digest",
-    "language_id",
+    # round 10: language_id folded into text_model_digest; its slot
+    # now carries the lexical serving family (flat / filtered /
+    # grouped index serves over the post-set_payload fixture)
+    "text_serving_digest",
     "dedup_digest",
     "minhash_lsh_dedup",
     "multimodal_decode_meta",

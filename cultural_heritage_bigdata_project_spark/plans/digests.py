@@ -171,20 +171,29 @@ GROUPS: dict[str, list[str]] = {
         "paragraph_dedup",
     ],
     "text_model_digest": [
-        # bm25_index_search replaces bm25_search in the DRIVER slot
-        # (round 8): the index path is what a deployment serves, and it
-        # must give the scan path's exact answer — which stays pinned
-        # by its own member-level parity test. Round 9: chunk_documents
-        # moved to complex_types_digest (it is a posexplode shape) to
-        # seat the FILTERED index serve here under the 8-member cap
-        "bm25_index_search",
-        "bm25_filtered_search",
+        # round 10: the two index serves moved to text_serving_digest
+        # (the lexical serving family got its own slot when the
+        # grouped serve joined the checked window), dropping this
+        # digest from its 8-member ceiling — the r8 rebalance rule
         "charlm_quality",
         "duplicate_spans",
         "ccnet_buckets",
         "train_charlm_profile",
         "bpe_word_counts",
         "bpe_token_histogram",
+        # round 10: language_id folded here (a text-model shape) to
+        # free its standalone slot for text_serving_digest under the
+        # 50-slot cap; its own parity test still checks it per-row
+        "language_id",
+    ],
+    # round 10: the lexical serving family — the text twin of
+    # ann_serving_digest: flat index serve, filtered serve, and the
+    # grouped (search-groups) serve over stored payload, all replaying
+    # the SAME post-upsert + post-set_payload fixture state
+    "text_serving_digest": [
+        "bm25_index_search",
+        "bm25_filtered_search",
+        "text_grouped_search",
     ],
     "dedup_digest": [
         "exact_dedup_docs",
@@ -217,6 +226,10 @@ GROUPS: dict[str, list[str]] = {
         "ann_scroll_page",
         "ann_set_payload_page",
         "ann_index_count",
+        # round 10: index-served MMR promoted into the checked window
+        # (exhaustive probe = exact over the post-upsert state; the
+        # pruned-probe path is recall-tested in tests/test_retrieval)
+        "mmr_rerank_indexed",
     ],
     "vector_codec_digest": [
         # round-9 rebalance: vector_concat_norm (a scalar-function
@@ -559,12 +572,33 @@ PART_COLS: dict[str, tuple[tuple[str, str], ...]] = {
         ("doc_id", "s"),
         ("n_terms_hit", "s"),
     ),
+    "language_id": (
+        ("doc_id", "s"),
+        ("lang_pred", "s"),
+        ("score_de", "f"),
+        ("score_en", "f"),
+        ("score_es", "f"),
+        ("score_fr", "f"),
+    ),
+    "text_grouped_search": (
+        ("bm25", "f"),
+        ("doc_id", "s"),
+        ("group_rank", "s"),
+        ("lang", "s"),
+        ("rank_in_group", "s"),
+    ),
     "bm25_filtered_search": (
         ("bm25", "f"),
         ("doc_id", "s"),
         ("n_terms_hit", "s"),
     ),
     "mmr_rerank_topk": (
+        ("cosine_sim", "f"),
+        ("mmr_rank", "s"),
+        ("mmr_score", "f"),
+        ("vec_id", "s"),
+    ),
+    "mmr_rerank_indexed": (
         ("cosine_sim", "f"),
         ("mmr_rank", "s"),
         ("mmr_score", "f"),

@@ -991,9 +991,12 @@ def _text_index_root(spark: SparkSession, sf_dir: str) -> str:
         )
         shutil.rmtree(root, ignore_errors=True)
         atexit.register(shutil.rmtree, root, ignore_errors=True)
-        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
         base = docs.filter(F.col("doc_id") % 5 != 0)
-        text_index.build_text_index(spark, base, root)
+        # lang stored IN the index (payload-on-doc, round 10): the
+        # grouped member groups by it with no side table; storing it
+        # changes nothing for the bm25 members' scores
+        text_index.build_text_index(spark, base, root, payload_cols=["lang"])
         # incremental maintenance through the delta path: docs %5==0
         # arrive NEW with ' merge merge' appended; docs %7==3 among the
         # indexed are UPDATED with ' spark' appended (deterministic,
@@ -1006,6 +1009,14 @@ def _text_index_root(spark: SparkSession, sf_dir: str) -> str:
             ).withColumn("text", F.concat(F.col("text"), F.lit(" spark")))
         )
         text_index.text_index_upsert(spark, ups, root)
+        # payload-only re-label (text_index_set_payload, round 10):
+        # docs %9==2 flip lang to 'zz' WITHOUT re-tokenizing — the
+        # grouped member hash-checks the overlay-merged values via the
+        # plang CTE replay of this rule
+        flips = docs.filter(F.col("doc_id") % 9 == 2).select(
+            "doc_id", F.lit("zz").alias("lang")
+        )
+        text_index.text_index_set_payload(spark, flips, root)
         _TIX_FIXTURE[sf_dir] = root
     return _TIX_FIXTURE[sf_dir]
 
@@ -1121,6 +1132,79 @@ def bm25_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["merge", "spark", "window"],
         top_k=10,
         allowed_ids=allowed,
+    )
+
+
+@register(
+    "text_grouped_search",
+    description="Search-groups over the persisted LEXICAL index "
+    "(round-10 promotion — the BM25 twin of ann_grouped_topk, Qdrant "
+    "search_groups shape over payload-on-doc): flat top-15 from the "
+    "pruned probe, the stored lang payload joined via a shortlist-"
+    "restricted semi (the corpus-scale map never broadcasts), best 2 "
+    "hits per lang, top 3 langs by their best hit — the diversified "
+    "provider page over the reference's provider-skewed corpus "
+    "(app.py:94-156 serves raw flat order). The fixture re-labels "
+    "docs %9==2 payload-only (text_index_set_payload), so the hash "
+    "also checks the overlay-merged group values (plang CTE)",
+    survey_ref="W5,W4,M5,S14,M2",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(lower(trim(
+           CASE WHEN doc_id % 5 = 0 THEN text || ' merge merge'
+                WHEN doc_id % 7 = 3 THEN text || ' spark'
+                ELSE text END)), ' ') AS toks
+  FROM documents
+), base AS (
+  SELECT doc_id, toks, len(toks) AS dl FROM t
+), corpus AS (
+  SELECT count(*) AS n_docs, sum(len(toks)) / count(*) AS avgdl FROM t
+), hits AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM base)
+  WHERE term IN ('merge', 'spark', 'window')
+  GROUP BY doc_id, dl, term
+), dfreq AS (
+  SELECT term, count(*) AS dfr FROM hits GROUP BY term
+), scored AS (
+  SELECT h.doc_id,
+         ((cast(c.n_docs AS DOUBLE) - d.dfr + 0.5) / (d.dfr + 0.5))
+         * ((cast(h.tf AS DOUBLE) * 2.2)
+            / (cast(h.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (h.dl / c.avgdl)))) AS s
+  FROM hits h JOIN dfreq d USING (term), corpus c
+), flat AS (
+  SELECT doc_id,
+         cast(sum(cast(s AS DECIMAL(38, 6))) AS DOUBLE) AS bm25
+  FROM scored GROUP BY doc_id
+  ORDER BY bm25 DESC, doc_id ASC
+  LIMIT 15
+), plang AS (
+  SELECT doc_id, CASE WHEN doc_id % 9 = 2 THEN 'zz' ELSE lang END AS lang
+  FROM documents
+), tagged AS (
+  SELECT f.doc_id, f.bm25, p.lang FROM flat f JOIN plang p USING (doc_id)
+), ranked AS (
+  SELECT lang, doc_id, bm25,
+         CAST(row_number() OVER (PARTITION BY lang
+              ORDER BY bm25 DESC, doc_id ASC) AS INTEGER) AS rank_in_group
+  FROM tagged
+), best AS (
+  SELECT lang, CAST(row_number() OVER (
+              ORDER BY bm25 DESC, doc_id ASC) AS INTEGER) AS group_rank
+  FROM ranked WHERE rank_in_group = 1
+)
+SELECT r.lang, b.group_rank, r.rank_in_group, r.doc_id, r.bm25
+FROM ranked r JOIN best b ON r.lang = b.lang
+WHERE r.rank_in_group <= 2 AND b.group_rank <= 3
+""",
+)
+def text_grouped_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text_index
+
+    root = _text_index_root(spark, sf_dir)
+    return text_index.text_index_search_grouped(
+        spark, root, ["merge", "spark", "window"], None, "lang",
+        k_groups=3, group_size=2, fetch_k=15,
     )
 
 

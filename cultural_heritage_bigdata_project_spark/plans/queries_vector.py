@@ -1227,32 +1227,12 @@ def ann_index_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_index.ann_index_count(spark, root, allowed_ids=allowed)
 
 
-@register(
-    "mmr_rerank_topk",
-    description="M5 MMR diversified re-rank (Carbonell/Goldstein 1998): "
-    "greedy top-5 over the exact-cosine top-20 shortlist, "
-    "lambda=0.7 — the diversification pass over raw kNN order the "
-    "reference never applies (app.py:208-264 serves raw order). The "
-    "greedy argmax chain is deterministic (round-6 sims, id "
-    "tie-break), so the oracle UNROLLS the five selection steps as "
-    "CTEs: both engines compute lambda*rel - (1-lambda)*max_sim from "
-    "bit-identical rounded inputs with identical IEEE "
-    "parenthesization (the (1.0 - 0.7) subtraction is spelled out on "
-    "both sides because its result is NOT the literal 0.3)",
-    survey_ref="J8,M5,W4",
-    oracle="""
-WITH q AS (
-  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
-), cand AS (
-  SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
-         round(list_dot_product(e.embedding::DOUBLE[], q.qv)
-               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
-                  * sqrt(list_dot_product(q.qv, q.qv))), 6) AS rel
-  FROM embeddings e, q
-  WHERE e.vec_id <> 0
-  ORDER BY rel DESC, e.vec_id ASC
-  LIMIT 20
-), pair AS (
+# The MMR greedy chain, unrolled as CTEs over a caller-supplied `cand`
+# CTE (vec_id, v, rel) and `q` CTE (qv) — factored once (round 10) so
+# the corpus-shortlist member (mmr_rerank_topk) and the index-served
+# member (mmr_rerank_indexed) replay the IDENTICAL selection
+# arithmetic; only the candidate source differs.
+_MMR_UNROLL_TAIL = """, pair AS (
   SELECT a.vec_id AS ai, b.vec_id AS bi,
          round(list_dot_product(
                  list_transform(a.v, x -> x / sqrt(list_dot_product(a.v, a.v))),
@@ -1310,10 +1290,82 @@ FROM (
   UNION ALL SELECT 5, vec_id, rel, score FROM s5
 )
 ORDER BY mmr_rank
-""",
+"""
+
+
+@register(
+    "mmr_rerank_topk",
+    description="M5 MMR diversified re-rank (Carbonell/Goldstein 1998): "
+    "greedy top-5 over the exact-cosine top-20 shortlist, "
+    "lambda=0.7 — the diversification pass over raw kNN order the "
+    "reference never applies (app.py:208-264 serves raw order). The "
+    "greedy argmax chain is deterministic (round-6 sims, id "
+    "tie-break), so the oracle UNROLLS the five selection steps as "
+    "CTEs: both engines compute lambda*rel - (1-lambda)*max_sim from "
+    "bit-identical rounded inputs with identical IEEE "
+    "parenthesization (the (1.0 - 0.7) subtraction is spelled out on "
+    "both sides because its result is NOT the literal 0.3)",
+    survey_ref="J8,M5,W4",
+    oracle="""
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+), cand AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+         round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 6) AS rel
+  FROM embeddings e, q
+  WHERE e.vec_id <> 0
+  ORDER BY rel DESC, e.vec_id ASC
+  LIMIT 20
+)"""
+    + _MMR_UNROLL_TAIL,
 )
 def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors = _emb(spark, sf_dir).filter(F.col("vec_id") != 0)
     return similarity.mmr_rerank(
         vectors, _query_list(spark, sf_dir, 0), k=5, lambda_=0.7, top_n=20
+    )
+
+
+@register(
+    "mmr_rerank_indexed",
+    description="MMR diversified top-k served from the PERSISTED ANN "
+    "index (round-10 promotion into the checked window): the probed "
+    "index rows supply both the relevance shortlist and the pairwise "
+    "diversity vectors — zero corpus scans, completing the "
+    "index-served stack beside raw kNN / recommend / grouped. Probes "
+    "ALL 16 lists so the candidate set is exactly the post-upsert "
+    "top-20 (vec_id%7 carry their re-embedded vectors) and the oracle "
+    "replays the identical greedy chain over the state CTE through "
+    "the shared unroll; the pruned-probe recall path is pinned "
+    "separately in tests/test_retrieval.py",
+    survey_ref="J8,M5,W4,S14",
+    oracle="""
+WITH eb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings WHERE vec_id <> 0
+), state AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 7 = 0 THEN list_reverse(v0) ELSE v0 END AS v0
+  FROM eb
+), q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+), cand AS (
+  SELECT s.vec_id, s.v0 AS v,
+         round(list_dot_product(s.v0, q.qv)
+               / (sqrt(list_dot_product(s.v0, s.v0))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 6) AS rel
+  FROM state s, q
+  ORDER BY rel DESC, s.vec_id ASC
+  LIMIT 20
+)"""
+    + _MMR_UNROLL_TAIL,
+)
+def mmr_rerank_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import ann_index
+
+    root = _ann_index_root(spark, sf_dir)
+    return ann_index.mmr_rerank_indexed(
+        spark, root, _query_list(spark, sf_dir, 0),
+        k=5, lambda_=0.7, top_n=20, n_probe=16,
     )

@@ -8,6 +8,8 @@ streamlit/app/app.py:208-264 (serving flows)."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -339,3 +341,48 @@ def test_point_lifecycle_random_walk_matches_model(spark, tmp_path):
             probe = rng.choice(sorted(model))
             fetched = ann_index.ann_index_fetch_vectors(spark, root, [probe])
             assert fetched[probe] == model[probe], f"step {step}: stored vector wrong"
+
+
+def test_list_segments_are_id_sorted_for_keyset_pruning(spark, built):
+    """Round 10: build (and compact — covered by re-checking after one)
+    writes every list segment's files ID-SORTED, so a keyset scroll
+    page's pushed vec_id predicate prunes row groups — the physical
+    property that makes a deep page's scanned bytes ~O(remaining)
+    even though segments are clustered by ann_list, not id (the
+    honest file-listing cost is in the scroll docstring)."""
+    import pyarrow.parquet as pq
+
+    from cultural_heritage_bigdata_project_spark.operators import txn
+
+    def assert_sorted(root):
+        cur = txn.current_version_dir(root)
+        ann = txn.read_manifest(root, os.path.basename(cur))[
+            ann_index.CODES_COMPONENT
+        ]["ann"]
+        checked = 0
+        for seg in ann["list_segments"].values():
+            sdir = txn.segment_path(root, seg)
+            for dirpath, _d, files in os.walk(sdir):
+                for fn in files:
+                    if not fn.endswith(".parquet"):
+                        continue
+                    md = pq.ParquetFile(os.path.join(dirpath, fn)).metadata
+                    idx = md.schema.to_arrow_schema().get_field_index("vec_id")
+                    prev_max = None
+                    for g in range(md.num_row_groups):
+                        st = md.row_group(g).column(idx).statistics
+                        assert st is not None and st.has_min_max
+                        if prev_max is not None:
+                            assert st.min >= prev_max, (seg, fn, g)
+                        prev_max = st.max
+                    checked += 1
+        assert checked > 0
+
+    root, base = built
+    assert_sorted(root)
+    # an upsert + compact re-homes the tail; files must stay id-sorted
+    scratch = str(root) + "_sorted"
+    ann_index.build_ann_index(spark, base, scratch)
+    ann_index.ann_index_upsert(spark, base.limit(20), scratch)
+    ann_index.ann_index_compact(spark, scratch)
+    assert_sorted(scratch)

@@ -496,3 +496,21 @@ def test_grouped_serve_windows_stay_shortlist_sized(spark):
         "TakeOrderedAndProject" in sub or "GlobalLimit" in sub
         for sub in subtrees
     ), "\n\n".join(subtrees)
+
+
+def test_text_grouped_serve_never_broadcasts_the_doclen_map(spark):
+    """text_grouped_search (round 10): the lexical twin of the gate
+    above — with groups=None the (doc_id, lang) map is the WHOLE
+    doclen component, so any broadcast subtree that touches a doclen
+    segment scan must semi-restrict it against the shortlist first
+    (doclen segments are named tixdl_*; the probe side only ever scans
+    tix_* posting buckets, so the name is a precise marker)."""
+    tree = _tree_plan(spark, "text_grouped_search")
+    assert "SortMergeJoin" not in tree, tree
+    assert "tixdl_" in tree, tree  # the doclen map IS scanned...
+    for sub in _broadcast_subtrees(tree):
+        if "tixdl_" in sub:
+            assert "LeftSemi" in sub, (
+                "doclen map feeds a BroadcastExchange without the "
+                "shortlist semi restriction:\n" + sub
+            )
