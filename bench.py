@@ -25,6 +25,16 @@ medians; only an idle re-run could prove the code hadn't regressed):
 repeat block plus start/end, and "cpus" the machine's CPU count — a
 load far above cpus at sample time explains an inflated sample from
 the artifact alone.
+
+Round 10 adds a per-query CANARY (r9 VERDICT item 6): loadavg misses
+degraded-host phases where guest load stays ~1 yet identical code
+measures 3-4x slower (steal-like behavior invisible to /proc/loadavg).
+"canary" records the wall time of one FIXED JVM job (sum over
+range(50M) — pure codegen arithmetic, no I/O, no Python) run
+immediately before each query's repeat block, plus a "_base" triple
+right after warmup. A query sample taken while canary/“_base median”
+is inflated was measured in a degraded phase — machine-detectable per
+query, no prose required.
 """
 
 from __future__ import annotations
@@ -100,6 +110,8 @@ BENCH_QUERIES = [
     "ann_index_topk",
     "ann_recommend_topk",
     "ann_grouped_topk",
+    "mmr_rerank_indexed",
+    "text_grouped_search",
     # production-hash-family variants (bench-only, defined below): the
     # catalog queries pin hash_family="md5-portable" so the DuckDB
     # oracle can replay candidate sets, but the path you'd run at
@@ -227,6 +239,14 @@ def main() -> None:
     # contention there (round-4 verdict #6: a [0.28, 1.59, 0.21]
     # sample set hides a 7x outlier behind the median)
     short_repeats = max(n_repeats, 5)
+    def _canary_sec() -> float:
+        # fixed JVM-only work: whole-stage-codegen sum over range(50M),
+        # no I/O, no shuffle, no Python workers — its wall time moves
+        # ONLY with available machine compute
+        t0 = time.perf_counter()
+        spark.range(50_000_000).selectExpr("sum(id * 2 + 1)").collect()
+        return round(time.perf_counter() - t0, 3)
+
     def _load1m() -> float:
         try:
             with open("/proc/loadavg") as f:
@@ -250,8 +270,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     repeats: dict[str, list[float]] = {}
     load: dict[str, float] = {"_start": _load1m()}
+    canary: dict[str, object] = {
+        "_base": [_canary_sec() for _ in range(3)]
+    }
     for name in BENCH_QUERIES:
         load[name] = _load1m()
+        canary[name] = _canary_sec()
         samples: list[float] = []
         # the split queries carry ~2.5s of per-run stream bootstrap
         # (query start/checkpoint setup) around ~1.1s of commit work —
@@ -287,6 +311,7 @@ def main() -> None:
                 "stream_commit_sec": stream_commit,
                 "flagship_first_run_sec": flagship_first,
                 "load": load,
+                "canary": canary,
                 "cpus": os.cpu_count(),
                 "sf": sf,
             }

@@ -1584,16 +1584,15 @@ def ann_index_top_k_grouped(
     ``fetch_k`` (`ann_index_top_k` — probe-pruned, filtered,
     deterministic). The (id, group) map is CORPUS-scale (with
     ``groups=None`` it is the whole live fold), so it is never
-    broadcast and never globally distinct-shuffled: the shortlist is
-    the broadcast side of a LEFT SEMI that restricts the map to at
-    most ``fetch_k`` ids first, the (now shortlist-sized) map is
-    deduped, and the same broadcast shortlist joins the group key
-    back on — both BroadcastExchanges in the plan build the
-    ≤``fetch_k``-row serve output (Catalyst prunes the semi's copy to
-    the bare id column), the map only ever streams. Then two windows: rank hits within a group
-    (cosine desc, id asc; keep ``group_size``), rank groups by their
-    BEST hit (its cosine desc, then its id — Qdrant orders groups by
-    top-hit score; keep ``k_groups``). Returns
+    broadcast and never globally distinct-shuffled: the map STREAMS
+    through one inner join whose broadcast build side is the
+    ≤``fetch_k``-row serve output, the (now shortlist-sized) tagged
+    rows are deduped, and the single-pass `windows.group_top_k`
+    ranks hits within a group (cosine desc, id asc; keep
+    ``group_size``) and groups by their BEST hit (its cosine desc,
+    then its id — Qdrant orders groups by top-hit score; keep
+    ``k_groups``) with NO further join — the serve subtree and the
+    map scan each evaluate exactly once. Returns
     ``(group_col, group_rank, rank_in_group, vec_id, cosine_sim)``.
 
     Caveat shared with Qdrant: a group whose best hit ranks below the
@@ -1613,16 +1612,14 @@ def ann_index_top_k_grouped(
         shortlist=shortlist, id_col=id_col, vec_col=vec_col,
         allowed_ids=allowed_ids,
     )
-    # semi-restrict the corpus-scale map by the shortlist FIRST — the
-    # broadcast side is always the <= fetch_k serve output, and the
-    # distinct runs on the restricted rows only
-    flat_b = F.broadcast(flat)
-    restricted = (
+    # ONE join, map streamed, the <= fetch_k serve output broadcast as
+    # the build side; the dedup (a multi-group map may tag a hit
+    # twice) runs on the shortlist-sized tagged rows, never the map
+    tagged = (
         groups.select(id_col, group_col)
-        .join(flat_b, on=id_col, how="leftsemi")
+        .join(F.broadcast(flat), on=id_col)
         .distinct()
     )
-    tagged = restricted.join(flat_b, on=id_col)
     return group_top_k(
         tagged, group_col, "cosine_sim", id_col, k_groups, group_size
     ).select(
@@ -1710,10 +1707,22 @@ def ann_index_recommend_all(
     serve over-fetches by the batch's max examples-per-user so
     exclusion can never under-fill k).
 
-    Float caveat: the distributed average reassociates float64 adds,
-    so scores can differ from the driver-side single-user path in the
-    last bits — ranks agree in practice (pinned by tests), but do not
-    expect bit-equality between the two paths."""
+    Example ids missing from the live index (tombstoned or never
+    upserted) raise KeyError — the same 404 semantics as the
+    single-user path's `ann_index_fetch_vectors`; silently dropping
+    them would skew the average, and a user whose examples are ALL
+    missing would silently vanish from the output.
+
+    Divergence from the single-user path, honestly: (1) the
+    distributed average reassociates float64 adds, so scores can
+    differ in the last bits; (2) more materially, this batch serve
+    shortlists by BQ hamming (`ann_index_top_k_all`) while
+    `ann_index_recommend` defaults to the PQ ADC shortlist — at
+    non-exhaustive ``shortlist`` the two CANDIDATE SETS can differ,
+    and with them the returned top-k. With ``shortlist`` >= the
+    probed row count both paths are exact and agree on ranks (how the
+    parity test pins it); at production shortlists treat the two as
+    two honest ANN configurations, not bit-twins."""
     from pyspark.sql import Window
 
     ex = examples.select(
@@ -1722,6 +1731,20 @@ def ann_index_recommend_all(
         F.col(positive_col).cast("boolean").alias("__pos"),
     )
     live = ann_index_live(spark, root, id_col).select(id_col, vec_col)
+    missing = (
+        ex.select(id_col)
+        .distinct()
+        .join(live.select(id_col), on=id_col, how="left_anti")
+        .limit(5)
+        .collect()
+    )
+    if missing:
+        raise KeyError(
+            "example ids not in the live index: "
+            f"{sorted(int(r[id_col]) for r in missing)} (tombstoned or "
+            "never upserted) — matching ann_index_recommend's KeyError "
+            "for missing example points"
+        )
     exvec = ex.join(live, on=id_col, how="inner")
 
     # per-user, per-sign elementwise mean over the example vectors
@@ -1809,7 +1832,16 @@ def ann_index_drift(spark: SparkSession, root: str) -> dict:
     Superseded base rows keep their recorded weight until a fold
     reclaims them — this is a monitoring signal with segment-level
     granularity, not an exact statistic (the serving paths are).
-    Indexes built before the error column existed return all-None."""
+    Indexes built before the error column existed return all-None.
+
+    Edge semantics (round-10 ADVICE): ``build_mean == 0.0`` (perfect
+    quantization, e.g. n_lists >= point count) with nonzero incoming
+    error returns ``incoming_ratio = inf`` — any error is infinite
+    drift from a zero baseline, and the rebuild trigger must fire,
+    not silently disable. Blind spot, documented: deletes and
+    set_payload commits append delta/overlay segments with NO
+    qerr_deltas entry, so a delete- or relabel-heavy tail reads as
+    zero incoming drift — drift measures arriving VECTORS only."""
     cur = txn.current_version_dir(root)
     if cur is None:
         raise FileNotFoundError(f"nothing published under {root!r}")
@@ -1826,12 +1858,19 @@ def ann_index_drift(spark: SparkSession, root: str) -> dict:
     )
     live = ann.get("qerr_live") or build
     build_mean = float(build["mean"]) if build else None
+    if incoming is None or build_mean is None:
+        ratio = None
+    elif build_mean == 0.0:
+        # explicit, not truthiness: a 0.0 baseline must not read as
+        # "no baseline" — nonzero incoming error over a perfect build
+        # is infinite drift (fires any rebuild_on_drift threshold)
+        ratio = float("inf") if incoming > 0.0 else 1.0
+    else:
+        ratio = incoming / build_mean
     return {
         "build_mean": build_mean,
         "incoming_mean": incoming,
         "n_incoming": n_in,
         "live_mean": float(live["mean"]) if live else None,
-        "incoming_ratio": (
-            incoming / build_mean if incoming is not None and build_mean else None
-        ),
+        "incoming_ratio": ratio,
     }

@@ -1275,11 +1275,11 @@ def text_index_search_grouped(
     bit-equal to the corpus scan); the (id, group) map is
     CORPUS-scale (with ``groups=None`` it is the whole doclen
     component), so the shortlist — never the map — is the broadcast
-    side: a LEFT SEMI against the broadcast ≤``fetch_k`` serve output
-    restricts the map first, the restricted rows are deduped, and the
-    broadcast shortlist joins the scores back on (the map only ever
-    streams; Catalyst prunes the semi's broadcast copy to the bare
-    id). Best
+    side: one inner join streams the map against the broadcast
+    ≤``fetch_k`` serve output, the shortlist-sized tagged rows are
+    deduped, and the single-pass `windows.group_top_k` ranks with no
+    further join — serve subtree and map scan each evaluate exactly
+    once. Best
     ``group_size`` hits per group, groups ranked by their top hit. The dashboard page this exists for is the
     reference's provider-skewed result list (app.py:94-156 serves raw
     flat order): one museum's near-identical records stop monopolizing
@@ -1300,16 +1300,14 @@ def text_index_search_grouped(
         spark, root, query_terms, top_k=int(fetch_k), k1=k1, b=b,
         id_col=id_col, allowed_ids=allowed_ids, payload_filter=payload_filter,
     )
-    # semi-restrict the corpus-scale map by the shortlist FIRST — the
-    # broadcast side is always the <= fetch_k serve output, and the
-    # distinct runs on the restricted rows only
-    flat_b = F.broadcast(flat)
-    restricted = (
+    # ONE join, map streamed, the <= fetch_k serve output broadcast as
+    # the build side; the dedup (a multi-group map may tag a hit
+    # twice) runs on the shortlist-sized tagged rows, never the map
+    tagged = (
         groups.select(id_col, group_col)
-        .join(flat_b, on=id_col, how="leftsemi")
+        .join(F.broadcast(flat), on=id_col)
         .distinct()
     )
-    tagged = restricted.join(flat_b, on=id_col)
     return group_top_k(
         tagged, group_col, "bm25", id_col, k_groups, group_size
     ).select(

@@ -1222,6 +1222,15 @@ def cleanup_unpublished(
                 # drop an epoch's delta from `segments` while its
                 # `changes` entry still backs txn.change_feed reads
                 referenced.update(comp.get("changes", []))
+                # payload-only overlays (index set_payload) are
+                # deliberately NOT in the read list — a payload row
+                # winning the fold would null codes/doclen — so they
+                # are referenced only from the index metadata blocks;
+                # GC must honor those references or a vacuum after the
+                # committing version ages out deletes a live overlay
+                for blk in ("ann", "tix"):
+                    b = comp.get(blk) or {}
+                    referenced.update(b.get("payload_deltas", []) or [])
         for name in os.listdir(seg_root):
             if name not in referenced:
                 spath = os.path.join(seg_root, name)
@@ -2425,6 +2434,17 @@ def snapshot_table(root: str, dest_root: str, version: str | int | None = None) 
     components = read_manifest(root, src_name)
 
     def build(current_dir, new_dir):
+        if current_dir is not None:
+            # re-checked per attempt: commit_with_retry re-runs build
+            # with a refreshed pointer after a CAS conflict, so a
+            # racing second snapshot (or any concurrent publish at
+            # dest) must FAIL here instead of stacking a second
+            # version on top of the winner's table
+            raise FileExistsError(
+                f"{dest_root!r} became a published table mid-snapshot "
+                "(a racing snapshot or writer won); snapshot only "
+                "creates new tables"
+            )
         if components is None:
             # plain (pre-manifest) parquet version: the version dir IS
             # the data — copy it wholesale
@@ -2446,7 +2466,15 @@ def snapshot_table(root: str, dest_root: str, version: str | int | None = None) 
                     os.path.join(src_dir, comp["base"]),
                     os.path.join(new_dir, comp["base"]),
                 )
-            for seg in comp.get("segments", []):
+            # pending payload overlays (index set_payload) ride the
+            # metadata blocks, not the read list — they are live state
+            # and must travel with the snapshot
+            overlay = [
+                s
+                for blk in ("ann", "tix")
+                for s in ((comp.get(blk) or {}).get("payload_deltas", []) or [])
+            ]
+            for seg in list(comp.get("segments", [])) + overlay:
                 dst = segment_path(dest_root, seg)
                 if not os.path.isdir(dst):  # components may share names
                     os.makedirs(os.path.dirname(dst), exist_ok=True)

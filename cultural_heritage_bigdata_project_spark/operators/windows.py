@@ -105,25 +105,34 @@ def group_top_k(
 
     Scale: callers pass a top-``fetch_k`` shortlist, so both windows
     run over shortlist-sized input — the group diversification never
-    touches corpus-scale data."""
+    touches corpus-scale data. SINGLE-PASS (round 10): the old shape
+    joined a separately-ranked "best" frame back on, which re-evaluated
+    the caller's whole input subtree (for the index serves: a second
+    probe AND a second group-map scan); now the best hit per group
+    rides every row via an unbounded window frame and ``group_rank``
+    is a dense_rank over it — the input evaluates exactly once, no
+    join. Ties where two groups share an identical best (score, id)
+    pair — possible only when one hit id maps to multiple groups —
+    now rank deterministically (group key tie-break) instead of the
+    old row_number coin flip."""
     w_in = W.partitionBy(group_col).orderBy(
         F.col(score_col).desc(), F.col(id_col).asc()
     )
-    ranked = df.withColumn("rank_in_group", F.row_number().over(w_in)).filter(
-        F.col("rank_in_group") <= int(group_size)
+    w_g = w_in.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    w_best = W.orderBy(
+        F.col("__best_score").desc(),
+        F.col("__best_id").asc(),
+        F.col(group_col).asc(),
     )
-    w_best = W.orderBy(F.col("__best_score").desc(), F.col("__best_id").asc())
-    best = (
-        ranked.filter(F.col("rank_in_group") == 1)
-        .select(
-            F.col(group_col),
-            F.col(score_col).alias("__best_score"),
-            F.col(id_col).alias("__best_id"),
+    return (
+        df.withColumn("rank_in_group", F.row_number().over(w_in))
+        .withColumn("__best_score", F.first(score_col).over(w_g))
+        .withColumn("__best_id", F.first(id_col).over(w_g))
+        .withColumn("group_rank", F.dense_rank().over(w_best))
+        .filter(
+            (F.col("rank_in_group") <= int(group_size))
+            & (F.col("group_rank") <= int(k_groups))
         )
-        .withColumn("group_rank", F.row_number().over(w_best))
-        .filter(F.col("group_rank") <= int(k_groups))
-        .select(group_col, "group_rank")
-    )
-    return ranked.join(F.broadcast(best), on=group_col).orderBy(
-        "group_rank", "rank_in_group"
+        .drop("__best_score", "__best_id")
+        .orderBy("group_rank", "rank_in_group")
     )

@@ -117,3 +117,46 @@ def test_drift_none_for_pre_feature_index(spark, tmp_path):
         "incoming_ratio": None,
     }
     assert ann_index.ann_index_describe(spark, root)["drift"] is None
+
+
+def test_zero_baseline_drift_is_infinite_not_disabled(spark, tmp_path):
+    """Round-10 ADVICE: build_mean == 0.0 (perfect quantization —
+    n_lists >= point count makes every vector its own centroid) must
+    NOT read as 'no baseline': nonzero incoming error returns
+    incoming_ratio = inf so any rebuild_on_drift threshold fires."""
+    root = str(tmp_path / "idx")
+    base = spark.createDataFrame(
+        [(i, [float(i), float(-i), 1.0, 0.5]) for i in range(1, 5)],
+        "vec_id long, embedding array<double>",
+    )
+    # n_lists == point count: each vector is its own centroid, qerr 0
+    ann_index.build_ann_index(spark, base, root, n_lists=4, m=2, n_codes=4)
+    d0 = ann_index.ann_index_drift(spark, root)
+    assert d0["build_mean"] == 0.0 and d0["incoming_ratio"] is None
+
+    # an upsert the stored centroids have never seen: qerr > 0
+    ups = spark.createDataFrame(
+        [(9, [100.0, 100.0, -100.0, 3.0])],
+        "vec_id long, embedding array<double>",
+    )
+    ann_index.ann_index_upsert(spark, ups, root)
+    d1 = ann_index.ann_index_drift(spark, root)
+    assert d1["build_mean"] == 0.0 and d1["incoming_mean"] > 0.0
+    assert d1["incoming_ratio"] == float("inf")
+    # and the trigger comparison any caller writes fires on it
+    assert d1["incoming_ratio"] > 3.0
+
+    # zero incoming over a zero baseline is NOT drift
+    same = spark.createDataFrame(
+        [(10, [1.0, -1.0, 1.0, 0.5])], "vec_id long, embedding array<double>"
+    )
+    # exact duplicate of an existing centroid's vector -> qerr 0
+    dup = base.filter(F.col("vec_id") == 1).withColumn(
+        "vec_id", F.lit(20).cast("long")
+    )
+    root2 = str(tmp_path / "idx2")
+    ann_index.build_ann_index(spark, base, root2, n_lists=4, m=2, n_codes=4)
+    ann_index.ann_index_upsert(spark, dup, root2)
+    d2 = ann_index.ann_index_drift(spark, root2)
+    assert d2["incoming_mean"] == 0.0 and d2["incoming_ratio"] == 1.0
+    del same

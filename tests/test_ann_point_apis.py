@@ -386,3 +386,18 @@ def test_list_segments_are_id_sorted_for_keyset_pruning(spark, built):
     ann_index.ann_index_upsert(spark, base.limit(20), scratch)
     ann_index.ann_index_compact(spark, scratch)
     assert_sorted(scratch)
+
+
+def test_batch_recommend_raises_on_missing_example_ids(spark, built):
+    """Round-10 ADVICE: an example id that is tombstoned or was never
+    upserted must raise KeyError (the single-user path's
+    ann_index_fetch_vectors 404 semantics) — silently dropping it
+    skews the average, and an all-missing user would silently vanish
+    from the batch output."""
+    root, _ = built
+    ex = spark.createDataFrame(
+        [("dave", 7, True), ("dave", 999_999, True)],
+        "user_id string, vec_id long, is_positive boolean",
+    )
+    with pytest.raises(KeyError, match="999999"):
+        ann_index.ann_index_recommend_all(spark, root, ex, k=3)

@@ -466,32 +466,27 @@ def test_grouped_serve_windows_stay_shortlist_sized(spark):
     (id, group) map must NEVER be the broadcast build side — round 9
     broadcast the full dimension and this gate stayed green because it
     only asserted a BroadcastHashJoin existed. Now: the embeddings
-    scan (the group map) appears in the plan but NOT under any
-    BroadcastExchange (it streams into a LeftSemi against the
-    broadcast shortlist), every broadcast over the map side is the
-    ≤fetch_k serve output (a Limit/TakeOrdered sits inside the
-    exchange subtree), no sort-merge join, and the ranking windows run
-    after the limit."""
+    scan (the group map) appears in the plan exactly once, streamed,
+    NEVER under any BroadcastExchange (strict: the single-pass
+    group_top_k has no best-rank re-join, so no broadcast subtree has
+    a legitimate reason to touch the map); the broadcast build side
+    is the ≤fetch_k serve output (a Limit/TakeOrdered inside the
+    exchange subtree); no sort-merge join; windows after the limit."""
     tree = _tree_plan(spark, "ann_grouped_topk")
     assert "SortMergeJoin" not in tree, tree
     assert "BroadcastHashJoin" in tree, tree
     assert "TakeOrderedAndProject" in tree or "GlobalLimit" in tree, tree
-    # the group map (embeddings.parquet) is scanned...
-    assert "embeddings.parquet" in tree, tree
+    # the group map (embeddings.parquet) is scanned, exactly once...
+    assert tree.count("embeddings.parquet") == 1, tree
     subtrees = _broadcast_subtrees(tree)
     assert subtrees, tree
     for sub in subtrees:
-        # ...but never built into a broadcast relation raw: a subtree
-        # that touches the map (group_top_k's best-rank branch does,
-        # its broadcast OUTPUT is <= k_groups rows) must semi-restrict
-        # it against the shortlist before anything aggregates
-        if "embeddings.parquet" in sub:
-            assert "LeftSemi" in sub, (
-                "corpus-scale group map feeds a BroadcastExchange "
-                "without the shortlist semi restriction:\n" + sub
-            )
-    # the semi restriction broadcasts the shortlist, not the map:
-    # at least one broadcast subtree is exactly a limit of the serve
+        # ...and never anywhere under a BroadcastExchange
+        assert "embeddings.parquet" not in sub, (
+            "corpus-scale group map feeds a BroadcastExchange:\n" + sub
+        )
+    # the build side is the shortlist: at least one broadcast subtree
+    # is exactly a limit of the serve
     assert any(
         "TakeOrderedAndProject" in sub or "GlobalLimit" in sub
         for sub in subtrees
@@ -501,16 +496,13 @@ def test_grouped_serve_windows_stay_shortlist_sized(spark):
 def test_text_grouped_serve_never_broadcasts_the_doclen_map(spark):
     """text_grouped_search (round 10): the lexical twin of the gate
     above — with groups=None the (doc_id, lang) map is the WHOLE
-    doclen component, so any broadcast subtree that touches a doclen
-    segment scan must semi-restrict it against the shortlist first
-    (doclen segments are named tixdl_*; the probe side only ever scans
-    tix_* posting buckets, so the name is a precise marker)."""
+    doclen component; its segment scans (named tixdl_*; the probe
+    side only ever scans tix_* posting buckets, so the name is a
+    precise marker) must stream, never feed a BroadcastExchange."""
     tree = _tree_plan(spark, "text_grouped_search")
     assert "SortMergeJoin" not in tree, tree
     assert "tixdl_" in tree, tree  # the doclen map IS scanned...
     for sub in _broadcast_subtrees(tree):
-        if "tixdl_" in sub:
-            assert "LeftSemi" in sub, (
-                "doclen map feeds a BroadcastExchange without the "
-                "shortlist semi restriction:\n" + sub
-            )
+        assert "tixdl_" not in sub, (
+            "doclen map feeds a BroadcastExchange:\n" + sub
+        )

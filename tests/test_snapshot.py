@@ -130,3 +130,102 @@ def test_snapshot_plain_version_and_time_travel_pick(spark, tmp_path):
     d1 = str(tmp_path / "d1")
     txn.snapshot_table(root, d1)  # default: CURRENT
     assert txn.read_version(spark, d1).count() == 9
+
+
+def test_snapshot_refuses_mid_race_publish(spark, tmp_path, monkeypatch):
+    """Round-10 ADVICE: the unpublished-destination guard must hold
+    INSIDE the commit loop — on a CAS conflict commit_with_retry
+    re-runs build against the refreshed pointer, and a racing
+    publish at dest must make the loser FAIL (FileExistsError), never
+    stack a second version on the winner's table. Simulated by
+    blinding only the entry check so the commit path sees the winner."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    text_index.build_text_index(spark, docs, src)
+    # the "winner": dst becomes a published table before our commit
+    text_index.build_text_index(spark, docs.limit(5), dst)
+    winner_versions = txn.list_versions(dst)
+
+    real = txn.current_version_dir
+    state = {"blinded": False}
+
+    def blind(root_arg):
+        if os.path.abspath(root_arg) == os.path.abspath(dst) and not state[
+            "blinded"
+        ]:
+            state["blinded"] = True
+            return None  # entry check passes; the commit loop sees truth
+        return real(root_arg)
+
+    monkeypatch.setattr(txn, "current_version_dir", blind)
+    with pytest.raises(FileExistsError, match="mid-snapshot"):
+        txn.snapshot_table(src, dst)
+    # the winner's table is untouched: same single published version
+    assert txn.list_versions(dst) == winner_versions
+
+
+def test_snapshot_carries_pending_payload_overlays(spark, tmp_path):
+    """A snapshot taken with un-compacted set_payload overlays must
+    copy the overlay segments (they ride the metadata blocks, not the
+    read list) — the clone's filtered serve answers like the source."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .withColumn("status", F.lit("pending"))
+    )
+    text_index.build_text_index(spark, docs, src, payload_cols=["status"])
+    text_index.text_index_set_payload(
+        spark,
+        spark.createDataFrame([(3, "validated")], "doc_id long, status string"),
+        src,
+    )
+    txn.snapshot_table(src, dst)
+    terms = ["merge", "spark", "window"]
+    got = text_index.text_index_search(
+        spark, dst, terms, top_k=5, payload_filter="status = 'validated'"
+    ).collect()
+    want = text_index.text_index_search(
+        spark, src, terms, top_k=5, payload_filter="status = 'validated'"
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert {int(r["doc_id"]) for r in got} <= {3}
+
+
+def test_vacuum_never_reclaims_live_payload_overlays(spark, tmp_path):
+    """GC references now include the metadata-block payload_deltas:
+    after the set_payload COMMIT ages out of retention (keep_last=1
+    churn), a zero-grace vacuum must keep the overlay segment the
+    CURRENT manifest still serves from."""
+    root = str(tmp_path / "idx")
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .withColumn("status", F.lit("pending"))
+    )
+    text_index.build_text_index(
+        spark, docs, root, payload_cols=["status"], keep_last=1
+    )
+    text_index.text_index_set_payload(
+        spark,
+        spark.createDataFrame([(3, "validated")], "doc_id long, status string"),
+        root,
+        keep_last=1,
+    )
+    # two more commits: the set_payload VERSION ages out of retention
+    for i in (1, 2):
+        text_index.text_index_upsert(
+            spark,
+            docs.filter(F.col("doc_id") == 7 * i),
+            root,
+            keep_last=1,
+        )
+    txn.vacuum(root, grace_seconds=0.0)
+    got = text_index.text_index_search(
+        spark, root, ["merge", "spark", "window"], top_k=5,
+        payload_filter="status = 'validated'",
+    ).collect()
+    assert {int(r["doc_id"]) for r in got} <= {3}
+    assert text_index.text_index_describe(root)["n_payload_delta_segments"] == 1
