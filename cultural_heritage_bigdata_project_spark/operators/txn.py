@@ -612,14 +612,30 @@ def bucketed_reconstruct(
         bucket_ids = [int(only_bucket)]
     else:
         bucket_ids = sorted({int(b) for b in only_bucket})
+    per_bucket: dict[int, list[str]] = {}
     for i in bucket_ids:
         leaf = [os.path.join(p, f"{BUCKET_COL}={i}") for p in paths]
         leaf = [p for p in leaf if os.path.isdir(p)]
-        if not leaf:
-            continue
-        df = (
-            spark.read.option("mergeSchema", "true").parquet(*leaf).coalesce(1)
+        if leaf:
+            per_bucket[i] = leaf
+    # ONE schema inference for the whole fold, then every branch reads
+    # with the schema pinned: the per-branch mergeSchema inference this
+    # replaces re-listed files and re-read footers once PER BUCKET at
+    # DataFrame-construction time — ~n_buckets × (listing + footer)
+    # rounds of driver latency on every bucketed read (doclen folds,
+    # point lookups, upsert stats corrections). Schema evolution is
+    # add-only here (evolve_component_schema rejects type conflicts),
+    # so a pinned superset schema nulls absent columns exactly like
+    # mergeSchema did.
+    merged_schema = None
+    if per_bucket:
+        merged_schema = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*[p for leaf in per_bucket.values() for p in leaf])
+            .schema
         )
+    for i, leaf in per_bucket.items():
+        df = spark.read.schema(merged_schema).parquet(*leaf).coalesce(1)
         if pre_filter is not None:
             # merge-key predicate: commutes with the per-key fold, so
             # filtering before the window pushes down to the scan
