@@ -405,6 +405,63 @@ def ann_index_upsert(
     return txn.commit_with_retry(root, build, keep_last=keep_last, op="ann_upsert")
 
 
+def ann_index_update_vectors(
+    spark: SparkSession,
+    new_vectors: DataFrame,
+    root: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_last: int = 2,
+) -> str:
+    """Vector-only point update — the Qdrant ``update_vectors`` analog
+    and `ann_index_set_payload`'s mirror: re-embed points WITHOUT
+    re-sending their payload (`ann_index_upsert` requires every stored
+    payload column on the batch, because a full upsert REPLACES the
+    point). The batch's current payload is read back from the live
+    fold via a semi-join on the batch keys (column-pruned to id +
+    payload, O(batch) rows out — no driver-side id list, so the batch
+    can be a nightly re-embed of millions; set_payload overlays merge
+    in, so a re-embed never rolls back a pending re-label), joined
+    onto the new vectors, and committed through the ordinary upsert
+    path. Ids not
+    in the live index raise KeyError — updating a vector that does
+    not exist is a 404, not an insert (use `ann_index_upsert` to
+    create points). On an index without payload columns this is just
+    `ann_index_upsert`."""
+    pcols = _stored_payload_cols(root)
+    if not pcols:
+        return ann_index_upsert(
+            spark, new_vectors, root, id_col=id_col, vec_col=vec_col,
+            keep_last=keep_last,
+        )
+    batch = new_vectors.select(id_col, vec_col)
+    keys = batch.select(id_col).distinct()
+    stored = (
+        ann_index_live(spark, root, id_col)
+        .join(keys, on=id_col, how="leftsemi")
+        .select(id_col, *pcols)
+    )
+    missing = (
+        keys.join(stored.select(id_col), on=id_col, how="left_anti")
+        .limit(5)
+        .collect()
+    )
+    if missing:
+        raise KeyError(
+            "update_vectors for ids not in the live index: "
+            f"{sorted(int(r[id_col]) for r in missing)} — a vector "
+            "update is not an insert; use ann_index_upsert"
+        )
+    return ann_index_upsert(
+        spark,
+        batch.join(stored, on=id_col),
+        root,
+        id_col=id_col,
+        vec_col=vec_col,
+        keep_last=keep_last,
+    )
+
+
 def _qerr_of(spark: SparkSession, root: str, seg_names: list[str]) -> dict:
     """{"mean": <avg __qd>, "n": <rows>} over the named code segments —
     one columns-pruned agg, recorded into the manifest so later drift

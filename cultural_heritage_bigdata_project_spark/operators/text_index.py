@@ -419,6 +419,84 @@ def text_index_upsert(
     )
 
 
+def text_index_update_docs(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    root: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_last: int = 2,
+) -> str:
+    """Text-only doc update — `text_index_set_payload`'s mirror and
+    `ann_index.ann_index_update_vectors`' lexical twin: re-index a
+    doc's TEXT without re-sending its payload (`text_index_upsert`
+    requires every stored payload column, because a full upsert
+    replaces the doc). Current payload is read back BUCKET-PRUNED from
+    the doclen component (only the batch keys' buckets are listed —
+    O(batch-buckets), the same pruning as the upsert's stats
+    correction; set_payload overlays merge in, so a re-crawl never
+    rolls back a pending re-label), joined onto the new text, and
+    committed through the ordinary upsert path. Ids not in the live
+    doclen view raise KeyError — an update is not an insert. On an
+    index without payload columns this is just `text_index_upsert`."""
+    pcols = _stored_text_payload_cols(root)
+    if not pcols:
+        return text_index_upsert(
+            spark, new_docs, root, id_col=id_col, text_col=text_col,
+            keep_last=keep_last,
+        )
+    batch = new_docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias(text_col)
+    )
+    keys = batch.select("doc_id").distinct()
+    cur = txn.current_version_dir(root)
+    if cur is None:
+        raise FileNotFoundError(
+            f"no index published under {root!r}; run build_text_index first"
+        )
+    dlc = txn.read_manifest(root, os.path.basename(cur))[DOCLEN_COMPONENT]
+    dl_spec = dlc.get("reconstruct") or _doclen_spec()
+    batch_buckets = [
+        int(r["b"])
+        for r in keys.select(
+            txn.bucket_expr(["doc_id"], int(dl_spec["buckets"])).alias("b")
+        )
+        .distinct()
+        .collect()  # bounded: at most n_buckets values
+    ]
+    stored = txn.bucketed_reconstruct(
+        spark,
+        [txn.segment_path(root, s) for s in dlc.get("segments", [])],
+        dl_spec,
+        only_bucket=batch_buckets,
+    ).join(keys, on="doc_id", how="leftsemi")
+    tix = _stored_tix(root)
+    overlay, eff = _text_payload_overlay(spark, root, tix)
+    stored = plov.overlay_merge(stored, overlay, eff, "doc_id", "tix_epoch")
+    stored = stored.select("doc_id", *pcols)
+    missing = (
+        keys.join(stored.select("doc_id"), on="doc_id", how="left_anti")
+        .limit(5)
+        .collect()
+    )
+    if missing:
+        raise KeyError(
+            "update for ids not in the live index: "
+            f"{sorted(int(r['doc_id']) for r in missing)} — an update "
+            "is not an insert; use text_index_upsert"
+        )
+    return text_index_upsert(
+        spark,
+        batch.join(stored, on="doc_id").withColumnRenamed("doc_id", id_col)
+        if id_col != "doc_id"
+        else batch.join(stored, on="doc_id"),
+        root,
+        id_col=id_col,
+        text_col=text_col,
+        keep_last=keep_last,
+    )
+
+
 def text_index_delete(
     spark: SparkSession,
     doc_ids,

@@ -277,3 +277,55 @@ def test_set_payload_rejects_bad_inputs(spark, tmp_path):
             spark.createDataFrame([(1, 2)], "vec_id long, label int"),
             bare,
         )
+
+
+def test_update_vectors_preserves_payload(spark, tmp_path):
+    """Qdrant update_vectors analog (round 10, set_payload's mirror):
+    re-embed points WITHOUT re-sending payload — stored payload (with
+    any pending set_payload overlay merged) rides onto the new
+    vectors; unknown ids raise; payload-less indexes fall through to
+    plain upsert."""
+    root = str(tmp_path / "idx")
+    base = _base(spark).withColumn("status", F.lit("pending"))
+    ann_index.build_ann_index(
+        spark, base, root, payload_cols=["label", "status"]
+    )
+    ids = [r["vec_id"] for r in base.orderBy("vec_id").limit(2).collect()]
+    # a pending re-label that the re-embed must NOT roll back
+    ann_index.ann_index_set_payload(
+        spark,
+        spark.createDataFrame(
+            [(int(ids[0]), "validated")], "vec_id long, status string"
+        ),
+        root,
+    )
+    upd = base.filter(F.col("vec_id").isin([int(i) for i in ids])).select(
+        "vec_id", F.reverse(F.col("embedding")).alias("embedding")
+    )
+    ann_index.ann_index_update_vectors(spark, upd, root)
+    live = {
+        r["vec_id"]: (r["status"], [float(x) for x in r["embedding"]])
+        for r in ann_index.ann_index_live(spark, root)
+        .filter(F.col("vec_id").isin([int(i) for i in ids]))
+        .select("vec_id", "status", "embedding")
+        .collect()
+    }
+    orig = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in base.filter(
+            F.col("vec_id").isin([int(i) for i in ids])
+        ).collect()
+    }
+    assert live[ids[0]][0] == "validated"  # overlay survived the re-embed
+    assert live[ids[1]][0] == "pending"
+    for i in ids:
+        assert live[i][1] == list(reversed(orig[i]))  # vector updated
+    with pytest.raises(KeyError, match="not an insert"):
+        ann_index.ann_index_update_vectors(
+            spark,
+            spark.createDataFrame(
+                [(999_999, [0.0] * len(orig[ids[0]]))],
+                "vec_id long, embedding array<double>",
+            ),
+            root,
+        )

@@ -726,3 +726,55 @@ def test_text_set_payload_lifecycle(spark, tmp_path):
         .collect()
     }
     assert lang1 == {k: lang0[k] for k in lang1}
+
+
+def test_text_update_docs_preserves_payload(spark, tmp_path):
+    """text_index_update_docs (round 10): re-index text without
+    re-sending payload — stored facets (incl. a pending set_payload
+    re-label) ride onto the new doc row; unknown ids raise."""
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text", "lang")
+        .withColumn("status", F.lit("pending"))
+    )
+    root = str(tmp_path / "tix")
+    text_index.build_text_index(
+        spark, docs, root, payload_cols=["status", "lang"]
+    )
+    text_index.text_index_set_payload(
+        spark,
+        spark.createDataFrame([(3, "validated")], "doc_id long, status string"),
+        root,
+    )
+    upd = docs.filter(F.col("doc_id").isin([3, 4])).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" zebra zebra")).alias("text")
+    )
+    text_index.text_index_update_docs(spark, upd, root)
+    hits = text_index.text_index_search(spark, root, ["zebra"], top_k=5).collect()
+    assert {int(r["doc_id"]) for r in hits} == {3, 4}
+    only_val = text_index.text_index_search(
+        spark, root, ["zebra"], top_k=5, payload_filter="status = 'validated'"
+    ).collect()
+    assert {int(r["doc_id"]) for r in only_val} == {3}
+    lang0 = {
+        int(r["doc_id"]): r["lang"]
+        for r in docs.filter(F.col("doc_id").isin([3, 4])).collect()
+    }
+    dl = {
+        int(r["doc_id"]): r["lang"]
+        for r in txn.read_version(spark, root, subdir="doclen")
+        .filter(F.col("doc_id").isin([3, 4]))
+        .select("doc_id", "lang")
+        .collect()
+    }
+    assert dl == lang0  # untouched facet rode along
+    import pytest as _pt
+
+    with _pt.raises(KeyError, match="not an insert"):
+        text_index.text_index_update_docs(
+            spark,
+            spark.createDataFrame(
+                [(10**9, "ghost text")], "doc_id long, text string"
+            ),
+            root,
+        )
