@@ -998,17 +998,31 @@ def _text_index_root(spark: SparkSession, sf_dir: str) -> str:
         # changes nothing for the bm25 members' scores
         text_index.build_text_index(spark, base, root, payload_cols=["lang"])
         # incremental maintenance through the delta path: docs %5==0
-        # arrive NEW with ' merge merge' appended; docs %7==3 among the
-        # indexed are UPDATED with ' spark' appended (deterministic,
-        # SQL-replayable; changes dl, tf, df AND the corpus stats)
-        ups = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
-            "text", F.concat(F.col("text"), F.lit(" merge merge"))
-        ).unionByName(
+        # arrive NEW with ' merge merge' appended (a true insert — the
+        # upsert path, payload sent); docs %7==3 among the indexed are
+        # UPDATED with ' spark' appended through the TEXT-ONLY update
+        # path (round 10: text_index_update_docs — lang is read back
+        # bucket-pruned from doclen, not re-sent; same end state, so
+        # every oracle replays identically while the driver exercises
+        # the readback). Deterministic, SQL-replayable; changes dl,
+        # tf, df AND the corpus stats.
+        text_index.text_index_upsert(
+            spark,
+            docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+                "text", F.concat(F.col("text"), F.lit(" merge merge"))
+            ),
+            root,
+        )
+        text_index.text_index_update_docs(
+            spark,
             docs.filter(
                 (F.col("doc_id") % 5 != 0) & (F.col("doc_id") % 7 == 3)
-            ).withColumn("text", F.concat(F.col("text"), F.lit(" spark")))
+            ).select(
+                "doc_id",
+                F.concat(F.col("text"), F.lit(" spark")).alias("text"),
+            ),
+            root,
         )
-        text_index.text_index_upsert(spark, ups, root)
         # payload-only re-label (text_index_set_payload, round 10):
         # docs %9==2 flip lang to 'zz' WITHOUT re-tokenizing — the
         # grouped member hash-checks the overlay-merged values via the

@@ -868,11 +868,15 @@ def _ann_index_root(spark: SparkSession, sf_dir: str) -> str:
         ann_index.build_ann_index(spark, base, root, payload_cols=["label"])
         # incremental maintenance: vectors divisible by 7 are re-embedded
         # (deterministically: reversed array — norm-preserving and
-        # SQL-replayable) and upserted through the stored quantizers
-        upd = base.filter(F.col("vec_id") % 7 == 0).withColumn(
-            "embedding", F.reverse(F.col("embedding"))
+        # SQL-replayable) through the VECTOR-ONLY update path (round 10:
+        # ann_index_update_vectors — payload is read back from the live
+        # fold, not re-sent; values equal the build's, so every member
+        # oracle replays the identical state while the driver exercises
+        # the update_vectors readback end-to-end)
+        upd = base.filter(F.col("vec_id") % 7 == 0).select(
+            "vec_id", F.reverse(F.col("embedding")).alias("embedding")
         )
-        ann_index.ann_index_upsert(spark, upd, root)
+        ann_index.ann_index_update_vectors(spark, upd, root)
         # payload-only mutation (round 10): re-label WITHOUT touching
         # vectors — ann_index_set_payload commits an overlay the
         # serving fold merges; the flip rule is deterministic and
