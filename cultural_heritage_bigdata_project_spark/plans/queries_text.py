@@ -1044,7 +1044,8 @@ def _text_index_root(spark: SparkSession, sf_dir: str) -> str:
     "stats, then the SAME scoring tail as bm25_search — the oracle is "
     "the corpus-scan SQL over the post-upsert corpus, because an "
     "index must not change the answer; exercises the build AND the "
-    "incremental path (new docs + updated docs with changed lengths)",
+    "incremental path (new docs upserted + existing docs refreshed "
+    "through text_index_update_docs, payload read back bucket-pruned)",
     survey_ref="A1,A9,W4,J1,S14",
     oracle="""
 WITH t AS (

@@ -995,8 +995,9 @@ WITH {_ANN_IDX_CTES}, {q_cte}, qprobe AS (
     "components (operators/ann_index.py — the Qdrant persistent-"
     "collection analog, ref extracting_embeddings.py:60-84): IVF "
     "per-list segments with manifest stats + PQ codes + stored "
-    "centroid/codebook meta, built once and UPSERTED once (vec_id%7 "
-    "re-embedded as reversed vectors, encoded with the stored "
+    "centroid/codebook meta, built once and UPDATED once (vec_id%7 "
+    "re-embedded as reversed vectors via ann_index_update_vectors — "
+    "payload read back, not re-sent — encoded with the stored "
     "quantizers); the timed body is index-read + probe only — meta "
     "read, 4 metadata-pruned list segments ∪ the delta tail, latest-"
     "per-key fold, JVM ADC shortlist, exact re-rank. Hash-checked "
