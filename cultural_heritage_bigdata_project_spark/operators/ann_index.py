@@ -651,6 +651,7 @@ def ann_index_top_k(
     codec: str = "pq",
     exclude_ids=None,
     payload_filter=None,
+    payload_out: list[str] | None = None,
 ) -> DataFrame:
     """Serve a kNN query from the PREBUILT index: meta read (KBs) →
     driver-side probe selection → metadata-pruned scan of the n_probe
@@ -670,6 +671,12 @@ def ann_index_top_k(
     semantics, not a post-filter that can under-fill k. The caller
     derives it from any metadata predicate (one semi-join; broadcast
     when small).
+
+    ``payload_out`` names stored payload columns to RETURN with each
+    hit (Qdrant ``with_payload`` on search): they ride the probed
+    rows the serve already reads (set_payload overlays merged), so
+    returning them costs zero extra reads and zero joins — the
+    grouped serve's stored-payload mode is built on exactly this.
 
     ``codec`` picks the shortlist surrogate over the probed rows:
     ``"pq"`` (default) scores the stored PQ codes via the integer ADC
@@ -714,7 +721,7 @@ def ann_index_top_k(
         )
     return _shortlist_rerank(
         probed, codebook, query, k, shortlist, id_col, vec_col,
-        allowed_ids, codec, m,
+        allowed_ids, codec, m, payload_out=payload_out,
     )
 
 
@@ -813,9 +820,11 @@ def _shortlist_rerank(
     allowed_ids: DataFrame | None,
     codec: str,
     m: int,
+    payload_out: list[str] | None = None,
 ) -> DataFrame:
     """Shared serving tail: payload filter → codec shortlist (PQ ADC or
-    BQ hamming over the stored columns) → exact cosine re-rank."""
+    BQ hamming over the stored columns) → exact cosine re-rank.
+    ``payload_out`` columns project through from the probed rows."""
     if allowed_ids is not None:
         probed = probed.join(
             allowed_ids.select(id_col).distinct(), on=id_col, how="leftsemi"
@@ -860,9 +869,11 @@ def _shortlist_rerank(
         raise ValueError(f"unknown codec {codec!r}: expected 'pq' or 'bq'")
     qlit = F.array(*[F.lit(float(x)) for x in query]).cast("array<double>")
     sim = F.round(cosine_similarity(F.col(vec_col), qlit), 6)
+    out_cols = [F.col(id_col), F.col(surrogate), sim.alias("cosine_sim")]
+    out_cols += [F.col(c) for c in (payload_out or [])]
     return (
         probed.join(short, on=id_col)
-        .select(F.col(id_col), F.col(surrogate), sim.alias("cosine_sim"))
+        .select(*out_cols)
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
         .limit(k)
     )
@@ -1639,17 +1650,17 @@ def ann_index_top_k_grouped(
 
     Mechanics: one ordinary index serve fetches the flat top
     ``fetch_k`` (`ann_index_top_k` — probe-pruned, filtered,
-    deterministic). The (id, group) map is CORPUS-scale (with
-    ``groups=None`` it is the whole live fold), so it is never
-    broadcast and never globally distinct-shuffled: the map STREAMS
-    through one inner join whose broadcast build side is the
-    ≤``fetch_k``-row serve output, the (now shortlist-sized) tagged
-    rows are deduped, and the single-pass `windows.group_top_k`
-    ranks hits within a group (cosine desc, id asc; keep
-    ``group_size``) and groups by their BEST hit (its cosine desc,
-    then its id — Qdrant orders groups by top-hit score; keep
-    ``k_groups``) with NO further join — the serve subtree and the
-    map scan each evaluate exactly once. Returns
+    deterministic). With an explicit ``groups`` frame the (id, group)
+    map is CORPUS-scale, so it is never broadcast and never globally
+    distinct-shuffled: the map STREAMS through one inner join whose
+    broadcast build side is the ≤``fetch_k``-row serve output, the
+    (now shortlist-sized) tagged rows are deduped, and the
+    single-pass `windows.group_top_k` ranks hits within a group
+    (cosine desc, id asc; keep ``group_size``) and groups by their
+    BEST hit (its cosine desc, then its id — Qdrant orders groups by
+    top-hit score; keep ``k_groups``) with NO further join — the
+    serve subtree and the map scan each evaluate exactly once.
+    Returns
     ``(group_col, group_rank, rank_in_group, vec_id, cosine_sim)``.
 
     Caveat shared with Qdrant: a group whose best hit ranks below the
@@ -1657,26 +1668,38 @@ def ann_index_top_k_grouped(
     (it only widens one window over shortlist-scale rows).
 
     ``groups=None`` groups by a STORED payload column (an index built
-    with ``payload_cols`` — Qdrant's group_by a payload field): the
-    (id, group) map comes from the live fold, columns-pruned to those
-    two fields."""
+    with ``payload_cols`` — Qdrant's group_by a payload field), and
+    then there is NO map read at all: the group label rides the
+    probed rows the serve already reads (``payload_out`` through
+    `ann_index_top_k` — payload-on-point, exactly Qdrant's group_by
+    reading the hit's own payload), so the whole grouped page is one
+    serve plus shortlist-sized windows."""
     from .windows import group_top_k
 
     if groups is None:
-        groups = ann_index_live(spark, root, id_col).select(id_col, group_col)
-    flat = ann_index_top_k(
-        spark, root, query, k=int(fetch_k), n_probe=n_probe,
-        shortlist=shortlist, id_col=id_col, vec_col=vec_col,
-        allowed_ids=allowed_ids,
-    )
-    # ONE join, map streamed, the <= fetch_k serve output broadcast as
-    # the build side; the dedup (a multi-group map may tag a hit
-    # twice) runs on the shortlist-sized tagged rows, never the map
-    tagged = (
-        groups.select(id_col, group_col)
-        .join(F.broadcast(flat), on=id_col)
-        .distinct()
-    )
+        # stored payload: the label projects through the serve — the
+        # probed rows carry it (set_payload overlays merged); zero
+        # extra reads, zero joins
+        tagged = ann_index_top_k(
+            spark, root, query, k=int(fetch_k), n_probe=n_probe,
+            shortlist=shortlist, id_col=id_col, vec_col=vec_col,
+            allowed_ids=allowed_ids, payload_out=[group_col],
+        )
+    else:
+        flat = ann_index_top_k(
+            spark, root, query, k=int(fetch_k), n_probe=n_probe,
+            shortlist=shortlist, id_col=id_col, vec_col=vec_col,
+            allowed_ids=allowed_ids,
+        )
+        # ONE join, map streamed, the <= fetch_k serve output
+        # broadcast as the build side; the dedup (a multi-group map
+        # may tag a hit twice) runs on the shortlist-sized tagged
+        # rows, never the map
+        tagged = (
+            groups.select(id_col, group_col)
+            .join(F.broadcast(flat), on=id_col)
+            .distinct()
+        )
     return group_top_k(
         tagged, group_col, "cosine_sim", id_col, k_groups, group_size
     ).select(

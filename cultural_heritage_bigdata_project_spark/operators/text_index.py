@@ -1366,18 +1366,24 @@ def text_index_search_grouped(
 
     ``groups=None`` groups by a STORED payload column (an index built
     with ``payload_cols``): the (id, group) map is a doclen-only
-    columns-pruned read. ``payload_filter`` forwards to the flat
-    serve."""
+    columns-pruned read, set_payload overlays merged — ONE streamed
+    pass over the narrow doc map per grouped page (the doclen rows
+    are orders smaller than corpus text; a deployment that needs
+    sub-pass label lookups instead folds doclen bucket-pruned via
+    `txn.bucketed_reconstruct(only_bucket=...)` over the shortlist
+    ids' buckets — worthwhile once n_buckets >> fetch_k, measured
+    counterproductive at this fixture's 16 buckets).
+    ``payload_filter`` forwards to the flat serve."""
     from .windows import group_top_k
 
-    if groups is None:
-        groups = _doclen_with_payload(spark, root).select(
-            F.col("doc_id").alias(id_col), F.col(group_col)
-        )
     flat = text_index_search(
         spark, root, query_terms, top_k=int(fetch_k), k1=k1, b=b,
         id_col=id_col, allowed_ids=allowed_ids, payload_filter=payload_filter,
     )
+    if groups is None:
+        groups = _doclen_with_payload(spark, root).select(
+            F.col("doc_id").alias(id_col), F.col(group_col)
+        )
     # ONE join, map streamed, the <= fetch_k serve output broadcast as
     # the build side; the dedup (a multi-group map may tag a hit
     # twice) runs on the shortlist-sized tagged rows, never the map
