@@ -343,6 +343,124 @@ def test_point_lifecycle_random_walk_matches_model(spark, tmp_path):
             assert fetched[probe] == model[probe], f"step {step}: stored vector wrong"
 
 
+def test_payload_lifecycle_random_walk_matches_model(spark, tmp_path):
+    """Round 10: the lifecycle walk extended across the FULL mutation
+    matrix — upsert (vector+payload), update_vectors (vector only,
+    payload preserved), set_payload (payload only, vector preserved),
+    delete, compact — against a dict model of (vector, status, label).
+    Scroll-with-payload, filtered count, and point fetch are compared
+    after every commit; this is the interaction surface (overlay vs
+    fold epochs vs tombstones vs baking) no scenario test enumerates."""
+    import random
+
+    base = (
+        load_table(spark, SF_DIR, "embeddings")
+        .filter(F.col("vec_id") != 0)
+        .withColumn("status", F.lit("pending"))
+    )
+    vecs = {
+        r["vec_id"]: ([float(x) for x in r["embedding"]], r["label"])
+        for r in base.collect()
+    }
+    ids = sorted(vecs)
+    root = str(tmp_path / "idx")
+    ann_index.build_ann_index(
+        spark, base, root, payload_cols=["label", "status"]
+    )
+    # model: id -> (vector, label, status)
+    model = {i: (v, lbl, "pending") for i, (v, lbl) in vecs.items()}
+
+    rng = random.Random(20260817)
+    statuses = ["pending", "validated", "flagged"]
+    for step in range(10):
+        op = rng.choice(
+            ["upsert", "delete", "set_payload", "set_payload",
+             "update_vectors"]
+        )
+        chosen = rng.sample(ids, rng.randint(1, 4))
+        if op == "delete":
+            ann_index.ann_index_delete(spark, chosen, root)
+            for i in chosen:
+                model.pop(i, None)
+        elif op == "set_payload":
+            live_chosen = [i for i in chosen if i in model]
+            st = rng.choice(statuses)
+            if live_chosen:
+                # subset-column update half the time
+                if rng.random() < 0.5:
+                    upd = spark.createDataFrame(
+                        [(int(i), st) for i in live_chosen],
+                        "vec_id long, status string",
+                    )
+                    for i in live_chosen:
+                        v, lbl, _ = model[i]
+                        model[i] = (v, lbl, st)
+                else:
+                    newlbl = rng.randint(0, 9)
+                    upd = spark.createDataFrame(
+                        [(int(i), st, newlbl) for i in live_chosen],
+                        "vec_id long, status string, label int",
+                    )
+                    for i in live_chosen:
+                        v, _, _ = model[i]
+                        model[i] = (v, newlbl, st)
+                ann_index.ann_index_set_payload(spark, upd, root)
+            # ids deleted from the model: Qdrant semantics — a
+            # set_payload on a missing point is a silent no-op, so
+            # also send one occasionally and expect nothing
+        elif op == "update_vectors":
+            live_chosen = [i for i in chosen if i in model]
+            if not live_chosen:
+                continue
+            batch = base.filter(
+                F.col("vec_id").isin([int(i) for i in live_chosen])
+            ).select(
+                "vec_id", F.reverse(F.col("embedding")).alias("embedding")
+            )
+            ann_index.ann_index_update_vectors(spark, batch, root)
+            for i in live_chosen:
+                _, lbl, st = model[i]
+                model[i] = (list(reversed(vecs[i][0])), lbl, st)
+        else:  # full upsert: resets vector AND payload
+            st = rng.choice(statuses)
+            batch = (
+                base.filter(F.col("vec_id").isin([int(i) for i in chosen]))
+                .withColumn("status", F.lit(st))
+            )
+            ann_index.ann_index_upsert(spark, batch, root)
+            for i in chosen:
+                model[i] = (vecs[i][0], vecs[i][1], st)
+        if step == 6:
+            ann_index.ann_index_compact(spark, root)
+            assert (
+                ann_index.ann_index_describe(spark, root)[
+                    "n_payload_delta_segments"
+                ]
+                == 0
+            )
+
+        got = {
+            r["vec_id"]: (r["label"], r["status"])
+            for r in ann_index.ann_index_scroll(
+                spark, root, limit=10_000, with_payload=True
+            ).collect()
+        }
+        want = {i: (lbl, st) for i, (_, lbl, st) in model.items()}
+        assert got == want, f"step {step} ({op}): payload state diverged"
+        n_val = ann_index.ann_index_count(
+            spark, root, payload_filter="status = 'validated'"
+        ).first()["n_points"]
+        assert n_val == sum(
+            1 for _, _, st in model.values() if st == "validated"
+        ), f"step {step}: filtered count diverged"
+        if model:
+            probe = rng.choice(sorted(model))
+            fetched = ann_index.ann_index_fetch_vectors(spark, root, [probe])
+            assert fetched[probe] == model[probe][0], (
+                f"step {step}: stored vector wrong"
+            )
+
+
 def test_list_segments_are_id_sorted_for_keyset_pruning(spark, built):
     """Round 10: build (and compact — covered by re-checking after one)
     writes every list segment's files ID-SORTED, so a keyset scroll
