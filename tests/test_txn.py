@@ -1132,3 +1132,29 @@ def test_drained_poll_schema_matches_nonempty_poll(spark, tmp_path):
     # and change_feed's drained path shares the schema too
     feed = txn.change_feed(spark, root, hi, hi)
     assert set(feed.columns) == nonempty_cols
+
+
+def test_hand_edited_pointer_fails_feed_reads(spark, tmp_path):
+    """_check_numeric_chain (round 10): the chain-suffix invariant
+    feeds rely on is validated, not assumed — a pointer whose numeric
+    epochs are out of publish order (only possible by editing CURRENT
+    by hand) makes change_feed/poll_changes refuse instead of
+    guessing which commits are missing."""
+    import pytest
+
+    tdir = str(tmp_path / "htbl")
+    for e in range(3):
+        df = spark.createDataFrame(
+            [(i, e, f"e{e}_{i}") for i in range(3)],
+            "id long, v long, val string",
+        )
+        streaming.batch_upsert_commit(spark, df, ["id"], ["v"], tdir, keep_last=6)
+    cur = os.path.join(tdir, "CURRENT")
+    with open(cur, encoding="utf-8") as f:
+        names = f.read().splitlines()
+    with open(cur, "w", encoding="utf-8") as f:
+        f.write("\n".join(reversed(names)))  # oldest-first: out of order
+    with pytest.raises(RuntimeError, match="publish order"):
+        txn.change_feed(spark, tdir, from_version=0)
+    with pytest.raises(RuntimeError, match="publish order"):
+        txn.poll_changes(spark, tdir, str(tmp_path / "c.json"))
