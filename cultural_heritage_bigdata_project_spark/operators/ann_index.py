@@ -1000,6 +1000,8 @@ def ann_index_top_k_all(
     q_id_col: str = "q_id",
     q_vec_col: str = "embedding",
     allowed_ids: DataFrame | None = None,
+    payload_filter=None,
+    payload_out: list[str] | None = None,
 ) -> DataFrame:
     """Batch serving: top-k for EVERY query vector in ``queries`` in
     ONE job against the persisted index — the amortized path when a
@@ -1020,6 +1022,14 @@ def ann_index_top_k_all(
     query's shortlist; two q_id-partitioned windows do shortlist and
     top-k. Returns (q_id, vec_id, hamming, cosine_sim) rows, k per
     query.
+
+    ``payload_filter`` / ``payload_out`` behave exactly as in the
+    single-query path (round 10 — previously batch callers had to
+    materialize an ``allowed_ids`` side table for what the stored
+    payload already answers): the predicate applies on the
+    overlay-merged fold BEFORE any shortlist, so every query's k
+    fills from the filtered candidates, and requested payload columns
+    ride the probed rows out with zero extra reads.
 
     At 100 TB: the index is read ONCE for the whole query batch
     (union of probed lists + delta tail); per-query cost is the
@@ -1048,18 +1058,26 @@ def ann_index_top_k_all(
     )
     if not probe_ids:  # empty query batch: k-per-query of nothing
         q_type = queries.schema[q_id_col].dataType.simpleString()
-        id_type = None
-        for n, t in comp.get("schema") or []:  # recorded at build time
-            if n == id_col:
-                id_type = t
+        types = dict(comp.get("schema") or [])  # recorded at build time
+        extra = "".join(
+            f", {c} {types.get(c, 'string')}" for c in (payload_out or [])
+        )
         return spark.createDataFrame(
             [],
-            f"{q_id_col} {q_type}, {id_col} {id_type or 'bigint'}, "
-            "hamming bigint, cosine_sim double",
+            f"{q_id_col} {q_type}, {id_col} {types.get(id_col, 'bigint')}, "
+            f"hamming bigint, cosine_sim double{extra}",
         )
     latest = _probed_latest(spark, root, comp, ann, probe_ids, id_col)
+    if payload_filter is not None:
+        # stored-payload predicate on the overlay-merged fold, BEFORE
+        # any shortlist — the single-query path's semantics
+        latest = latest.filter(
+            F.expr(payload_filter)
+            if isinstance(payload_filter, str)
+            else payload_filter
+        )
     rows = latest.filter(F.col("ann_list").isin(probe_ids)).select(
-        id_col, "ann_list", "bq_words", vec_col
+        id_col, "ann_list", "bq_words", vec_col, *(payload_out or [])
     )
     if allowed_ids is not None:
         # payload filter BEFORE the shortlist (Qdrant filter-during-
@@ -1134,6 +1152,7 @@ def ann_index_top_k_all(
             F.col(id_col),
             "hamming",
             "cosine_sim",
+            *[F.col(c) for c in (payload_out or [])],
         )
     )
 
@@ -1765,6 +1784,7 @@ def ann_index_recommend_all(
     user_col: str = "user_id",
     positive_col: str = "is_positive",
     allowed_ids: DataFrame | None = None,
+    payload_filter=None,
 ) -> DataFrame:
     """Batch recommend: `ann_index_recommend` for EVERY user in one
     job — the recommendation-refresh shape (the reference's ML-model
@@ -1875,6 +1895,7 @@ def ann_index_recommend_all(
         q_id_col="__u",
         q_vec_col=vec_col,
         allowed_ids=allowed_ids,
+        payload_filter=payload_filter,
     )
     res = res.join(ex.select("__u", id_col), on=["__u", id_col], how="left_anti")
     w = Window.partitionBy("__u").orderBy(

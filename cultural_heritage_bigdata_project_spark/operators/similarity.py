@@ -1647,6 +1647,69 @@ def hybrid_rrf_search_indexed(
     return _rrf_fuse(lex, sem, id_col, vec_id_col, rrf_k, k)
 
 
+def hybrid_grouped_search_indexed(
+    spark,
+    text_root: str,
+    ann_root: str,
+    query_terms: list[str],
+    query,
+    groups: DataFrame | None,
+    group_col: str,
+    k_groups: int = 3,
+    group_size: int = 2,
+    fetch_k: int = 40,
+    top_n: int = 50,
+    rrf_k: int = 60,
+    n_probe: int = 4,
+    shortlist: int = 200,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    allowed_ids: DataFrame | None = None,
+) -> DataFrame:
+    """Search-groups over the HYBRID serve (round 10) — the full
+    dashboard page: lexical + semantic fusion
+    (`hybrid_rrf_search_indexed`, zero corpus scans) diversified by a
+    group key so one provider's near-duplicates cannot monopolize the
+    fused page either (the reference's flat Qdrant order + flat SQL
+    order both can, app.py:94-264). Same composition rules as the
+    per-modality grouped serves: the flat fused top ``fetch_k`` is
+    the broadcast build side of ONE map-streamed join (explicit
+    ``groups`` frame), or — ``groups=None`` — the group label is the
+    ANN index's stored payload read off the live fold; the
+    single-pass `windows.group_top_k` ranks groups by their best
+    fused hit with no further join. Returns
+    ``(group_col, group_rank, rank_in_group, id, rrf_score)``."""
+    from pyspark.sql import functions as F
+
+    from . import ann_index as _ai
+    from .windows import group_top_k
+
+    flat = hybrid_rrf_search_indexed(
+        spark, text_root, ann_root, query_terms, query,
+        k=int(fetch_k), top_n=top_n, rrf_k=rrf_k, n_probe=n_probe,
+        shortlist=shortlist, id_col=id_col, vec_id_col=vec_id_col,
+        allowed_ids=allowed_ids,
+    )
+    if groups is None:
+        groups = _ai.ann_index_live(spark, ann_root, vec_id_col).select(
+            F.col(vec_id_col).alias(id_col), F.col(group_col)
+        )
+    tagged = (
+        groups.select(id_col, group_col)
+        .join(F.broadcast(flat), on=id_col)
+        .distinct()
+    )
+    return group_top_k(
+        tagged, group_col, "rrf_score", id_col, k_groups, group_size
+    ).select(
+        F.col(group_col),
+        F.col("group_rank"),
+        F.col("rank_in_group"),
+        F.col(id_col),
+        F.col("rrf_score"),
+    )
+
+
 def mmr_rerank(
     vectors: DataFrame,
     query,

@@ -329,3 +329,27 @@ def test_update_vectors_preserves_payload(spark, tmp_path):
             ),
             root,
         )
+
+
+def test_batch_serve_payload_filter_and_out(spark, built):
+    """Round 10: the batch serve accepts the stored-payload facet
+    filter and with-payload output like the single-query path — the
+    predicate applies before the shortlist (equals the allowed_ids
+    side-table shape per query), and payload_out rides the probed
+    rows with no extra reads."""
+    root, base = built
+    qs = base.filter(F.col("vec_id").isin([3, 4])).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding")
+    )
+    got = ann_index.ann_index_top_k_all(
+        spark, root, qs, k=5, n_probe=16, shortlist=10_000,
+        payload_filter="label = 2", payload_out=["label"],
+    ).collect()
+    want = ann_index.ann_index_top_k_all(
+        spark, root, qs, k=5, n_probe=16, shortlist=10_000,
+        allowed_ids=base.filter(F.col("label") == 2).select("vec_id"),
+    ).collect()
+    assert [
+        (r["q_id"], r["vec_id"], r["hamming"], r["cosine_sim"]) for r in got
+    ] == [tuple(r) for r in want]
+    assert got and all(r["label"] == 2 for r in got)

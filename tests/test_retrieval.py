@@ -421,3 +421,62 @@ def test_mmr_indexed_matches_scan_mmr(spark, tmp_path):
     ).collect()
     assert [tuple(r) for r in got_f] == [tuple(r) for r in want_f]
     assert got_f and all(r["vec_id"] % 2 == 1 for r in got_f)
+
+
+def test_hybrid_grouped_diversifies_the_fused_page(spark, tmp_path):
+    """hybrid_grouped_search_indexed (round 10): the fused page
+    diversified by a group key — equals recomputing the windows by
+    hand over the flat fused top-fetch_k, for both an explicit group
+    frame and the ANN index's stored payload (groups=None), and the
+    two modes agree with each other."""
+    from cultural_heritage_bigdata_project_spark.operators import (
+        ann_index,
+        text_index,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    emb = load_table(spark, SF_DIR, "embeddings").withColumnRenamed(
+        "label", "provider"
+    )
+    troot = str(tmp_path / "tix")
+    aroot = str(tmp_path / "ann")
+    text_index.build_text_index(spark, docs, troot)
+    ann_index.build_ann_index(
+        spark, emb, aroot, n_lists=8, payload_cols=["provider"]
+    )
+    q_row = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    q = [float(x) for x in q_row[0]]
+
+    kwargs = dict(
+        k_groups=3, group_size=2, fetch_k=25, top_n=50,
+        n_probe=8, shortlist=1000,
+    )
+    got_explicit = similarity.hybrid_grouped_search_indexed(
+        spark, troot, aroot, TERMS, q,
+        groups=emb.select(F.col("vec_id").alias("doc_id"), "provider"),
+        group_col="provider", **kwargs,
+    ).collect()
+    got_stored = similarity.hybrid_grouped_search_indexed(
+        spark, troot, aroot, TERMS, q,
+        groups=None, group_col="provider", **kwargs,
+    ).collect()
+    assert [tuple(r) for r in got_stored] == [tuple(r) for r in got_explicit]
+
+    # recompute by hand from the flat fused page
+    flat = similarity.hybrid_rrf_search_indexed(
+        spark, troot, aroot, TERMS, q,
+        k=25, top_n=50, n_probe=8, shortlist=1000,
+    ).collect()
+    prov = {r["vec_id"]: r["provider"] for r in emb.collect()}
+    per = {}
+    for r in sorted(flat, key=lambda r: (-r["rrf_score"], r["doc_id"])):
+        per.setdefault(prov[r["doc_id"]], []).append(r)
+    best = sorted(
+        ((v[0]["rrf_score"], v[0]["doc_id"], g) for g, v in per.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:3]
+    want = []
+    for rank, (_, _, g) in enumerate(best, start=1):
+        for i, r in enumerate(per[g][:2], start=1):
+            want.append((g, rank, i, r["doc_id"], r["rrf_score"]))
+    assert [tuple(r) for r in got_explicit] == want
