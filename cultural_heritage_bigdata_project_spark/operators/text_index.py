@@ -273,6 +273,7 @@ def text_index_upsert(
     text_col: str = "text",
     keep_last: int = 2,
     tix_extra: dict | None = None,
+    _docs_fn=None,
 ) -> str:
     """O(batch) incremental maintenance: tokenize ONLY the new/changed
     docs into one delta posting segment + one doclen delta. The
@@ -281,15 +282,23 @@ def text_index_upsert(
     bucketed on doc_id, so only the batch keys' buckets are listed and
     folded — O(batch-buckets), never a scan of the doc universe. An
     index built with ``payload_cols`` requires every upsert batch to
-    carry those columns (the payload rides the doc's doclen row)."""
-    pcols = _stored_text_payload_cols(root)
-    missing = [c for c in pcols if c not in new_docs.columns]
-    if missing:
-        raise ValueError(
-            f"index at {root!r} stores payload columns {pcols}; "
-            f"the upsert batch is missing {missing}"
-        )
-    postings = _postings(new_docs, id_col, text_col)
+    carry those columns (the payload rides the doc's doclen row).
+
+    OCC discipline (round-10 ADVICE, as `ann_index.ann_index_upsert`):
+    payload validation and the tokenize plan are derived INSIDE the
+    commit loop against each attempt's expected current, and
+    ``_docs_fn(version_name) -> DataFrame`` is the internal hook
+    `text_index_update_docs` uses to re-read stored payload per
+    attempt — a CAS retry re-reads the refreshed overlay, so a
+    concurrent `text_index_set_payload` is never rolled back."""
+    if _docs_fn is None:
+        pc0 = _stored_text_payload_cols(root)
+        missing = [c for c in pc0 if c not in new_docs.columns]
+        if missing:
+            raise ValueError(
+                f"index at {root!r} stores payload columns {pc0}; "
+                f"the upsert batch is missing {missing}"
+            )
 
     def build(current_dir, new_dir):
         if current_dir is None:
@@ -301,6 +310,15 @@ def text_index_upsert(
         comp = dict(components[POSTINGS_COMPONENT])
         tix = dict(comp.get("tix") or {})
         n_buckets = int(tix.get("n_buckets", 16))
+        pcols = list(tix.get("payload_cols", []) or [])
+        batch_docs = new_docs if _docs_fn is None else _docs_fn(cur_name)
+        missing = [c for c in pcols if c not in batch_docs.columns]
+        if missing:
+            raise ValueError(
+                f"index at {root!r} stores payload columns {pcols}; "
+                f"the upsert batch is missing {missing}"
+            )
+        postings = _postings(batch_docs, id_col, text_col)
         epoch = _next_epoch(root, current_dir)
         vname = os.path.basename(new_dir)
         stopped = tix.get("stop_terms") or []
@@ -324,7 +342,7 @@ def text_index_upsert(
         # per-upsert doc set (the serving fold keys on it)
         toks = tokenize(F.lower(F.col(text_col)))
         delta_dl = (
-            new_docs.select(
+            batch_docs.select(
                 F.col(id_col).alias("doc_id"),
                 F.size(toks).alias("dl"),
                 *[F.col(c) for c in pcols],
@@ -438,7 +456,13 @@ def text_index_update_docs(
     rolls back a pending re-label), joined onto the new text, and
     committed through the ordinary upsert path. Ids not in the live
     doclen view raise KeyError — an update is not an insert. On an
-    index without payload columns this is just `text_index_upsert`."""
+    index without payload columns this is just `text_index_upsert`.
+
+    The readback runs INSIDE the commit loop, pinned to each attempt's
+    expected current (round-10 ADVICE, the `ann_index_update_vectors`
+    contract): a CAS retry re-reads the refreshed overlay, so a
+    concurrent `text_index_set_payload` is never silently rolled back
+    by the re-crawl's baked payload."""
     pcols = _stored_text_payload_cols(root)
     if not pcols:
         return text_index_upsert(
@@ -449,51 +473,63 @@ def text_index_update_docs(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias(text_col)
     )
     keys = batch.select("doc_id").distinct()
-    cur = txn.current_version_dir(root)
-    if cur is None:
-        raise FileNotFoundError(
-            f"no index published under {root!r}; run build_text_index first"
+
+    def docs_with_stored_payload(version: str) -> DataFrame:
+        components = txn.read_manifest(root, version) or {}
+        comp = components.get(POSTINGS_COMPONENT, {})
+        tix = dict(comp.get("tix") or {})
+        cols = list(tix.get("payload_cols", []) or [])
+        if not cols:
+            return batch.withColumnRenamed("doc_id", id_col)
+        dlc = components[DOCLEN_COMPONENT]
+        dl_spec = dlc.get("reconstruct") or _doclen_spec()
+        batch_buckets = [
+            int(r["b"])
+            for r in keys.select(
+                txn.bucket_expr(["doc_id"], int(dl_spec["buckets"])).alias("b")
+            )
+            .distinct()
+            .collect()  # bounded: at most n_buckets values
+        ]
+        stored = txn.bucketed_reconstruct(
+            spark,
+            [txn.segment_path(root, s) for s in dlc.get("segments", [])],
+            dl_spec,
+            only_bucket=batch_buckets,
+        ).join(keys, on="doc_id", how="leftsemi")
+        overlay, eff = _text_payload_overlay(spark, root, tix)
+        stored = plov.overlay_merge(
+            stored, overlay, eff, "doc_id", "tix_epoch"
         )
-    dlc = txn.read_manifest(root, os.path.basename(cur))[DOCLEN_COMPONENT]
-    dl_spec = dlc.get("reconstruct") or _doclen_spec()
-    batch_buckets = [
-        int(r["b"])
-        for r in keys.select(
-            txn.bucket_expr(["doc_id"], int(dl_spec["buckets"])).alias("b")
+        stored = stored.select("doc_id", *cols)
+        missing = (
+            keys.join(stored.select("doc_id"), on="doc_id", how="left_anti")
+            .limit(5)
+            .collect()
         )
-        .distinct()
-        .collect()  # bounded: at most n_buckets values
-    ]
-    stored = txn.bucketed_reconstruct(
-        spark,
-        [txn.segment_path(root, s) for s in dlc.get("segments", [])],
-        dl_spec,
-        only_bucket=batch_buckets,
-    ).join(keys, on="doc_id", how="leftsemi")
-    tix = _stored_tix(root)
-    overlay, eff = _text_payload_overlay(spark, root, tix)
-    stored = plov.overlay_merge(stored, overlay, eff, "doc_id", "tix_epoch")
-    stored = stored.select("doc_id", *pcols)
-    missing = (
-        keys.join(stored.select("doc_id"), on="doc_id", how="left_anti")
-        .limit(5)
-        .collect()
-    )
-    if missing:
-        raise KeyError(
-            "update for ids not in the live index: "
-            f"{sorted(int(r['doc_id']) for r in missing)} — an update "
-            "is not an insert; use text_index_upsert"
+        if missing:
+            raise KeyError(
+                "update for ids not in the live index: "
+                f"{sorted(int(r['doc_id']) for r in missing)} — an update "
+                "is not an insert; use text_index_upsert"
+            )
+        out = batch.join(stored, on="doc_id")
+        return (
+            out.withColumnRenamed("doc_id", id_col)
+            if id_col != "doc_id"
+            else out
         )
+
     return text_index_upsert(
         spark,
-        batch.join(stored, on="doc_id").withColumnRenamed("doc_id", id_col)
+        batch.withColumnRenamed("doc_id", id_col)
         if id_col != "doc_id"
-        else batch.join(stored, on="doc_id"),
+        else batch,
         root,
         id_col=id_col,
         text_col=text_col,
         keep_last=keep_last,
+        _docs_fn=docs_with_stored_payload,
     )
 
 
@@ -1199,15 +1235,30 @@ def _stored_tix(root: str) -> dict:
     return dict(comp.get("tix") or {})
 
 
-def _doclen_with_payload(spark: SparkSession, root: str) -> DataFrame:
+def _doclen_with_payload(
+    spark: SparkSession, root: str, version: str | None = None
+) -> DataFrame:
     """The doclen fold every payload consumer reads (facet filters,
     grouped maps): pending `text_index_set_payload` overlays merged
     per column, newest set-epoch beating the doc row's own
     ``tix_epoch`` (see `payload_overlay`). With no pending overlay —
     the common case, and always right after a compaction — this IS the
-    plain component read, plan and pushdown untouched."""
-    out = txn.read_version(spark, root, subdir=DOCLEN_COMPONENT)
-    tix = _stored_tix(root)
+    plain component read, plan and pushdown untouched.
+
+    CURRENT resolves exactly ONCE (round-10 ADVICE): the fold and the
+    overlay read the same pinned manifest, so a concurrent commit can
+    never pair one version's doc rows with another version's overlays.
+    ``version`` pins a retained version (the update_docs readback)."""
+    if version is None:
+        cur = txn.current_version_dir(root)
+        if cur is None:
+            raise FileNotFoundError(f"nothing published under {root!r}")
+        version = os.path.basename(cur)
+    out = txn.read_version(spark, root, version=version, subdir=DOCLEN_COMPONENT)
+    comp = (txn.read_manifest(root, version) or {}).get(
+        POSTINGS_COMPONENT, {}
+    )
+    tix = dict(comp.get("tix") or {})
     overlay, eff = _text_payload_overlay(spark, root, tix)
     return plov.overlay_merge(out, overlay, eff, "doc_id", "tix_epoch")
 
@@ -1268,7 +1319,9 @@ def text_index_set_payload(
         shutil.rmtree(sdir, ignore_errors=True)  # own aborted leftovers only
         stamped.write.parquet(sdir)
         if not txn._has_parquet(sdir):
-            txn.write_manifest(root, vname, components)  # empty batch: no-op
+            # empty batch: a no-op commit must not re-advertise the
+            # predecessor's changes under a new epoch (round-10 ADVICE)
+            txn.write_manifest(root, vname, txn.noop_components(components))
             return
         tix.update(
             {
@@ -1280,10 +1333,15 @@ def text_index_set_payload(
         comp["tix"] = tix
         comp["changes"] = []  # postings untouched this commit
         dlc = dict(components[DOCLEN_COMPONENT])
-        # NOT in the doclen read list — an overlay row winning the
-        # latest-per-doc fold would null out dl (and with it corpus
-        # stats). GC protection rides the change-feed record.
-        dlc["changes"] = [seg]
+        # NOT in the doclen read list (an overlay row winning the
+        # latest-per-doc fold would null out dl and with it corpus
+        # stats) and NOT in `changes` either (round-10 ADVICE, medium):
+        # overlay rows are partial-column patches — a feed consumer
+        # merging them as full-row upserts would null its replica's dl.
+        # GC/snapshot protect the overlay via the tix `payload_deltas`
+        # metadata reference; payload flips reach replicas through the
+        # serve paths, not the row feed.
+        dlc["changes"] = []
         out = dict(components)
         out[POSTINGS_COMPONENT] = comp
         out[DOCLEN_COMPONENT] = dlc
@@ -1350,14 +1408,17 @@ def text_index_search_grouped(
     sharing the same window tail (`windows.group_top_k`) so both
     modalities diversify identically: one index-served flat top
     ``fetch_k`` (`text_index_search` — pruned probe, filtered,
-    bit-equal to the corpus scan); the (id, group) map is
+    bit-equal to the corpus scan), materialized ONCE as a local
+    relation (bounded: ≤``fetch_k`` rows); the (id, group) map is
     CORPUS-scale (with ``groups=None`` it is the whole doclen
     component), so the shortlist — never the map — is the broadcast
-    side: one inner join streams the map against the broadcast
-    ≤``fetch_k`` serve output, the shortlist-sized tagged rows are
-    deduped, and the single-pass `windows.group_top_k` ranks with no
-    further join — serve subtree and map scan each evaluate exactly
-    once. Best
+    side, and (round 11) the shortlist ids push into the map read as
+    an IN filter: the doc_id predicate commutes with the
+    latest-per-doc fold, reaches the bucketed doclen parquet scans,
+    and cuts the map cost from one full narrow pass per page to
+    ~O(shortlist) surviving rows. The tagged rows are deduped and the
+    single-pass `windows.group_top_k` ranks with no further join.
+    Best
     ``group_size`` hits per group, groups ranked by their top hit. The dashboard page this exists for is the
     reference's provider-skewed result list (app.py:94-156 serves raw
     flat order): one museum's near-identical records stop monopolizing
@@ -1380,18 +1441,25 @@ def text_index_search_grouped(
         spark, root, query_terms, top_k=int(fetch_k), k1=k1, b=b,
         id_col=id_col, allowed_ids=allowed_ids, payload_filter=payload_filter,
     )
+    # serve evaluated exactly once, pinned as a local relation —
+    # bounded by construction (<= fetch_k rows)
+    rows = flat.collect()
+    pinned = spark.createDataFrame(rows, flat.schema)
+    ids = [r[id_col] for r in rows]
     if groups is None:
         groups = _doclen_with_payload(spark, root).select(
             F.col("doc_id").alias(id_col), F.col(group_col)
         )
-    # ONE join, map streamed, the <= fetch_k serve output broadcast as
-    # the build side; the dedup (a multi-group map may tag a hit
-    # twice) runs on the shortlist-sized tagged rows, never the map
-    tagged = (
-        groups.select(id_col, group_col)
-        .join(F.broadcast(flat), on=id_col)
-        .distinct()
-    )
+    # the shortlist ids push into the map read as an IN filter (round
+    # 11): the doc_id predicate commutes with the latest-per-doc fold
+    # and reaches the bucketed doclen scans, so the map costs
+    # ~O(shortlist) instead of a full narrow pass per page; the
+    # broadcast build side is the pinned shortlist — the corpus-scale
+    # map still never broadcasts. Dedup runs on the tagged rows only.
+    src = groups.select(id_col, group_col)
+    if ids:
+        src = src.filter(F.col(id_col).isin(ids))
+    tagged = src.join(F.broadcast(pinned), on=id_col).distinct()
     return group_top_k(
         tagged, group_col, "bm25", id_col, k_groups, group_size
     ).select(

@@ -107,15 +107,29 @@ def segment_path(root: str, name: str) -> str:
 
 
 def _has_parquet(path: str) -> bool:
-    """True if the directory holds at least one parquet part file
-    (recursively — a key-bucketed segment keeps its files under
-    ``__sg_bucket=i/`` subdirectories). Spark writes no part file for
-    an empty DataFrame, and reading such a directory fails schema
-    inference — writers use this to drop empty segments from manifests
-    instead of publishing unreadable references."""
-    for _dirpath, _dirs, files in os.walk(path):
-        if any(f.endswith(".parquet") for f in files):
-            return True
+    """True if the directory holds at least one parquet part file WITH
+    ROWS (recursively — a key-bucketed segment keeps its files under
+    ``__sg_bucket=i/`` subdirectories). Spark usually writes no part
+    file for an empty DataFrame (reading such a directory fails schema
+    inference), but a plan with an exchange above the empty source —
+    an empty ``distinct()``, say — can emit a schema-only 0-row part;
+    both cases are "no data": writers use this to drop empty segments
+    from manifests (round 11: the 0-row case previously made an
+    empty-id delete publish a real-looking delta segment). The row
+    check reads footers only (KBs), never data pages."""
+    import pyarrow.parquet as pq
+
+    for dirpath, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                try:
+                    n = pq.ParquetFile(
+                        os.path.join(dirpath, f)
+                    ).metadata.num_rows
+                except Exception:
+                    n = 1  # unreadable footer: treat as data, not noop
+                if n > 0:
+                    return True
     return False
 
 
@@ -682,6 +696,18 @@ def read_manifest(root: str, dirname: str) -> dict | None:
             return json.load(f)["components"]
     except FileNotFoundError:
         return None
+
+
+def noop_components(components: dict) -> dict:
+    """The predecessor's components with every ``changes`` list reset —
+    what a commit that changed NOTHING must publish. Copying the prior
+    manifest verbatim would re-advertise the predecessor's delta under
+    the new epoch: `change_feed`/`poll_changes` attribute each walked
+    epoch's ``changes`` to THAT epoch, so a verbatim copy re-delivers
+    the previous commit's rows a second time (round-10 ADVICE)."""
+    return {
+        name: {**comp, "changes": []} for name, comp in components.items()
+    }
 
 
 def reconstruct_latest(df, spec: dict, keep_seq: bool = False):
@@ -1552,9 +1578,21 @@ def commit_with_retry(
                 except FileExistsError:
                     continue  # competitor's dir now on disk → next name
         try:
-            build(
-                os.path.join(root, expected) if expected else None, new_dir
-            )
+            try:
+                build(
+                    os.path.join(root, expected) if expected else None, new_dir
+                )
+            except CommitConflict:
+                raise
+            except BaseException:
+                # a failed build (validation error, job failure) must
+                # not leave its claimed half-built dir behind — safe to
+                # remove here because nothing unpublished is visible
+                # and this writer exclusively owns the name; publish-
+                # side exceptions are NOT cleaned (after the pointer
+                # swap the dir is live data)
+                shutil.rmtree(new_dir, ignore_errors=True)
+                raise
             return try_publish_version(
                 root,
                 dirname,

@@ -84,7 +84,10 @@ CATALOG_ORDER: tuple[str, ...] = (
     "pricing_summary",
     "merge_insert_only",
     "merge_full_upsert",
-    "seeded_random_page",
+    # round 11: seeded_random_page folded into window_page_digest (a
+    # W2 pagination shape); its slot carries the point-API digest
+    # split out of ann_serving_digest (8-member ceiling) to seat the
+    # promoted indexed-hybrid family
     "rel_core_digest",
     "join_set_digest",
     "window_page_digest",
@@ -120,9 +123,11 @@ CATALOG_ORDER: tuple[str, ...] = (
     "ann_lsh_topk",
     "ivf_ann_topk",
     # round 9: ann_index_topk folded into ann_serving_digest with the
-    # Qdrant API-parity family (recommend / search-groups / scroll /
-    # count) — one slot now carries the whole serving surface
+    # Qdrant API-parity family; round 11: the point-management APIs
+    # (scroll / set_payload page / count) split into their own digest
+    # so the serving digest could seat the promoted hybrid family
     "ann_serving_digest",
+    "ann_point_api_digest",
     "text_dedup_keep_canonical",
     "vector_codec_digest",
     # hash_embed_knn folded into pandas_udf_digest (round 8) to free

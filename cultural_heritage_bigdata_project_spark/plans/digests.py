@@ -71,6 +71,10 @@ GROUPS: dict[str, list[str]] = {
         "running_total",
         "lag_lead_events",
         "keyset_pagination",
+        # round 11: W2 seeded-random pagination folded here (a
+        # pagination-window shape) to free its standalone slot for
+        # ann_point_api_digest under the 50-slot cap
+        "seeded_random_page",
     ],
     "shape_gallery_digest": [
         "rollup_order_status",
@@ -214,22 +218,36 @@ GROUPS: dict[str, list[str]] = {
         "token_budget_select",
         "epoch_upsample",
     ],
-    # round 9: the Qdrant serving-API parity family shares one slot —
-    # the flat serve plus the point-management / composition APIs
-    # (recommend, search-groups, scroll, count) all replay the SAME
-    # index-state CTEs in their oracles (queries_vector._ANN_IDX_CTES)
+    # round 9: the Qdrant serving-API parity family — round-11
+    # rebalance (the digest hit the 8-member ceiling): the RANKED
+    # serves stay here, the point-management APIs moved to
+    # ann_point_api_digest, and the two promoted indexed-hybrid
+    # serves (which compose the ANN serve with the text index over
+    # the same replayable state) took the freed seats — a digest
+    # hash-mismatch still localizes to one serving family
     "ann_serving_digest": [
         "ann_index_topk",
         "ann_payload_topk",
         "ann_recommend_topk",
         "ann_grouped_topk",
-        "ann_scroll_page",
-        "ann_set_payload_page",
-        "ann_index_count",
         # round 10: index-served MMR promoted into the checked window
         # (exhaustive probe = exact over the post-upsert state; the
         # pruned-probe path is recall-tested in tests/test_retrieval)
         "mmr_rerank_indexed",
+        # round 11: the indexed hybrid family promoted (r10 verdict
+        # item 1) — flat RRF fusion + the grouped dashboard page,
+        # both replaying the text AND ANN fixture states in one oracle
+        "hybrid_indexed_search",
+        "hybrid_grouped_page",
+    ],
+    # round 11: Qdrant point-management APIs split out of
+    # ann_serving_digest (scroll / set_payload page / count share the
+    # _ANN_IDX_CTES state replay but exercise the live fold, not the
+    # probe path)
+    "ann_point_api_digest": [
+        "ann_scroll_page",
+        "ann_set_payload_page",
+        "ann_index_count",
     ],
     "vector_codec_digest": [
         # round-9 rebalance: vector_concat_norm (a scalar-function
@@ -842,6 +860,23 @@ PART_COLS: dict[str, tuple[tuple[str, str], ...]] = {
         ("doc_id", "s"),
         ("lang", "s"),
         ("source", "s"),
+    ),
+    "seeded_random_page": (
+        ("c_custkey", "s"),
+        ("c_name", "s"),
+    ),
+    "hybrid_indexed_search": (
+        ("doc_id", "s"),
+        ("lex_rank", "s"),
+        ("rrf_score", "f"),
+        ("sem_rank", "s"),
+    ),
+    "hybrid_grouped_page": (
+        ("doc_id", "s"),
+        ("group_rank", "s"),
+        ("label", "s"),
+        ("rank_in_group", "s"),
+        ("rrf_score", "f"),
     ),
 }
 

@@ -1374,3 +1374,178 @@ def mmr_rerank_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, root, _query_list(spark, sf_dir, 0),
         k=5, lambda_=0.7, top_n=20, n_probe=16,
     )
+
+
+# ---------------------------------------------------------------- indexed
+# hybrid serving (round-11 promotion into the checked window): both
+# persisted-index fixtures replayed in ONE oracle — the lexical branch
+# is the post-upsert text-fixture BM25 (the bm25_index_search corpus
+# replay, text mutations spelled out), the semantic branch is the ANN
+# fixture's BQ-hamming probe replay over _ANN_IDX_CTES (post-
+# update_vectors state), and the fusion is the RRF arithmetic of
+# hybrid_rrf_search. CTE names are disjoint from _ANN_IDX_CTES by
+# construction.
+_HYBRID_LEX_CTES = """t AS (
+  SELECT doc_id, string_split(lower(trim(
+           CASE WHEN doc_id % 5 = 0 THEN text || ' merge merge'
+                WHEN doc_id % 7 = 3 THEN text || ' spark'
+                ELSE text END)), ' ') AS toks
+  FROM documents
+), tbase AS (
+  SELECT doc_id, toks, len(toks) AS dl FROM t
+), corpus AS (
+  SELECT count(*) AS n_docs, sum(len(toks)) / count(*) AS avgdl FROM t
+), hits AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM tbase)
+  WHERE term IN ('merge', 'spark', 'window')
+  GROUP BY doc_id, dl, term
+), dfreq AS (
+  SELECT term, count(*) AS dfr FROM hits GROUP BY term
+), lexsc AS (
+  SELECT h.doc_id,
+         ((cast(c.n_docs AS DOUBLE) - d.dfr + 0.5) / (d.dfr + 0.5))
+         * ((cast(h.tf AS DOUBLE) * 2.2)
+            / (cast(h.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (h.dl / c.avgdl)))) AS s
+  FROM hits h JOIN dfreq d USING (term), corpus c
+), lexall AS (
+  SELECT doc_id, cast(sum(cast(s AS DECIMAL(38, 6))) AS DOUBLE) AS bm25
+  FROM lexsc GROUP BY doc_id
+), lexr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS lex_rank
+  FROM lexall QUALIFY lex_rank <= 50
+)"""
+
+# BQ-hamming probe replay of the ANN branch (codec='bq', n_probe=4,
+# shortlist=200, top_n=50 over the post-update state) + the RRF fuse.
+_HYBRID_FUSE_CTES = (
+    "WITH "
+    + _HYBRID_LEX_CTES
+    + ", "
+    + _ANN_IDX_CTES
+    + ", "
+    + _ANN_Q0_CTE
+    + """, qprobe AS (
+  SELECT c.list_id FROM cent c, q
+  ORDER BY list_distance(q.v0, c.v), c.list_id LIMIT 4
+), probed AS (
+  SELECT sn.vec_id, sn.v0 FROM sn
+  JOIN assign a ON sn.vec_id = a.vec_id
+  WHERE a.list_id IN (SELECT list_id FROM qprobe)
+), ham AS (
+  SELECT p.vec_id,
+         CAST(sum(CASE WHEN (p.v0[j.j] > 0) <> (q.v0[j.j] > 0)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+  FROM probed p CROSS JOIN generate_series(1, 64) AS j(j), q
+  GROUP BY p.vec_id
+), shortb AS (
+  SELECT vec_id, hamming FROM ham
+  ORDER BY hamming ASC, vec_id ASC LIMIT 200
+), semall AS (
+  SELECT p.vec_id AS doc_id,
+         round(list_dot_product(p.v0, q.v0)
+               / (sqrt(list_dot_product(p.v0, p.v0))
+                  * sqrt(list_dot_product(q.v0, q.v0))), 6) AS cosine_sim
+  FROM probed p JOIN shortb s ON p.vec_id = s.vec_id, q
+  ORDER BY cosine_sim DESC, p.vec_id ASC LIMIT 50
+), semr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY cosine_sim DESC, doc_id ASC) AS sem_rank
+  FROM semall
+), fusedall AS (
+  SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+         coalesce(l.lex_rank, 0) AS lex_rank,
+         coalesce(s.sem_rank, 0) AS sem_rank,
+         coalesce(1.0 / (60.0 + l.lex_rank), 0.0)
+           + coalesce(1.0 / (60.0 + s.sem_rank), 0.0) AS rrf_score
+  FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id
+)"""
+)
+
+
+@register(
+    "hybrid_indexed_search",
+    description="Hybrid lexical+semantic retrieval served ENTIRELY "
+    "from persisted state (round-11 promotion): the lexical branch "
+    "reads the inverted text index (bit-equal to corpus-scan BM25 "
+    "over the post-upsert fixture corpus), the semantic branch reads "
+    "the persisted ANN index (BQ hamming shortlist + exact cosine "
+    "re-rank over the post-update_vectors state), both top-50 lists "
+    "fuse by reciprocal-rank (sum 1/(60+rank), absent = rank 0) — "
+    "the deployment-hot query path while the streaming sinks "
+    "maintain both indexes behind it (the reference serves the two "
+    "modalities separately, app.py:208-264 vs :331-349). The oracle "
+    "replays BOTH index fixtures and the fusion arithmetic in one "
+    "SQL program",
+    survey_ref="J8,W4,M5,S14,J1",
+    oracle=_HYBRID_FUSE_CTES
+    + """
+SELECT doc_id, lex_rank, sem_rank, rrf_score
+FROM fusedall
+ORDER BY rrf_score DESC, doc_id ASC
+LIMIT 10
+""",
+)
+def hybrid_indexed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries_text import _text_index_root
+
+    t_root = _text_index_root(spark, sf_dir)
+    a_root = _ann_index_root(spark, sf_dir)
+    return similarity.hybrid_rrf_search_indexed(
+        spark, t_root, a_root, ["merge", "spark", "window"],
+        _query_list(spark, sf_dir, 0),
+        k=10, top_n=50, rrf_k=60, n_probe=4, shortlist=200,
+    )
+
+
+@register(
+    "hybrid_grouped_page",
+    description="Search-groups over the fully index-served HYBRID "
+    "page (round-11 promotion, and the r10 verdict's top fix): fused "
+    "top-25 diversified by the ANN index's STORED label payload — "
+    "the label rides the fused hits via payload_out (zero extra "
+    "reads), lexical-only hits resolve through ONE pushed-IN point "
+    "lookup (row-group-pruned), label-less hits drop (Qdrant "
+    "search_groups semantics), and the live fold is NEVER scanned. "
+    "Groups rank by their best fused hit, 2 hits per group, top 3 "
+    "groups — the full diversified dashboard page the reference's "
+    "flat Qdrant + flat SQL orders cannot produce (app.py:94-264). "
+    "Hash-checked against the dual-fixture replay INCLUDING the "
+    "set_payload flips (plabel CTE)",
+    survey_ref="J8,W5,W4,M5,M2,S14",
+    oracle=_HYBRID_FUSE_CTES
+    + """, flat AS (
+  SELECT doc_id, rrf_score FROM fusedall
+  ORDER BY rrf_score DESC, doc_id ASC
+  LIMIT 25
+), tagged AS (
+  SELECT f.doc_id, f.rrf_score, p.label
+  FROM flat f JOIN plabel p ON f.doc_id = p.vec_id
+), ranked AS (
+  SELECT label, doc_id, rrf_score,
+         CAST(row_number() OVER (PARTITION BY label
+              ORDER BY rrf_score DESC, doc_id ASC) AS INTEGER) AS rank_in_group
+  FROM tagged
+), best AS (
+  SELECT label, CAST(row_number() OVER (
+              ORDER BY rrf_score DESC, doc_id ASC) AS INTEGER) AS group_rank
+  FROM ranked WHERE rank_in_group = 1
+)
+SELECT r.label, b.group_rank, r.rank_in_group, r.doc_id, r.rrf_score
+FROM ranked r JOIN best b ON r.label = b.label
+WHERE r.rank_in_group <= 2 AND b.group_rank <= 3
+""",
+)
+def hybrid_grouped_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries_text import _text_index_root
+
+    t_root = _text_index_root(spark, sf_dir)
+    a_root = _ann_index_root(spark, sf_dir)
+    return similarity.hybrid_grouped_search_indexed(
+        spark, t_root, a_root, ["merge", "spark", "window"],
+        _query_list(spark, sf_dir, 0),
+        groups=None, group_col="label", k_groups=3, group_size=2,
+        fetch_k=25, top_n=50, rrf_k=60, n_probe=4, shortlist=200,
+        id_col="doc_id", vec_id_col="vec_id",
+    )

@@ -519,3 +519,64 @@ def test_batch_recommend_raises_on_missing_example_ids(spark, built):
     )
     with pytest.raises(KeyError, match="999999"):
         ann_index.ann_index_recommend_all(spark, root, ex, k=3)
+
+
+def test_batch_recommend_matches_single_user_at_default_shortlist(spark, built):
+    """Round-11 (r10 verdict item 6): the batch recommend now defaults
+    to the SAME PQ-ADC shortlist surrogate as the single-user path —
+    the two agree at the DEFAULT shortlist/probes, not only under the
+    exhaustive settings the older parity test used (the remaining
+    divergence is last-bit float reassociation in the distributed
+    average, which the deterministic fixture never amplifies across
+    an integer ADC boundary)."""
+    root, _base = built
+    rows = [
+        ("alice", 7, True), ("alice", 11, True), ("alice", 13, True),
+        ("alice", 5, False),
+        ("bob", 4, True), ("bob", 8, True),
+    ]
+    ex = spark.createDataFrame(
+        rows, "user_id string, vec_id long, is_positive boolean"
+    )
+    got = ann_index.ann_index_recommend_all(spark, root, ex, k=8).collect()
+    assert got and "adc_micro" in got[0].asDict()
+    by_user = {}
+    for r in got:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for user, pos, neg in [("alice", [7, 11, 13], [5]), ("bob", [4, 8], [])]:
+        want = ann_index.ann_index_recommend(
+            spark, root, positive_ids=pos, negative_ids=neg or None, k=8
+        ).collect()
+        assert [r["vec_id"] for r in by_user[user]] == [
+            r["vec_id"] for r in want
+        ]
+        for a, b in zip(by_user[user], want):
+            assert abs(a["cosine_sim"] - b["cosine_sim"]) < 1e-6
+
+
+def test_batch_pq_codec_matches_single_query_serve(spark, built):
+    """ann_index_top_k_all(codec='pq') is per-query bit-equal to
+    ann_index_top_k's default PQ serve — same probe lists, same
+    integer ADC shortlist (the riding per-query table is computed with
+    the single path's sequential float order), same exact re-rank."""
+    root, base = built
+    qs = base.filter(F.col("vec_id").isin([0, 3, 9])).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    batch = ann_index.ann_index_top_k_all(
+        spark, root, qs, k=5, n_probe=4, shortlist=50, codec="pq"
+    ).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for row in qs.collect():
+        want = ann_index.ann_index_top_k(
+            spark, root, [float(x) for x in row["embedding"]],
+            k=5, n_probe=4, shortlist=50,
+        ).collect()
+        got = by_q[row["q_id"]]
+        assert [(r["vec_id"], r["adc_micro"]) for r in got] == [
+            (r["vec_id"], r["adc_micro"]) for r in want
+        ]
+        for a, b in zip(got, want):
+            assert a["cosine_sim"] == b["cosine_sim"]

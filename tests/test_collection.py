@@ -1,0 +1,226 @@
+"""Named-vector collection parity (operators/collection.py): several
+vector spaces on one point with ONE shared payload — the reference's
+actual Qdrant collection shape (extracting_embeddings.py:60-84 stores
+``image`` + ``combined`` named vectors with a shared status payload;
+the dedup job searches one space, the dashboard the other, and a
+single set_payload flips both). The engine composes one persisted ANN
+index per space under an atomically pin-published pair manifest."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cultural_heritage_bigdata_project_spark.operators import (
+    ann_index,
+    collection,
+    txn,
+)
+from cultural_heritage_bigdata_project_spark.sources.tables import load_table
+
+from .conftest import SF_DIR
+
+
+def _points(spark):
+    """Dual-vector points from the embeddings fixture: ``image`` is the
+    first 32 dims, ``combined`` the full 64 — two genuinely different
+    geometries, as the reference's 512-d image vs 1024-d fused CLIP."""
+    e = load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") != 0)
+    return e.select(
+        "vec_id",
+        F.slice(F.col("embedding"), 1, 32).alias("image_emb"),
+        F.col("embedding").alias("combined_emb"),
+        F.col("label"),
+        F.lit("pending").alias("status"),
+    )
+
+
+@pytest.fixture(scope="module")
+def coll(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("mv") / "coll")
+    pts = _points(spark)
+    collection.collection_create(
+        spark,
+        pts,
+        root,
+        spaces={
+            "image": {"vec_col": "image_emb"},
+            "combined": {"vec_col": "combined_emb"},
+        },
+        payload_cols=["label", "status"],
+    )
+    return root, pts
+
+
+def _q(spark, dims):
+    row = (
+        load_table(spark, SF_DIR, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .first()["embedding"]
+    )
+    return [float(x) for x in row[:dims]]
+
+
+def test_each_space_serves_its_own_geometry(spark, coll):
+    root, pts = coll
+    # exhaustive probe AND shortlist: the serve reduces to exact cosine
+    img = collection.collection_search(
+        spark, root, "image", _q(spark, 32), k=5, n_probe=16,
+        shortlist=10_000,
+    ).collect()
+    cmb = collection.collection_search(
+        spark, root, "combined", _q(spark, 64), k=5, n_probe=16,
+        shortlist=10_000,
+    ).collect()
+    assert len(img) == 5 and len(cmb) == 5
+    # exhaustive probe = exact: each space's ranks equal brute force
+    # over ITS OWN vector column
+    from cultural_heritage_bigdata_project_spark.operators import similarity
+
+    want_img = similarity.knn_brute_force(
+        pts.select("vec_id", F.col("image_emb").alias("embedding")),
+        F.array(*[F.lit(x) for x in _q(spark, 32)]).cast("array<double>"),
+        k=5,
+    ).collect()
+    assert [r["vec_id"] for r in img] == [r["vec_id"] for r in want_img]
+    # ...and the two spaces genuinely rank differently
+    assert [r["vec_id"] for r in img] != [r["vec_id"] for r in cmb]
+
+
+def test_shared_set_payload_flips_both_spaces_atomically(spark, coll):
+    root, pts = coll
+    flips = pts.filter(F.col("vec_id") % 10 == 1).select(
+        "vec_id", F.lit("validated").alias("status")
+    )
+    pins_before = collection.collection_pins(root)
+    collection.collection_set_payload(spark, flips, root)
+
+    # filtered serves on BOTH spaces see the shared flip
+    for space, dims in (("image", 32), ("combined", 64)):
+        hits = collection.collection_search(
+            spark, root, space, _q(spark, dims), k=50, n_probe=16,
+            payload_filter="status = 'validated'",
+        ).collect()
+        assert hits and all(r["vec_id"] % 10 == 1 for r in hits)
+    # ...while a reader pinned to the OLD pair sees the flip on
+    # NEITHER (atomic visibility: the pin publish is the only switch)
+    for space, dims in (("image", 32), ("combined", 64)):
+        old = ann_index.ann_index_top_k(
+            spark,
+            os.path.join(root, "spaces", space),
+            _q(spark, dims),
+            k=50,
+            n_probe=16,
+            payload_filter="status = 'validated'",
+            version=pins_before[space],
+        ).collect()
+        assert old == []
+
+
+def test_retrieve_shared_payload_and_both_vectors(spark, coll):
+    root, pts = coll
+    got = collection.collection_retrieve(
+        spark, root, [11, 21], with_vectors=True
+    ).collect()
+    by_id = {r["vec_id"]: r for r in got}
+    assert set(by_id) == {11, 21}
+    src = {
+        r["vec_id"]: r
+        for r in pts.filter(F.col("vec_id").isin([11, 21])).collect()
+    }
+    for vid, row in by_id.items():
+        assert list(row["image_emb"]) == list(src[vid]["image_emb"])
+        assert list(row["combined_emb"]) == list(src[vid]["combined_emb"])
+        assert row["label"] == src[vid]["label"]
+        # the module-scope flip above already landed for %10==1 ids
+        want = "validated" if vid % 10 == 1 else "pending"
+        assert row["status"] == want
+
+
+def test_upsert_and_delete_hit_every_space(spark, tmp_path):
+    root = str(tmp_path / "coll")
+    pts = _points(spark)
+    collection.collection_create(
+        spark, pts, root,
+        spaces={"image": {"vec_col": "image_emb"},
+                "combined": {"vec_col": "combined_emb"}},
+        payload_cols=["label", "status"],
+    )
+    spark_ = pts.sparkSession
+    new = spark_.createDataFrame(
+        [(9001, [0.5] * 32, [0.25] * 64, 3, "pending")],
+        "vec_id long, image_emb array<double>, combined_emb array<double>, "
+        "label int, status string",
+    )
+    collection.collection_upsert(spark, new, root)
+    got = collection.collection_retrieve(
+        spark, root, [9001], with_vectors=True
+    ).collect()
+    assert len(got) == 1 and list(got[0]["image_emb"]) == [0.5] * 32
+
+    collection.collection_delete(spark, [9001], root)
+    assert collection.collection_retrieve(spark, root, [9001]).collect() == []
+    # gone from every space's pinned fold
+    pins = collection.collection_pins(root)
+    for space in pins:
+        live = ann_index.ann_index_live(
+            spark, os.path.join(root, "spaces", space),
+            version=pins[space],
+        )
+        assert live.filter(F.col("vec_id") == 9001).collect() == []
+
+
+def test_update_vectors_one_space_keeps_payload_and_other_space(spark, tmp_path):
+    """The reference's re-embed flow: refresh the image space only —
+    combined untouched, shared payload preserved (readback inside the
+    commit loop), one pin publish moves only the image pin."""
+    root = str(tmp_path / "coll")
+    pts = _points(spark)
+    collection.collection_create(
+        spark, pts, root,
+        spaces={"image": {"vec_col": "image_emb"},
+                "combined": {"vec_col": "combined_emb"}},
+        payload_cols=["label", "status"],
+    )
+    pins0 = collection.collection_pins(root)
+    upd = pts.filter(F.col("vec_id") % 9 == 4).select(
+        "vec_id", F.reverse(F.col("image_emb")).alias("image_emb")
+    )
+    collection.collection_update_vectors(spark, upd, root, spaces=["image"])
+    pins1 = collection.collection_pins(root)
+    assert pins1["combined"] == pins0["combined"]
+    assert pins1["image"] != pins0["image"]
+    row = collection.collection_retrieve(
+        spark, root, [4], with_vectors=True
+    ).first()
+    orig = pts.filter(F.col("vec_id") == 4).first()
+    assert list(row["image_emb"]) == list(reversed(orig["image_emb"]))
+    assert list(row["combined_emb"]) == list(orig["combined_emb"])
+    assert row["status"] == "pending"  # payload survived the re-embed
+
+
+def test_pin_publish_never_regresses_a_space(spark, tmp_path):
+    """Monotonic pins: a lagging writer's pin set cannot move a space
+    backward past a newer published pin."""
+    root = str(tmp_path / "coll")
+    pts = _points(spark)
+    collection.collection_create(
+        spark, pts, root,
+        spaces={"image": {"vec_col": "image_emb"}},
+        payload_cols=["label", "status"],
+    )
+    pins0 = collection.collection_pins(root)
+    flips = pts.limit(3).select("vec_id", F.lit("validated").alias("status"))
+    collection.collection_set_payload(spark, flips, root)
+    pins1 = collection.collection_pins(root)
+    assert pins1["image"] != pins0["image"]
+    # a stale writer re-publishing the OLD pins loses the regression
+    collection._publish_pins(
+        root, pins0, collection._read_spaces(root)[1], op="stale"
+    )
+    assert collection.collection_pins(root) == pins1
+    # history records the attempt but visibility never moved back
+    ops = [h["operation"] for h in txn.describe_history(root)]
+    assert ops[0] == "stale"

@@ -462,22 +462,27 @@ def _broadcast_subtrees(tree: str) -> list[str]:
 
 
 def test_grouped_serve_windows_stay_shortlist_sized(spark):
-    """ann_grouped_topk (round 10 hardening): the corpus-scale
-    (id, group) map must NEVER be the broadcast build side — round 9
-    broadcast the full dimension and this gate stayed green because it
-    only asserted a BroadcastHashJoin existed. Now: the embeddings
-    scan (the group map) appears in the plan exactly once, streamed,
-    NEVER under any BroadcastExchange (strict: the single-pass
-    group_top_k has no best-rank re-join, so no broadcast subtree has
-    a legitimate reason to touch the map); the broadcast build side
-    is the ≤fetch_k serve output (a Limit/TakeOrdered inside the
-    exchange subtree); no sort-merge join; windows after the limit."""
+    """ann_grouped_topk (round 10 hardening, tightened round 11): the
+    corpus-scale (id, group) map must NEVER be the broadcast build
+    side — round 9 broadcast the full dimension and this gate stayed
+    green because it only asserted a BroadcastHashJoin existed — and
+    (round 11) must never be fully SCANNED either: the serve output is
+    pinned once as a ≤fetch_k local relation, its ids push into the
+    map read as an IN filter (parquet row-group prunable; the id-
+    sorted-segment property is pinned by test_ann_point_apis), and the
+    broadcast build side is the pinned shortlist."""
     tree = _tree_plan(spark, "ann_grouped_topk")
     assert "SortMergeJoin" not in tree, tree
     assert "BroadcastHashJoin" in tree, tree
-    assert "TakeOrderedAndProject" in tree or "GlobalLimit" in tree, tree
     # the group map (embeddings.parquet) is scanned, exactly once...
     assert tree.count("embeddings.parquet") == 1, tree
+    # ...with the shortlist ids PUSHED into the scan (round 11: the
+    # map read is O(shortlist), not one full pass per page)
+    map_scan = next(
+        ln for ln in tree.splitlines()
+        if "embeddings.parquet" in ln and "FileScan" in ln
+    )
+    assert "PushedFilters: [In(vec_id" in map_scan, map_scan
     subtrees = _broadcast_subtrees(tree)
     assert subtrees, tree
     for sub in subtrees:
@@ -485,24 +490,107 @@ def test_grouped_serve_windows_stay_shortlist_sized(spark):
         assert "embeddings.parquet" not in sub, (
             "corpus-scale group map feeds a BroadcastExchange:\n" + sub
         )
-    # the build side is the shortlist: at least one broadcast subtree
-    # is exactly a limit of the serve
+    # the build side is the pinned shortlist local relation (bounded
+    # by construction: the serve's own LIMIT ran before pinning)
     assert any(
-        "TakeOrderedAndProject" in sub or "GlobalLimit" in sub
-        for sub in subtrees
+        "ExistingRDD" in sub or "LocalTableScan" in sub for sub in subtrees
     ), "\n\n".join(subtrees)
 
 
 def test_text_grouped_serve_never_broadcasts_the_doclen_map(spark):
-    """text_grouped_search (round 10): the lexical twin of the gate
-    above — with groups=None the (doc_id, lang) map is the WHOLE
-    doclen component; its segment scans (named tixdl_*; the probe
-    side only ever scans tix_* posting buckets, so the name is a
-    precise marker) must stream, never feed a BroadcastExchange."""
+    """text_grouped_search (round 10, tightened round 11): the lexical
+    twin of the gate above — with groups=None the (doc_id, lang) map
+    is the WHOLE doclen component; its segment scans (named tixdl_*;
+    the probe side only ever scans tix_* posting buckets, so the name
+    is a precise marker) must stream, never feed a BroadcastExchange,
+    AND (round 11) every one must carry the shortlist ids as a pushed
+    IN filter — the doc_id predicate commutes with the latest-per-doc
+    fold, so the map read is O(shortlist) rows, not one full narrow
+    pass per grouped page (the r10 verdict's 3.36s driver)."""
     tree = _tree_plan(spark, "text_grouped_search")
     assert "SortMergeJoin" not in tree, tree
-    assert "tixdl_" in tree, tree  # the doclen map IS scanned...
+    map_scans = [
+        ln for ln in tree.splitlines()
+        if "tixdl_" in ln and "FileScan" in ln
+    ]
+    assert map_scans, tree  # the doclen map IS scanned...
+    for ln in map_scans:
+        # ...O(shortlist): the keyset pushes below the fold into the scan
+        assert "PushedFilters: [In(doc_id" in ln, ln
     for sub in _broadcast_subtrees(tree):
         assert "tixdl_" not in sub, (
             "doclen map feeds a BroadcastExchange:\n" + sub
         )
+
+
+def test_hybrid_indexed_serve_never_touches_the_corpus(spark):
+    """hybrid_indexed_search (round-11 promotion): the fused serve
+    reads ONLY persisted-index segments — neither corpus table
+    (documents/embeddings parquet) appears anywhere in the plan, both
+    branch probes stay pruned (no sort-merge join), and nothing
+    corpus-scale feeds a BroadcastExchange (index segment scans are
+    named tix_/tixd_/tixdl_/ann_/annd_; the only legitimate broadcast
+    sides are delta keysets and shortlist-sized frames)."""
+    tree = _tree_plan(spark, "hybrid_indexed_search")
+    assert "documents.parquet" not in tree, tree
+    assert "embeddings.parquet" not in tree, tree
+    # every file scanned is an index segment — the serve's only
+    # allowed I/O (the one SortMergeJoin in the plan is the fusion's
+    # full-outer over the two ≤top_n branch outputs: full-outer can't
+    # broadcast, and both sides sit above a TakeOrdered limit)
+    for ln in tree.splitlines():
+        if "FileScan" in ln:
+            assert "/segments/" in ln, f"non-index file scanned: {ln}"
+    # an index-component scan may sit under a BroadcastExchange ONLY
+    # below a limit (the ≤top_n branch output feeding the fusion) —
+    # an UNBOUNDED component scan as a broadcast build side is the
+    # forbidden corpus-scale shape
+    for sub in _broadcast_subtrees(tree):
+        for marker in ("/ann_data_v", "tixdl_"):
+            if marker in sub:
+                assert (
+                    "TakeOrderedAndProject" in sub or "GlobalLimit" in sub
+                ), (
+                    f"UNBOUNDED index component ({marker}) feeds a "
+                    "BroadcastExchange:\n" + sub
+                )
+
+
+def test_hybrid_grouped_page_plans_zero_file_scans(spark):
+    """hybrid_grouped_page (round 11 — the r10 verdict's top fix): the
+    diversified page's RETURNED plan reads NO files at all. The flat
+    fused serve pins once as a ≤fetch_k local relation, the group
+    label rides the fused hits via payload_out, and the few
+    lexical-only hits resolved through the pushed-IN retrieve
+    (gated below) — the round-10 version materialized the WHOLE ANN
+    live fold per page; this gate makes that shape unreachable."""
+    tree = _tree_plan(spark, "hybrid_grouped_page")
+    assert "FileScan" not in tree, tree
+    assert "LocalTableScan" in tree or "ExistingRDD" in tree, tree
+
+
+def test_ann_retrieve_is_pushed_in_and_columns_pruned(spark):
+    """ann_index_retrieve (round 11): the Qdrant points-by-id read the
+    grouped hybrid resolves labels through — the IN predicate pushes
+    below the latest-per-key fold into every codes scan (row-group
+    prunable: segments are id-sorted since round 10), and the scans
+    read neither vectors nor code columns."""
+    from cultural_heritage_bigdata_project_spark.operators import ann_index
+    from cultural_heritage_bigdata_project_spark.plans.queries_vector import (
+        _ann_index_root,
+    )
+
+    catalog_queries()
+    root = _ann_index_root(spark, SF_DIR)
+    df = ann_index.ann_index_retrieve(
+        spark, root, [3, 15, 26], payload_out=["label"]
+    )
+    jvm = spark._jvm
+    plan = df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert re.search(r"PushedFilters: \[[^\]]*In\(vec_id", plan), plan
+    for read in re.findall(r"ReadSchema: struct<([^\n]*)", plan):
+        assert "embedding" not in read, plan
+        assert "bq_words" not in read, plan
+        assert "c0" not in read.split(","), plan
