@@ -112,6 +112,12 @@ BENCH_QUERIES = [
     "ann_grouped_topk",
     "mmr_rerank_indexed",
     "text_grouped_search",
+    # round 11: the promoted indexed-hybrid family and the named-vector
+    # collection serve — headline serving queries once in the oracle
+    # window, so their costs are tracked round-over-round
+    "hybrid_indexed_search",
+    "hybrid_grouped_page",
+    "collection_image_search",
     # production-hash-family variants (bench-only, defined below): the
     # catalog queries pin hash_family="md5-portable" so the DuckDB
     # oracle can replay candidate sets, but the path you'd run at

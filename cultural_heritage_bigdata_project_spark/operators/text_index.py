@@ -1352,6 +1352,33 @@ def text_index_set_payload(
     )
 
 
+def text_index_retrieve_payload(
+    spark: SparkSession,
+    root: str,
+    ids,
+    payload_out: list[str] | None = None,
+    version: str | None = None,
+) -> DataFrame:
+    """Docs-by-id payload lookup — the lexical twin of
+    `ann_index.ann_index_retrieve`: a pushed-IN read of the doclen fold
+    (the doc_id IN predicate commutes with the latest-per-doc fold and
+    reaches the bucketed parquet scans), columns pruned to id + the
+    requested payload, set_payload overlays merged. Unknown ids are
+    absent. The grouped serve resolves its ≤fetch_k page labels through
+    exactly this read — never a full doclen pass. Plan-gated in
+    tests/test_plans.py."""
+    want = sorted({int(i) for i in ids})
+    pcols = (
+        _stored_text_payload_cols(root) if payload_out is None else payload_out
+    )
+    live = _doclen_with_payload(spark, root, version=version)
+    if want:
+        live = live.filter(F.col("doc_id").isin(want))
+    else:
+        live = live.filter(F.lit(False))
+    return live.select("doc_id", *pcols)
+
+
 def text_index_describe(root: str) -> dict:
     """DESCRIBE-INDEX observability for the inverted text index — the
     lexical twin of `ann_index.ann_index_describe` and the engine
@@ -1444,22 +1471,39 @@ def text_index_search_grouped(
     # serve evaluated exactly once, pinned as a local relation —
     # bounded by construction (<= fetch_k rows)
     rows = flat.collect()
-    pinned = spark.createDataFrame(rows, flat.schema)
     ids = [r[id_col] for r in rows]
     if groups is None:
-        groups = _doclen_with_payload(spark, root).select(
-            F.col("doc_id").alias(id_col), F.col(group_col)
+        # stored payload-on-doc: resolve the page's labels through ONE
+        # pushed-IN doclen lookup (`text_index_retrieve_payload` —
+        # O(shortlist) surviving rows, never a full narrow pass per
+        # page) and tag locally; docs without a resolvable label drop,
+        # matching Qdrant search_groups skipping points missing the
+        # group_by field. The returned page plan reads NO files.
+        lk = text_index_retrieve_payload(
+            spark, root, ids, payload_out=[group_col]
         )
-    # the shortlist ids push into the map read as an IN filter (round
-    # 11): the doc_id predicate commutes with the latest-per-doc fold
-    # and reaches the bucketed doclen scans, so the map costs
-    # ~O(shortlist) instead of a full narrow pass per page; the
-    # broadcast build side is the pinned shortlist — the corpus-scale
-    # map still never broadcasts. Dedup runs on the tagged rows only.
-    src = groups.select(id_col, group_col)
-    if ids:
-        src = src.filter(F.col(id_col).isin(ids))
-    tagged = src.join(F.broadcast(pinned), on=id_col).distinct()
+        gtype = lk.schema[group_col].dataType
+        labels = {r["doc_id"]: r[group_col] for r in lk.collect()}
+        schema = flat.schema.add(group_col, gtype)
+        tagged = spark.createDataFrame(
+            [
+                {**r.asDict(), group_col: labels[r[id_col]]}
+                for r in rows
+                if labels.get(r[id_col]) is not None
+            ],
+            schema,
+        )
+    else:
+        # explicit map frame: the shortlist ids push into the map read
+        # as an IN filter (round 11) so the map costs ~O(shortlist)
+        # bytes; the broadcast build side is the pinned shortlist — the
+        # corpus-scale map still never broadcasts. Dedup runs on the
+        # tagged rows only (a multi-group map may tag a hit twice).
+        pinned = spark.createDataFrame(rows, flat.schema)
+        src = groups.select(id_col, group_col)
+        if ids:
+            src = src.filter(F.col(id_col).isin(ids))
+        tagged = src.join(F.broadcast(pinned), on=id_col).distinct()
     return group_top_k(
         tagged, group_col, "bm25", id_col, k_groups, group_size
     ).select(

@@ -243,11 +243,15 @@ GROUPS: dict[str, list[str]] = {
     # round 11: Qdrant point-management APIs split out of
     # ann_serving_digest (scroll / set_payload page / count share the
     # _ANN_IDX_CTES state replay but exercise the live fold, not the
-    # probe path)
+    # probe path); the named-vector collection members live here too —
+    # collections ARE the point-model parity family (one point,
+    # several spaces, one shared payload)
     "ann_point_api_digest": [
         "ann_scroll_page",
         "ann_set_payload_page",
         "ann_index_count",
+        "collection_image_search",
+        "collection_relabel_page",
     ],
     "vector_codec_digest": [
         # round-9 rebalance: vector_concat_norm (a scalar-function
@@ -877,6 +881,16 @@ PART_COLS: dict[str, tuple[tuple[str, str], ...]] = {
         ("label", "s"),
         ("rank_in_group", "s"),
         ("rrf_score", "f"),
+    ),
+    "collection_image_search": (
+        ("adc_micro", "s"),
+        ("cosine_sim", "f"),
+        ("vec_id", "s"),
+    ),
+    "collection_relabel_page": (
+        ("label", "s"),
+        ("status", "s"),
+        ("vec_id", "s"),
     ),
 }
 

@@ -1549,3 +1549,171 @@ def hybrid_grouped_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         fetch_k=25, top_n=50, rrf_k=60, n_probe=4, shortlist=200,
         id_col="doc_id", vec_id_col="vec_id",
     )
+
+
+# ---------------------------------------------------------------- named-
+# vector collection (operators/collection.py): built ONCE per process per
+# sf_dir — two spaces on one point set (image = dims 1..32, combined =
+# all 64) with a SHARED payload, one shared re-label through
+# collection_set_payload, consistency published as one pin pair.
+_MV_FIXTURE: dict[str, str] = {}
+
+
+def _mv_collection_root(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir not in _MV_FIXTURE:
+        import atexit
+        import hashlib
+        import os
+        import shutil
+        import tempfile
+
+        from ..operators import collection
+
+        tag = hashlib.md5(
+            os.path.abspath(sf_dir).encode("utf-8")
+        ).hexdigest()[:10]
+        root = os.path.join(
+            tempfile.gettempdir(), f"spark_graft_mvcoll_{tag}_p{os.getpid()}"
+        )
+        shutil.rmtree(root, ignore_errors=True)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        pts = _emb(spark, sf_dir).filter(F.col("vec_id") != 0).select(
+            "vec_id",
+            F.slice(F.col("embedding"), 1, 32).alias("image_emb"),
+            F.col("embedding").alias("combined_emb"),
+            F.col("label"),
+            F.lit("pending").alias("status"),
+        )
+        collection.collection_create(
+            spark, pts, root,
+            spaces={
+                "image": {"vec_col": "image_emb"},
+                "combined": {"vec_col": "combined_emb"},
+            },
+            payload_cols=["label", "status"],
+        )
+        # ONE shared re-label: visible to filtered serves and
+        # retrieves on EVERY space together (the Qdrant point-payload
+        # atomicity the two-root composition pin-publishes)
+        flips = pts.filter(F.col("vec_id") % 10 == 1).select(
+            "vec_id", F.lit("validated").alias("status")
+        )
+        collection.collection_set_payload(spark, flips, root)
+        _MV_FIXTURE[sf_dir] = root
+    return _MV_FIXTURE[sf_dir]
+
+
+@register(
+    "collection_image_search",
+    description="Named-vector collection serve (round 11 — the "
+    "reference's actual Qdrant shape: image + combined named vectors "
+    "on ONE point with a shared status payload, "
+    "extracting_embeddings.py:60-84; its dedup job searches the "
+    "image space, deduplicate_from_qdrant.py:53-83): kNN against the "
+    "32-d image space only, served at the collection's pin-published "
+    "pair through the ordinary pruned probe — the oracle replays the "
+    "image space's own quantizers (md5-sample centroids + codebook "
+    "over the SLICED vectors, sd = 4) end-to-end through the ADC "
+    "shortlist and exact re-rank",
+    survey_ref="M5,J8,M2,S14",
+    oracle="""
+WITH eb2 AS (
+  SELECT vec_id, (embedding::DOUBLE[])[1:32] AS v0
+  FROM embeddings WHERE vec_id <> 0
+), sn2 AS (
+  SELECT vec_id, v0,
+         list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v
+  FROM eb2
+), cent2 AS (
+  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS list_id, v0 AS v
+  FROM eb2 ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16
+), cw2 AS (
+  SELECT row_number() OVER (ORDER BY md5(eb2.vec_id::VARCHAR), eb2.vec_id) - 1 AS c,
+         list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v
+  FROM eb2 ORDER BY md5(eb2.vec_id::VARCHAR), eb2.vec_id LIMIT 16
+), dims2 AS (
+  SELECT len(v0) // 8 AS sd FROM eb2 LIMIT 1
+), assign2 AS (
+  SELECT vec_id, list_id FROM (
+    SELECT s.vec_id, c.list_id,
+           row_number() OVER (PARTITION BY s.vec_id
+                              ORDER BY list_distance(s.v0, c.v), c.list_id) AS rn
+    FROM eb2 s CROSS JOIN cent2 c
+  ) WHERE rn = 1
+), q2 AS (
+  SELECT (embedding::DOUBLE[])[1:32] AS v0,
+         list_transform((embedding::DOUBLE[])[1:32],
+                        x -> x / sqrt(list_dot_product((embedding::DOUBLE[])[1:32],
+                                                       (embedding::DOUBLE[])[1:32]))) AS v
+  FROM embeddings WHERE vec_id = 0
+), qprobe2 AS (
+  SELECT c.list_id FROM cent2 c, q2
+  ORDER BY list_distance(q2.v0, c.v), c.list_id LIMIT 4
+), probed2 AS (
+  SELECT sn2.vec_id, sn2.v0, sn2.v FROM sn2
+  JOIN assign2 a ON sn2.vec_id = a.vec_id
+  WHERE a.list_id IN (SELECT list_id FROM qprobe2)
+), codes2 AS (
+  SELECT vec_id, j, c FROM (
+    SELECT p.vec_id, j.j, cwc.c,
+           row_number() OVER (PARTITION BY p.vec_id, j.j
+               ORDER BY list_distance(p.v[j.j*sd+1 : (j.j+1)*sd],
+                                      cwc.v[j.j*sd+1 : (j.j+1)*sd]), cwc.c) AS rn
+    FROM probed2 p CROSS JOIN generate_series(0, 7) AS j(j) CROSS JOIN cw2 cwc, dims2
+  ) WHERE rn = 1
+), lut2 AS (
+  SELECT j.j, cwc.c,
+         CAST(trunc(list_dot_product(q2.v[j.j*sd+1 : (j.j+1)*sd],
+                                     cwc.v[j.j*sd+1 : (j.j+1)*sd]) * 1e6) AS BIGINT) AS ipm
+  FROM generate_series(0, 7) AS j(j) CROSS JOIN cw2 cwc, q2, dims2
+), short2 AS (
+  SELECT cds.vec_id, CAST(sum(l.ipm) AS BIGINT) AS adc_micro
+  FROM codes2 cds JOIN lut2 l ON cds.j = l.j AND cds.c = l.c
+  GROUP BY cds.vec_id
+  ORDER BY adc_micro DESC, vec_id LIMIT 100
+)
+SELECT p.vec_id, s.adc_micro,
+       round(list_dot_product(p.v0, q2.v0)
+             / (sqrt(list_dot_product(p.v0, p.v0)) * sqrt(list_dot_product(q2.v0, q2.v0))),
+             6) AS cosine_sim
+FROM probed2 p JOIN short2 s ON p.vec_id = s.vec_id, q2
+ORDER BY cosine_sim DESC, p.vec_id ASC
+LIMIT 10
+""",
+)
+def collection_image_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import collection
+
+    root = _mv_collection_root(spark, sf_dir)
+    q = _query_list(spark, sf_dir, 0)[:32]
+    return collection.collection_search(
+        spark, root, "image", q, k=10, n_probe=4, shortlist=100
+    )
+
+
+@register(
+    "collection_relabel_page",
+    description="Shared-payload retrieve over the named-vector "
+    "collection (round 11): ONE collection_set_payload re-labeled "
+    "status pending→validated for vec_id%10==1 and the flip is "
+    "visible to every space together (atomic pin-pair publish — the "
+    "point-payload atomicity a real Qdrant multi-vector point has, "
+    "which two independent index roots lack; reference "
+    "deduplicate_from_qdrant.py:188-210). This member retrieves a "
+    "50-id page with the shared payload and hash-checks the merged "
+    "values — pushed-IN point reads, never a fold scan",
+    survey_ref="M2,M5,S14,W1",
+    oracle="""
+SELECT vec_id, label,
+       CASE WHEN vec_id % 10 = 1 THEN 'validated' ELSE 'pending' END AS status
+FROM embeddings
+WHERE vec_id <> 0 AND vec_id BETWEEN 40 AND 89
+""",
+)
+def collection_relabel_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import collection
+
+    root = _mv_collection_root(spark, sf_dir)
+    return collection.collection_retrieve(
+        spark, root, list(range(40, 90))
+    )

@@ -497,30 +497,42 @@ def test_grouped_serve_windows_stay_shortlist_sized(spark):
     ), "\n\n".join(subtrees)
 
 
-def test_text_grouped_serve_never_broadcasts_the_doclen_map(spark):
-    """text_grouped_search (round 10, tightened round 11): the lexical
-    twin of the gate above — with groups=None the (doc_id, lang) map
-    is the WHOLE doclen component; its segment scans (named tixdl_*;
-    the probe side only ever scans tix_* posting buckets, so the name
-    is a precise marker) must stream, never feed a BroadcastExchange,
-    AND (round 11) every one must carry the shortlist ids as a pushed
-    IN filter — the doc_id predicate commutes with the latest-per-doc
-    fold, so the map read is O(shortlist) rows, not one full narrow
-    pass per grouped page (the r10 verdict's 3.36s driver)."""
+def test_text_grouped_serve_never_scans_the_doclen_map(spark):
+    """text_grouped_search (round 10, rebuilt round 11): with
+    groups=None the (doc_id, lang) map used to be a full doclen
+    component pass per page (the r10 verdict's 3.36s driver); the page
+    now resolves its ≤fetch_k labels through the pushed-IN
+    `text_index_retrieve_payload` lookup and tags locally — the
+    RETURNED page plan reads NO files at all, and the lookup itself is
+    gated below."""
     tree = _tree_plan(spark, "text_grouped_search")
-    assert "SortMergeJoin" not in tree, tree
-    map_scans = [
-        ln for ln in tree.splitlines()
-        if "tixdl_" in ln and "FileScan" in ln
-    ]
-    assert map_scans, tree  # the doclen map IS scanned...
-    for ln in map_scans:
-        # ...O(shortlist): the keyset pushes below the fold into the scan
-        assert "PushedFilters: [In(doc_id" in ln, ln
-    for sub in _broadcast_subtrees(tree):
-        assert "tixdl_" not in sub, (
-            "doclen map feeds a BroadcastExchange:\n" + sub
-        )
+    assert "FileScan" not in tree, tree
+    assert "LocalTableScan" in tree or "ExistingRDD" in tree, tree
+
+
+def test_text_retrieve_payload_is_pushed_in_and_columns_pruned(spark):
+    """text_index_retrieve_payload (round 11): the docs-by-id lookup
+    the grouped lexical page resolves labels through — the IN
+    predicate pushes below the latest-per-doc fold into every doclen
+    scan (named tixdl_*), and nothing reads posting bytes."""
+    from cultural_heritage_bigdata_project_spark.operators import text_index
+    from cultural_heritage_bigdata_project_spark.plans.queries_text import (
+        _text_index_root,
+    )
+
+    catalog_queries()
+    root = _text_index_root(spark, SF_DIR)
+    df = text_index.text_index_retrieve_payload(
+        spark, root, [3, 15, 26], payload_out=["lang"]
+    )
+    jvm = spark._jvm
+    plan = df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert re.search(r"PushedFilters: \[[^\]]*In\(doc_id", plan), plan
+    # no posting-bucket scans (segments named /tix_*): only the doclen
+    # (tixdl_*) and overlay (tixp_*) segments are read
+    assert "/tix_" not in plan, plan
 
 
 def test_hybrid_indexed_serve_never_touches_the_corpus(spark):
