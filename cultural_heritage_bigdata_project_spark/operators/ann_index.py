@@ -1598,6 +1598,7 @@ def ann_index_count(
     allowed_ids: DataFrame | None = None,
     id_col: str = "vec_id",
     payload_filter=None,
+    version: str | None = None,
 ) -> DataFrame:
     """Qdrant count-points analog (``client.count(collection,
     count_filter=...)`` — the reference sizes its collection this way
@@ -1612,7 +1613,7 @@ def ann_index_count(
     payload columns a ``payload_filter`` names — column-pruned
     ReadSchema either way, no codes, no vectors), partial-aggregates
     map-side, and returns a single row."""
-    live = ann_index_live(spark, root, id_col)
+    live = ann_index_live(spark, root, id_col, version=version)
     if payload_filter is not None:
         live = live.filter(
             F.expr(payload_filter)
@@ -1638,6 +1639,7 @@ def ann_index_scroll(
     with_vectors: bool = False,
     payload_filter=None,
     with_payload: bool = False,
+    version: str | None = None,
 ) -> DataFrame:
     """Qdrant scroll analog — keyset-paginated listing of live points
     in id order, the exact API the reference's dedup job drives its
@@ -1663,7 +1665,7 @@ def ann_index_scroll(
     `ann_index_dedup_purge` (the reference's scroll-loop use case as
     ONE job) or `ann_index_top_k_all`. Page order is data-derived
     (the id), stable across partition layouts."""
-    live = ann_index_live(spark, root, id_col)
+    live = ann_index_live(spark, root, id_col, version=version)
     if after_id is not None:
         live = live.filter(F.col(id_col) > F.lit(after_id))
     if payload_filter is not None:
@@ -1834,6 +1836,7 @@ def ann_index_top_k_grouped(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     allowed_ids: DataFrame | None = None,
+    version: str | None = None,
 ) -> DataFrame:
     """Qdrant search-groups analog (``client.search_groups(...,
     group_by=payload_field, limit=k_groups, group_size=...)``) — the
@@ -1881,12 +1884,13 @@ def ann_index_top_k_grouped(
             spark, root, query, k=int(fetch_k), n_probe=n_probe,
             shortlist=shortlist, id_col=id_col, vec_col=vec_col,
             allowed_ids=allowed_ids, payload_out=[group_col],
+            version=version,
         )
     else:
         flat = ann_index_top_k(
             spark, root, query, k=int(fetch_k), n_probe=n_probe,
             shortlist=shortlist, id_col=id_col, vec_col=vec_col,
-            allowed_ids=allowed_ids,
+            allowed_ids=allowed_ids, version=version,
         )
         # serve evaluated exactly once, pinned as a local relation —
         # bounded by construction (<= fetch_k rows, the same

@@ -344,6 +344,89 @@ def collection_retrieve(
     return out
 
 
+def collection_count(
+    spark: SparkSession,
+    root: str,
+    payload_filter=None,
+) -> DataFrame:
+    """Qdrant count-points over the collection: ONE live point set
+    regardless of how many spaces a point carries (counted on the
+    first space's pinned fold — all spaces hold the same point set at
+    a published pin), optional shared-payload ``count_filter``."""
+    pins, meta = _read_spaces(root)
+    first = sorted(pins)[0]
+    return ann_index.ann_index_count(
+        spark,
+        _space_root(root, first),
+        id_col=meta["id_col"],
+        payload_filter=payload_filter,
+        version=pins[first],
+    )
+
+
+def collection_scroll(
+    spark: SparkSession,
+    root: str,
+    limit: int = 100,
+    after_id=None,
+    payload_filter=None,
+    with_payload: bool = False,
+) -> DataFrame:
+    """Qdrant scroll over the collection: keyset-paged live points in
+    id order with the SHARED payload, read from the first space's
+    pinned fold (identical point set + payload on every space at a
+    published pin). The per-space keyset machinery (id-sorted
+    segments → row-group-pruned pages) applies unchanged."""
+    pins, meta = _read_spaces(root)
+    first = sorted(pins)[0]
+    return ann_index.ann_index_scroll(
+        spark,
+        _space_root(root, first),
+        limit=limit,
+        after_id=after_id,
+        id_col=meta["id_col"],
+        payload_filter=payload_filter,
+        with_payload=with_payload,
+        version=pins[first],
+    )
+
+
+def collection_search_grouped(
+    spark: SparkSession,
+    root: str,
+    space: str,
+    query,
+    group_col: str,
+    **kwargs,
+) -> DataFrame:
+    """Qdrant ``search_groups(using=<space>, group_by=<shared payload
+    field>)``: the diversified page over ONE named space, grouped by
+    the SHARED payload label that rides the probed rows (zero extra
+    reads — the per-modality grouped serve's stored-payload mode),
+    served at the collection's pinned pair. All
+    `ann_index_top_k_grouped` knobs (k_groups / group_size / fetch_k /
+    n_probe / shortlist / allowed_ids) pass through."""
+    pins, meta = _read_spaces(root)
+    if space not in pins:
+        raise KeyError(f"unknown space {space!r}; collection has {sorted(pins)}")
+    if group_col not in meta["payload_cols"]:
+        raise KeyError(
+            f"group_col {group_col!r} is not a shared payload column "
+            f"({meta['payload_cols']})"
+        )
+    return ann_index.ann_index_top_k_grouped(
+        spark,
+        _space_root(root, space),
+        query,
+        groups=None,
+        group_col=group_col,
+        id_col=meta["id_col"],
+        vec_col="embedding",
+        version=pins[space],
+        **kwargs,
+    )
+
+
 def collection_describe(spark: SparkSession, root: str) -> dict:
     """Collection info: pins, per-space `ann_index_describe`, shared
     payload columns — manifest reads only."""

@@ -121,6 +121,16 @@ def test_shared_set_payload_flips_both_spaces_atomically(spark, coll):
 
 def test_retrieve_shared_payload_and_both_vectors(spark, coll):
     root, pts = coll
+    # order-independent: (re-)apply the %10==1 flip this test asserts
+    # on (idempotent — same values; the atomicity test above applies
+    # the same rule when the module runs in order)
+    collection.collection_set_payload(
+        spark,
+        pts.filter(F.col("vec_id") % 10 == 1).select(
+            "vec_id", F.lit("validated").alias("status")
+        ),
+        root,
+    )
     got = collection.collection_retrieve(
         spark, root, [11, 21], with_vectors=True
     ).collect()
@@ -224,3 +234,42 @@ def test_pin_publish_never_regresses_a_space(spark, tmp_path):
     # history records the attempt but visibility never moved back
     ops = [h["operation"] for h in txn.describe_history(root)]
     assert ops[0] == "stale"
+
+
+def test_collection_count_scroll_and_grouped_page(spark, coll):
+    """The remaining Qdrant collection surface: count-points with a
+    shared-payload filter, keyset scroll with shared payload, and
+    search_groups(using=<space>, group_by=<shared field>) — all read
+    at the published pin pair."""
+    root, pts = coll
+    n = pts.count()
+    assert (
+        collection.collection_count(spark, root).first()["n_points"] == n
+    )
+    n_flip = pts.filter(F.col("vec_id") % 10 == 1).count()
+    got = collection.collection_count(
+        spark, root, payload_filter="status = 'validated'"
+    ).first()["n_points"]
+    assert got == n_flip
+
+    page = collection.collection_scroll(
+        spark, root, limit=7, after_id=30, with_payload=True
+    ).collect()
+    assert [r["vec_id"] for r in page] == sorted(
+        r["vec_id"] for r in pts.filter(F.col("vec_id") > 30).collect()
+    )[:7]
+    for r in page:
+        want = "validated" if r["vec_id"] % 10 == 1 else "pending"
+        assert r["status"] == want
+
+    grouped = collection.collection_search_grouped(
+        spark, root, "image", _q(spark, 32), "label",
+        k_groups=3, group_size=2, fetch_k=20, n_probe=16,
+    ).collect()
+    assert grouped and len({r["label"] for r in grouped}) <= 3
+    for r in grouped:
+        assert 1 <= r["rank_in_group"] <= 2 and 1 <= r["group_rank"] <= 3
+    with pytest.raises(KeyError):
+        collection.collection_search_grouped(
+            spark, root, "image", _q(spark, 32), "not_a_payload_col"
+        )
