@@ -427,6 +427,124 @@ def collection_search_grouped(
     )
 
 
+def collection_dedup_purge(
+    spark: SparkSession,
+    root: str,
+    space: str = "image",
+    threshold: float = 0.97,
+    n_probe: int = 4,
+    shortlist: int = 200,
+    top_n: int = 10,
+    candidate_ids: DataFrame | None = None,
+    keep_last: int = 3,
+) -> DataFrame:
+    """The reference's dedup job against the COLLECTION, end-to-end
+    (deduplicate_from_qdrant.py: search the ``image`` space for
+    >= SIMILARITY_THRESHOLD neighbors of each candidate point, keep
+    the lowest-id canonical, delete the duplicate POINT — which in a
+    named-vector collection removes ALL its vectors at once): detect
+    duplicates via ONE batch self-serve of the named space
+    (`ann_index.ann_index_top_k_all` — the reference loops per-point
+    HTTP searches), then `collection_delete` the losers from every
+    space with one atomic pin publish. Returns the deleted ids
+    (eagerly pinned before the delete commits). ``candidate_ids``
+    restricts the checked points (the reference's incremental
+    'pending-only' sweep); None sweeps the whole collection."""
+    pins, meta = _read_spaces(root)
+    if space not in pins:
+        raise KeyError(f"unknown space {space!r}; collection has {sorted(pins)}")
+    id_col = meta["id_col"]
+    sroot = _space_root(root, space)
+    live = ann_index.ann_index_live(
+        spark, sroot, id_col, version=pins[space]
+    ).select(id_col, "embedding")
+    qs = live
+    if candidate_ids is not None:
+        qs = live.join(
+            candidate_ids.select(id_col).distinct(), on=id_col, how="leftsemi"
+        )
+    res = ann_index.ann_index_top_k_all(
+        spark,
+        sroot,
+        qs.select(F.col(id_col).alias("__q"), F.col("embedding")),
+        k=top_n,
+        n_probe=n_probe,
+        shortlist=shortlist,
+        id_col=id_col,
+        vec_col="embedding",
+        q_id_col="__q",
+        q_vec_col="embedding",
+    )
+    losers = (
+        res.filter(
+            (F.col("cosine_sim") >= F.lit(float(threshold)))
+            & (F.col(id_col) < F.col("__q"))
+        )
+        .select(F.col("__q").alias(id_col))
+        .distinct()
+        .localCheckpoint(eager=True)  # pin before the collection mutates
+    )
+    if losers.limit(1).count():
+        collection_delete(spark, losers, root, keep_last=keep_last)
+    return losers
+
+
+def foreach_batch_collection_run(
+    spark: SparkSession,
+    stream: DataFrame,
+    root: str,
+    checkpoint: str,
+    compact_every_deltas: int | None = None,
+    keep_last: int = 3,
+):
+    """Streaming maintenance of the named-vector collection — the
+    reference's continuous embedding ingest (extracting_embeddings.py
+    streams points with image + combined vectors into the one
+    collection): every micro-batch commits one upsert per space plus
+    ONE pin publish, so each batch becomes visible on ALL spaces
+    together; when any space's delta tail reaches
+    ``compact_every_deltas`` it is folded (`ann_index_compact` — the
+    stored quantizers stay authoritative) and the refreshed pins
+    publish once for all compacted spaces. ``availableNow`` trigger,
+    as every maintenance stream in this engine (bounded replays drain
+    and stop)."""
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        collection_upsert(spark, batch_df, root, keep_last=keep_last)
+        if compact_every_deltas is None:
+            return
+        pins, meta = _read_spaces(root)
+        new_pins = dict(pins)
+        changed = False
+        for space in sorted(pins):
+            sroot = _space_root(root, space)
+            cur = txn.current_version_dir(sroot)
+            comp = txn.read_manifest(sroot, os.path.basename(cur))[
+                ann_index.CODES_COMPONENT
+            ]
+            tail = (comp.get("ann") or {}).get("delta_segments", [])
+            if len(tail) >= compact_every_deltas:
+                v = ann_index.ann_index_compact(
+                    spark, sroot, keep_last=keep_last
+                )
+                if v is not None:
+                    new_pins[space] = os.path.basename(v)
+                    changed = True
+        if changed:
+            _publish_pins(root, new_pins, meta, op="collection_compact")
+
+    q = (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def collection_describe(spark: SparkSession, root: str) -> dict:
     """Collection info: pins, per-space `ann_index_describe`, shared
     payload columns — manifest reads only."""

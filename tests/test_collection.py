@@ -273,3 +273,89 @@ def test_collection_count_scroll_and_grouped_page(spark, coll):
         collection.collection_search_grouped(
             spark, root, "image", _q(spark, 32), "not_a_payload_col"
         )
+
+
+def test_collection_dedup_purge_removes_point_from_every_space(spark, tmp_path):
+    """The reference's dedup flow against the collection: detect on
+    the image space (one batch self-serve), delete the duplicate
+    POINT — all named vectors — atomically."""
+    root = str(tmp_path / "coll")
+    pts = _points(spark)
+    # a planted duplicate: same image vector as point 7, different
+    # combined vector, bigger id -> the min-id rule keeps 7
+    dup = pts.filter(F.col("vec_id") == 7).select(
+        F.lit(9007).cast("long").alias("vec_id"),
+        F.col("image_emb"),
+        F.reverse(F.col("combined_emb")).alias("combined_emb"),
+        F.col("label"),
+        F.col("status"),
+    )
+    collection.collection_create(
+        spark, pts.unionByName(dup), root,
+        spaces={"image": {"vec_col": "image_emb"},
+                "combined": {"vec_col": "combined_emb"}},
+        payload_cols=["label", "status"],
+    )
+    losers = collection.collection_dedup_purge(
+        spark, root, space="image", threshold=0.97, n_probe=16,
+        shortlist=10_000,
+    ).collect()
+    assert [r["vec_id"] for r in losers] == [9007]
+    assert collection.collection_retrieve(spark, root, [9007]).collect() == []
+    assert (
+        len(collection.collection_retrieve(spark, root, [7]).collect()) == 1
+    )
+    # gone from BOTH spaces' pinned folds
+    pins = collection.collection_pins(root)
+    for space in pins:
+        live = ann_index.ann_index_live(
+            spark, os.path.join(root, "spaces", space), version=pins[space]
+        )
+        assert live.filter(F.col("vec_id") == 9007).collect() == []
+
+
+def test_collection_streaming_upkeep_advances_pins_and_compacts(spark, tmp_path):
+    """Continuous embedding ingest: each micro-batch upserts every
+    space + publishes pins once; the second batch crosses the
+    compaction threshold and the folded spaces re-pin together."""
+    root = str(tmp_path / "coll")
+    pts = _points(spark)
+    base = pts.filter(F.col("vec_id") <= 400)
+    collection.collection_create(
+        spark, base, root,
+        spaces={"image": {"vec_col": "image_emb"},
+                "combined": {"vec_col": "combined_emb"}},
+        payload_cols=["label", "status"],
+    )
+    pins0 = collection.collection_pins(root)
+    inc_dir = str(tmp_path / "inc")
+    os.makedirs(inc_dir)
+    b1 = pts.filter((F.col("vec_id") > 400) & (F.col("vec_id") <= 450))
+    b2 = pts.filter(F.col("vec_id") > 450)
+    b1.coalesce(1).write.parquet(os.path.join(inc_dir, "b1"))
+    b2.coalesce(1).write.parquet(os.path.join(inc_dir, "b2"))
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)  # two real micro-batches
+        .parquet(inc_dir + "/*")
+    )
+    collection.foreach_batch_collection_run(
+        spark, stream, root, checkpoint=str(tmp_path / "ckpt"),
+        compact_every_deltas=2,
+    )
+    pins1 = collection.collection_pins(root)
+    assert pins1 != pins0
+    # every point serves on both spaces at the new pins
+    assert (
+        collection.collection_count(spark, root).first()["n_points"]
+        == pts.count()
+    )
+    got = collection.collection_retrieve(
+        spark, root, [470], with_vectors=True
+    ).collect()
+    assert len(got) == 1
+    # the compaction threshold (2 deltas) was crossed: folded spaces
+    # carry NO delta tail at their pinned versions
+    desc = collection.collection_describe(spark, root)
+    for space, d in desc["spaces"].items():
+        assert d["n_delta_segments"] == 0, (space, d)
