@@ -198,6 +198,10 @@ GROUPS: dict[str, list[str]] = {
         "bm25_index_search",
         "bm25_filtered_search",
         "text_grouped_search",
+        # round 11: the BATCH hybrid joined the checked window — it
+        # reads both persisted indexes once per query batch, and its
+        # lexical branch replays through this family's fixture state
+        "hybrid_batch_search",
     ],
     "dedup_digest": [
         "exact_dedup_docs",
@@ -891,6 +895,13 @@ PART_COLS: dict[str, tuple[tuple[str, str], ...]] = {
         ("label", "s"),
         ("status", "s"),
         ("vec_id", "s"),
+    ),
+    "hybrid_batch_search": (
+        ("doc_id", "s"),
+        ("lex_rank", "s"),
+        ("q_id", "s"),
+        ("rrf_score", "f"),
+        ("sem_rank", "s"),
     ),
 }
 

@@ -1717,3 +1717,130 @@ def collection_relabel_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collection.collection_retrieve(
         spark, root, list(range(40, 90))
     )
+
+
+def _hybrid_batch_oracle(queries) -> str:
+    """Per-query replay blocks for the BATCH hybrid serve: the shared
+    corpus/index-state CTEs are emitted once; each (q_id, terms,
+    query_vec_id) gets its own lexical ranking (term-set-specific df),
+    BQ probe replay, and RRF fusion, unioned with the query id — so
+    `hybrid_rrf_search_all`'s one-pass-per-index batch plan is checked
+    against N independent single-query replays."""
+    blocks, selects = [], []
+    for i, (qid, terms, vid) in enumerate(queries):
+        s = str(i)
+        terms_sql = ", ".join(f"'{t}'" for t in terms)
+        blocks.append(f""", hits{s} AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM tbase)
+  WHERE term IN ({terms_sql})
+  GROUP BY doc_id, dl, term
+), dfreq{s} AS (
+  SELECT term, count(*) AS dfr FROM hits{s} GROUP BY term
+), lexsc{s} AS (
+  SELECT h.doc_id,
+         ((cast(c.n_docs AS DOUBLE) - d.dfr + 0.5) / (d.dfr + 0.5))
+         * ((cast(h.tf AS DOUBLE) * 2.2)
+            / (cast(h.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (h.dl / c.avgdl)))) AS s
+  FROM hits{s} h JOIN dfreq{s} d USING (term), corpus c
+), lexr{s} AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS lex_rank
+  FROM (SELECT doc_id, cast(sum(cast(s AS DECIMAL(38, 6))) AS DOUBLE) AS bm25
+        FROM lexsc{s} GROUP BY doc_id)
+  QUALIFY lex_rank <= 50
+), q{s} AS (
+  SELECT v0, list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v
+  FROM (SELECT embedding::DOUBLE[] AS v0 FROM embeddings WHERE vec_id = {vid})
+), qprobe{s} AS (
+  SELECT c.list_id FROM cent c, q{s}
+  ORDER BY list_distance(q{s}.v0, c.v), c.list_id LIMIT 4
+), probed{s} AS (
+  SELECT sn.vec_id, sn.v0 FROM sn
+  JOIN assign a ON sn.vec_id = a.vec_id
+  WHERE a.list_id IN (SELECT list_id FROM qprobe{s})
+), ham{s} AS (
+  SELECT p.vec_id,
+         CAST(sum(CASE WHEN (p.v0[j.j] > 0) <> (q{s}.v0[j.j] > 0)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+  FROM probed{s} p CROSS JOIN generate_series(1, 64) AS j(j), q{s}
+  GROUP BY p.vec_id
+), shortb{s} AS (
+  SELECT vec_id, hamming FROM ham{s}
+  ORDER BY hamming ASC, vec_id ASC LIMIT 200
+), semr{s} AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY cosine_sim DESC, doc_id ASC) AS sem_rank
+  FROM (
+    SELECT p.vec_id AS doc_id,
+           round(list_dot_product(p.v0, q{s}.v0)
+                 / (sqrt(list_dot_product(p.v0, p.v0))
+                    * sqrt(list_dot_product(q{s}.v0, q{s}.v0))), 6) AS cosine_sim
+    FROM probed{s} p JOIN shortb{s} sb ON p.vec_id = sb.vec_id, q{s}
+    ORDER BY cosine_sim DESC, p.vec_id ASC LIMIT 50
+  )
+), fused{s} AS (
+  SELECT coalesce(l.doc_id, r.doc_id) AS doc_id,
+         coalesce(l.lex_rank, 0) AS lex_rank,
+         coalesce(r.sem_rank, 0) AS sem_rank,
+         coalesce(1.0 / (60.0 + l.lex_rank), 0.0)
+           + coalesce(1.0 / (60.0 + r.sem_rank), 0.0) AS rrf_score
+  FROM lexr{s} l FULL OUTER JOIN semr{s} r ON l.doc_id = r.doc_id
+)""")
+        selects.append(
+            f"SELECT '{qid}' AS q_id, doc_id, lex_rank, sem_rank, rrf_score "
+            f"FROM (SELECT * FROM fused{s} "
+            f"ORDER BY rrf_score DESC, doc_id ASC LIMIT 10)"
+        )
+    shared = """WITH t AS (
+  SELECT doc_id, string_split(lower(trim(
+           CASE WHEN doc_id % 5 = 0 THEN text || ' merge merge'
+                WHEN doc_id % 7 = 3 THEN text || ' spark'
+                ELSE text END)), ' ') AS toks
+  FROM documents
+), tbase AS (
+  SELECT doc_id, toks, len(toks) AS dl FROM t
+), corpus AS (
+  SELECT count(*) AS n_docs, sum(len(toks)) / count(*) AS avgdl FROM t
+), """ + _ANN_IDX_CTES
+    return shared + "".join(blocks) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+_HYBRID_BATCH_QUERIES = [
+    ("qa", ["merge", "spark", "window"], 0),
+    ("qb", ["vector", "filter", "scan"], 3),
+]
+
+
+@register(
+    "hybrid_batch_search",
+    description="BATCH hybrid serving (round-11 promotion — the last "
+    "tests-only member of the indexed-hybrid family): RRF-fused "
+    "results for EVERY query in one pass over each persisted index "
+    "(text_index_search_all reads the probed posting buckets once "
+    "for the whole batch; ann_index_top_k_all reads the probed lists "
+    "once) — the amortized recommendation-refresh / eval-sweep shape "
+    "vs the reference's per-query HTTP loops. Two queries with "
+    "different term sets AND different query vectors; the oracle "
+    "replays each as an independent single-query fusion and unions "
+    "them, so the batch plan's per-query rows are hash-checked "
+    "against the single-path arithmetic",
+    survey_ref="J8,W4,M5,S14,J1",
+    oracle=_hybrid_batch_oracle(_HYBRID_BATCH_QUERIES),
+)
+def hybrid_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries_text import _text_index_root
+
+    t_root = _text_index_root(spark, sf_dir)
+    a_root = _ann_index_root(spark, sf_dir)
+    rows = [
+        (qid, terms, _query_list(spark, sf_dir, vid))
+        for qid, terms, vid in _HYBRID_BATCH_QUERIES
+    ]
+    queries = spark.createDataFrame(
+        rows, "q_id string, terms array<string>, embedding array<double>"
+    )
+    return similarity.hybrid_rrf_search_all(
+        spark, t_root, a_root, queries,
+        k=10, top_n=50, rrf_k=60, n_probe=4, shortlist=200,
+    )
