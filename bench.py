@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     # window, so their costs are tracked round-over-round
     "hybrid_indexed_search",
     "hybrid_grouped_page",
+    "hybrid_batch_search",
     "collection_image_search",
     # production-hash-family variants (bench-only, defined below): the
     # catalog queries pin hash_family="md5-portable" so the DuckDB

@@ -449,7 +449,14 @@ def collection_dedup_purge(
     space with one atomic pin publish. Returns the deleted ids
     (eagerly pinned before the delete commits). ``candidate_ids``
     restricts the checked points (the reference's incremental
-    'pending-only' sweep); None sweeps the whole collection."""
+    'pending-only' sweep); None sweeps the whole collection.
+
+    Consistency note: candidates read at the PINNED version, while the
+    batch serve probes the space's CURRENT — identical when this
+    maintenance job is the collection's writer (the documented
+    single-maintainer deployment, as the reference's cron'd dedup);
+    under concurrent writers a just-committed-unpinned upsert may be
+    probed, which only widens the candidate neighborhoods."""
     pins, meta = _read_spaces(root)
     if space not in pins:
         raise KeyError(f"unknown space {space!r}; collection has {sorted(pins)}")
