@@ -690,11 +690,13 @@ def _stored_m(spark: SparkSession, root: str) -> int:
     return int((comp.get("ann") or {}).get("m", 8))
 
 
-def _stored_payload_cols(root: str) -> list[str]:
-    cur = txn.current_version_dir(root)
-    if cur is None:
-        return []
-    comp = (txn.read_manifest(root, os.path.basename(cur)) or {}).get(
+def _stored_payload_cols(root: str, version: str | None = None) -> list[str]:
+    if version is None:
+        cur = txn.current_version_dir(root)
+        if cur is None:
+            return []
+        version = os.path.basename(cur)
+    comp = (txn.read_manifest(root, version) or {}).get(
         CODES_COMPONENT, {}
     )
     return list((comp.get("ann") or {}).get("payload_cols", []) or [])
@@ -772,7 +774,9 @@ def ann_index_top_k(
     d = ((cmat - qv[None, :]) ** 2).sum(axis=1)
     probe_ids = [int(i) for i in np.argsort(d, kind="stable")[:n_probe]]
 
-    latest = _probed_latest(spark, root, comp, ann, probe_ids, id_col)
+    latest = _probed_latest(
+        spark, root, comp, ann, probe_ids, id_col, version=version
+    )
     probed = latest.filter(F.col("ann_list").isin(probe_ids))
     if exclude_ids:
         # small literal NOT IN (recommend's example exclusion) —
@@ -798,7 +802,13 @@ def ann_index_top_k(
 
 
 def _probed_latest(
-    spark: SparkSession, root: str, comp: dict, ann: dict, probe_ids, id_col: str
+    spark: SparkSession,
+    root: str,
+    comp: dict,
+    ann: dict,
+    probe_ids,
+    id_col: str,
+    version: str | None = None,
 ) -> DataFrame:
     """Latest-per-key rows backing a probe: the probed base list
     segments ∪ the whole delta tail, folded BEFORE the caller's
@@ -829,7 +839,12 @@ def _probed_latest(
     delta_segs = list((ann or {}).get("delta_segments", []))
     if not probe_segs and not delta_segs:
         if comp.get("segments"):
-            out = txn.read_version(spark, root, subdir=CODES_COMPONENT)
+            # the generic-fold fallback honors the caller's pin too
+            # (round-11 review): without it a serve pinned at V could
+            # fold V+1's rows under V's quantizers mid-commit
+            out = txn.read_version(
+                spark, root, version=version, subdir=CODES_COMPONENT
+            )
         else:
             raise FileNotFoundError(f"index under {root!r} has no segments")
     else:
@@ -1075,6 +1090,7 @@ def ann_index_top_k_all(
     payload_filter=None,
     payload_out: list[str] | None = None,
     codec: str = "bq",
+    version: str | None = None,
 ) -> DataFrame:
     """Batch serving: top-k for EVERY query vector in ``queries`` in
     ONE job against the persisted index — the amortized path when a
@@ -1134,12 +1150,19 @@ def ann_index_top_k_all(
     if codec not in ("bq", "pq"):
         raise ValueError(f"unknown codec {codec!r}: expected 'pq' or 'bq'")
     surrogate = "hamming" if codec == "bq" else "adc_micro"
-    centroids, codebook = read_index_meta(spark, root)
+    # CURRENT resolves exactly ONCE (the round-10 ADVICE discipline,
+    # applied here in round 11): quantizer meta, manifest, and fold
+    # all read the same pinned version — a rebuild committing between
+    # two resolutions could otherwise pair one version's ADC LUTs
+    # with another version's stored codes
+    if version is None:
+        cur = txn.current_version_dir(root)
+        if cur is None:
+            raise FileNotFoundError(f"nothing published under {root!r}")
+        version = os.path.basename(cur)
+    centroids, codebook = read_index_meta(spark, root, version=version)
     dim = len(centroids[0])
-    cur = txn.current_version_dir(root)
-    if cur is None:
-        raise FileNotFoundError(f"nothing published under {root!r}")
-    comp = txn.read_manifest(root, os.path.basename(cur))[CODES_COMPONENT]
+    comp = txn.read_manifest(root, version)[CODES_COMPONENT]
     ann = comp.get("ann") or {}
     m = int(ann.get("m", 8))
     n_codes = int(ann.get("n_codes", len(codebook)))
@@ -1166,7 +1189,9 @@ def ann_index_top_k_all(
             f"{q_id_col} {q_type}, {id_col} {types.get(id_col, 'bigint')}, "
             f"{surrogate} bigint, cosine_sim double{extra}",
         )
-    latest = _probed_latest(spark, root, comp, ann, probe_ids, id_col)
+    latest = _probed_latest(
+        spark, root, comp, ann, probe_ids, id_col, version=version
+    )
     if payload_filter is not None:
         # stored-payload predicate on the overlay-merged fold, BEFORE
         # any shortlist — the single-query path's semantics
@@ -1294,6 +1319,7 @@ def mmr_rerank_indexed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     allowed_ids: DataFrame | None = None,
+    version: str | None = None,
 ) -> DataFrame:
     """MMR diversified top-k served from the PERSISTED ANN index —
     zero corpus scans: the probed index rows (n_probe lists + delta
@@ -1314,11 +1340,15 @@ def mmr_rerank_indexed(
 
     from .similarity import mmr_rerank
 
-    centroids, _codebook = read_index_meta(spark, root)
-    cur = txn.current_version_dir(root)
-    if cur is None:
-        raise FileNotFoundError(f"nothing published under {root!r}")
-    comp = txn.read_manifest(root, os.path.basename(cur))[CODES_COMPONENT]
+    # single CURRENT resolution (round-10 ADVICE discipline): meta,
+    # manifest, and fold all read the same pinned version
+    if version is None:
+        cur = txn.current_version_dir(root)
+        if cur is None:
+            raise FileNotFoundError(f"nothing published under {root!r}")
+        version = os.path.basename(cur)
+    centroids, _codebook = read_index_meta(spark, root, version=version)
+    comp = txn.read_manifest(root, version)[CODES_COMPONENT]
     ann = comp.get("ann") or {}
 
     cmat = np.asarray(centroids, dtype=np.float64)
@@ -1326,7 +1356,9 @@ def mmr_rerank_indexed(
     d = ((cmat - qv[None, :]) ** 2).sum(axis=1)
     probe_ids = [int(i) for i in np.argsort(d, kind="stable")[:n_probe]]
 
-    latest = _probed_latest(spark, root, comp, ann, probe_ids, id_col)
+    latest = _probed_latest(
+        spark, root, comp, ann, probe_ids, id_col, version=version
+    )
     probed = latest.filter(F.col("ann_list").isin(probe_ids)).select(
         id_col, vec_col
     )
@@ -1682,7 +1714,8 @@ def ann_index_scroll(
         )
     cols = [F.col(id_col), F.col("ann_list")]
     if with_payload:
-        cols += [F.col(c) for c in _stored_payload_cols(root)]
+        # the column list honors the pin (round-11 review, as retrieve)
+        cols += [F.col(c) for c in _stored_payload_cols(root, version=version)]
     if with_vectors:
         cols.append(F.col(vec_col))
     return live.select(*cols).orderBy(F.col(id_col).asc()).limit(int(limit))
@@ -1711,8 +1744,15 @@ def ann_index_retrieve(
     exactly this read — bounded, never a fold scan."""
     want = sorted({int(i) for i in ids})
     cols = [F.col(id_col), F.col("ann_list")]
-    # None = all stored payload (Qdrant with_payload=True); [] = none
-    pcols = _stored_payload_cols(root) if payload_out is None else payload_out
+    # None = all stored payload (Qdrant with_payload=True); [] = none.
+    # The column list honors the pin too (round-11 review): a rebuild
+    # changing payload_cols between the pin and CURRENT must not make
+    # a pinned retrieve select columns the pinned fold lacks.
+    pcols = (
+        _stored_payload_cols(root, version=version)
+        if payload_out is None
+        else payload_out
+    )
     cols += [F.col(c) for c in pcols]
     if with_vectors:
         cols.append(F.col(vec_col))
@@ -1892,23 +1932,13 @@ def ann_index_top_k_grouped(
             shortlist=shortlist, id_col=id_col, vec_col=vec_col,
             allowed_ids=allowed_ids, version=version,
         )
-        # serve evaluated exactly once, pinned as a local relation —
-        # bounded by construction (<= fetch_k rows, the same
-        # discipline as ann_index_fetch_vectors' point reads)
-        rows = flat.collect()
-        pinned = spark.createDataFrame(rows, flat.schema)
-        ids = [r[id_col] for r in rows]
-        # the shortlist ids push into the map scan as an IN filter
-        # (round 11): parquet min/max row-group stats prune the map
-        # read to ~O(shortlist) bytes instead of one full pass per
-        # page; the broadcast build side is the pinned shortlist, so
-        # the corpus-scale map still never broadcasts. The dedup (a
-        # multi-group map may tag a hit twice) runs on the
-        # shortlist-sized tagged rows, never the map.
-        src = groups.select(id_col, group_col)
-        if ids:
-            src = src.filter(F.col(id_col).isin(ids))
-        tagged = src.join(F.broadcast(pinned), on=id_col).distinct()
+        # shared round-11 tagging shape (serve pinned once, shortlist
+        # ids pushed into the map scan as an IN filter, map never
+        # broadcast, empty serve reads zero map bytes) — see
+        # windows.tag_pinned_shortlist
+        from .windows import tag_pinned_shortlist
+
+        tagged = tag_pinned_shortlist(spark, flat, groups, id_col, group_col)
     return group_top_k(
         tagged, group_col, "cosine_sim", id_col, k_groups, group_size
     ).select(

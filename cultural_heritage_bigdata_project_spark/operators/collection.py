@@ -48,7 +48,10 @@ SPACES_COMPONENT = "spaces"
 
 
 def _space_root(root: str, space: str) -> str:
-    if os.sep in space or not space:
+    # plain names only: a separator or dot-name would escape the
+    # spaces/ directory — '..' resolves to the collection root itself
+    # and would collide with the pin-manifest table (round-11 review)
+    if not space or os.sep in space or "/" in space or space in (".", ".."):
         raise ValueError(f"space must be a plain name, got {space!r}")
     return os.path.join(root, "spaces", space)
 
@@ -160,13 +163,38 @@ def collection_create(
     )
 
 
-def _mutate_all_spaces(spark, root, fn, op: str, keep_last: int) -> str:
+def _mutate_all_spaces(root, fn, op: str) -> str:
+    """Commit ``fn(space, space_root, meta)`` on EVERY space, then one
+    pin publish. Callers validate the batch against every space's
+    expectations BEFORE the first commit (round-11 review): a failure
+    after the first space's commit would leave an orphan that a later
+    pin publish exposes, permanently diverging the spaces' point
+    sets — the eager checks make the multi-space mutation fail whole."""
     pins, meta = _read_spaces(root)
     new_pins = {}
     for space in sorted(pins):
         v = fn(space, _space_root(root, space), meta)
         new_pins[space] = os.path.basename(v)
     return _publish_pins(root, new_pins, meta, op=op)
+
+
+def _require_columns(df: DataFrame, meta: dict, need_vectors: bool) -> None:
+    """Eager whole-batch validation BEFORE any space commits: the
+    collection invariant is a point exists with ALL its named vectors
+    and the shared payload, so a batch missing any space's vector
+    column (or a payload column) must fail before the FIRST commit,
+    not between commits."""
+    need = [meta["id_col"], *meta["payload_cols"]]
+    if need_vectors:
+        need += [cfg["vec_col"] for cfg in meta["spaces"].values()]
+    missing = [c for c in need if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"collection batch is missing columns {sorted(set(missing))} "
+            f"(a point carries every named vector "
+            f"{sorted(cfg['vec_col'] for cfg in meta['spaces'].values())} "
+            f"plus the shared payload {meta['payload_cols']})"
+        )
 
 
 def collection_upsert(
@@ -177,7 +205,10 @@ def collection_upsert(
 ) -> str:
     """Upsert points (ALL named vectors + the shared payload per row —
     Qdrant upsert replaces the whole point) into every space, then one
-    atomic pin publish."""
+    atomic pin publish. The batch is validated against EVERY space's
+    vector column before the first commit (fail-whole, never
+    fail-between-spaces)."""
+    _require_columns(points, _read_spaces(root)[1], need_vectors=True)
 
     def one(space, sroot, meta):
         vec_col = meta["spaces"][space]["vec_col"]
@@ -194,7 +225,7 @@ def collection_upsert(
             keep_last=keep_last,
         )
 
-    return _mutate_all_spaces(spark, root, one, "collection_upsert", keep_last)
+    return _mutate_all_spaces(root, one, "collection_upsert")
 
 
 def collection_set_payload(
@@ -208,16 +239,27 @@ def collection_set_payload(
     EVERY space see it (deduplicate_from_qdrant.py:188-210 does this
     against the single Qdrant point). Each space commits an O(batch)
     payload overlay (`ann_index.ann_index_set_payload`); the flip
-    becomes VISIBLE on all spaces together at the pin publish."""
+    becomes VISIBLE on all spaces together at the pin publish. The
+    update columns are validated up front (every space stores the same
+    shared payload_cols, so one check covers all — fail-whole)."""
+    meta = _read_spaces(root)[1]
+    bad = [
+        c for c in updates.columns
+        if c != meta["id_col"] and c not in meta["payload_cols"]
+    ]
+    if bad or meta["id_col"] not in updates.columns:
+        raise ValueError(
+            f"set_payload batch must carry {meta['id_col']!r} plus a "
+            f"subset of the shared payload columns {meta['payload_cols']}; "
+            f"got {updates.columns}"
+        )
 
     def one(space, sroot, meta):
         return ann_index.ann_index_set_payload(
             spark, updates, sroot, id_col=meta["id_col"], keep_last=keep_last
         )
 
-    return _mutate_all_spaces(
-        spark, root, one, "collection_set_payload", keep_last
-    )
+    return _mutate_all_spaces(root, one, "collection_set_payload")
 
 
 def collection_update_vectors(
@@ -237,6 +279,40 @@ def collection_update_vectors(
     unknown = [s for s in todo if s not in pins]
     if unknown:
         raise KeyError(f"unknown spaces {unknown}; collection has {sorted(pins)}")
+    # fail-whole (round-11 review): every target space's vector column
+    # must be present, and every batch id must exist in the collection
+    # (checked once against the pinned point set — identical on all
+    # spaces), BEFORE the first space commits
+    missing_cols = [
+        meta["spaces"][s]["vec_col"]
+        for s in todo
+        if meta["spaces"][s]["vec_col"] not in new_vectors.columns
+    ]
+    if meta["id_col"] not in new_vectors.columns or missing_cols:
+        raise ValueError(
+            f"update_vectors batch is missing columns "
+            f"{sorted({meta['id_col'], *missing_cols} - set(new_vectors.columns))}"
+        )
+    first = todo[0]
+    keys = new_vectors.select(meta["id_col"]).distinct()
+    ghost = (
+        keys.join(
+            ann_index.ann_index_live(
+                spark, _space_root(root, first), meta["id_col"],
+                version=pins[first],
+            ).select(meta["id_col"]),
+            on=meta["id_col"],
+            how="left_anti",
+        )
+        .limit(5)
+        .collect()
+    )
+    if ghost:
+        raise KeyError(
+            "update_vectors for ids not in the collection: "
+            f"{sorted(int(r[meta['id_col']]) for r in ghost)} — an "
+            "update is not an insert; use collection_upsert"
+        )
     new_pins = dict(pins)
     for space in todo:
         vec_col = meta["spaces"][space]["vec_col"]
@@ -268,7 +344,7 @@ def collection_delete(
             spark, ids, sroot, id_col=meta["id_col"], keep_last=keep_last
         )
 
-    return _mutate_all_spaces(spark, root, one, "collection_delete", keep_last)
+    return _mutate_all_spaces(root, one, "collection_delete")
 
 
 def collection_search(
@@ -312,6 +388,11 @@ def collection_retrieve(
     column. Pushed-IN point reads throughout, never a fold scan."""
     pins, meta = _read_spaces(root)
     todo = sorted(spaces) if spaces is not None else sorted(pins)
+    unknown = [s for s in todo if s not in pins]
+    if unknown or not todo:
+        raise KeyError(
+            f"unknown spaces {unknown or spaces}; collection has {sorted(pins)}"
+        )
     id_col = meta["id_col"]
     first = todo[0]
     out = ann_index.ann_index_retrieve(

@@ -1676,6 +1676,7 @@ def hybrid_rrf_search_indexed(
     vec_id_col: str = "vec_id",
     allowed_ids: DataFrame | None = None,
     payload_out: list[str] | None = None,
+    ann_version: str | None = None,
 ) -> DataFrame:
     """`hybrid_rrf_search` served ENTIRELY from persisted state — the
     full serving stack with zero corpus scans: the lexical branch reads
@@ -1730,6 +1731,7 @@ def hybrid_rrf_search_indexed(
         allowed_ids=sem_allowed,
         codec="bq",
         payload_out=payload_out,
+        version=ann_version,
     )
     return _rrf_fuse(
         lex, sem, id_col, vec_id_col, rrf_k, k, sem_carry=payload_out
@@ -1786,11 +1788,24 @@ def hybrid_grouped_search_indexed(
     from .windows import group_top_k
 
     if groups is None:
+        # ONE ANN version for the whole page (round-11 review): the
+        # fused serve's semantic branch and the lexical-only label
+        # lookup read the same pinned version, so one page can never
+        # mix two payload vintages across a concurrent re-label
+        import os as _os
+
+        from . import txn as _txn
+
+        cur = _txn.current_version_dir(ann_root)
+        if cur is None:
+            raise FileNotFoundError(f"nothing published under {ann_root!r}")
+        ann_version = _os.path.basename(cur)
         flat = hybrid_rrf_search_indexed(
             spark, text_root, ann_root, query_terms, query,
             k=int(fetch_k), top_n=top_n, rrf_k=rrf_k, n_probe=n_probe,
             shortlist=shortlist, id_col=id_col, vec_id_col=vec_id_col,
             allowed_ids=allowed_ids, payload_out=[group_col],
+            ann_version=ann_version,
         )
         rows = flat.collect()  # bounded: <= fetch_k fused hits
         missing = [r[id_col] for r in rows if r[group_col] is None]
@@ -1801,7 +1816,7 @@ def hybrid_grouped_search_indexed(
             # map pass. Plan-gated in tests/test_plans.py.
             lk = _ai.ann_index_retrieve(
                 spark, ann_root, missing, id_col=vec_id_col,
-                payload_out=[group_col],
+                payload_out=[group_col], version=ann_version,
             ).collect()
             labels = {r[vec_id_col]: r[group_col] for r in lk}
         resolved = [
@@ -1822,14 +1837,12 @@ def hybrid_grouped_search_indexed(
             shortlist=shortlist, id_col=id_col, vec_id_col=vec_id_col,
             allowed_ids=allowed_ids,
         )
-        rows = flat.collect()  # bounded: <= fetch_k fused hits
-        pinned = spark.createDataFrame(rows, flat.schema)
-        ids = [r[id_col] for r in rows]
-        src = groups.select(id_col, group_col)
-        if ids:
-            # pushed-IN map read: O(shortlist) bytes, never a full pass
-            src = src.filter(F.col(id_col).isin(ids))
-        tagged = src.join(F.broadcast(pinned), on=id_col).distinct()
+        # shared round-11 tagging shape (serve pinned once, ids pushed
+        # into the map scan as an IN filter, map never broadcast,
+        # empty serve reads zero map bytes)
+        from .windows import tag_pinned_shortlist
+
+        tagged = tag_pinned_shortlist(spark, flat, groups, id_col, group_col)
     return group_top_k(
         tagged, group_col, "rrf_score", id_col, k_groups, group_size
     ).select(

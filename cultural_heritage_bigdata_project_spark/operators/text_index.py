@@ -1215,11 +1215,13 @@ def text_index_search_all(
     )
 
 
-def _stored_text_payload_cols(root: str) -> list[str]:
-    cur = txn.current_version_dir(root)
-    if cur is None:
-        return []
-    comp = (txn.read_manifest(root, os.path.basename(cur)) or {}).get(
+def _stored_text_payload_cols(root: str, version: str | None = None) -> list[str]:
+    if version is None:
+        cur = txn.current_version_dir(root)
+        if cur is None:
+            return []
+        version = os.path.basename(cur)
+    comp = (txn.read_manifest(root, version) or {}).get(
         POSTINGS_COMPONENT, {}
     )
     return list(((comp.get("tix") or {}).get("payload_cols", [])) or [])
@@ -1369,7 +1371,9 @@ def text_index_retrieve_payload(
     tests/test_plans.py."""
     want = sorted({int(i) for i in ids})
     pcols = (
-        _stored_text_payload_cols(root) if payload_out is None else payload_out
+        _stored_text_payload_cols(root, version=version)
+        if payload_out is None
+        else payload_out
     )
     live = _doclen_with_payload(spark, root, version=version)
     if want:
@@ -1494,16 +1498,15 @@ def text_index_search_grouped(
             schema,
         )
     else:
-        # explicit map frame: the shortlist ids push into the map read
-        # as an IN filter (round 11) so the map costs ~O(shortlist)
-        # bytes; the broadcast build side is the pinned shortlist — the
-        # corpus-scale map still never broadcasts. Dedup runs on the
-        # tagged rows only (a multi-group map may tag a hit twice).
-        pinned = spark.createDataFrame(rows, flat.schema)
-        src = groups.select(id_col, group_col)
-        if ids:
-            src = src.filter(F.col(id_col).isin(ids))
-        tagged = src.join(F.broadcast(pinned), on=id_col).distinct()
+        # explicit map frame: the shared round-11 tagging shape (serve
+        # pinned once, ids pushed into the map scan as an IN filter,
+        # map never broadcast, empty serve reads zero map bytes)
+        from .windows import tag_pinned_shortlist
+
+        tagged = tag_pinned_shortlist(
+            spark, spark.createDataFrame(rows, flat.schema), groups,
+            id_col, group_col,
+        )
     return group_top_k(
         tagged, group_col, "bm25", id_col, k_groups, group_size
     ).select(

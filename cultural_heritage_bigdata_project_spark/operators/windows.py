@@ -136,3 +136,32 @@ def group_top_k(
         .drop("__best_score", "__best_id")
         .orderBy("group_rank", "rank_in_group")
     )
+
+
+def tag_pinned_shortlist(
+    spark,
+    flat: DataFrame,
+    groups: DataFrame,
+    id_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Shared grouped-serve tagging shape (round 11, factored out of
+    the ANN / text / hybrid grouped pages): evaluate the ≤fetch_k
+    serve ONCE and pin it as a local relation, push its ids into the
+    corpus-scale (id, group) map read as an IN filter (parquet
+    row-group prunable — O(shortlist) map bytes per page, runtime-
+    gated in tests/test_plans.py), broadcast the pinned shortlist as
+    the build side, and dedup the tagged rows (a multi-group map may
+    tag a hit twice). An EMPTY serve reads zero map bytes (the
+    pushed-IN guard short-circuits to a false predicate instead of
+    degenerating into a full map scan against an empty broadcast)."""
+    rows = flat.collect()  # bounded by construction: <= fetch_k rows
+    pinned = spark.createDataFrame(rows, flat.schema)
+    ids = [r[id_col] for r in rows]
+    src = groups.select(id_col, group_col)
+    src = (
+        src.filter(F.col(id_col).isin(ids))
+        if ids
+        else src.filter(F.lit(False))
+    )
+    return src.join(F.broadcast(pinned), on=id_col).distinct()
