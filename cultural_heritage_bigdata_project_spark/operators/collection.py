@@ -531,13 +531,9 @@ def collection_dedup_purge(
     (eagerly pinned before the delete commits). ``candidate_ids``
     restricts the checked points (the reference's incremental
     'pending-only' sweep); None sweeps the whole collection.
-
-    Consistency note: candidates read at the PINNED version, while the
-    batch serve probes the space's CURRENT — identical when this
-    maintenance job is the collection's writer (the documented
-    single-maintainer deployment, as the reference's cron'd dedup);
-    under concurrent writers a just-committed-unpinned upsert may be
-    probed, which only widens the candidate neighborhoods."""
+    Candidates AND the batch serve both read at the space's PINNED
+    version (round-11 review), so the detection pass is one consistent
+    snapshot even under a concurrent writer."""
     pins, meta = _read_spaces(root)
     if space not in pins:
         raise KeyError(f"unknown space {space!r}; collection has {sorted(pins)}")
@@ -562,6 +558,7 @@ def collection_dedup_purge(
         vec_col="embedding",
         q_id_col="__q",
         q_vec_col="embedding",
+        version=pins[space],
     )
     losers = (
         res.filter(

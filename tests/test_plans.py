@@ -686,3 +686,28 @@ def test_grouped_map_scan_reads_less_than_the_full_component(spark, tmp_path):
         f"map scan output {scanned} rows of 200000 — row-group pruning "
         "did not engage; the grouped page is paying a full map pass"
     )
+
+
+def test_empty_grouped_serve_reads_zero_map_bytes(spark, tmp_path):
+    """tag_pinned_shortlist with an EMPTY serve (round-11 review): the
+    pushed-IN guard short-circuits to a false predicate, which Catalyst
+    folds to an empty relation — the corpus-scale map is not scanned at
+    all, instead of one full pass joined against an empty broadcast."""
+    from pyspark.sql import functions as F
+
+    from cultural_heritage_bigdata_project_spark.operators.windows import (
+        tag_pinned_shortlist,
+    )
+
+    map_dir = str(tmp_path / "m")
+    spark.range(0, 10_000).select(
+        F.col("id").alias("vec_id"), (F.col("id") % 5).alias("g")
+    ).write.parquet(map_dir)
+    groups = spark.read.parquet(map_dir)
+    empty_flat = spark.createDataFrame(
+        [], "vec_id bigint, cosine_sim double"
+    )
+    out = tag_pinned_shortlist(spark, empty_flat, groups, "vec_id", "g")
+    assert out.collect() == []
+    tree = out._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in tree, tree
