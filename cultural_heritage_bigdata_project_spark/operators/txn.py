@@ -1069,6 +1069,60 @@ def read_version(
 
 
 COMMIT_TS = "_committed_at"
+EXTERNAL_PINS = "PINNED"
+
+
+def read_external_pins(root: str) -> list[str]:
+    """Version names an EXTERNAL composition layer has pinned on this
+    table (the named-vector collection pins one index version per
+    space, operators/collection.py): one name per line in
+    ``root/PINNED``. Missing file = no external pins."""
+    try:
+        with open(os.path.join(root, EXTERNAL_PINS), encoding="utf-8") as f:
+            return [ln.strip() for ln in f if ln.strip()]
+    except FileNotFoundError:
+        return []
+
+
+def set_external_pins(root: str, names: list[str]) -> None:
+    """Declare the externally-pinned version names of this table
+    (atomic replace). Retention (`try_publish_version`) keeps a pinned
+    version in the pointer beyond ``keep_last`` and GC
+    (`cleanup_unpublished`/`vacuum`) never collects it — so a
+    composition layer whose pin lags CURRENT (a collection whose pin
+    publish crashed, then several space commits) can always restore or
+    serve the pinned version. An empty list clears the pins."""
+    os.makedirs(root, exist_ok=True)
+    tmp = os.path.join(root, EXTERNAL_PINS + ".tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write("\n".join(dict.fromkeys(names)))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(root, EXTERNAL_PINS))
+
+
+def _retained_with_pins(root: str, retained: list[str]) -> list[str]:
+    """Append externally-pinned versions retention would otherwise
+    truncate. Pins re-enter BELOW the keep_last window sorted by
+    descending numeric epoch: a pin was published before everything
+    the truncation kept (pointers evolve by prepending), so the
+    feed-read invariant `_check_numeric_chain` relies on — strictly
+    decreasing numeric epochs in pointer order — is preserved; the
+    non-numeric (restore/maintenance) names feeds skip sort last."""
+    extra = [
+        n
+        for n in read_external_pins(root)
+        if n not in retained and os.path.isdir(os.path.join(root, n))
+    ]
+    if extra:
+        extra.sort(
+            key=lambda n: (
+                _numeric_epoch(n) is None,
+                -(_numeric_epoch(n) or 0),
+            )
+        )
+        retained = retained + extra
+    return retained
 
 
 def _stamp_commit_ts(root: str, dirname: str, op: str | None = None) -> None:
@@ -1235,8 +1289,15 @@ def cleanup_unpublished(
     succeed. This is the same young-file protection as Delta/Iceberg
     vacuum retention; 0 keeps the original single-writer behavior.
     ``dry_run=True`` returns the same list without deleting anything
-    (the `vacuum` wrapper's DRY RUN)."""
-    keep = set(_read_pointer(root))
+    (the `vacuum` wrapper's DRY RUN). Externally-pinned versions
+    (`set_external_pins` — a collection's pin on one index version per
+    space) are never collected, nor are the segments their manifests
+    reference: a pin that lags CURRENT must stay restorable."""
+    keep = set(_read_pointer(root)) | {
+        n
+        for n in read_external_pins(root)
+        if os.path.isdir(os.path.join(root, n))
+    }
     removed = []
     if not os.path.isdir(root):
         return removed
@@ -1485,7 +1546,10 @@ def try_publish_version(
             actual = names[0] if names else None
             if actual != expected_current:
                 raise CommitConflict(expected_current, actual)
-            retained = ([dirname] + [n for n in names if n != dirname])[:keep_last]
+            retained = _retained_with_pins(
+                root,
+                ([dirname] + [n for n in names if n != dirname])[:keep_last],
+            )
             _stamp_commit_ts(root, dirname, op=op)
             tmp = os.path.join(root, CURRENT + ".tmp")
             with open(tmp, "w", encoding="utf-8") as f:
@@ -1498,7 +1562,10 @@ def try_publish_version(
         actual = names[0] if names else None
         if actual != expected_current:
             raise CommitConflict(expected_current, actual)
-        retained = ([dirname] + [n for n in names if n != dirname])[:keep_last]
+        retained = _retained_with_pins(
+            root,
+            ([dirname] + [n for n in names if n != dirname])[:keep_last],
+        )
         _stamp_commit_ts(root, dirname, op=op)
         try:
             pointer_store.put_if(retained, tag)
