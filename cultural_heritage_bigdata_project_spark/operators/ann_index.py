@@ -1770,6 +1770,7 @@ def ann_index_fetch_vectors(
     ids,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    version: str | None = None,
 ) -> dict:
     """Point lookup of a FEW ids' stored vectors (Qdrant ``retrieve``):
     returns ``{id: [float, ...]}`` from the live fold, id-filtered
@@ -1779,7 +1780,7 @@ def ann_index_fetch_vectors(
     reference's recommend flow surfaces for an unknown point."""
     want = sorted(int(i) for i in ids)
     rows = (
-        ann_index_live(spark, root, id_col)
+        ann_index_live(spark, root, id_col, version=version)
         .filter(F.col(id_col).isin(want))
         .select(id_col, vec_col)
         .collect()
@@ -1826,6 +1827,7 @@ def ann_index_recommend(
     allowed_ids: DataFrame | None = None,
     codec: str = "pq",
     payload_filter=None,
+    version: str | None = None,
 ) -> DataFrame:
     """Qdrant recommend API on the engine-native index (``client.
     recommend(collection, positive=[...], negative=[...])`` — the
@@ -1843,13 +1845,25 @@ def ann_index_recommend(
 
     At 100 TB: example fetch is a pushed-IN point read (a few rows);
     everything after is the ordinary pruned probe — recommend costs
-    one kNN serve plus a KB-sized lookup."""
+    one kNN serve plus a KB-sized lookup.
+
+    Single-version serving (round 12): CURRENT resolves exactly ONCE
+    — the example fetch and the probe read the same pinned version, so
+    an upsert committing between them can never pair a re-embedded
+    example with the previous version's index state. ``version`` pins
+    a retained version instead (the collection serves at its pin)."""
     pos = sorted(int(i) for i in positive_ids)
     if not pos:
         raise ValueError("recommend requires at least one positive id")
+    if version is None:
+        cur = txn.current_version_dir(root)
+        if cur is None:
+            raise FileNotFoundError(f"nothing published under {root!r}")
+        version = os.path.basename(cur)
     neg = sorted(int(i) for i in negative_ids) if negative_ids else []
     fetched = ann_index_fetch_vectors(
-        spark, root, pos + neg, id_col=id_col, vec_col=vec_col
+        spark, root, pos + neg, id_col=id_col, vec_col=vec_col,
+        version=version,
     )
     q = recommend_query_vector(
         {i: fetched[i] for i in pos},
@@ -1859,6 +1873,7 @@ def ann_index_recommend(
         spark, root, q, k=k, n_probe=n_probe, shortlist=shortlist,
         id_col=id_col, vec_col=vec_col, allowed_ids=allowed_ids,
         codec=codec, exclude_ids=pos + neg, payload_filter=payload_filter,
+        version=version,
     )
 
 
@@ -2032,6 +2047,7 @@ def ann_index_recommend_all(
     allowed_ids: DataFrame | None = None,
     payload_filter=None,
     codec: str = "pq",
+    version: str | None = None,
 ) -> DataFrame:
     """Batch recommend: `ann_index_recommend` for EVERY user in one
     job — the recommendation-refresh shape (the reference's ML-model
@@ -2074,12 +2090,21 @@ def ann_index_recommend_all(
     bit-agreement with the single path does not matter."""
     from pyspark.sql import Window
 
+    if version is None:
+        # one CURRENT resolve for the example fold AND the batch probe
+        # (round 12 — the single-path fix, batch twin)
+        cur = txn.current_version_dir(root)
+        if cur is None:
+            raise FileNotFoundError(f"nothing published under {root!r}")
+        version = os.path.basename(cur)
     ex = examples.select(
         F.col(user_col).alias("__u"),
         F.col(id_col),
         F.col(positive_col).cast("boolean").alias("__pos"),
     )
-    live = ann_index_live(spark, root, id_col).select(id_col, vec_col)
+    live = ann_index_live(spark, root, id_col, version=version).select(
+        id_col, vec_col
+    )
     missing = (
         ex.select(id_col)
         .distinct()
@@ -2146,6 +2171,7 @@ def ann_index_recommend_all(
         allowed_ids=allowed_ids,
         payload_filter=payload_filter,
         codec=codec,
+        version=version,
     )
     surrogate = "hamming" if codec == "bq" else "adc_micro"
     res = res.join(ex.select("__u", id_col), on=["__u", id_col], how="left_anti")

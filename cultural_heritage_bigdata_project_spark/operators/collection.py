@@ -663,6 +663,233 @@ def collection_search(
     )
 
 
+def collection_search_all(
+    spark: SparkSession,
+    root: str,
+    space: str,
+    queries: DataFrame,
+    **kwargs,
+) -> DataFrame:
+    """BATCH kNN against one named space — `ann_index_top_k_all`'s
+    one-pass-per-index amortized shape, served at the collection's
+    pinned pair (round 12, the collection-surface completion: every
+    per-space primitive is reachable from the collection without
+    reading CURRENT). ``queries`` carries ``(q_id, embedding)`` rows;
+    all batch-serve knobs (k / n_probe / shortlist / codec /
+    payload_filter / payload_out / q_id_col / q_vec_col) pass
+    through."""
+    pins, meta = _read_spaces(root)
+    if space not in pins:
+        raise KeyError(f"unknown space {space!r}; collection has {sorted(pins)}")
+    return ann_index.ann_index_top_k_all(
+        spark,
+        _space_root(root, space),
+        queries,
+        id_col=meta["id_col"],
+        vec_col="embedding",
+        version=pins[space],
+        **kwargs,
+    )
+
+
+def collection_recommend(
+    spark: SparkSession,
+    root: str,
+    space: str,
+    positive_ids,
+    negative_ids=None,
+    **kwargs,
+) -> DataFrame:
+    """Qdrant recommend against one named space (``client.recommend(
+    collection, using=<space>, positive=[...], negative=[...])`` — the
+    reference dashboard's 'more like these' flow composes exactly this
+    over the ``combined`` space, streamlit/app/app.py:208-264):
+    example fetch AND probe both read the space AT THE COLLECTION PIN,
+    so a concurrent mutation is never half-visible inside one
+    recommendation. All `ann_index_recommend` knobs pass through."""
+    pins, meta = _read_spaces(root)
+    if space not in pins:
+        raise KeyError(f"unknown space {space!r}; collection has {sorted(pins)}")
+    return ann_index.ann_index_recommend(
+        spark,
+        _space_root(root, space),
+        positive_ids,
+        negative_ids=negative_ids,
+        id_col=meta["id_col"],
+        vec_col="embedding",
+        version=pins[space],
+        **kwargs,
+    )
+
+
+def collection_recommend_all(
+    spark: SparkSession,
+    root: str,
+    space: str,
+    examples: DataFrame,
+    **kwargs,
+) -> DataFrame:
+    """Batch recommend against one named space at the collection pin —
+    the nightly recommendation-refresh job over the collection surface
+    (`ann_index_recommend_all`: one index read for every user)."""
+    pins, meta = _read_spaces(root)
+    if space not in pins:
+        raise KeyError(f"unknown space {space!r}; collection has {sorted(pins)}")
+    return ann_index.ann_index_recommend_all(
+        spark,
+        _space_root(root, space),
+        examples,
+        id_col=meta["id_col"],
+        vec_col="embedding",
+        version=pins[space],
+        **kwargs,
+    )
+
+
+def collection_hybrid_page(
+    spark: SparkSession,
+    root: str,
+    queries_by_space: dict,
+    k: int = 10,
+    rrf_k: float = 60.0,
+    top_n: int = 50,
+    n_probe: int = 4,
+    shortlist: int = 100,
+    payload_out: list[str] | None = None,
+    payload_filter=None,
+) -> DataFrame:
+    """MULTI-SPACE hybrid page — Qdrant's Query-API hybrid over NAMED
+    VECTORS (prefetch per named vector + RRF fusion; the reference's
+    dashboard could fuse its ``image`` and ``combined`` rankings of
+    one item this way instead of serving a single space raw,
+    app.py:208-264). Every leg serves at the collection's PINNED pair
+    — one manifest read resolves all legs, so the fused page can never
+    mix two pin sets' states.
+
+    ``queries_by_space`` maps space name → query vector (each in that
+    space's own geometry). Per-leg: the ordinary pruned probe fetches
+    the flat top ``top_n`` and ranks it (cosine desc, id asc). Fusion:
+    ``rrf_score = Σ_spaces 1/(rrf_k + rank_space)`` over the legs an
+    id appears in (absent leg contributes 0 and reports rank 0 — the
+    same convention as the lexical+semantic `hybrid_rrf_search`).
+    Returns ``(id, rank_<space>..., rrf_score[, payload_out...])``,
+    top ``k`` by (rrf_score desc, id asc); the optional shared payload
+    rides ONE pushed-IN point retrieve at the SAME pin.
+
+    Scale shape: each leg is ≤``top_n`` rows; union/agg/window run
+    over ≤|spaces|·top_n local-relation-sized rows; payload attach is
+    a pushed-IN read of ≤k ids. Zero corpus scans anywhere."""
+    from pyspark.sql import Window
+
+    pins, meta = _read_spaces(root)
+    todo = sorted(queries_by_space)
+    unknown = [s for s in todo if s not in pins]
+    if unknown or not todo:
+        raise KeyError(
+            f"unknown spaces {unknown or todo}; collection has {sorted(pins)}"
+        )
+    id_col = meta["id_col"]
+    legs = []
+    for space in todo:
+        hits = ann_index.ann_index_top_k(
+            spark,
+            _space_root(root, space),
+            queries_by_space[space],
+            k=int(top_n),
+            n_probe=n_probe,
+            shortlist=shortlist,
+            id_col=id_col,
+            vec_col="embedding",
+            payload_filter=payload_filter,
+            version=pins[space],
+        )
+        legs.append(
+            hits.select(
+                F.col(id_col),
+                F.row_number()
+                .over(
+                    Window.orderBy(
+                        F.col("cosine_sim").desc(), F.col(id_col).asc()
+                    )
+                )
+                .alias("__rank"),
+                F.lit(space).alias("__space"),
+            )
+        )
+    union = legs[0]
+    for leg in legs[1:]:
+        union = union.unionByName(leg)
+    rank_cols = [
+        F.coalesce(
+            F.max(F.when(F.col("__space") == s, F.col("__rank"))), F.lit(0)
+        ).alias(f"rank_{s}")
+        for s in todo
+    ]
+    score = None
+    for s in todo:
+        term = F.when(
+            F.col(f"rank_{s}") > 0,
+            F.lit(1.0) / (F.lit(float(rrf_k)) + F.col(f"rank_{s}")),
+        ).otherwise(F.lit(0.0))
+        score = term if score is None else score + term
+    fused = (
+        union.groupBy(id_col)
+        .agg(*rank_cols)
+        .withColumn("rrf_score", score)
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+        .limit(int(k))
+    )
+    if payload_out:
+        bad = [c for c in payload_out if c not in meta["payload_cols"]]
+        if bad:
+            raise KeyError(
+                f"payload_out {bad} not in shared payload columns "
+                f"{meta['payload_cols']}"
+            )
+        ids = [r[id_col] for r in fused.select(id_col).collect()]
+        first = sorted(pins)[0]
+        lk = ann_index.ann_index_retrieve(
+            spark,
+            _space_root(root, first),
+            ids,
+            id_col=id_col,
+            payload_out=list(payload_out),
+            with_vectors=False,
+            version=pins[first],
+        ).select(id_col, *payload_out)
+        fused = fused.join(lk, on=id_col, how="left").orderBy(
+            F.col("rrf_score").desc(), F.col(id_col).asc()
+        )
+    return fused
+
+
+def collection_snapshot(root: str, dest_root: str) -> str:
+    """Deep-clone the WHOLE collection at its published pins — the
+    Qdrant collection-snapshot analog `txn.snapshot_table` alone could
+    not give (it clones ONE space; the collection is spaces + pins
+    together, round-11 missing #4). Each space snapshots AT ITS PIN
+    (`txn.snapshot_table(version=pin)` — O(referenced bytes), manifest
+    travels verbatim so probe pruning serves immediately), then ONE
+    pin publish creates the destination collection; a reader of the
+    clone sees exactly the consistent pair the source published,
+    never a mid-mutation CURRENT. The destination must be fresh."""
+    pins, meta, _ = _read_state(root)
+    if txn.current_version_dir(dest_root) is not None:
+        raise FileExistsError(
+            f"{dest_root!r} is already a published table; snapshot only "
+            "creates new collections"
+        )
+    dest_pins = {}
+    for space in sorted(pins):
+        v = txn.snapshot_table(
+            _space_root(root, space),
+            _space_root(dest_root, space),
+            version=pins[space],
+        )
+        dest_pins[space] = os.path.basename(v)
+    return _publish_pins(dest_root, dest_pins, meta, op="collection_snapshot")
+
+
 def collection_retrieve(
     spark: SparkSession,
     root: str,

@@ -883,6 +883,7 @@ def text_index_search(
     id_col: str = "doc_id",
     allowed_ids: DataFrame | None = None,
     payload_filter=None,
+    version: str | None = None,
 ) -> DataFrame:
     """Serve a BM25 query from the PREBUILT index: manifest read →
     driver-side bucket selection (md5-portable, no job) → metadata-
@@ -904,9 +905,16 @@ def text_index_search(
     under-fills k); corpus stats (n_docs, avgdl) stay whole-corpus
     metadata — Lucene's filtered-query shape. `text.bm25_search` takes
     the same argument, so index-vs-scan stays bit-equal under a
-    filter."""
+    filter.
+
+    ``version`` pins the serve to one retained index version —
+    postings probe, payload-filter doclen read, and corpus stats all
+    read the SAME manifest (round-12, ADVICE: the grouped serve used
+    to resolve CURRENT once for the flat page and again for the label
+    lookup, so a set_payload committing in between could mix payload
+    vintages within one page)."""
     terms = sorted(set(query_terms))
-    rows, tix = _probed_rows(spark, root, terms)
+    rows, tix = _probed_rows(spark, root, terms, version=version)
     hits = (
         rows.filter(F.col("term").isin(terms))
         .select(
@@ -918,7 +926,7 @@ def text_index_search(
     )
     if payload_filter is not None:
         pf = (
-            _doclen_with_payload(spark, root)
+            _doclen_with_payload(spark, root, version=version)
             .filter(
                 F.expr(payload_filter)
                 if isinstance(payload_filter, str)
@@ -939,7 +947,7 @@ def text_index_search(
             on=id_col,
             how="leftsemi",
         )
-    n_docs, sum_dl = _corpus_stats(spark, root, tix)
+    n_docs, sum_dl = _corpus_stats(spark, root, tix, version=version)
     # metadata-only corpus stats; the division is the same long/long
     # double division the scan path computes
     corpus = spark.range(1).select(
@@ -949,7 +957,20 @@ def text_index_search(
     return bm25_rank_hits(hits, corpus, top_k=top_k, k1=k1, b=b, id_col=id_col)
 
 
-def _corpus_stats(spark: SparkSession, root: str, tix: dict) -> tuple[int, int]:
+def text_index_current_version(root: str) -> str:
+    """The index's CURRENT version name — resolve ONCE, then pass as
+    ``version=`` to every read of one logical serve (flat probe +
+    label lookup, hybrid fusion legs) so a commit landing mid-serve
+    can never mix two versions' state in one page."""
+    cur = txn.current_version_dir(root)
+    if cur is None:
+        raise FileNotFoundError(f"nothing published under {root!r}")
+    return os.path.basename(cur)
+
+
+def _corpus_stats(
+    spark: SparkSession, root: str, tix: dict, version: str | None = None
+) -> tuple[int, int]:
     """Exact ``(n_docs, sum_dl)`` for scoring: metadata-only from the
     ``tix`` block in the normal case; when the block is gone (a generic
     component rewrite rebuilt the dict) recompute from the doclen
@@ -958,7 +979,9 @@ def _corpus_stats(spark: SparkSession, root: str, tix: dict) -> tuple[int, int]:
     n_docs = int(tix.get("n_docs", 0))
     sum_dl = int(tix.get("sum_dl", 0))
     if n_docs == 0:
-        dl = txn.read_version(spark, root, subdir=DOCLEN_COMPONENT)
+        dl = txn.read_version(
+            spark, root, version=version, subdir=DOCLEN_COMPONENT
+        )
         agg = dl.agg(
             F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
         ).first()
@@ -972,14 +995,22 @@ def _corpus_stats(spark: SparkSession, root: str, tix: dict) -> tuple[int, int]:
     return n_docs, sum_dl
 
 
-def _probed_rows(spark: SparkSession, root: str, terms: list[str]):
+def _probed_rows(
+    spark: SparkSession,
+    root: str,
+    terms: list[str],
+    version: str | None = None,
+):
     """The folded posting rows a query over ``terms`` must see, plus the
     manifest ``tix`` block: probed base buckets ∪ delta tail with the
-    doc-supersede fold (shared by single-query and batch serving)."""
-    cur = txn.current_version_dir(root)
-    if cur is None:
-        raise FileNotFoundError(f"nothing published under {root!r}")
-    comp = txn.read_manifest(root, os.path.basename(cur))[POSTINGS_COMPONENT]
+    doc-supersede fold (shared by single-query and batch serving).
+    ``version`` pins one retained manifest; None resolves CURRENT."""
+    if version is None:
+        cur = txn.current_version_dir(root)
+        if cur is None:
+            raise FileNotFoundError(f"nothing published under {root!r}")
+        version = os.path.basename(cur)
+    comp = txn.read_manifest(root, version)[POSTINGS_COMPONENT]
     tix = comp.get("tix") or {}
     n_buckets = int(tix.get("n_buckets", 16))
     bucket_map = tix.get("bucket_segments", {})
@@ -1108,6 +1139,7 @@ def text_index_search_all(
     id_col: str = "doc_id",
     allowed_ids: DataFrame | None = None,
     payload_filter=None,
+    version: str | None = None,
 ) -> DataFrame:
     """Batch serving: BM25 top-k for EVERY query in ``queries``
     (``(q_id, terms array<string>)``) in ONE job against the persisted
@@ -1145,7 +1177,7 @@ def text_index_search_all(
             f"{q_id_col} {q_type}, {id_col} bigint, bm25 double, "
             "n_terms_hit bigint",
         )
-    rows, tix = _probed_rows(spark, root, terms)
+    rows, tix = _probed_rows(spark, root, terms, version=version)
     hits = rows.filter(F.col("term").isin(terms)).select(
         F.col("doc_id"),
         F.col("dl").cast("int").alias("dl"),
@@ -1158,7 +1190,7 @@ def text_index_search_all(
         # merged) for the whole batch, then the same semi-join path as
         # allowed_ids
         pf = (
-            _doclen_with_payload(spark, root)
+            _doclen_with_payload(spark, root, version=version)
             .filter(
                 F.expr(payload_filter)
                 if isinstance(payload_filter, str)
@@ -1183,7 +1215,7 @@ def text_index_search_all(
             how="leftsemi",
         )
     dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
-    n_docs, sum_dl = _corpus_stats(spark, root, tix)
+    n_docs, sum_dl = _corpus_stats(spark, root, tix, version=version)
     n_docs_d = F.lit(n_docs).cast("long").cast("double")
     avgdl = F.lit(sum_dl).cast("long") / F.lit(n_docs).cast("long")
     idf = (n_docs_d - F.col("__df") + F.lit(0.5)) / (F.col("__df") + F.lit(0.5))
@@ -1465,12 +1497,20 @@ def text_index_search_grouped(
     `txn.bucketed_reconstruct(only_bucket=...)` over the shortlist
     ids' buckets — worthwhile once n_buckets >> fetch_k, measured
     counterproductive at this fixture's 16 buckets).
-    ``payload_filter`` forwards to the flat serve."""
+    ``payload_filter`` forwards to the flat serve.
+
+    Single-version serving (round-12, ADVICE): CURRENT is resolved
+    exactly ONCE and pins BOTH the flat serve and the stored-payload
+    label lookup — a `text_index_set_payload` committing between the
+    two can no longer mix payload vintages within one grouped page
+    (the same fix the hybrid grouped page got in round 11)."""
     from .windows import group_top_k
 
+    pinned = text_index_current_version(root)
     flat = text_index_search(
         spark, root, query_terms, top_k=int(fetch_k), k1=k1, b=b,
         id_col=id_col, allowed_ids=allowed_ids, payload_filter=payload_filter,
+        version=pinned,
     )
     # serve evaluated exactly once, pinned as a local relation —
     # bounded by construction (<= fetch_k rows)
@@ -1484,7 +1524,7 @@ def text_index_search_grouped(
         # matching Qdrant search_groups skipping points missing the
         # group_by field. The returned page plan reads NO files.
         lk = text_index_retrieve_payload(
-            spark, root, ids, payload_out=[group_col]
+            spark, root, ids, payload_out=[group_col], version=pinned
         )
         gtype = lk.schema[group_col].dataType
         labels = {r["doc_id"]: r[group_col] for r in lk.collect()}

@@ -359,3 +359,152 @@ def test_collection_streaming_upkeep_advances_pins_and_compacts(spark, tmp_path)
     desc = collection.collection_describe(spark, root)
     for space, d in desc["spaces"].items():
         assert d["n_delta_segments"] == 0, (space, d)
+
+
+def test_collection_search_all_and_recommend_serve_at_pins(spark, coll):
+    """Round-12 surface completion: the batch probe and the recommend
+    composition are reachable from the collection (served at the
+    published pin pair) and agree with their per-space primitives."""
+    root, pts = coll
+    q32 = _q(spark, 32)
+    qdf = spark.createDataFrame(
+        [("qa", q32), ("qb", [float(x) for x in reversed(q32)])],
+        "q_id string, embedding array<double>",
+    )
+    batch = collection.collection_search_all(
+        spark, root, "image", qdf, k=5, n_probe=16, shortlist=10_000
+    ).collect()
+    single = collection.collection_search(
+        spark, root, "image", q32, k=5, n_probe=16, shortlist=10_000
+    ).collect()
+    got_a = [
+        r["vec_id"]
+        for r in sorted(
+            (r for r in batch if r["q_id"] == "qa"),
+            key=lambda r: (-r["cosine_sim"], r["vec_id"]),
+        )
+    ]
+    assert got_a == [r["vec_id"] for r in single]
+    assert len([r for r in batch if r["q_id"] == "qb"]) == 5
+
+    pins = collection.collection_pins(root)
+    rec = collection.collection_recommend(
+        spark, root, "combined", [11, 21], negative_ids=[31],
+        k=4, n_probe=16, shortlist=10_000,
+    ).collect()
+    want = ann_index.ann_index_recommend(
+        spark, os.path.join(root, "spaces", "combined"), [11, 21],
+        negative_ids=[31], k=4, n_probe=16, shortlist=10_000,
+        version=pins["combined"],
+    ).collect()
+    assert [r["vec_id"] for r in rec] == [r["vec_id"] for r in want]
+    assert not {11, 21, 31} & {r["vec_id"] for r in rec}
+
+    ex = spark.createDataFrame(
+        [("u1", 11, True), ("u1", 21, True), ("u2", 41, True)],
+        "user_id string, vec_id long, is_positive boolean",
+    )
+    ball = collection.collection_recommend_all(
+        spark, root, "combined", ex, k=3, n_probe=16, shortlist=10_000
+    ).collect()
+    assert {r["user_id"] for r in ball} == {"u1", "u2"}
+    assert all(len([r for r in ball if r["user_id"] == u]) == 3
+               for u in ("u1", "u2"))
+
+
+def test_collection_hybrid_page_fuses_named_spaces(spark, coll):
+    """Multi-space hybrid (Qdrant Query-API prefetch-per-named-vector
+    + RRF): one pinned-pair resolve serves every leg; the fused page's
+    rrf_score is exactly the sum of the per-leg reciprocal ranks, each
+    leg bit-equal to its own single-space serve."""
+    root, pts = coll
+    queries = {"image": _q(spark, 32), "combined": _q(spark, 64)}
+    page = collection.collection_hybrid_page(
+        spark, root, queries, k=8, top_n=20, n_probe=16,
+        shortlist=10_000, payload_out=["status"],
+    ).collect()
+    assert len(page) == 8
+    # per-leg ranks replay the single-space serves
+    leg_rank = {}
+    for space, q in queries.items():
+        hits = collection.collection_search(
+            spark, root, space, q, k=20, n_probe=16, shortlist=10_000
+        ).collect()
+        leg_rank[space] = {
+            r["vec_id"]: i + 1
+            for i, r in enumerate(
+                sorted(hits, key=lambda r: (-r["cosine_sim"], r["vec_id"]))
+            )
+        }
+    for r in page:
+        ri = leg_rank["image"].get(r["vec_id"], 0)
+        rc = leg_rank["combined"].get(r["vec_id"], 0)
+        assert r["rank_image"] == ri and r["rank_combined"] == rc
+        want = (1.0 / (60.0 + ri) if ri else 0.0) + (
+            1.0 / (60.0 + rc) if rc else 0.0
+        )
+        assert abs(r["rrf_score"] - want) < 1e-12
+        assert r["status"] in ("pending", "validated")
+    # page order: fused score desc, id asc — and the top id fused from
+    # at least one leg (sanity: never an id neither leg returned)
+    scores = [(r["rrf_score"], r["vec_id"]) for r in page]
+    assert scores == sorted(scores, key=lambda t: (-t[0], t[1]))
+    assert all(r["rank_image"] or r["rank_combined"] for r in page)
+    with pytest.raises(KeyError):
+        collection.collection_hybrid_page(
+            spark, root, {"nope": _q(spark, 32)}
+        )
+
+
+def test_collection_snapshot_clones_pinned_pair(spark, tmp_path):
+    """collection_snapshot: every space deep-clones AT ITS PIN plus
+    one pin publish — a mid-mutation CURRENT (orphan commit) never
+    leaks into the clone, and the clone mutates independently."""
+    root = str(tmp_path / "src")
+    dest = str(tmp_path / "dst")
+    pts = _points(spark).filter(F.col("vec_id") <= 150)
+    collection.collection_create(
+        spark, pts, root,
+        spaces={"image": {"vec_col": "image_emb"},
+                "combined": {"vec_col": "combined_emb"}},
+        payload_cols=["label", "status"],
+    )
+    # an orphan commit ahead of the pin (crashed writer's leftovers)
+    orphan = spark.createDataFrame(
+        [(9800, [0.7] * 32, 1, "pending")],
+        "vec_id long, embedding array<double>, label int, status string",
+    )
+    ann_index.ann_index_upsert(
+        spark, orphan, os.path.join(root, "spaces", "image")
+    )
+
+    collection.collection_snapshot(root, dest)
+    n = pts.count()
+    assert (
+        collection.collection_count(spark, dest).first()["n_points"] == n
+    )
+    got = collection.collection_retrieve(
+        spark, dest, [9800, 3], with_vectors=True
+    ).collect()
+    assert [r["vec_id"] for r in got] == [3]  # orphan did NOT travel
+    # clone serves through its own pins...
+    hits = collection.collection_search(
+        spark, dest, "image", [0.7] * 32, k=3, n_probe=16,
+        shortlist=10_000,
+    ).collect()
+    assert len(hits) == 3
+    # ...and mutates independently of the source
+    collection.collection_set_payload(
+        spark,
+        pts.limit(2).select("vec_id", F.lit("validated").alias("status")),
+        dest,
+    )
+    src_val = collection.collection_count(
+        spark, root, payload_filter="status = 'validated'"
+    ).first()["n_points"]
+    dst_val = collection.collection_count(
+        spark, dest, payload_filter="status = 'validated'"
+    ).first()["n_points"]
+    assert (src_val, dst_val) == (0, 2)
+    with pytest.raises(FileExistsError):
+        collection.collection_snapshot(root, dest)

@@ -357,3 +357,169 @@ def test_external_pins_survive_pointer_truncation(tmp_path, spark):
     )
     ann_index.ann_index_upsert(spark, batch, root, keep_last=1)
     assert v0 not in txn.list_versions(root)
+
+
+def test_collection_mutation_matrix_random_walk(spark, tmp_path):
+    """Round-12 verdict item 4: the ANN point APIs earned trust from a
+    model-based mutation walk; collections COMPOSE those mutations
+    across spaces, where the new invariants live. A seeded walk of
+    collection_upsert / collection_set_payload /
+    collection_update_vectors(space-subset) / collection_delete /
+    collection_dedup_purge — with a crash-orphan + forced reconcile
+    injected mid-walk — checked after EVERY step against a dict model:
+    identical live point sets on every space, identical shared payload
+    on every space, pin monotonicity, and stored-vector fidelity."""
+    import random
+
+    import numpy as np
+
+    pts_df = _points(spark, 120)
+    src = {
+        r["vec_id"]: (
+            [float(x) for x in r["image_emb"]],
+            [float(x) for x in r["combined_emb"]],
+            r["label"],
+        )
+        for r in pts_df.collect()
+    }
+    ids = sorted(src)
+    root = str(tmp_path / "coll")
+    _create(spark, root, pts_df)
+    # model: id -> [image_vec, combined_vec, label, status]
+    model = {i: [v[0], v[1], v[2], "pending"] for i, v in src.items()}
+    statuses = ["pending", "validated", "flagged"]
+    rng = random.Random(20260818)
+    prev_pins = collection.collection_pins(root)
+
+    def mk_batch(rows):
+        return spark.createDataFrame(
+            rows,
+            "vec_id long, image_emb array<double>, "
+            "combined_emb array<double>, label int, status string",
+        )
+
+    def check(step):
+        pins = collection.collection_pins(root)
+        # pin monotonicity (numeric epochs never move backward)
+        for s, name in pins.items():
+            a, b = txn._numeric_epoch(prev_pins[s]), txn._numeric_epoch(name)
+            if a is not None and b is not None:
+                assert b >= a, f"step {step}: pin regressed on {s}"
+        prev_pins.update(pins)
+        states = {
+            s: _space_state(spark, root, s) for s in ("image", "combined")
+        }
+        want_ids = sorted(model)
+        for s, (got_ids, got_pay) in states.items():
+            assert got_ids == want_ids, f"step {step}: {s} point set diverged"
+        assert states["image"][1] == states["combined"][1], (
+            f"step {step}: shared payload diverged across spaces"
+        )
+        assert states["image"][1] == {
+            i: m[3] for i, m in model.items()
+        }, f"step {step}: payload differs from model"
+        if model:
+            probe = rng.choice(sorted(model))
+            row = collection.collection_retrieve(
+                spark, root, [probe], with_vectors=True
+            ).first()
+            assert [float(x) for x in row["image_emb"]] == model[probe][0]
+            assert [float(x) for x in row["combined_emb"]] == model[probe][1]
+
+    for step in range(8):
+        op = rng.choice(
+            ["upsert", "set_payload", "set_payload", "update_vectors",
+             "delete", "clone_then_purge"]
+        )
+        live = sorted(model)
+        if op == "upsert":
+            chosen = rng.sample(ids, rng.randint(1, 3))
+            rows = []
+            for i in chosen:
+                img = list(reversed(src[i][0])) if rng.random() < 0.5 else src[i][0]
+                rows.append((i, img, src[i][1], src[i][2], "pending"))
+                model[i] = [img, src[i][1], src[i][2], "pending"]
+            collection.collection_upsert(spark, mk_batch(rows), root)
+        elif op == "set_payload":
+            chosen = rng.sample(live, min(len(live), rng.randint(1, 4)))
+            st = rng.choice(statuses)
+            collection.collection_set_payload(
+                spark,
+                spark.createDataFrame(
+                    [(i, st) for i in chosen], "vec_id long, status string"
+                ),
+                root,
+            )
+            for i in chosen:
+                model[i][3] = st
+        elif op == "update_vectors":
+            chosen = rng.sample(
+                [i for i in live if i in src], rng.randint(1, 3)
+            )
+            space = rng.choice([["image"], ["combined"], None])
+            rows = [
+                (i, [x + 0.25 for x in model[i][0]],
+                 [x - 0.25 for x in model[i][1]], 0, "ignored")
+                for i in chosen
+            ]
+            collection.collection_update_vectors(
+                spark,
+                mk_batch(rows).drop("label", "status"),
+                root,
+                spaces=space,
+            )
+            for i in chosen:
+                if space is None or "image" in space:
+                    model[i][0] = [x + 0.25 for x in model[i][0]]
+                if space is None or "combined" in space:
+                    model[i][1] = [x - 0.25 for x in model[i][1]]
+        elif op == "delete":
+            chosen = rng.sample(live, min(len(live), rng.randint(1, 3)))
+            collection.collection_delete(spark, chosen, root)
+            for i in chosen:
+                model.pop(i, None)
+        else:  # clone_then_purge: plant an exact image-dup, purge it
+            seed = rng.choice([i for i in live if i in src])
+            clone_id = seed + 5000
+            collection.collection_upsert(
+                spark,
+                mk_batch([(clone_id, model[seed][0],
+                           [0.5] * 64, 9, "pending")]),
+                root,
+            )
+            model[clone_id] = [model[seed][0], [0.5] * 64, 9, "pending"]
+            collection.collection_dedup_purge(
+                spark, root, space="image", threshold=0.97,
+                n_probe=64, shortlist=100_000,
+            )
+            # exhaustive detection == exact all-pairs model
+            arr_ids = sorted(model)
+            mat = np.array([model[i][0] for i in arr_ids])
+            norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            cos = norm @ norm.T
+            losers = {
+                arr_ids[a]
+                for a in range(len(arr_ids))
+                for b in range(len(arr_ids))
+                if arr_ids[b] < arr_ids[a]
+                and round(cos[a, b], 6) >= 0.97
+            }
+            for i in losers:
+                model.pop(i, None)
+        if step == 4:
+            # crash injection mid-walk: a dead writer's orphan commit
+            # on one space must vanish under forced reconcile and the
+            # walk's invariants must hold as if it never happened
+            token, _ = collection._claim_intent(root, "collection_upsert")
+            ann_index.ann_index_upsert(
+                spark,
+                spark.createDataFrame(
+                    [(7777, [0.9] * 32, 1, "pending")],
+                    "vec_id long, embedding array<double>, label int, "
+                    "status string",
+                ),
+                os.path.join(root, "spaces", "image"),
+            )
+            rep = collection.collection_reconcile(root, force=True)
+            assert rep["restored"] == ["image"]
+        check(step)

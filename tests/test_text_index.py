@@ -778,3 +778,60 @@ def test_text_update_docs_preserves_payload(spark, tmp_path):
             ),
             root,
         )
+
+
+def test_grouped_serve_pins_one_version_against_concurrent_set_payload(
+    spark, tmp_path, monkeypatch
+):
+    """Round-12 ADVICE closure: `text_index_search_grouped` resolves
+    CURRENT exactly once — the flat BM25 probe and the stored-payload
+    label lookup read the SAME pinned version, so a
+    `text_index_set_payload` committing between the two reads can no
+    longer mix payload vintages within one grouped page. Simulated by
+    committing a flip-everything payload mutation from INSIDE the
+    label-lookup call: the page must still serve the pre-flip labels."""
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .withColumn("status", F.lit("pending"))
+    )
+    root = str(tmp_path / "tix")
+    text_index.build_text_index(spark, docs, root, payload_cols=["status"])
+    flip = docs.select("doc_id", F.lit("flipped").alias("status"))
+    v0 = text_index.text_index_current_version(root)
+
+    real = text_index.text_index_retrieve_payload
+
+    def racing_lookup(spark_, root_, ids_, payload_out=None, version=None):
+        # the concurrent writer lands between the flat serve and the
+        # label lookup of ONE grouped page
+        text_index.text_index_set_payload(spark_, flip, root_)
+        return real(
+            spark_, root_, ids_, payload_out=payload_out, version=version
+        )
+
+    monkeypatch.setattr(
+        text_index, "text_index_retrieve_payload", racing_lookup
+    )
+    page = text_index.text_index_search_grouped(
+        spark, root, TERMS, None, "status", k_groups=2, group_size=3,
+        fetch_k=10,
+    ).collect()
+    monkeypatch.undo()
+    assert page and all(r["status"] == "pending" for r in page)
+
+    # the flip DID commit — the next (unpinned) serve observes it,
+    # and a version-pinned serve still reads the historical state
+    assert (
+        text_index.text_index_search(
+            spark, root, TERMS, top_k=5, payload_filter="status = 'pending'"
+        ).count()
+        == 0
+    )
+    assert (
+        text_index.text_index_search(
+            spark, root, TERMS, top_k=5,
+            payload_filter="status = 'pending'", version=v0,
+        ).count()
+        > 0
+    )
