@@ -119,6 +119,9 @@ BENCH_QUERIES = [
     "hybrid_grouped_page",
     "hybrid_batch_search",
     "collection_image_search",
+    # round 12: the grouped collection page joined the oracle window
+    # (same _mv fixture as collection_image_search — no extra build)
+    "collection_grouped_page",
     # production-hash-family variants (bench-only, defined below): the
     # catalog queries pin hash_family="md5-portable" so the DuckDB
     # oracle can replay candidate sets, but the path you'd run at

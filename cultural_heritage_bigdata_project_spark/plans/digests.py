@@ -256,6 +256,13 @@ GROUPS: dict[str, list[str]] = {
         "ann_index_count",
         "collection_image_search",
         "collection_relabel_page",
+        # round 12: the grouped collection page, the whole dedup-purge
+        # job's loser set, and the post-purge state replay fill the
+        # digest to the 8-member cap — the complete collection
+        # lifecycle (serve / relabel / group / purge) is oracle-checked
+        "collection_grouped_page",
+        "collection_dedup_purge",
+        "collection_purged_scroll",
     ],
     "vector_codec_digest": [
         # round-9 rebalance: vector_concat_norm (a scalar-function
@@ -892,6 +899,19 @@ PART_COLS: dict[str, tuple[tuple[str, str], ...]] = {
         ("vec_id", "s"),
     ),
     "collection_relabel_page": (
+        ("label", "s"),
+        ("status", "s"),
+        ("vec_id", "s"),
+    ),
+    "collection_grouped_page": (
+        ("cosine_sim", "f"),
+        ("group_rank", "s"),
+        ("label", "s"),
+        ("rank_in_group", "s"),
+        ("vec_id", "s"),
+    ),
+    "collection_dedup_purge": (("vec_id", "s"),),
+    "collection_purged_scroll": (
         ("label", "s"),
         ("status", "s"),
         ("vec_id", "s"),

@@ -1558,6 +1558,67 @@ def hybrid_grouped_page(spark: SparkSession, sf_dir: str) -> DataFrame:
 # collection_set_payload, consistency published as one pin pair.
 _MV_FIXTURE: dict[str, str] = {}
 
+# shared replay of the collection's IMAGE space (dims 1..32): its own
+# md5-sample quantizers (16 centroids, m=8 so sd=4 over the sliced
+# vectors), query = vec 0's slice, n_probe=4 probe, ADC shortlist 100.
+# collection_image_search takes the flat top-10; collection_grouped_page
+# re-ranks the SAME flat page through the search-groups windows.
+_MV_IMG_CTES = """eb2 AS (
+  SELECT vec_id, (embedding::DOUBLE[])[1:32] AS v0
+  FROM embeddings WHERE vec_id <> 0
+), sn2 AS (
+  SELECT vec_id, v0,
+         list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v
+  FROM eb2
+), cent2 AS (
+  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS list_id, v0 AS v
+  FROM eb2 ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16
+), cw2 AS (
+  SELECT row_number() OVER (ORDER BY md5(eb2.vec_id::VARCHAR), eb2.vec_id) - 1 AS c,
+         list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v
+  FROM eb2 ORDER BY md5(eb2.vec_id::VARCHAR), eb2.vec_id LIMIT 16
+), dims2 AS (
+  SELECT len(v0) // 8 AS sd FROM eb2 LIMIT 1
+), assign2 AS (
+  SELECT vec_id, list_id FROM (
+    SELECT s.vec_id, c.list_id,
+           row_number() OVER (PARTITION BY s.vec_id
+                              ORDER BY list_distance(s.v0, c.v), c.list_id) AS rn
+    FROM eb2 s CROSS JOIN cent2 c
+  ) WHERE rn = 1
+), q2 AS (
+  SELECT (embedding::DOUBLE[])[1:32] AS v0,
+         list_transform((embedding::DOUBLE[])[1:32],
+                        x -> x / sqrt(list_dot_product((embedding::DOUBLE[])[1:32],
+                                                       (embedding::DOUBLE[])[1:32]))) AS v
+  FROM embeddings WHERE vec_id = 0
+), qprobe2 AS (
+  SELECT c.list_id FROM cent2 c, q2
+  ORDER BY list_distance(q2.v0, c.v), c.list_id LIMIT 4
+), probed2 AS (
+  SELECT sn2.vec_id, sn2.v0, sn2.v FROM sn2
+  JOIN assign2 a ON sn2.vec_id = a.vec_id
+  WHERE a.list_id IN (SELECT list_id FROM qprobe2)
+), codes2 AS (
+  SELECT vec_id, j, c FROM (
+    SELECT p.vec_id, j.j, cwc.c,
+           row_number() OVER (PARTITION BY p.vec_id, j.j
+               ORDER BY list_distance(p.v[j.j*sd+1 : (j.j+1)*sd],
+                                      cwc.v[j.j*sd+1 : (j.j+1)*sd]), cwc.c) AS rn
+    FROM probed2 p CROSS JOIN generate_series(0, 7) AS j(j) CROSS JOIN cw2 cwc, dims2
+  ) WHERE rn = 1
+), lut2 AS (
+  SELECT j.j, cwc.c,
+         CAST(trunc(list_dot_product(q2.v[j.j*sd+1 : (j.j+1)*sd],
+                                     cwc.v[j.j*sd+1 : (j.j+1)*sd]) * 1e6) AS BIGINT) AS ipm
+  FROM generate_series(0, 7) AS j(j) CROSS JOIN cw2 cwc, q2, dims2
+), short2 AS (
+  SELECT cds.vec_id, CAST(sum(l.ipm) AS BIGINT) AS adc_micro
+  FROM codes2 cds JOIN lut2 l ON cds.j = l.j AND cds.c = l.c
+  GROUP BY cds.vec_id
+  ORDER BY adc_micro DESC, vec_id LIMIT 100
+)"""
+
 
 def _mv_collection_root(spark: SparkSession, sf_dir: str) -> str:
     if sf_dir not in _MV_FIXTURE:
@@ -1616,62 +1677,8 @@ def _mv_collection_root(spark: SparkSession, sf_dir: str) -> str:
     "over the SLICED vectors, sd = 4) end-to-end through the ADC "
     "shortlist and exact re-rank",
     survey_ref="M5,J8,M2,S14",
-    oracle="""
-WITH eb2 AS (
-  SELECT vec_id, (embedding::DOUBLE[])[1:32] AS v0
-  FROM embeddings WHERE vec_id <> 0
-), sn2 AS (
-  SELECT vec_id, v0,
-         list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v
-  FROM eb2
-), cent2 AS (
-  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS list_id, v0 AS v
-  FROM eb2 ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16
-), cw2 AS (
-  SELECT row_number() OVER (ORDER BY md5(eb2.vec_id::VARCHAR), eb2.vec_id) - 1 AS c,
-         list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v
-  FROM eb2 ORDER BY md5(eb2.vec_id::VARCHAR), eb2.vec_id LIMIT 16
-), dims2 AS (
-  SELECT len(v0) // 8 AS sd FROM eb2 LIMIT 1
-), assign2 AS (
-  SELECT vec_id, list_id FROM (
-    SELECT s.vec_id, c.list_id,
-           row_number() OVER (PARTITION BY s.vec_id
-                              ORDER BY list_distance(s.v0, c.v), c.list_id) AS rn
-    FROM eb2 s CROSS JOIN cent2 c
-  ) WHERE rn = 1
-), q2 AS (
-  SELECT (embedding::DOUBLE[])[1:32] AS v0,
-         list_transform((embedding::DOUBLE[])[1:32],
-                        x -> x / sqrt(list_dot_product((embedding::DOUBLE[])[1:32],
-                                                       (embedding::DOUBLE[])[1:32]))) AS v
-  FROM embeddings WHERE vec_id = 0
-), qprobe2 AS (
-  SELECT c.list_id FROM cent2 c, q2
-  ORDER BY list_distance(q2.v0, c.v), c.list_id LIMIT 4
-), probed2 AS (
-  SELECT sn2.vec_id, sn2.v0, sn2.v FROM sn2
-  JOIN assign2 a ON sn2.vec_id = a.vec_id
-  WHERE a.list_id IN (SELECT list_id FROM qprobe2)
-), codes2 AS (
-  SELECT vec_id, j, c FROM (
-    SELECT p.vec_id, j.j, cwc.c,
-           row_number() OVER (PARTITION BY p.vec_id, j.j
-               ORDER BY list_distance(p.v[j.j*sd+1 : (j.j+1)*sd],
-                                      cwc.v[j.j*sd+1 : (j.j+1)*sd]), cwc.c) AS rn
-    FROM probed2 p CROSS JOIN generate_series(0, 7) AS j(j) CROSS JOIN cw2 cwc, dims2
-  ) WHERE rn = 1
-), lut2 AS (
-  SELECT j.j, cwc.c,
-         CAST(trunc(list_dot_product(q2.v[j.j*sd+1 : (j.j+1)*sd],
-                                     cwc.v[j.j*sd+1 : (j.j+1)*sd]) * 1e6) AS BIGINT) AS ipm
-  FROM generate_series(0, 7) AS j(j) CROSS JOIN cw2 cwc, q2, dims2
-), short2 AS (
-  SELECT cds.vec_id, CAST(sum(l.ipm) AS BIGINT) AS adc_micro
-  FROM codes2 cds JOIN lut2 l ON cds.j = l.j AND cds.c = l.c
-  GROUP BY cds.vec_id
-  ORDER BY adc_micro DESC, vec_id LIMIT 100
-)
+    oracle=f"""
+WITH {_MV_IMG_CTES}
 SELECT p.vec_id, s.adc_micro,
        round(list_dot_product(p.v0, q2.v0)
              / (sqrt(list_dot_product(p.v0, p.v0)) * sqrt(list_dot_product(q2.v0, q2.v0))),
@@ -1717,6 +1724,182 @@ def collection_relabel_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collection.collection_retrieve(
         spark, root, list(range(40, 90))
     )
+
+
+@register(
+    "collection_grouped_page",
+    description="Qdrant search_groups over the named-vector collection "
+    "(round 12 — collection-surface completion into the checked "
+    "window): the diversified provider page on the IMAGE space, "
+    "grouped by the SHARED payload label that rides the probed rows "
+    "(groups=None stored-payload mode — zero extra reads), served at "
+    "the collection's pinned pair. The oracle replays the image "
+    "space's quantizers through the same flat top-20 page, then the "
+    "search-groups windows: rank within label (cosine desc, id asc, "
+    "keep 2), groups by their best hit (keep 3)",
+    survey_ref="M5,J8,W5,M2,S14",
+    oracle=f"""
+WITH {_MV_IMG_CTES}, flatg AS (
+  SELECT p.vec_id,
+         round(list_dot_product(p.v0, q2.v0)
+               / (sqrt(list_dot_product(p.v0, p.v0))
+                  * sqrt(list_dot_product(q2.v0, q2.v0))), 6) AS cosine_sim
+  FROM probed2 p JOIN short2 s ON p.vec_id = s.vec_id, q2
+  ORDER BY cosine_sim DESC, p.vec_id ASC
+  LIMIT 20
+), taggedg AS (
+  SELECT f.vec_id, f.cosine_sim, e.label
+  FROM flatg f JOIN embeddings e ON f.vec_id = e.vec_id
+), rankedg AS (
+  SELECT label, vec_id, cosine_sim,
+         CAST(row_number() OVER (PARTITION BY label
+              ORDER BY cosine_sim DESC, vec_id ASC) AS INTEGER) AS rank_in_group
+  FROM taggedg
+), bestg AS (
+  SELECT label, CAST(row_number() OVER (
+              ORDER BY cosine_sim DESC, vec_id ASC) AS INTEGER) AS group_rank
+  FROM rankedg WHERE rank_in_group = 1
+)
+SELECT r.label, b.group_rank, r.rank_in_group, r.vec_id, r.cosine_sim
+FROM rankedg r JOIN bestg b ON r.label = b.label
+WHERE r.rank_in_group <= 2 AND b.group_rank <= 3
+""",
+)
+def collection_grouped_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import collection
+
+    root = _mv_collection_root(spark, sf_dir)
+    q = _query_list(spark, sf_dir, 0)[:32]
+    return collection.collection_search_grouped(
+        spark, root, "image", q, "label",
+        k_groups=3, group_size=2, fetch_k=20, n_probe=4, shortlist=100,
+    )
+
+
+# dedicated collection fixture for the PURGE flow (the purge mutates, so
+# it cannot share _MV_FIXTURE): the embeddings points plus planted
+# EXACT image-space duplicates (vec_id%9==2 cloned to vec_id+100000 with
+# the same image vector, different combined vector). The whole-collection
+# dedup job runs ONCE at build — detection via one batch self-serve at
+# the pinned image space with an exhaustive probe (n_probe=16 covers all
+# lists; shortlist >> corpus), so the detected loser set is EXACTLY the
+# all-pairs exact-cosine losers the oracle computes — and the losers are
+# recorded before collection_delete removes them from every space.
+_MV_PURGE_FIXTURE: dict[str, str] = {}
+
+_MV_PURGE_LOSERS_SQL = """ptsd AS (
+  SELECT vec_id, (embedding::DOUBLE[])[1:32] AS v, label
+  FROM embeddings WHERE vec_id <> 0
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, (embedding::DOUBLE[])[1:32] AS v, label
+  FROM embeddings WHERE vec_id <> 0 AND vec_id % 9 = 2
+), lose AS (
+  SELECT DISTINCT a.vec_id
+  FROM ptsd a JOIN ptsd b ON b.vec_id < a.vec_id
+  WHERE round(list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v))
+           * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.97
+)"""
+
+
+def _mv_purge_root(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir not in _MV_PURGE_FIXTURE:
+        import atexit
+        import hashlib
+        import os
+        import shutil
+        import tempfile
+
+        from ..operators import collection
+
+        tag = hashlib.md5(
+            os.path.abspath(sf_dir).encode("utf-8")
+        ).hexdigest()[:10]
+        root = os.path.join(
+            tempfile.gettempdir(), f"spark_graft_mvpurge_{tag}_p{os.getpid()}"
+        )
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(root + "_losers", ignore_errors=True)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        atexit.register(shutil.rmtree, root + "_losers", ignore_errors=True)
+        base = _emb(spark, sf_dir).filter(F.col("vec_id") != 0)
+        pts = base.select(
+            "vec_id",
+            F.slice(F.col("embedding"), 1, 32).alias("image_emb"),
+            F.col("embedding").alias("combined_emb"),
+            F.col("label"),
+            F.lit("pending").alias("status"),
+        )
+        clones = base.filter(F.col("vec_id") % 9 == 2).select(
+            (F.col("vec_id") + 100000).cast("long").alias("vec_id"),
+            F.slice(F.col("embedding"), 1, 32).alias("image_emb"),
+            F.reverse(F.col("embedding")).alias("combined_emb"),
+            F.col("label"),
+            F.lit("pending").alias("status"),
+        )
+        collection.collection_create(
+            spark, pts.unionByName(clones), root,
+            spaces={
+                "image": {"vec_col": "image_emb"},
+                "combined": {"vec_col": "combined_emb"},
+            },
+            payload_cols=["label", "status"],
+        )
+        losers = collection.collection_dedup_purge(
+            spark, root, space="image", threshold=0.97,
+            n_probe=16, shortlist=1_000_000, top_n=20,
+        )
+        losers.write.parquet(root + "_losers")
+        _MV_PURGE_FIXTURE[sf_dir] = root
+    return _MV_PURGE_FIXTURE[sf_dir]
+
+
+@register(
+    "collection_dedup_purge",
+    description="The reference's WHOLE dedup job against the "
+    "named-vector collection, in the checked window (round 12 — "
+    "verdict item 6; deduplicate_from_qdrant.py:160-210 loops "
+    "per-point HTTP searches then deletes duplicates point-by-point): "
+    "one batch self-serve of the image space at the PINNED version "
+    "detects >= 0.97 neighbors, min-id canonicals win, and the loser "
+    "set — hash-checked here against an exact all-pairs replay over "
+    "the planted-duplicate fixture — is deleted from EVERY space in "
+    "one atomic pin publish. Exhaustive probe makes detection exact, "
+    "so the ANN job and the all-pairs SQL must agree id-for-id",
+    survey_ref="M3,M5,J9,S14",
+    oracle=f"""
+WITH {_MV_PURGE_LOSERS_SQL}
+SELECT vec_id FROM lose
+""",
+)
+def collection_dedup_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = _mv_purge_root(spark, sf_dir)
+    return spark.read.parquet(root + "_losers")
+
+
+@register(
+    "collection_purged_scroll",
+    description="Post-purge collection state replay (round 12): after "
+    "collection_dedup_purge deleted every planted duplicate POINT "
+    "(all named vectors at once, one pin publish), a whole-collection "
+    "scroll with the shared payload hash-checks the SURVIVING point "
+    "set — originals intact with label + status, clones gone from the "
+    "live fold every space serves",
+    survey_ref="M3,M5,W1,M2,S14",
+    oracle=f"""
+WITH {_MV_PURGE_LOSERS_SQL}
+SELECT p.vec_id, p.label, 'pending' AS status
+FROM ptsd p
+WHERE p.vec_id NOT IN (SELECT vec_id FROM lose)
+""",
+)
+def collection_purged_scroll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import collection
+
+    root = _mv_purge_root(spark, sf_dir)
+    return collection.collection_scroll(
+        spark, root, limit=1_000_000, with_payload=True
+    ).select("vec_id", "label", "status")
 
 
 def _hybrid_batch_oracle(queries) -> str:
