@@ -120,7 +120,14 @@ BENCH_QUERIES = [
     "hybrid_batch_search",
     "collection_image_search",
     # round 12: the grouped collection page joined the oracle window
-    # (same _mv fixture as collection_image_search — no extra build)
+    # (same _mv fixture as collection_image_search — no extra build).
+    # collection_dedup_purge / collection_purged_scroll are oracle-
+    # checked but deliberately NOT benched: their planted-duplicate
+    # fixture costs ~85 s to build at sf0.1 (two 2222-point collection
+    # creates + the exhaustive purge job), which would dominate the
+    # bench artifact without measuring a serving path — the scroll
+    # itself is 0.45 s and the serve shapes are covered by the
+    # collection members above.
     "collection_grouped_page",
     # production-hash-family variants (bench-only, defined below): the
     # catalog queries pin hash_family="md5-portable" so the DuckDB

@@ -2002,8 +2002,13 @@ _HYBRID_BATCH_QUERIES = [
     "results for EVERY query in one pass over each persisted index "
     "(text_index_search_all reads the probed posting buckets once "
     "for the whole batch; ann_index_top_k_all reads the probed lists "
-    "once) — the amortized recommendation-refresh / eval-sweep shape "
-    "vs the reference's per-query HTTP loops. Two queries with "
+    "once) — the recommendation-refresh / eval-sweep shape vs the "
+    "reference's per-query HTTP loops. At this member's |Q|=2 the "
+    "batch path costs MORE than two sequential single serves (its "
+    "fixed two-batch-read cost is ~2x one single query; measured "
+    "break-even |Q|~4, 0.09x per-query at |Q|=32 — "
+    "tools/hybrid_batch_curve.py, round 12): it is benched here for "
+    "snapshot-consistent batch semantics, not speed. Two queries with "
     "different term sets AND different query vectors; the oracle "
     "replays each as an independent single-query fusion and unions "
     "them, so the batch plan's per-query rows are hash-checked "
