@@ -711,3 +711,53 @@ def test_empty_grouped_serve_reads_zero_map_bytes(spark, tmp_path):
     assert out.collect() == []
     tree = out._jdf.queryExecution().executedPlan().toString()
     assert "FileScan" not in tree, tree
+
+
+def test_collection_grouped_page_reads_only_index_segments(spark):
+    """collection_grouped_page (round-12 promotion): the grouped serve
+    over a named space reads ONLY that space's persisted-index
+    segments — the shared payload label rides the probed rows
+    (stored-payload mode), so neither corpus table nor any other
+    space's index appears in the plan, and the grouping windows run
+    over the ≤fetch_k local page."""
+    tree = _tree_plan(spark, "collection_grouped_page")
+    assert "documents.parquet" not in tree, tree
+    assert "embeddings.parquet" not in tree, tree
+    for ln in tree.splitlines():
+        if "FileScan" in ln:
+            assert "/segments" in ln, f"non-index file scanned: {ln}"
+            assert "/spaces/image/" in ln, f"other space scanned: {ln}"
+
+
+def test_collection_hybrid_page_fuses_bounded_legs_only(spark):
+    """collection_hybrid_page (round 12): the multi-space RRF page's
+    plan reads only index segments (every leg is a pruned probe at the
+    collection pin — the corpus never appears), and nothing
+    corpus-scale feeds a BroadcastExchange: the fusion operates over
+    ≤|spaces|*top_n rows, each leg bounded by its TakeOrdered limit."""
+    from cultural_heritage_bigdata_project_spark.operators import collection
+    from cultural_heritage_bigdata_project_spark.plans.queries_vector import (
+        _mv_collection_root,
+        _query_list,
+    )
+
+    root = _mv_collection_root(spark, SF_DIR)
+    page = collection.collection_hybrid_page(
+        spark, root,
+        {"image": _query_list(spark, SF_DIR, 0)[:32],
+         "combined": _query_list(spark, SF_DIR, 0)},
+        k=8, top_n=20,
+    )
+    tree = page._jdf.queryExecution().executedPlan().toString()
+    assert "documents.parquet" not in tree, tree
+    assert "embeddings.parquet" not in tree, tree
+    for ln in tree.splitlines():
+        if "FileScan" in ln:
+            # truncated InMemoryFileIndex paths drop the trailing slash
+            assert "/segments" in ln, f"non-index file scanned: {ln}"
+    for sub in _broadcast_subtrees(tree):
+        if "/ann_data_v" in sub or "annd_" in sub:
+            assert "TakeOrderedAndProject" in sub or "GlobalLimit" in sub, (
+                "UNBOUNDED index component feeds a BroadcastExchange:\n"
+                + sub
+            )
