@@ -127,7 +127,10 @@ BENCH_QUERIES = [
     # creates + the exhaustive purge job), which would dominate the
     # bench artifact without measuring a serving path — the scroll
     # itself is 0.45 s and the serve shapes are covered by the
-    # collection members above.
+    # collection members above. collection_recommend_topk (oracle-
+    # checked, ann_serving_digest) is likewise not separately benched:
+    # one pruned-probe serve on the same _mv fixture — the identical
+    # cost shape collection_image_search already tracks.
     "collection_grouped_page",
     # production-hash-family variants (bench-only, defined below): the
     # catalog queries pin hash_family="md5-portable" so the DuckDB

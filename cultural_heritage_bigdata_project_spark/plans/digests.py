@@ -243,6 +243,10 @@ GROUPS: dict[str, list[str]] = {
         # both replaying the text AND ANN fixture states in one oracle
         "hybrid_indexed_search",
         "hybrid_grouped_page",
+        # round 12: the collection-surface recommend (the reference
+        # dashboard's combined-space 'more like these' flow at the
+        # pinned pair) fills the digest to the 8-member cap
+        "collection_recommend_topk",
     ],
     # round 11: Qdrant point-management APIs split out of
     # ann_serving_digest (scroll / set_payload page / count share the
@@ -911,6 +915,11 @@ PART_COLS: dict[str, tuple[tuple[str, str], ...]] = {
         ("vec_id", "s"),
     ),
     "collection_dedup_purge": (("vec_id", "s"),),
+    "collection_recommend_topk": (
+        ("adc_micro", "s"),
+        ("cosine_sim", "f"),
+        ("vec_id", "s"),
+    ),
     "collection_purged_scroll": (
         ("label", "s"),
         ("status", "s"),

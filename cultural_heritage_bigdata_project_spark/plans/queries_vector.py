@@ -1776,6 +1776,111 @@ def collection_grouped_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# replay of the collection's COMBINED space (the full 64-d vectors —
+# the space the reference dashboard actually recommends on): its own
+# md5-sample quantizers (16 centroids, m=8 so sd=8 over the full
+# vectors), plus the positive-only Qdrant average_vector query — the
+# mean of the stored example vectors, accumulated in ascending-id
+# order with the exact parenthesization recommend_query_vector uses,
+# examples excluded BEFORE the shortlist (ann_index.py:781-786).
+_MV_CMB_RECO_CTES = """eb3 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v0
+  FROM embeddings WHERE vec_id <> 0
+), sn3 AS (
+  SELECT vec_id, v0,
+         list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v
+  FROM eb3
+), cent3 AS (
+  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS list_id, v0 AS v
+  FROM eb3 ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16
+), cw3 AS (
+  SELECT row_number() OVER (ORDER BY md5(eb3.vec_id::VARCHAR), eb3.vec_id) - 1 AS c,
+         list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v
+  FROM eb3 ORDER BY md5(eb3.vec_id::VARCHAR), eb3.vec_id LIMIT 16
+), dims3 AS (
+  SELECT len(v0) // 8 AS sd FROM eb3 LIMIT 1
+), assign3 AS (
+  SELECT vec_id, list_id FROM (
+    SELECT s.vec_id, c.list_id,
+           row_number() OVER (PARTITION BY s.vec_id
+                              ORDER BY list_distance(s.v0, c.v), c.list_id) AS rn
+    FROM eb3 s CROSS JOIN cent3 c
+  ) WHERE rn = 1
+), pex3 AS (
+  SELECT vec_id, v0 FROM eb3 WHERE vec_id IN (3, 9)
+), qv3 AS (
+  SELECT list_transform(list_zip(a.v0, b.v0), z -> (z[1] + z[2]) / 2.0) AS v0
+  FROM (SELECT v0 FROM pex3 WHERE vec_id = 3) a,
+       (SELECT v0 FROM pex3 WHERE vec_id = 9) b
+), q3 AS (
+  SELECT v0, list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v
+  FROM qv3
+), qprobe3 AS (
+  SELECT c.list_id FROM cent3 c, q3
+  ORDER BY list_distance(q3.v0, c.v), c.list_id LIMIT 4
+), probed3 AS (
+  SELECT sn3.vec_id, sn3.v0, sn3.v FROM sn3
+  JOIN assign3 a ON sn3.vec_id = a.vec_id
+  WHERE a.list_id IN (SELECT list_id FROM qprobe3)
+    AND sn3.vec_id NOT IN (3, 9)
+), codes3 AS (
+  SELECT vec_id, j, c FROM (
+    SELECT p.vec_id, j.j, cwc.c,
+           row_number() OVER (PARTITION BY p.vec_id, j.j
+               ORDER BY list_distance(p.v[j.j*sd+1 : (j.j+1)*sd],
+                                      cwc.v[j.j*sd+1 : (j.j+1)*sd]), cwc.c) AS rn
+    FROM probed3 p CROSS JOIN generate_series(0, 7) AS j(j) CROSS JOIN cw3 cwc, dims3
+  ) WHERE rn = 1
+), lut3 AS (
+  SELECT j.j, cwc.c,
+         CAST(trunc(list_dot_product(q3.v[j.j*sd+1 : (j.j+1)*sd],
+                                     cwc.v[j.j*sd+1 : (j.j+1)*sd]) * 1e6) AS BIGINT) AS ipm
+  FROM generate_series(0, 7) AS j(j) CROSS JOIN cw3 cwc, q3, dims3
+), short3 AS (
+  SELECT cds.vec_id, CAST(sum(l.ipm) AS BIGINT) AS adc_micro
+  FROM codes3 cds JOIN lut3 l ON cds.j = l.j AND cds.c = l.c
+  GROUP BY cds.vec_id
+  ORDER BY adc_micro DESC, vec_id LIMIT 100
+)"""
+
+
+@register(
+    "collection_recommend_topk",
+    description="Qdrant recommend at the COLLECTION surface (round 12 "
+    "— the reference dashboard's 'more like these' flow on the "
+    "combined space, streamlit/app/app.py:208-264, joins the checked "
+    "window): collection_recommend fetches the positive examples' "
+    "STORED vectors and serves their average_vector through the "
+    "combined space's pruned probe, BOTH reads at the collection's "
+    "pinned pair (one manifest resolve — a concurrent mutation is "
+    "never half-visible inside one recommendation). Positive-only "
+    "branch (ann_recommend_topk covers P+(P-N)): the oracle spells "
+    "out the ascending-id sequential mean over the full 64-d vectors, "
+    "replays the combined space's own quantizers (sd = 8) through the "
+    "ADC shortlist with the examples excluded BEFORE it, then the "
+    "exact re-rank",
+    survey_ref="M5,J8,M2,S14",
+    oracle=f"""
+WITH {_MV_CMB_RECO_CTES}
+SELECT p.vec_id, s.adc_micro,
+       round(list_dot_product(p.v0, q3.v0)
+             / (sqrt(list_dot_product(p.v0, p.v0)) * sqrt(list_dot_product(q3.v0, q3.v0))),
+             6) AS cosine_sim
+FROM probed3 p JOIN short3 s ON p.vec_id = s.vec_id, q3
+ORDER BY cosine_sim DESC, p.vec_id ASC
+LIMIT 10
+""",
+)
+def collection_recommend_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import collection
+
+    root = _mv_collection_root(spark, sf_dir)
+    return collection.collection_recommend(
+        spark, root, "combined", positive_ids=[3, 9],
+        k=10, n_probe=4, shortlist=100,
+    )
+
+
 # dedicated collection fixture for the PURGE flow (the purge mutates, so
 # it cannot share _MV_FIXTURE): the embeddings points plus planted
 # EXACT image-space duplicates (vec_id%9==2 cloned to vec_id+100000 with
