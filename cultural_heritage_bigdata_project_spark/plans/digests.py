@@ -75,6 +75,12 @@ GROUPS: dict[str, list[str]] = {
         # pagination-window shape) to free its standalone slot for
         # ann_point_api_digest under the 50-slot cap
         "seeded_random_page",
+        # round 12: the multi-space hybrid page seats here — both ann
+        # digests are at the 8-member cap, and what this member
+        # actually checks beyond them IS a window composition: two
+        # per-leg rank windows + the RRF-fused top-k page (each leg's
+        # probe replay is covered by the collection members)
+        "collection_hybrid_fused_page",
     ],
     "shape_gallery_digest": [
         "rollup_order_status",
@@ -918,6 +924,13 @@ PART_COLS: dict[str, tuple[tuple[str, str], ...]] = {
     "collection_recommend_topk": (
         ("adc_micro", "s"),
         ("cosine_sim", "f"),
+        ("vec_id", "s"),
+    ),
+    "collection_hybrid_fused_page": (
+        ("rank_combined", "s"),
+        ("rank_image", "s"),
+        ("rrf_score", "f"),
+        ("status", "s"),
         ("vec_id", "s"),
     ),
     "collection_purged_scroll": (

@@ -1881,6 +1881,144 @@ def collection_recommend_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the COMBINED space replayed for a PLAIN query (vec 0's full 64-d
+# embedding, no example exclusion) — the semantic leg of the
+# multi-space hybrid page. Same quantizer replay as the recommend
+# member, different query CTE; suffix 4 keeps the two programs
+# independent (each oracle must run standalone in DuckDB).
+_MV_CMB_Q0_CTES = """eb4 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v0
+  FROM embeddings WHERE vec_id <> 0
+), sn4 AS (
+  SELECT vec_id, v0,
+         list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v
+  FROM eb4
+), cent4 AS (
+  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS list_id, v0 AS v
+  FROM eb4 ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16
+), cw4 AS (
+  SELECT row_number() OVER (ORDER BY md5(eb4.vec_id::VARCHAR), eb4.vec_id) - 1 AS c,
+         list_transform(v0, x -> x / sqrt(list_dot_product(v0, v0))) AS v
+  FROM eb4 ORDER BY md5(eb4.vec_id::VARCHAR), eb4.vec_id LIMIT 16
+), dims4 AS (
+  SELECT len(v0) // 8 AS sd FROM eb4 LIMIT 1
+), assign4 AS (
+  SELECT vec_id, list_id FROM (
+    SELECT s.vec_id, c.list_id,
+           row_number() OVER (PARTITION BY s.vec_id
+                              ORDER BY list_distance(s.v0, c.v), c.list_id) AS rn
+    FROM eb4 s CROSS JOIN cent4 c
+  ) WHERE rn = 1
+), q4 AS (
+  SELECT embedding::DOUBLE[] AS v0,
+         list_transform(embedding::DOUBLE[],
+                        x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                       embedding::DOUBLE[]))) AS v
+  FROM embeddings WHERE vec_id = 0
+), qprobe4 AS (
+  SELECT c.list_id FROM cent4 c, q4
+  ORDER BY list_distance(q4.v0, c.v), c.list_id LIMIT 4
+), probed4 AS (
+  SELECT sn4.vec_id, sn4.v0, sn4.v FROM sn4
+  JOIN assign4 a ON sn4.vec_id = a.vec_id
+  WHERE a.list_id IN (SELECT list_id FROM qprobe4)
+), codes4 AS (
+  SELECT vec_id, j, c FROM (
+    SELECT p.vec_id, j.j, cwc.c,
+           row_number() OVER (PARTITION BY p.vec_id, j.j
+               ORDER BY list_distance(p.v[j.j*sd+1 : (j.j+1)*sd],
+                                      cwc.v[j.j*sd+1 : (j.j+1)*sd]), cwc.c) AS rn
+    FROM probed4 p CROSS JOIN generate_series(0, 7) AS j(j) CROSS JOIN cw4 cwc, dims4
+  ) WHERE rn = 1
+), lut4 AS (
+  SELECT j.j, cwc.c,
+         CAST(trunc(list_dot_product(q4.v[j.j*sd+1 : (j.j+1)*sd],
+                                     cwc.v[j.j*sd+1 : (j.j+1)*sd]) * 1e6) AS BIGINT) AS ipm
+  FROM generate_series(0, 7) AS j(j) CROSS JOIN cw4 cwc, q4, dims4
+), short4 AS (
+  SELECT cds.vec_id, CAST(sum(l.ipm) AS BIGINT) AS adc_micro
+  FROM codes4 cds JOIN lut4 l ON cds.j = l.j AND cds.c = l.c
+  GROUP BY cds.vec_id
+  ORDER BY adc_micro DESC, vec_id LIMIT 100
+)"""
+
+
+@register(
+    "collection_hybrid_fused_page",
+    description="MULTI-SPACE hybrid page over the named-vector "
+    "collection (round 12 — Qdrant's Query-API hybrid: prefetch per "
+    "named vector + RRF fusion; the reference dashboard could fuse "
+    "its image and combined rankings of one item this way instead of "
+    "serving one space raw, app.py:208-264): each leg is the flat "
+    "top-50 of its space's pruned probe served at the collection's "
+    "PINNED pair (one manifest resolve — the fused page can never mix "
+    "two pin sets' states), fused as sum(1/(60+rank)) with absent "
+    "legs reporting rank 0 and contributing nothing, plus the SHARED "
+    "status payload (with its set_payload flips) riding one pushed-IN "
+    "point retrieve at the SAME pin. The oracle replays BOTH spaces' "
+    "quantizer chains (image sd=4 over the sliced vectors, combined "
+    "sd=8 over the full vectors), both rank windows, the fusion "
+    "arithmetic in the engine's term order (combined + image, sorted "
+    "space names), and the payload flip rule",
+    survey_ref="M5,J8,W4,W5,M2,S14",
+    oracle=f"""
+WITH {_MV_IMG_CTES}, {_MV_CMB_Q0_CTES}, img_rank AS (
+  SELECT vec_id,
+         CAST(row_number() OVER (ORDER BY cosine_sim DESC, vec_id ASC) AS INTEGER) AS r
+  FROM (
+    SELECT p.vec_id,
+           round(list_dot_product(p.v0, q2.v0)
+                 / (sqrt(list_dot_product(p.v0, p.v0))
+                    * sqrt(list_dot_product(q2.v0, q2.v0))), 6) AS cosine_sim
+    FROM probed2 p JOIN short2 s ON p.vec_id = s.vec_id, q2
+    ORDER BY cosine_sim DESC, p.vec_id ASC
+    LIMIT 50
+  )
+), cmb_rank AS (
+  SELECT vec_id,
+         CAST(row_number() OVER (ORDER BY cosine_sim DESC, vec_id ASC) AS INTEGER) AS r
+  FROM (
+    SELECT p.vec_id,
+           round(list_dot_product(p.v0, q4.v0)
+                 / (sqrt(list_dot_product(p.v0, p.v0))
+                    * sqrt(list_dot_product(q4.v0, q4.v0))), 6) AS cosine_sim
+    FROM probed4 p JOIN short4 s ON p.vec_id = s.vec_id, q4
+    ORDER BY cosine_sim DESC, p.vec_id ASC
+    LIMIT 50
+  )
+), fids AS (
+  SELECT vec_id FROM img_rank UNION SELECT vec_id FROM cmb_rank
+), fpage AS (
+  SELECT i.vec_id,
+         CAST(COALESCE(c.r, 0) AS INTEGER) AS rank_combined,
+         CAST(COALESCE(g.r, 0) AS INTEGER) AS rank_image,
+         (CASE WHEN c.r IS NULL THEN 0.0 ELSE 1.0 / (60.0 + c.r) END
+          + CASE WHEN g.r IS NULL THEN 0.0 ELSE 1.0 / (60.0 + g.r) END)
+           AS rrf_score
+  FROM fids i
+  LEFT JOIN cmb_rank c ON i.vec_id = c.vec_id
+  LEFT JOIN img_rank g ON i.vec_id = g.vec_id
+)
+SELECT vec_id, rank_combined, rank_image, rrf_score,
+       CASE WHEN vec_id % 10 = 1 THEN 'validated' ELSE 'pending' END AS status
+FROM fpage
+ORDER BY rrf_score DESC, vec_id ASC
+LIMIT 10
+""",
+)
+def collection_hybrid_fused_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import collection
+
+    root = _mv_collection_root(spark, sf_dir)
+    q_full = _query_list(spark, sf_dir, 0)
+    return collection.collection_hybrid_page(
+        spark, root,
+        {"image": q_full[:32], "combined": q_full},
+        k=10, rrf_k=60.0, top_n=50, n_probe=4, shortlist=100,
+        payload_out=["status"],
+    )
+
+
 # dedicated collection fixture for the PURGE flow (the purge mutates, so
 # it cannot share _MV_FIXTURE): the embeddings points plus planted
 # EXACT image-space duplicates (vec_id%9==2 cloned to vec_id+100000 with
