@@ -753,8 +753,13 @@ def test_collection_hybrid_page_fuses_bounded_legs_only(spark):
     assert "embeddings.parquet" not in tree, tree
     for ln in tree.splitlines():
         if "FileScan" in ln:
-            # truncated InMemoryFileIndex paths drop the trailing slash
-            assert "/segments" in ln, f"non-index file scanned: {ln}"
+            # Spark truncates the Location path at ~100 chars, and the
+            # fixture path length varies with the test process's pid —
+            # match the collection-space marker that survives the cut
+            # ("/spaces/" precedes ".../segments" in every index path)
+            assert "/spaces/" in ln or "/segments" in ln, (
+                f"non-index file scanned: {ln}"
+            )
     for sub in _broadcast_subtrees(tree):
         if "/ann_data_v" in sub or "annd_" in sub:
             assert "TakeOrderedAndProject" in sub or "GlobalLimit" in sub, (
