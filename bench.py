@@ -127,11 +127,14 @@ BENCH_QUERIES = [
     # creates + the exhaustive purge job), which would dominate the
     # bench artifact without measuring a serving path — the scroll
     # itself is 0.45 s and the serve shapes are covered by the
-    # collection members above. collection_recommend_topk (oracle-
-    # checked, ann_serving_digest) is likewise not separately benched:
-    # one pruned-probe serve on the same _mv fixture — the identical
-    # cost shape collection_image_search already tracks.
+    # collection members above.
     "collection_grouped_page",
+    # round 12 (late additions, r12 selfcheck run 3 carries their
+    # first numbers): the collection-surface recommend and the
+    # multi-space RRF hybrid page — the two remaining dashboard
+    # serving shapes, both at the pinned pair on the same _mv fixture
+    "collection_recommend_topk",
+    "collection_hybrid_fused_page",
     # production-hash-family variants (bench-only, defined below): the
     # catalog queries pin hash_family="md5-portable" so the DuckDB
     # oracle can replay candidate sets, but the path you'd run at
