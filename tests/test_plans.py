@@ -725,8 +725,24 @@ def test_collection_grouped_page_reads_only_index_segments(spark):
     assert "embeddings.parquet" not in tree, tree
     for ln in tree.splitlines():
         if "FileScan" in ln:
-            assert "/segments" in ln, f"non-index file scanned: {ln}"
+            # "/spaces/image/" survives Spark's ~100-char Location
+            # truncation (it precedes ".../segments", which can be cut
+            # mid-word when the tmp path length varies with the pid)
             assert "/spaces/image/" in ln, f"other space scanned: {ln}"
+
+
+def test_collection_recommend_reads_only_index_files(spark):
+    """collection_recommend (round-12 promotion): the collection-
+    surface recommend reads ONLY the named space's persisted index —
+    the example fetch is a pushed-IN point read and the probe is the
+    ordinary pruned serve, both at the collection pin; the corpus
+    never appears in the plan."""
+    tree = _tree_plan(spark, "collection_recommend_topk")
+    assert "documents.parquet" not in tree, tree
+    assert "embeddings.parquet" not in tree, tree
+    for ln in tree.splitlines():
+        if "FileScan" in ln:
+            assert "/spaces/combined/" in ln, f"non-index scan: {ln}"
 
 
 def test_collection_hybrid_page_fuses_bounded_legs_only(spark):
