@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 
 from . import payload_overlay as plov
 from . import txn
+from .localrel import local_df
 from .similarity import (
     _deterministic_centroids,
     cosine_similarity,
@@ -550,7 +551,9 @@ def ann_index_delete(
     also stamps the component's reconstruct spec with the delete
     column so generic `txn.read_version` reads honor deletions."""
     if not isinstance(ids, DataFrame):
-        ids = spark.createDataFrame([(int(i),) for i in ids], f"{id_col} bigint")
+        ids = local_df(
+            spark, [(int(i),) for i in ids], f"{id_col} bigint"
+        )
 
     def build(current_dir, new_dir):
         if current_dir is None:
@@ -1184,7 +1187,8 @@ def ann_index_top_k_all(
         extra = "".join(
             f", {c} {types.get(c, 'string')}" for c in (payload_out or [])
         )
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             [],
             f"{q_id_col} {q_type}, {id_col} {types.get(id_col, 'bigint')}, "
             f"{surrogate} bigint, cosine_sim double{extra}",

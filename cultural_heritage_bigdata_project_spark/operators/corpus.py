@@ -19,6 +19,8 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .localrel import local_df
+
 # integer per-ten-thousand buckets: exact on every engine, no float
 # threshold boundaries
 _BUCKETS = 10_000
@@ -217,8 +219,8 @@ def epoch_upsample(
         (name, int(w), int(round((w - int(w)) * _BUCKETS)))
         for name, w in repeats.items()
     ]
-    plan_df = spark.createDataFrame(
-        plan, f"{source_col} string, __full int, __thr int"
+    plan_df = local_df(
+        spark, plan, f"{source_col} string, __full int, __thr int"
     )
     bucket = _hash_bucket(
         seed,
@@ -375,7 +377,7 @@ def token_budget_select(
     for b in sorted(totals):
         offsets.append((b, running))
         running += totals[b]
-    off_df = spark.createDataFrame(offsets, "__b int, __off long")
+    off_df = local_df(spark, offsets, "__b int, __off long")
     w = (
         W.partitionBy("__b")
         .orderBy("__key", id_col)

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from ..functions.vectors import cosine_similarity
+from .localrel import local_df
 
 
 def knn_brute_force(
@@ -1825,9 +1826,9 @@ def hybrid_grouped_search_indexed(
             else {**r.asDict(), group_col: labels.get(r[id_col])}
             for r in rows
         ]
-        tagged = spark.createDataFrame(
-            [r for r in resolved if r[group_col] is not None]
-            or [],
+        tagged = local_df(
+            spark,
+            [r for r in resolved if r[group_col] is not None],
             flat.schema,
         )
     else:
@@ -1901,7 +1902,8 @@ def mmr_rerank(
     if not cand:
         spark = vectors.sparkSession
         id_type = vectors.schema[id_col].dataType.simpleString()
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             [],
             f"mmr_rank int, {id_col} {id_type}, cosine_sim double, "
             "mmr_score double",
@@ -1936,7 +1938,8 @@ def mmr_rerank(
         out_rows.append((rank, ids[best_i], float(rel[best_i]), float(best_score)))
     spark = vectors.sparkSession
     id_type = vectors.schema[id_col].dataType.simpleString()
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         out_rows,
         f"mmr_rank int, {id_col} {id_type}, cosine_sim double, mmr_score double",
     )

@@ -57,6 +57,7 @@ from pyspark.sql import functions as F
 from ..functions.text import tokenize
 from . import payload_overlay as plov
 from . import txn
+from .localrel import local_df
 from .text import bm25_rank_hits
 
 POSTINGS_COMPONENT = "postings"
@@ -1031,7 +1032,7 @@ def _probed_rows(
             schema = ", ".join(
                 f"{n} {t}" for n, t in (comp.get("schema") or [])
             ) or "term string, doc_id bigint, tf bigint, dl int, tix_epoch bigint"
-            return spark.createDataFrame([], schema), tix
+            return local_df(spark, [], schema), tix
         # posting-list map gone (a generic rewrite rebuilt the component
         # dict) and no delta tail: serve correctly, unpruned
         rows = txn._read_segment_union(
@@ -1172,7 +1173,8 @@ def text_index_search_all(
     )
     if not terms:
         q_type = queries.schema[q_id_col].dataType.simpleString()
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             [],
             f"{q_id_col} {q_type}, {id_col} bigint, bm25 double, "
             "n_terms_hit bigint",
@@ -1529,7 +1531,8 @@ def text_index_search_grouped(
         gtype = lk.schema[group_col].dataType
         labels = {r["doc_id"]: r[group_col] for r in lk.collect()}
         schema = flat.schema.add(group_col, gtype)
-        tagged = spark.createDataFrame(
+        tagged = local_df(
+            spark,
             [
                 {**r.asDict(), group_col: labels[r[id_col]]}
                 for r in rows
@@ -1544,7 +1547,7 @@ def text_index_search_grouped(
         from .windows import tag_pinned_shortlist
 
         tagged = tag_pinned_shortlist(
-            spark, spark.createDataFrame(rows, flat.schema), groups,
+            spark, local_df(spark, rows, flat.schema), groups,
             id_col, group_col,
         )
     return group_top_k(

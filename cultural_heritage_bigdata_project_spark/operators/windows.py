@@ -14,6 +14,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from .localrel import local_df
+
 
 def distinct_on(
     df: DataFrame, keys: Sequence[str], order_by: Sequence[Column | str]
@@ -156,7 +158,7 @@ def tag_pinned_shortlist(
     pushed-IN guard short-circuits to a false predicate instead of
     degenerating into a full map scan against an empty broadcast)."""
     rows = flat.collect()  # bounded by construction: <= fetch_k rows
-    pinned = spark.createDataFrame(rows, flat.schema)
+    pinned = local_df(spark, rows, flat.schema)
     ids = [r[id_col] for r in rows]
     src = groups.select(id_col, group_col)
     src = (

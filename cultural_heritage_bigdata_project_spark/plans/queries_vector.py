@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup, similarity
+from ..operators.localrel import local_df
 from ..sources.tables import load_table
 from .catalog import register
 
@@ -2268,8 +2269,8 @@ def hybrid_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         (qid, terms, _query_list(spark, sf_dir, vid))
         for qid, terms, vid in _HYBRID_BATCH_QUERIES
     ]
-    queries = spark.createDataFrame(
-        rows, "q_id string, terms array<string>, embedding array<double>"
+    queries = local_df(
+        spark, rows, "q_id string, terms array<string>, embedding array<double>"
     )
     return similarity.hybrid_rrf_search_all(
         spark, t_root, a_root, queries,
