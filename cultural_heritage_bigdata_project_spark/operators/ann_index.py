@@ -158,11 +158,38 @@ def _meta_df(spark: SparkSession, centroids, codebook) -> DataFrame:
 
 def read_index_meta(spark: SparkSession, root: str, version: str | None = None):
     """(centroids, codebook) from the ``meta`` component of the current
-    (or pinned ``version``) — a bounded collect of n_lists + n_codes
-    rows."""
-    rows = txn.read_version(
-        spark, root, version=version, subdir=META_COMPONENT
-    ).collect()
+    (or pinned ``version``) — n_lists + n_codes rows, KBs.
+
+    Read DRIVER-SIDE via pyarrow (optimization round 12): the meta
+    component is one single-file append segment written by
+    `build_ann_index`, and collecting KB-scale quantizer state through
+    a cluster job cost every single serve a full job-schedule round
+    trip before any data work began (the Delta-log analog: transaction
+    metadata is a driver read, not a query). Falls back to the Spark
+    read on any surprise (e.g. a generic maintenance rewrite gave the
+    component a reconstruct spec)."""
+    rows = None
+    try:
+        path = (
+            txn.current_version_dir(root)
+            if version is None
+            else txn.version_dir(root, version)
+        )
+        comp = (txn.read_manifest(root, os.path.basename(path)) or {}).get(
+            META_COMPONENT
+        )
+        if path is not None and comp is not None and not comp.get("reconstruct"):
+            import pyarrow.parquet as _pq
+
+            rows = []
+            for p in txn._component_paths(root, path, comp):
+                rows.extend(_pq.read_table(p).to_pylist())
+    except Exception:
+        rows = None
+    if rows is None:
+        rows = txn.read_version(
+            spark, root, version=version, subdir=META_COMPONENT
+        ).collect()
     cent = sorted(
         ((r["idx"], r["vals"]) for r in rows if r["kind"] == "centroid")
     )

@@ -168,27 +168,90 @@ def _write_maybe_bucketed(df, sdir: str, spec: dict | None, align: bool = False)
     out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(sdir)
 
 
+def _merged_segment_schema(paths: list[str]):
+    """Driver-side union-by-name schema of segment roots, from ONE
+    parquet footer per root — segments are single-writer and therefore
+    schema-uniform inside, so one footer (KBs) is authoritative for a
+    whole directory. This is the Delta/Iceberg "schema lives in the
+    log, not in the files" move applied at read time: Spark's
+    ``mergeSchema`` inference is a cluster JOB that opens every file's
+    footer before the query proper starts — per segment-union read,
+    per serve — while this is a handful of driver-side footer opens.
+    Field order is first-appearance over ``paths`` (base before
+    deltas, the same order the old merge produced); files missing a
+    later-added column read it as NULL exactly as ``mergeSchema`` did.
+    Returns None (caller falls back to mergeSchema inference) on any
+    type conflict — commit-time schema enforcement rejects those, so
+    hitting one means an out-of-band write and Spark's own error
+    message is the right outcome — or unreadable footer."""
+    import pyarrow as pa
+
+    fields: dict[str, object] = {}
+    try:
+        import pyarrow.parquet as pq
+
+        for p in paths:
+            fschema = None
+            for dirpath, dirs, files in os.walk(p):
+                dirs.sort()
+                for f in sorted(files):
+                    if f.endswith(".parquet"):
+                        fschema = pq.ParquetFile(
+                            os.path.join(dirpath, f)
+                        ).schema_arrow
+                        break
+                if fschema is not None:
+                    break
+            if fschema is None:
+                continue  # no data files: contributes no columns
+            for fld in fschema:
+                prev = fields.get(fld.name)
+                if prev is None:
+                    fields[fld.name] = fld.type
+                elif prev != fld.type:
+                    return None  # type conflict: let Spark report it
+        if not fields:
+            return None
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        return from_arrow_schema(
+            pa.schema([pa.field(n, t) for n, t in fields.items()])
+        )
+    except Exception:
+        return None
+
+
 def _read_segment_union(spark, paths: list[str]):
     """Read segment/base directories that MAY carry ``__sg_bucket=``
     partition levels. Spark refuses partition discovery across multiple
     root paths ("please set basePath ... load them separately and then
     union"), so bucketed multi-root reads go per-root + unionByName;
-    everything else keeps the single multi-root mergeSchema read. The
-    internal bucket column is dropped either way."""
+    everything else keeps the single multi-root read. The internal
+    bucket column is dropped either way.
+
+    The schema is derived driver-side from segment footers
+    (`_merged_segment_schema`) whenever possible: an explicit schema
+    skips Spark's mergeSchema inference job entirely — one fewer
+    cluster job per segment read, which at serving time (several
+    segment unions per query) is the difference between a serve being
+    scheduling-bound and data-bound. Behavior is unchanged: columns
+    absent from older files read as NULL either way."""
     def _is_bucketed(p: str) -> bool:
         try:
             return any(c.startswith(BUCKET_COL + "=") for c in os.listdir(p))
         except (FileNotFoundError, NotADirectoryError):
             return False
 
+    schema = _merged_segment_schema(paths)
+
+    def _reader():
+        if schema is not None:
+            return spark.read.schema(schema)
+        return spark.read.option("mergeSchema", "true")
+
     if len(paths) == 1 or not any(_is_bucketed(p) for p in paths):
-        return spark.read.option("mergeSchema", "true").parquet(*paths).drop(
-            BUCKET_COL
-        )
-    dfs = [
-        spark.read.option("mergeSchema", "true").parquet(p).drop(BUCKET_COL)
-        for p in paths
-    ]
+        return _reader().parquet(*paths).drop(BUCKET_COL)
+    dfs = [_reader().parquet(p).drop(BUCKET_COL) for p in paths]
     out = dfs[0]
     for d in dfs[1:]:
         out = out.unionByName(d, allowMissingColumns=True)
