@@ -946,6 +946,16 @@ def _shortlist_rerank(
         probed = probed.join(
             allowed_ids.select(id_col).distinct(), on=id_col, how="leftsemi"
         )
+    # probed is referenced twice below — once under the shortlist
+    # (codes columns) and once as the re-rank join stream (embedding
+    # column) — and the two legs share no exchange, so without a
+    # lineage cut the whole probed fold subtree executed twice per
+    # serve (plan-verified: base∪delta appeared once with
+    # ReadSchema=codes and again with ReadSchema=embedding). The lazy
+    # local checkpoint materializes the probed rows once — bounded by
+    # the probed lists + delta tail, the set the serve must read
+    # anyway — and both legs reuse it.
+    probed = probed.localCheckpoint(eager=False)
     if codec == "pq":
         short = pq_adc_shortlist(
             probed.select(id_col, *[f"c{j}" for j in range(m)]),

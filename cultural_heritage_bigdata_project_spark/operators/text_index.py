@@ -914,6 +914,49 @@ def text_index_search(
     to resolve CURRENT once for the flat page and again for the label
     lookup, so a set_payload committing in between could mix payload
     vintages within one page)."""
+    hits, tix = _search_hits(
+        spark,
+        root,
+        query_terms,
+        id_col=id_col,
+        allowed_ids=allowed_ids,
+        payload_filter=payload_filter,
+        version=version,
+    )
+    n_docs, sum_dl = _corpus_stats(spark, root, tix, version=version)
+    # metadata-only corpus stats; the division is the same long/long
+    # double division the scan path computes
+    corpus = spark.range(1).select(
+        F.lit(n_docs).cast("long").alias("__n_docs"),
+        (F.lit(sum_dl).cast("long") / F.lit(n_docs).cast("long")).alias("__avgdl"),
+    )
+    # bm25_rank_hits references hits TWICE (per-term df aggregate +
+    # score join) and the index path has no shared exchange between
+    # them, so without a lineage cut the probed-bucket scan + fold
+    # subtree executes twice per serve (plan-verified: the whole
+    # scan∪delta union appeared once under the df BroadcastExchange
+    # and again as the join stream). hits here is term-filtered and
+    # bucket-pruned — O(docs containing the query terms) — so the
+    # checkpoint is bounded by the serve, not the corpus.
+    hits = hits.localCheckpoint(eager=False)
+    return bm25_rank_hits(hits, corpus, top_k=top_k, k1=k1, b=b, id_col=id_col)
+
+
+def _search_hits(
+    spark: SparkSession,
+    root: str,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    allowed_ids: DataFrame | None = None,
+    payload_filter=None,
+    version: str | None = None,
+):
+    """The pre-lineage-cut ``(hits, tix)`` of `text_index_search`:
+    probed fold → term filter → payload/allowed semi-joins. Factored
+    out so the plan gates can assert the term pushdown and broadcast
+    semi-join shape on the EXACT production subtree — the serve itself
+    cuts lineage right after this frame (localCheckpoint), which hides
+    the subtree from the final query's formatted plan."""
     terms = sorted(set(query_terms))
     rows, tix = _probed_rows(spark, root, terms, version=version)
     hits = (
@@ -948,14 +991,7 @@ def text_index_search(
             on=id_col,
             how="leftsemi",
         )
-    n_docs, sum_dl = _corpus_stats(spark, root, tix, version=version)
-    # metadata-only corpus stats; the division is the same long/long
-    # double division the scan path computes
-    corpus = spark.range(1).select(
-        F.lit(n_docs).cast("long").alias("__n_docs"),
-        (F.lit(sum_dl).cast("long") / F.lit(n_docs).cast("long")).alias("__avgdl"),
-    )
-    return bm25_rank_hits(hits, corpus, top_k=top_k, k1=k1, b=b, id_col=id_col)
+    return hits, tix
 
 
 def text_index_current_version(root: str) -> str:
@@ -1216,6 +1252,10 @@ def text_index_search_all(
             on="doc_id",
             how="leftsemi",
         )
+    # same double-reference shape as the single-query path: cut the
+    # lineage once so the probed fold is scanned once per batch, not
+    # once for df and again for the score join
+    hits = hits.localCheckpoint(eager=False)
     dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
     n_docs, sum_dl = _corpus_stats(spark, root, tix, version=version)
     n_docs_d = F.lit(n_docs).cast("long").cast("double")

@@ -722,14 +722,35 @@ def change_feed_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "order_desc": ["o_orderdate"],
         "seq_col": "__sg_seq",
     }
+    # All three epoch segments in ONE pass (optimization round 12,
+    # guide §2.4): the per-epoch loop scanned orders three times and
+    # ran three one-third-size dedup shuffles; a single window over
+    # (epoch, k) — identical per-epoch semantics, epochs are disjoint
+    # — dedups everything in one scan + one same-byte shuffle, and a
+    # partitioned write lands each epoch's rows as its own directory,
+    # renamed into place as the three immutable segments. File
+    # contents per segment are unchanged (the epoch rides as the
+    # directory key, __sg_seq stays a data column).
+    staged = o.withColumn("__e", (F.col("o_orderkey") % 3).cast("int"))
+    latest_all = cleanse.dedup_first_wins(
+        staged,
+        ["__e", "k"],
+        [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()],
+    ).withColumn("__sg_seq", F.col("__e").cast("long"))
+    stage_dir = os.path.join(root, "_epoch_stage")
+    latest_all.write.partitionBy("__e").parquet(stage_dir)
+    os.makedirs(os.path.join(root, txn.SEGMENTS_DIR), exist_ok=True)
     segments: list[str] = []
     for e in range(3):
-        batch = o.filter(F.col("o_orderkey") % 3 == e)
-        latest = cleanse.dedup_first_wins(
-            batch, ["k"], [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()]
-        ).withColumn("__sg_seq", F.lit(e).cast("long"))
+        # move each epoch's directory into the segment store right
+        # before ITS publish: publish-time retention sweeps segments
+        # no retained manifest references, so pre-placing all three
+        # would get the future epochs vacuumed by the first publish
+        # (the stage dir sits outside the segment store and is safe)
         seg = f"upsert_v{e}"
-        latest.write.parquet(txn.segment_path(root, seg))
+        os.rename(
+            os.path.join(stage_dir, f"__e={e}"), txn.segment_path(root, seg)
+        )
         segments.append(seg)
         vname = f"data_v{e}"
         os.makedirs(os.path.join(root, vname))
@@ -746,6 +767,7 @@ def change_feed_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
             },
         )
         txn.publish_version(root, vname, keep_last=3)
+    shutil.rmtree(stage_dir, ignore_errors=True)
     snap0 = txn.read_version(spark, root, 0)  # merge-on-read v0 snapshot
     state0 = merge.incremental_agg_maintain(
         None,

@@ -13,13 +13,16 @@ from cultural_heritage_bigdata_project_spark.plans.catalog import CATALOG, catal
 from .conftest import SF_DIR
 
 
-def _formatted_plan(spark, name: str) -> str:
-    catalog_queries()
-    df = CATALOG[name].fn(spark, SF_DIR)
-    jvm = spark._jvm
+def _df_formatted_plan(df) -> str:
+    jvm = df.sparkSession._jvm
     return df._jdf.queryExecution().explainString(
         jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
+
+
+def _formatted_plan(spark, name: str) -> str:
+    catalog_queries()
+    return _df_formatted_plan(CATALOG[name].fn(spark, SF_DIR))
 
 
 def test_pricing_summary_pushdown_and_pruning(spark):
@@ -391,13 +394,38 @@ def test_filtered_index_search_plan_shape(spark):
     filter is a broadcast LEFT SEMI (never a sort-merge join or a
     driver-side list), and the allowed side's scan is column-pruned to
     the id."""
-    plan = _formatted_plan(spark, "bm25_filtered_search")
+    # the serve cuts lineage after the hits frame (round-12
+    # localCheckpoint: the df aggregate and the score join otherwise
+    # re-execute the probed-bucket subtree), so the scan/semi-join
+    # shape is asserted on the EXACT production subtree via
+    # `_search_hits` — the frame the serve checkpoints
+    from pyspark.sql import functions as F
+
+    from cultural_heritage_bigdata_project_spark.operators import text_index
+    from cultural_heritage_bigdata_project_spark.plans.queries_text import (
+        _docs,
+        _text_index_root,
+    )
+
+    catalog_queries()
+    root = _text_index_root(spark, SF_DIR)
+    allowed = _docs(spark, SF_DIR).select("doc_id").filter(
+        F.col("doc_id") % 3 == 0
+    )
+    hits, _ = text_index._search_hits(
+        spark, root, ["merge", "spark", "window"], allowed_ids=allowed
+    )
+    plan = _df_formatted_plan(hits)
     assert re.search(r"PushedFilters: \[[^\]]*In\(term", plan), plan
     assert re.search(r"BroadcastHashJoin [^\n]*LeftSemi", plan), plan
     assert "SortMergeJoin" not in plan, plan
     assert re.search(r"ReadSchema: struct<doc_id:bigint>", plan), (
         "allowed side not pruned to the id column"
     )
+    # what remains visible on the full query: broadcast-only joins
+    full = _formatted_plan(spark, "bm25_filtered_search")
+    assert "SortMergeJoin" not in full, full
+    assert "TakeOrderedAndProject" in full, full
 
 
 def test_ann_scroll_page_plan_shape(spark):

@@ -100,6 +100,113 @@ def test_minhash_sound_and_subset_of_exact(spark, docs):
         assert jac == round(_jaccard(shmap[a], shmap[b]), 6)
 
 
+def test_minhash_xxh_codegen_signature_matches_legacy(spark):
+    """The round-12 explode+groupBy xxh signature (64 partial-agg `min`
+    columns) must equal the legacy interpreted-lambda formula
+    sig_i = min_j(h1[j] + i*h2[j]) element-for-element, and the public
+    pair output must be unchanged for corpora that include empty and
+    NULL shingle arrays (legacy gave those all-NULL signatures whose
+    candidate pairs a NULL/zero jaccard discarded; the rewrite drops
+    them at the explode)."""
+    rows = [
+        (0, ["a b c", "b c d", "c d e"]),
+        (1, ["a b c", "b c d", "c d e"]),
+        (2, ["x y z"]),
+        (3, []),  # empty shingle set: must never pair
+        (4, None),  # NULL shingle array: must never pair
+        (5, ["a b c", "b c d", "q r s"]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, sh array<string>")
+    legacy_sig = {
+        r.doc_id: r.sig
+        for r in df.filter(F.size("sh") > 0)
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(sequence(0, 63), i -> array_min("
+                "zip_with("
+                "transform(sh, s -> xxhash64(42, s) & 2147483647),"
+                "transform(sh, s -> xxhash64(43, s) & 2147483647),"
+                "(h1, h2) -> h1 + i * h2)))"
+            ).alias("sig"),
+        )
+        .collect()
+    }
+    exploded = df.select("doc_id", F.explode("sh").alias("__s"))
+    hashed = exploded.select(
+        "doc_id",
+        F.expr("xxhash64(42, __s) & 2147483647").alias("__h1"),
+        F.expr("xxhash64(43, __s) & 2147483647").alias("__h2"),
+    )
+    new_sig = {
+        r.doc_id: r.sig
+        for r in hashed.groupBy("doc_id")
+        .agg(
+            *[
+                F.min(F.col("__h1") + F.lit(i) * F.col("__h2")).alias(f"__s{i}")
+                for i in range(64)
+            ]
+        )
+        .select(
+            "doc_id",
+            F.array(*[F.col(f"__s{i}") for i in range(64)]).alias("sig"),
+        )
+        .collect()
+    }
+    assert new_sig == legacy_sig
+    pairs = {
+        (r.a_id, r.b_id)
+        for r in dedup.minhash_lsh_pairs(
+            df, "doc_id", "sh", threshold=0.5, hash_family="xxhash64"
+        ).collect()
+    }
+    assert pairs == {(0, 1)}, pairs
+
+
+def test_simhash_codegen_signature_matches_legacy_and_edges(spark):
+    """The round-12 explode+vote-sum simhash must equal the legacy
+    `simhash_bits` interpreted aggregate bit-for-bit (including the
+    two's-complement top bit), and the NULL/empty token-array edge
+    docs must keep their legacy literal signatures: NULL array -> 0,
+    empty array -> all-ones (vote 0 >= 0 sets every bit). So two NULL
+    docs pair at hamming 0, two empty docs pair at hamming 0, and a
+    NULL doc never pairs with an empty doc (hamming 64)."""
+    rows = [
+        (0, ["red", "fox", "jump"]),
+        (1, ["red", "fox", "jump", "dog"]),
+        (2, []),
+        (3, []),
+        (4, None),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, t array<string>")
+    hashed = df.select(
+        "doc_id", F.expr("transform(t, x -> xxhash64(x))").alias("__th")
+    )
+    legacy = {
+        r.doc_id: r.sig
+        for r in hashed.select(
+            "doc_id", dedup.simhash_bits("__th", 64).alias("sig")
+        ).collect()
+    }
+    assert legacy[2] == -1 and legacy[3] == -1  # all-ones, 64-bit
+    assert legacy[4] == 0 and legacy[5] == 0
+    got = {
+        (r.a_id, r.b_id): r.hamming
+        for r in dedup.simhash_pairs(df, "doc_id", "t", max_hamming=3).collect()
+    }
+    expect = {
+        (a, b): bin((legacy[a] ^ legacy[b]) & (2**64 - 1)).count("1")
+        for a in legacy
+        for b in legacy
+        if a < b
+        and bin((legacy[a] ^ legacy[b]) & (2**64 - 1)).count("1") <= 3
+    }
+    assert got == expect, (got, expect)
+    assert (2, 3) in got and (4, 5) in got
+    assert (2, 4) not in got and (2, 5) not in got
+
+
 @settings(
     max_examples=6,
     deadline=None,
