@@ -349,39 +349,20 @@ def minhash_lsh_pairs(
             .withColumnRenamed("__id", id_col)
         )
     else:
-        # Codegen signature (optimization round 12, guide §2.3/§4.1):
-        # the per-doc `transform(sequence(0,63), i -> array_min(
-        # zip_with(...)))` ran 64 INTERPRETED higher-order lambdas over
-        # every shingle array — slower than the md5-portable path's
-        # numpy GEMM despite the cheaper hash. Explode the shingles,
-        # hash each once in a codegen projection, and fold the 64
-        # Kirsch-Mitzenmacher mins as 64 partial-aggregating `min`
-        # columns in ONE whole-stage-codegen HashAggregate: identical
-        # arithmetic (sig_i = min_j(h1+i·h2) over int64), and the
-        # shuffle carries n_docs × 64 longs instead of every doc's
-        # whole shingle array. Docs with empty shingle arrays drop at
-        # the explode — they produced all-NULL signatures before,
-        # whose candidate pairs a NULL jaccard already discarded.
-        exploded = df.select(
-            F.col(id_col), F.explode(shingle_col).alias("__s")
-        )
-        hashed = exploded.select(
+        hashed = df.select(
             F.col(id_col),
-            F.expr("xxhash64(42, __s) & 2147483647").alias("__h1"),
-            F.expr("xxhash64(43, __s) & 2147483647").alias("__h2"),
-        )
-        sig = hashed.groupBy(id_col).agg(
-            *[
-                F.min(F.col("__h1") + F.lit(i) * F.col("__h2")).alias(
-                    f"__s{i}"
-                )
-                for i in range(n_hashes)
-            ]
-        ).select(
+            F.col(shingle_col),
+            F.expr(
+                f"transform({shingle_col}, s -> xxhash64(42, s) & 2147483647)"
+            ).alias("__h1"),
+            F.expr(
+                f"transform({shingle_col}, s -> xxhash64(43, s) & 2147483647)"
+            ).alias("__h2"),
+        ).repartition(par)
+        sig = hashed.select(
             F.col(id_col),
-            F.array(*[F.col(f"__s{i}") for i in range(n_hashes)]).alias(
-                "__sig"
-            ),
+            F.col(shingle_col),
+            minhash_signature("__h1", "__h2", n_hashes).alias("__sig"),
         )
         band_structs = [
             F.struct(
@@ -489,56 +470,11 @@ def simhash_pairs(
         F.col(id_col),
         F.expr(f"transform({token_col}, t -> {token_hash})").alias("__th"),
     )
-    # spreads single-file inputs across cores; the lineage cut lets
-    # the empty/null edge branch below reuse the hashed rows instead
-    # of re-running the hash transform
-    hashed = hashed.repartition(
-        df.sparkSession.sparkContext.defaultParallelism
-    ).localCheckpoint(eager=False)
-    # Codegen signature (optimization round 12, same fix class as the
-    # minhash xxhash64 path): `simhash_bits`'s nested aggregate ran
-    # 64 × n_tokens INTERPRETED lambda steps per doc. Explode the
-    # hashes and fold the per-bit ±1 votes as 64 partial-aggregating
-    # `sum` columns in one whole-stage-codegen HashAggregate, then
-    # reassemble the sign bits — identical arithmetic (vote_i =
-    # Σ ±1 by bit i of each hash; bit set iff vote ≥ 0, two's-
-    # complement at bit 63 exactly as shiftleft wrapped). Docs whose
-    # hash array is NULL (sig 0) or empty (sig all-ones) drop at the
-    # explode and are restored by the edge branch with those exact
-    # literal signatures.
-    ex = hashed.select(F.col(id_col), F.explode("__th").alias("__h"))
-    votes = [
-        F.sum(
-            F.when(
-                F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1,
-                F.lit(1).cast("long"),
-            ).otherwise(F.lit(-1).cast("long"))
-        ).alias(f"__v{i}")
-        for i in range(n_bits)
-    ]
-    bit_terms = [
-        F.when(
-            F.col(f"__v{i}") >= 0,
-            F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-        for i in range(n_bits)
-    ]
-    sim_expr = bit_terms[0]
-    for t in bit_terms[1:]:
-        sim_expr = sim_expr + t
-    sig_main = ex.groupBy(id_col).agg(*votes).select(
-        F.col(id_col), sim_expr.alias("__sim")
-    )
-    allones = -1 if n_bits == 64 else (1 << n_bits) - 1
-    sig_edge = hashed.filter(
-        F.col("__th").isNull() | (F.size("__th") == 0)
-    ).select(
-        F.col(id_col),
-        F.when(F.col("__th").isNull(), F.lit(0).cast("long"))
-        .otherwise(F.lit(allones).cast("long"))
-        .alias("__sim"),
-    )
-    sig = sig_main.unionByName(sig_edge)
+    # barrier: prevents CollapseProject from inlining the string-hash
+    # transform into the per-bit vote loop, and spreads single-file
+    # inputs across cores (same rationale as minhash_lsh_pairs)
+    hashed = hashed.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    sig = hashed.select(F.col(id_col), simhash_bits("__th", n_bits).alias("__sim"))
     chunks = [
         F.struct(
             F.lit(c).alias("chunk"),
