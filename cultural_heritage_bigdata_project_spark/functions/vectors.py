@@ -39,6 +39,34 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def py_l2_norm(vec) -> float:
+    """Driver-side ``l2_norm`` of a Python vector — bit-identical to
+    the column expression (the same left fold ``acc + x*x`` in IEEE
+    double, then a correctly-rounded sqrt; Python floats ARE doubles).
+
+    Exists because Catalyst does NOT constant-fold higher-order
+    functions: ``l2_norm(<literal array>)`` re-runs the interpreted
+    aggregate on EVERY row (verified on the optimized plan), so a
+    single-query cosine scan paid 3 interpreted aggregates per row
+    where dot + the row's own norm suffice. Pass the result as the
+    query-norm literal (optimization round 12, guide §4.1)."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        xd = float(x)
+        acc += xd * xd
+    return math.sqrt(acc)
+
+
+def cosine_similarity_qnorm(v: Column, qlit: Column, q_norm: float) -> Column:
+    """``cosine_similarity(v, qlit)`` with the query's norm precomputed
+    driver-side (``py_l2_norm``) — identical arithmetic and operand
+    order (``dot / (norm(v) * norm(q))``), one interpreted aggregate
+    per row instead of three."""
+    return dot_product(v, qlit) / (l2_norm(v) * F.lit(float(q_norm)))
+
+
 def normalize(a: Column) -> Column:
     """Unit-normalize; with normalized vectors cosine == dot, and
     Euclidean LSH bucketing approximates cosine neighborhoods."""

@@ -49,8 +49,10 @@ from .localrel import local_df
 from .similarity import (
     _deterministic_centroids,
     cosine_similarity,
+    cosine_similarity_qnorm,
     pq_adc_shortlist,
     pq_codebook,
+    py_l2_norm,
 )
 
 META_COMPONENT = "meta"
@@ -995,7 +997,9 @@ def _shortlist_rerank(
     else:
         raise ValueError(f"unknown codec {codec!r}: expected 'pq' or 'bq'")
     qlit = F.array(*[F.lit(float(x)) for x in query]).cast("array<double>")
-    sim = F.round(cosine_similarity(F.col(vec_col), qlit), 6)
+    sim = F.round(
+        cosine_similarity_qnorm(F.col(vec_col), qlit, py_l2_norm(query)), 6
+    )
     out_cols = [F.col(id_col), F.col(surrogate), sim.alias("cosine_sim")]
     out_cols += [F.col(c) for c in (payload_out or [])]
     return (

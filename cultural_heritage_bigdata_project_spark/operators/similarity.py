@@ -22,7 +22,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from ..functions.vectors import cosine_similarity
+from ..functions.vectors import (
+    cosine_similarity,
+    cosine_similarity_qnorm,
+    dot_product,
+    l2_norm,
+    py_l2_norm,
+)
 from .localrel import local_df
 
 
@@ -33,6 +39,7 @@ def knn_brute_force(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int | None = 6,
+    query_norm: float | None = None,
 ) -> DataFrame:
     """Exact top-k by cosine against one query vector (J8/M5/W4).
 
@@ -40,8 +47,15 @@ def knn_brute_force(
     scan → project(cosine) → TakeOrderedAndProject: one pass, no
     shuffle, no driver collect. At 100 TB this is the right exact plan;
     for repeated queries use ``lsh_bucket_ann``.
+
+    ``query_norm``: the query's l2 norm when the caller knows the raw
+    vector (``py_l2_norm``) — skips the per-ROW interpreted norm(q)
+    aggregate (Catalyst does not constant-fold HOFs); bit-identical.
     """
-    sim = cosine_similarity(F.col(vec_col), query_vec)
+    if query_norm is not None:
+        sim = cosine_similarity_qnorm(F.col(vec_col), query_vec, query_norm)
+    else:
+        sim = cosine_similarity(F.col(vec_col), query_vec)
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     return (
@@ -593,7 +607,7 @@ def ivf_deterministic_top_k(
     assigned = _assign_lists(vectors, centroids, id_col, vec_col)
     cand_ids = assigned.filter(F.col("__list").isin(probe_ids)).select(id_col)
     qlit = F.array(*[F.lit(float(x)) for x in query]).cast("array<double>")
-    sim = F.round(cosine_similarity(F.col(vec_col), qlit), 6)
+    sim = F.round(cosine_similarity_qnorm(F.col(vec_col), qlit, py_l2_norm(query)), 6)
     return (
         vectors.join(cand_ids, on=id_col, how="leftsemi")
         .select(F.col(id_col), sim.alias("cosine_sim"))
@@ -644,7 +658,7 @@ def ivf_ann_top_k(
     assigned = _assign_lists(vectors, centroids, id_col, vec_col)
     cand_ids = assigned.filter(F.col("__list").isin(probe_ids)).select(id_col)
     qlit = F.array(*[F.lit(float(x)) for x in query]).cast("array<double>")
-    sim = F.round(cosine_similarity(F.col(vec_col), qlit), 6)
+    sim = F.round(cosine_similarity_qnorm(F.col(vec_col), qlit, py_l2_norm(query)), 6)
     return (
         vectors.join(cand_ids, on=id_col, how="leftsemi")
         .select(F.col(id_col), sim.alias("cosine_sim"))
@@ -747,14 +761,25 @@ def precision_at_k(
     One broadcast of the query set against the collection — a single
     pass over the big side, then a per-query top-k window.
     """
+    # per-SIDE norm columns (optimization round 12, guide §4.1): the
+    # interpreted cosine aggregate otherwise recomputes BOTH norms per
+    # PAIR — n_queries × |collection| norm evaluations where one per
+    # row suffices. Same expressions, same operand order
+    # (dot / (norm(q) * norm(v))) → bit-identical values.
     q = vectors.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
         F.col(label_col).alias("q_label"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
     )
-    sim = F.round(cosine_similarity(F.col("q_vec"), F.col(vec_col)), 6)
+    sim = F.round(
+        dot_product(F.col("q_vec"), F.col(vec_col))
+        / (F.col("__qn") * F.col("__vn")),
+        6,
+    )
     scored = (
-        vectors.join(F.broadcast(q), F.col(id_col) != F.col("q_id"))
+        vectors.withColumn("__vn", l2_norm(F.col(vec_col)))
+        .join(F.broadcast(q), F.col(id_col) != F.col("q_id"))
         .select(
             "q_id",
             "q_label",
@@ -858,19 +883,27 @@ def retrieval_metrics(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
         F.col(label_col).alias("q_label"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
     )
     # total relevant per label (bounded by |labels| — broadcasts)
     label_totals = vectors.groupBy(F.col(label_col).alias("q_label")).agg(
         F.count(F.lit(1)).alias("__label_n")
     )
-    sim = F.round(cosine_similarity(F.col("q_vec"), F.col(vec_col)), 6)
+    # per-side norm columns: see precision_at_k — bit-identical, one
+    # interpreted norm per row instead of two per pair
+    sim = F.round(
+        dot_product(F.col("q_vec"), F.col(vec_col))
+        / (F.col("__qn") * F.col("__vn")),
+        6,
+    )
+    vecs_n = vectors.withColumn("__vn", l2_norm(F.col(vec_col)))
     if n_lists is not None:
         cand = _ivf_candidate_pairs(vectors, q, n_lists, n_probe, id_col, vec_col)
-        pool = vectors.join(cand, on=id_col).join(F.broadcast(q), on="q_id").filter(
+        pool = vecs_n.join(cand, on=id_col).join(F.broadcast(q), on="q_id").filter(
             F.col(id_col) != F.col("q_id")
         )
     else:
-        pool = vectors.join(F.broadcast(q), F.col(id_col) != F.col("q_id"))
+        pool = vecs_n.join(F.broadcast(q), F.col(id_col) != F.col("q_id"))
     scored = pool.select(
         "q_id",
         "q_label",
@@ -949,15 +982,23 @@ def hard_negative_mining(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
         F.col(label_col).alias("q_label"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
     )
-    sim = F.round(cosine_similarity(F.col("q_vec"), F.col(vec_col)), 6)
+    # per-side norm columns: see precision_at_k — bit-identical, one
+    # interpreted norm per row instead of two per pair
+    sim = F.round(
+        dot_product(F.col("q_vec"), F.col(vec_col))
+        / (F.col("__qn") * F.col("__vn")),
+        6,
+    )
+    vecs_n = vectors.withColumn("__vn", l2_norm(F.col(vec_col)))
     if n_lists is not None:
         cand = _ivf_candidate_pairs(vectors, q, n_lists, n_probe, id_col, vec_col)
-        pool = vectors.join(cand, on=id_col).join(F.broadcast(q), on="q_id").filter(
+        pool = vecs_n.join(cand, on=id_col).join(F.broadcast(q), on="q_id").filter(
             F.col(label_col) != F.col("q_label")
         )
     else:
-        pool = vectors.join(F.broadcast(q), F.col(label_col) != F.col("q_label"))
+        pool = vecs_n.join(F.broadcast(q), F.col(label_col) != F.col("q_label"))
     scored = pool.select(
         "q_id",
         F.col(id_col),
@@ -1030,7 +1071,7 @@ def pq_deterministic_top_k(
     codes = pq_encode(vectors, cw, m=m, id_col=id_col, vec_col=vec_col)
     short = pq_adc_shortlist(codes, cw, qraw, m=m, shortlist=shortlist, id_col=id_col)
     qlit = F.array(*[F.lit(x) for x in qraw]).cast("array<double>")
-    sim = F.round(cosine_similarity(F.col(vec_col), qlit), 6)
+    sim = F.round(cosine_similarity_qnorm(F.col(vec_col), qlit, py_l2_norm(qraw)), 6)
     return (
         vectors.join(short, on=id_col)
         .select(F.col(id_col), F.col("adc_micro"), sim.alias("cosine_sim"))
@@ -1312,7 +1353,7 @@ def sq8_deterministic_top_k(
         .limit(shortlist)
     )
     qlit = F.array(*[F.lit(float(x)) for x in query]).cast("array<double>")
-    sim = F.round(cosine_similarity(F.col(vec_col), qlit), 6)
+    sim = F.round(cosine_similarity_qnorm(F.col(vec_col), qlit, py_l2_norm(query)), 6)
     return (
         vectors.join(short, on=id_col)
         .select(F.col(id_col), F.col("approx_micro"), sim.alias("cosine_sim"))
@@ -1493,7 +1534,7 @@ def bq_deterministic_top_k(
         .limit(shortlist)
     )
     qlit = F.array(*[F.lit(x) for x in qv]).cast("array<double>")
-    sim = F.round(cosine_similarity(F.col(vec_col), qlit), 6)
+    sim = F.round(cosine_similarity_qnorm(F.col(vec_col), qlit, py_l2_norm(qv)), 6)
     return (
         vectors.join(short, on=id_col)
         .select(F.col(id_col), F.col("hamming"), sim.alias("cosine_sim"))
@@ -1566,6 +1607,7 @@ def hybrid_rrf_search(
     text_col: str = "text",
     vec_col: str = "embedding",
     allowed_ids: DataFrame | None = None,
+    query_norm: float | None = None,
 ) -> DataFrame:
     """Hybrid lexical + semantic retrieval fused by reciprocal-rank
     fusion (Cormack/Clarke/Büttcher, SIGIR 2009): BM25 top-``top_n``
@@ -1615,7 +1657,14 @@ def hybrid_rrf_search(
             on=vec_id_col,
             how="leftsemi",
         )
-    sem = knn_brute_force(sem_src, query_vec, k=top_n, id_col=vec_id_col, vec_col=vec_col)
+    sem = knn_brute_force(
+        sem_src,
+        query_vec,
+        k=top_n,
+        id_col=vec_id_col,
+        vec_col=vec_col,
+        query_norm=query_norm,
+    )
     return _rrf_fuse(lex, sem, id_col, vec_id_col, rrf_k, k)
 
 
@@ -1889,7 +1938,12 @@ def mmr_rerank(
     qarr = np.asarray(list(query), dtype=np.float64)
     qlit = F.array(*[F.lit(float(x)) for x in qarr]).cast("array<double>")
     short = knn_brute_force(
-        vectors, qlit, k=top_n, id_col=id_col, vec_col=vec_col
+        vectors,
+        qlit,
+        k=top_n,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_norm=py_l2_norm(qarr),
     )
     cand = (
         short.join(

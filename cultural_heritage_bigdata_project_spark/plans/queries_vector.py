@@ -60,8 +60,12 @@ LIMIT 10
 """,
 )
 def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import py_l2_norm
+
     vectors = _emb(spark, sf_dir).filter(F.col("vec_id") != 0)
-    return similarity.knn_brute_force(vectors, _query_vec(spark, sf_dir, 0), k=10)
+    ql = _query_list(spark, sf_dir, 0)
+    qv = F.array(*[F.lit(x) for x in ql]).cast("array<double>")
+    return similarity.knn_brute_force(vectors, qv, k=10, query_norm=py_l2_norm(ql))
 
 
 @register(
@@ -549,9 +553,15 @@ def hash_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, embedding array<double>",
     )
     row = embedded.filter(F.col("doc_id") == 0).select("embedding").first()
+    from ..functions.vectors import py_l2_norm
+
     qv = F.array(*[F.lit(float(x)) for x in row[0]]).cast("array<double>")
     return similarity.knn_brute_force(
-        embedded.filter(F.col("doc_id") != 0), qv, k=5, id_col="doc_id"
+        embedded.filter(F.col("doc_id") != 0),
+        qv,
+        k=5,
+        id_col="doc_id",
+        query_norm=py_l2_norm(row[0]),
     )
 
 
@@ -616,14 +626,19 @@ LIMIT 10
 """,
 )
 def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import py_l2_norm
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ql = _query_list(spark, sf_dir, 0)
+    qv = F.array(*[F.lit(x) for x in ql]).cast("array<double>")
     return similarity.hybrid_rrf_search(
         docs,
         _emb(spark, sf_dir),
         ["merge", "spark", "window"],
-        _query_vec(spark, sf_dir, 0),
+        qv,
         k=10,
         top_n=50,
+        query_norm=py_l2_norm(ql),
     )
 
 
