@@ -925,8 +925,11 @@ def text_index_search(
     )
     n_docs, sum_dl = _corpus_stats(spark, root, tix, version=version)
     # metadata-only corpus stats; the division is the same long/long
-    # double division the scan path computes
-    corpus = spark.range(1).select(
+    # double division the scan path computes. Built over a one-row
+    # LocalRelation so the broadcast side of the scoring crossJoin is
+    # collected driver-side — zero extra stages per serve (round 12;
+    # spark.range(1) was a 1-task RDD stage in every BM25 serve).
+    corpus = txn.literal_local_relation(spark).select(
         F.lit(n_docs).cast("long").alias("__n_docs"),
         (F.lit(sum_dl).cast("long") / F.lit(n_docs).cast("long")).alias("__avgdl"),
     )

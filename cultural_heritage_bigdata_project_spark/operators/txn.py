@@ -630,17 +630,37 @@ def _equality_key_values(spec: dict, predicates: dict | None) -> dict | None:
     return vals
 
 
+def literal_local_relation(spark):
+    """A one-row TRUE LocalRelation (``VALUES (1)``) for evaluating
+    foldable literal expressions: unlike ``spark.range(1)`` (an RDD
+    stage) or ``SELECT 1`` (OneRowRelation, which whole-stage codegen
+    still executes as a 1-task job), a Project of foldable expressions
+    over a LocalRelation is evaluated DRIVER-SIDE by Catalyst's
+    ConvertToLocalRelation — ``.first()``/``.collect()``/broadcast
+    builds launch ZERO jobs (optimization round 12, guide §5.2:
+    metadata math belongs on the driver; job-count verified)."""
+    return spark.sql("VALUES (1)")
+
+
 def _target_bucket(spark, sample_path: str, spec: dict, vals: dict) -> int | None:
-    """The ONE bucket a fully-pinned key can live in, computed by a
-    1-row local job through the SAME bucket_expr the writer used —
-    literals are cast to the table's actual column types first because
-    Murmur3 hashes int and long differently, so an uncast Python int
-    literal would silently probe the wrong bucket. Returns None when a
-    key column is missing from the sample schema (schema evolution
-    edge: never prune on uncertainty)."""
+    """The ONE bucket a fully-pinned key can live in, computed through
+    the SAME bucket_expr the writer used — literals are cast to the
+    table's actual column types first because Murmur3 hashes int and
+    long differently, so an uncast Python int literal would silently
+    probe the wrong bucket. Returns None when a key column is missing
+    from the sample schema (schema evolution edge: never prune on
+    uncertainty).
+
+    Evaluated over a one-row LocalRelation (`literal_local_relation`)
+    with the key types from a DRIVER-SIDE footer read: the fully-
+    foldable projection collapses driver-side, so a point lookup costs
+    zero extra cluster jobs (was one 1-row job + one footer-inference
+    job per read)."""
     from pyspark.sql import functions as F
 
-    schema = spark.read.parquet(sample_path).schema
+    schema = _merged_segment_schema([sample_path])
+    if schema is None:
+        schema = spark.read.parquet(sample_path).schema
     by_name = {f.name: f.dataType for f in schema.fields}
     cols = []
     for k in spec["keys"]:
@@ -648,7 +668,7 @@ def _target_bucket(spark, sample_path: str, spec: dict, vals: dict) -> int | Non
             return None
         cols.append(F.lit(vals[k]).cast(by_name[k]).alias(k))
     row = (
-        spark.range(1)
+        literal_local_relation(spark)
         .select(*cols)
         .select(bucket_expr(spec["keys"], int(spec["buckets"])).alias("b"))
         .first()

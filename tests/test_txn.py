@@ -1158,3 +1158,43 @@ def test_hand_edited_pointer_fails_feed_reads(spark, tmp_path):
         txn.change_feed(spark, tdir, from_version=0)
     with pytest.raises(RuntimeError, match="publish order"):
         txn.poll_changes(spark, tdir, str(tmp_path / "c.json"))
+
+
+def test_target_bucket_is_job_free_and_matches_job_path(spark, tmp_path):
+    """_target_bucket must evaluate over a LocalRelation (zero Spark
+    jobs) and pick the same bucket the writer's bucket_expr assigned,
+    for long, string, and multi-key shapes."""
+    import os
+
+    p = os.path.join(str(tmp_path), "seg")
+    df = spark.range(50).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("g"), F.col("id").cast("string")).alias("g"),
+        F.lit(1).alias("v"),
+    )
+    df.write.parquet(p)
+
+    def jobs_count():
+        return spark._jsc.sc().statusStore().jobsList(None).size()
+
+    for keys, vals in [
+        (["k"], {"k": 17}),
+        (["g"], {"g": "g17"}),
+        (["k", "g"], {"k": 3, "g": "g3"}),
+    ]:
+        spec = {"keys": keys, "buckets": 8}
+        before = jobs_count()
+        got = txn._target_bucket(spark, p, spec, vals)
+        assert jobs_count() == before, "bucket eval launched a Spark job"
+        expect = (
+            spark.range(1)
+            .select(
+                *[
+                    F.lit(vals[k]).cast(dict(k="bigint", g="string")[k]).alias(k)
+                    for k in keys
+                ]
+            )
+            .select(txn.bucket_expr(keys, 8).alias("b"))
+            .first()["b"]
+        )
+        assert got == int(expect), (keys, vals, got, expect)
