@@ -155,7 +155,7 @@ def _meta_df(spark: SparkSession, centroids, codebook) -> DataFrame:
         ("codeword", i, [float(x) for x in codebook[i]])
         for i in range(len(codebook))
     ]
-    return spark.createDataFrame(rows, "kind string, idx int, vals array<double>")
+    return local_df(spark, rows, "kind string, idx int, vals array<double>")
 
 
 def read_index_meta(spark: SparkSession, root: str, version: str | None = None):
@@ -806,6 +806,33 @@ def ann_index_top_k(
     d = ((cmat - qv[None, :]) ** 2).sum(axis=1)
     probe_ids = [int(i) for i in np.argsort(d, kind="stable")[:n_probe]]
 
+    probed = _probed_filtered(
+        spark, root, comp, ann, probe_ids, id_col,
+        version=version, exclude_ids=exclude_ids, payload_filter=payload_filter,
+    )
+    return _shortlist_rerank(
+        probed, codebook, query, k, shortlist, id_col, vec_col,
+        allowed_ids, codec, m, payload_out=payload_out,
+    )
+
+
+def _probed_filtered(
+    spark: SparkSession,
+    root: str,
+    comp: dict,
+    ann: dict,
+    probe_ids,
+    id_col: str,
+    version: str | None = None,
+    exclude_ids=None,
+    payload_filter=None,
+) -> DataFrame:
+    """The pre-lineage-cut probed frame of a serve: probed-list fold →
+    exclusion → payload filter. Factored out so plan gates can assert
+    the parquet pushdown on the EXACT production subtree —
+    `_shortlist_rerank` cuts lineage right after this frame
+    (localCheckpoint), which replaces the subtree with an RDD scan in
+    the final query's formatted plan."""
     latest = _probed_latest(
         spark, root, comp, ann, probe_ids, id_col, version=version
     )
@@ -827,10 +854,7 @@ def ann_index_top_k(
             if isinstance(payload_filter, str)
             else payload_filter
         )
-    return _shortlist_rerank(
-        probed, codebook, query, k, shortlist, id_col, vec_col,
-        allowed_ids, codec, m, payload_out=payload_out,
-    )
+    return probed
 
 
 def _probed_latest(

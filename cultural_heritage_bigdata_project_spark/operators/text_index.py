@@ -555,8 +555,8 @@ def text_index_delete(
     resurrects it (newer epoch wins); `text_index_compact` physically
     reclaims tombstoned postings and doclen rows."""
     if not isinstance(doc_ids, DataFrame):
-        doc_ids = spark.createDataFrame(
-            [(int(i),) for i in doc_ids], "doc_id bigint"
+        doc_ids = local_df(
+            spark, [(int(i),) for i in doc_ids], "doc_id bigint"
         )
 
     def build(current_dir, new_dir):

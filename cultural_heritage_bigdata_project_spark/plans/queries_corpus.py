@@ -228,8 +228,14 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup, text
 
     docs = load_table(spark, sf_dir, "documents")
-    # 1. length floor (cleanse)
-    base = docs.filter(F.col("n_chars") >= 100)
+    # 1. length floor (cleanse). Project to the columns the funnel
+    # actually carries (doc_id/text for the dedup+quality stages,
+    # lang/n_chars for the final stats) BEFORE the checkpoints below:
+    # e1/e2/e3 are MATERIALIZED stage outputs, and unused columns
+    # (source) would be written and re-read three times (guide §2.2).
+    base = docs.filter(F.col("n_chars") >= 100).select(
+        "doc_id", "text", "lang", "n_chars"
+    )
     # 2. exact dedup: md5(normalized text), keep min doc_id
     fp = base.select(
         "doc_id", F.md5(F.trim(F.lower("text")).cast("binary")).alias("f")
