@@ -171,7 +171,13 @@ def _minhash_lsh_dedup_xxh(spark, sf_dir):
         "doc_id", dedup.shingles_expr("t", 3).alias("sh")
     )
     return dedup.minhash_lsh_pairs(
-        docs, "doc_id", "sh", n_hashes=64, bands=16, threshold=0.6
+        docs,
+        "doc_id",
+        "sh",
+        n_hashes=64,
+        bands=16,
+        threshold=0.6,
+        pre_partitioned=True,  # _docs_parallel already spread the text
     )
 
 

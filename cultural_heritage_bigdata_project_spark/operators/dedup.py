@@ -164,6 +164,7 @@ def jaccard_pairs(
     round_digits: int | None = 6,
     max_bucket: int | None = None,
     observation: Observation | None = None,
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by n-gram-set Jaccard ≥ threshold — exact, via an
     inverted-index candidate join (pairs must share ≥1 shingle), so the
@@ -181,14 +182,18 @@ def jaccard_pairs(
     # partition, and the explode/hash fan-out below must not run on a
     # single core. At scale the input is already many partitions and
     # this exchange is proportional to the (small) doc count.
+    # ``pre_partitioned=True`` (optimization round 12, guide §2.3):
+    # callers that already spread the TEXT before shingling skip this
+    # exchange — it would round-robin the heavy shingle arrays a second
+    # time for no layout gain (round-robin placement carries no key
+    # semantics downstream; the bucket join re-shuffles regardless).
     # localCheckpoint: the shingled relation feeds the inverted index
     # AND the size lookup — without it the tokenize/shingle lineage
     # re-executes per branch.
-    base = (
-        df.select(F.col(id_col), F.col(shingle_col))
-        .repartition(df.sparkSession.sparkContext.defaultParallelism)
-        .localCheckpoint(eager=False)
-    )
+    base = df.select(F.col(id_col), F.col(shingle_col))
+    if not pre_partitioned:
+        base = base.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    base = base.localCheckpoint(eager=False)
     # join on a 64-bit hash of the shingle, not the string: long
     # shuffle keys + long equality beat string comparison in the
     # highest-volume stage (collision odds 2^-64 per shingle pair)
@@ -255,6 +260,7 @@ def minhash_lsh_pairs(
     hash_family: str = "xxhash64",
     max_bucket: int | None = None,
     observation: Observation | None = None,
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup candidates, verified with exact
     Jaccard ≥ threshold.
@@ -276,8 +282,16 @@ def minhash_lsh_pairs(
     rows = n_hashes // bands
     par = df.sparkSession.sparkContext.defaultParallelism
     # the shingled input feeds the signature AND both verify sides —
-    # checkpoint once (also spreads single-file inputs, see below)
-    df = df.repartition(par).localCheckpoint(eager=False)
+    # checkpoint once (also spreads single-file inputs, see below).
+    # ``pre_partitioned=True`` (optimization round 12, guide §2.3):
+    # callers that already spread the text before shingling skip the
+    # entry exchange — it round-robins the heavy shingle arrays a
+    # second time for no layout gain (the band join re-shuffles on its
+    # own keys regardless); the checkpoint alone still cuts the
+    # multi-branch lineage.
+    if not pre_partitioned:
+        df = df.repartition(par)
+    df = df.localCheckpoint(eager=False)
     # The repartitions below are real barriers, not just parallelism:
     # without an exchange between the string-hash projection and the
     # signature projection, CollapseProject inlines __h1/__h2 into the
@@ -750,6 +764,7 @@ def minhash_index(
     shingle_col: str,
     n_hashes: int = 64,
     bands: int = 16,
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """The persisted minhash index of a corpus (md5-portable family):
     one row per (id, band) carrying (sig array<bigint>, band, bkey).
@@ -812,13 +827,16 @@ def minhash_index(
                 }
             )
 
-    par = df.sparkSession.sparkContext.defaultParallelism
-    return (
-        df.select(F.col(id_col).alias("__id"), F.col(shingle_col).alias("__sh"))
-        .repartition(par)
-        .mapInPandas(index_rows, "__id long, sig array<bigint>, band int, bkey string")
-        .withColumnRenamed("__id", id_col)
-    )
+    # ``pre_partitioned=True`` (optimization round 12, guide §2.3):
+    # callers that already spread the text before shingling skip the
+    # exchange — it round-robined the heavy shingle arrays a second
+    # time purely for parallelism the input already has.
+    out = df.select(F.col(id_col).alias("__id"), F.col(shingle_col).alias("__sh"))
+    if not pre_partitioned:
+        out = out.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    return out.mapInPandas(
+        index_rows, "__id long, sig array<bigint>, band int, bkey string"
+    ).withColumnRenamed("__id", id_col)
 
 
 def incremental_minhash_filter(

@@ -405,11 +405,20 @@ def ngram_contamination(
     training documents sharing any word n-gram with a held-out
     benchmark set, with the count of distinct shared n-grams.
 
-    Plan shape: n-gram explode on both sides → distinct → inverted-
-    index equi-join on the gram → per-doc count. The join key is the
+    Plan shape (optimization round 12, guide §2.3/§2.4): n-gram
+    explode on both sides → benchmark grams distinct (small side) →
+    equi-join on the gram → distinct (doc, gram) on the MATCHES → per-
+    doc count. The distinct on the training side used to run BEFORE
+    the join, which hash-exchanged every training n-gram in the corpus
+    (the single largest shuffle of the decontamination pass); since
+    the benchmark side is distinct, joining first and deduping the
+    matched pairs after yields the identical (doc, gram) set while the
+    exchange now carries only grams that actually hit the benchmark —
+    orders of magnitude fewer on a clean corpus. The join key is the
     n-gram itself (high cardinality at n≥6, so no hot keys); the
-    benchmark side is typically tiny and AQE broadcasts it. This is
-    the decontamination pass every pretraining pipeline runs before
+    benchmark side is typically tiny and AQE broadcasts it, so the
+    training side is never shuffled at all. This is the
+    decontamination pass every pretraining pipeline runs before
     shipping a corpus.
     """
 
@@ -429,10 +438,12 @@ def ngram_contamination(
             )
         )
 
-    tr = grams(train).distinct()
+    tr = grams(train)
     bg = grams(bench).select("gram").distinct()
     return (
         tr.join(bg, on="gram")
+        .select("__id", "gram")
+        .distinct()
         .groupBy("__id")
         .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
         .withColumnRenamed("__id", id_col)

@@ -244,20 +244,45 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # e1/e2/e3 each feed MULTIPLE downstream branches (minhash + prune;
     # quality + repetition + survivor join; contamination + split) —
     # checkpoint the stage outputs or every branch re-executes the whole
-    # upstream funnel (measured 16.7s -> ~6s at sf0.1)
-    e1 = base.join(keep, on="doc_id", how="leftsemi").localCheckpoint(eager=False)
+    # upstream funnel (measured 16.7s -> ~6s at sf0.1).
+    # repartition BEFORE each checkpoint (optimization round 12, guide
+    # §2.5/§2.6): AQE coalesces the post-join output to ~1 partition at
+    # this data size, and localCheckpoint FREEZES that layout — every
+    # downstream branch (shingling, quality, repetition, contamination
+    # grams) then ran single-task (profiled: three 0.6-0.7s one-task
+    # jobs per run). An explicit repartition survives AQE, so the
+    # checkpointed stage outputs keep cluster-wide parallelism; the
+    # exchange itself is the same bytes the checkpoint materializes
+    # anyway.
+    par = spark.sparkContext.defaultParallelism
+    e1 = (
+        base.join(keep, on="doc_id", how="leftsemi")
+        .repartition(par)
+        .localCheckpoint(eager=False)
+    )
     # 3. near-dup prune: MinHash-LSH verified >= 0.6; drop the larger id
-    toks = e1.repartition(spark.sparkContext.defaultParallelism).select(
+    # (e1 is checkpointed at `par` partitions, so the tokenize/shingle
+    # projections inherit full parallelism with no extra exchange)
+    toks = e1.select(
         "doc_id", F.split(F.trim(F.lower("text")), " +").alias("t")
     )
     shingled = toks.filter(F.size("t") >= 3).select(
         "doc_id", dedup.shingles_expr("t", 3).alias("sh")
     )
     pairs = dedup.minhash_lsh_pairs(
-        shingled, "doc_id", "sh", threshold=0.6, hash_family="md5-portable"
+        shingled,
+        "doc_id",
+        "sh",
+        threshold=0.6,
+        hash_family="md5-portable",
+        pre_partitioned=True,  # e1 checkpoint already holds par partitions
     )
     dupes = pairs.select(F.col("b_id").alias("doc_id")).distinct()
-    e2 = e1.join(dupes, on="doc_id", how="left_anti").localCheckpoint(eager=False)
+    e2 = (
+        e1.join(dupes, on="doc_id", how="left_anti")
+        .repartition(par)
+        .localCheckpoint(eager=False)
+    )
     # 4. quality: trigram-independent score floor + Gopher repetition caps
     quality = text.text_stats(e2.select("doc_id", "text")).select(
         "doc_id", "quality_score"
@@ -266,6 +291,7 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     e3 = (
         e2.join(quality.filter(F.col("quality_score") >= 0.45), "doc_id", "leftsemi")
         .join(rep.filter(F.col("keep")), "doc_id", "leftsemi")
+        .repartition(par)
         .localCheckpoint(eager=False)
     )
     # 5. decontamination vs the deterministic benchmark split
@@ -372,8 +398,15 @@ def incremental_dedup_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", dedup.shingles_expr("t", 3).alias("sh")
         )
 
-    new_idx = dedup.minhash_index(shingled(new), "doc_id", "sh")
-    seen_idx = dedup.minhash_index(shingled(seen), "doc_id", "sh")
+    # pre_partitioned: shingled() spreads the TEXT above, so the index
+    # build must not round-robin the heavy shingle arrays again
+    # (optimization round 12 — one exchange per side removed)
+    new_idx = dedup.minhash_index(
+        shingled(new), "doc_id", "sh", pre_partitioned=True
+    )
+    seen_idx = dedup.minhash_index(
+        shingled(seen), "doc_id", "sh", pre_partitioned=True
+    )
     near_dropped = dedup.incremental_minhash_filter(
         new_idx, seen_idx, "doc_id", n_hashes=64, min_matches=39
     ).select(F.col("new_id").alias("doc_id"))

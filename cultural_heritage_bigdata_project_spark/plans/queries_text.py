@@ -497,7 +497,13 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs.filter(F.size("t") >= 3).select(
         "doc_id", dedup.shingles_expr("t", 3).alias("sh")
     )
-    pairs = dedup.jaccard_pairs(docs, "doc_id", "sh", threshold=0.5)
+    pairs = dedup.jaccard_pairs(
+        docs,
+        "doc_id",
+        "sh",
+        threshold=0.5,
+        pre_partitioned=True,  # _docs_parallel already spread the text
+    )
     return pairs
 
 
@@ -558,6 +564,7 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=16,
         threshold=0.6,
         hash_family="md5-portable",
+        pre_partitioned=True,  # _docs_parallel already spread the text
     )
 
 

@@ -53,6 +53,21 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Multi-root segment-union reads (persisted ANN/text index
+        # serving) pass up to ~50 segment directories to one reader;
+        # above this threshold Spark ships file LISTING to the cluster
+        # as its own job, which on a local filesystem costs a full
+        # job-scheduling round trip (~100 ms, profiled: one 48-task
+        # listing job per text-index label lookup) to list directories
+        # the driver stats in microseconds. Default raised for local
+        # paths; deployments listing huge object-store prefixes set
+        # SPARK_GRAFT_LIST_PARALLEL_THRESHOLD back down (guide §6:
+        # listing cost lives on the driver — distribute it only when
+        # the driver is actually the bottleneck).
+        .config(
+            "spark.sql.sources.parallelPartitionDiscovery.threshold",
+            os.environ.get("SPARK_GRAFT_LIST_PARALLEL_THRESHOLD", "512"),
+        )
         # events.parquet carries INT64 TIMESTAMP(NANOS) which vanilla
         # Spark rejects; read as long and convert in sources.tables.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
