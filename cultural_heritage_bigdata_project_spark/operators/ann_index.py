@@ -1682,15 +1682,26 @@ def ann_index_live(
         if cur is None:
             raise FileNotFoundError(f"nothing published under {root!r}")
         version = os.path.basename(cur)
-    out = txn.read_version(spark, root, version=version, subdir=CODES_COMPONENT)
-    ann = (
-        (txn.read_manifest(root, version) or {})
-        .get(CODES_COMPONENT, {})
-        .get("ann")
-        or {}
+
+    def _build() -> DataFrame:
+        out = txn.read_version(
+            spark, root, version=version, subdir=CODES_COMPONENT
+        )
+        ann = (
+            (txn.read_manifest(root, version) or {})
+            .get(CODES_COMPONENT, {})
+            .get("ann")
+            or {}
+        )
+        overlay, eff = _ann_payload_overlay(spark, root, ann, id_col)
+        return plov.overlay_merge(out, overlay, eff, id_col, "ann_epoch")
+
+    # query-independent per-version server state: memoize the PLAN
+    # (optimization round 12 — same move as the text doclen fold); every
+    # action still reads the parquet inputs (txn.version_plan_memo)
+    return txn.version_plan_memo(
+        spark, root, version, f"ann_live:{id_col}", _build
     )
-    overlay, eff = _ann_payload_overlay(spark, root, ann, id_col)
-    return plov.overlay_merge(out, overlay, eff, id_col, "ann_epoch")
 
 
 def ann_index_count(

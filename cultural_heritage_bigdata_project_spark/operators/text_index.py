@@ -1333,13 +1333,23 @@ def _doclen_with_payload(
         if cur is None:
             raise FileNotFoundError(f"nothing published under {root!r}")
         version = os.path.basename(cur)
-    out = txn.read_version(spark, root, version=version, subdir=DOCLEN_COMPONENT)
-    comp = (txn.read_manifest(root, version) or {}).get(
-        POSTINGS_COMPONENT, {}
-    )
-    tix = dict(comp.get("tix") or {})
-    overlay, eff = _text_payload_overlay(spark, root, tix)
-    return plov.overlay_merge(out, overlay, eff, "doc_id", "tix_epoch")
+
+    def _build() -> DataFrame:
+        out = txn.read_version(
+            spark, root, version=version, subdir=DOCLEN_COMPONENT
+        )
+        comp = (txn.read_manifest(root, version) or {}).get(
+            POSTINGS_COMPONENT, {}
+        )
+        tix = dict(comp.get("tix") or {})
+        overlay, eff = _text_payload_overlay(spark, root, tix)
+        return plov.overlay_merge(out, overlay, eff, "doc_id", "tix_epoch")
+
+    # query-independent per-version server state: memoize the PLAN
+    # (optimization round 12 — the overlay fold alone was ~130 py4j
+    # round trips of construction per grouped serve); every action over
+    # it still reads the parquet inputs (txn.version_plan_memo contract)
+    return txn.version_plan_memo(spark, root, version, "doclen_payload", _build)
 
 
 def _text_payload_overlay(spark: SparkSession, root: str, tix: dict):

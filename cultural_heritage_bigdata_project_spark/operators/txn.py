@@ -726,11 +726,23 @@ def bucketed_reconstruct(
     # mergeSchema did.
     merged_schema = None
     if per_bucket:
-        merged_schema = (
-            spark.read.option("mergeSchema", "true")
-            .parquet(*[p for leaf in per_bucket.values() for p in leaf])
-            .schema
+        # driver-side union-by-name from one footer per leaf dir
+        # (optimization round 12, guide §5/§7.3): the Spark mergeSchema
+        # inference this replaces constructed a full reader over every
+        # leaf (listing + footer reads through the JVM) once per fold
+        # construction; schema evolution here is add-only (see
+        # _merged_segment_schema), so one footer per leaf dir merged by
+        # name is the identical superset schema. Falls back to the old
+        # inference on any conflict/unreadable footer.
+        merged_schema = _merged_segment_schema(
+            [p for leaf in per_bucket.values() for p in leaf]
         )
+        if merged_schema is None:
+            merged_schema = (
+                spark.read.option("mergeSchema", "true")
+                .parquet(*[p for leaf in per_bucket.values() for p in leaf])
+                .schema
+            )
     for i, leaf in per_bucket.items():
         df = spark.read.schema(merged_schema).parquet(*leaf).coalesce(1)
         if pre_filter is not None:
@@ -1021,6 +1033,54 @@ def widen_component_type(
     return vdir
 
 
+# Plan memo for manifest-bearing version reads (optimization round 12,
+# guide §7.3 — driver time IS the serving bottleneck for index reads):
+# a published version is immutable (segments are write-once, the
+# manifest defines the version), so the DataFrame PLAN for
+# (session, root, version, component) is the same object every serve —
+# constructing it fresh cost ~1.8 s of py4j/plan-building per grouped
+# serve (profiled: 16 per-bucket readers + windows for one doclen
+# fold). This caches ONLY the logical plan — a prepared statement —
+# never rows: every action over the returned frame re-reads the
+# parquet inputs. The key carries the manifest file's (mtime_ns, size)
+# so a root that is deleted and rebuilt in place under the same
+# version names (fixtures do this) can never serve a stale file
+# listing. Bounded LRU; reads with predicates/time-travel bypass it
+# (their plans are parameter-dependent).
+_READ_PLAN_MEMO: dict[tuple, object] = {}
+_READ_PLAN_MEMO_MAX = 256
+
+
+def version_plan_memo(spark, root: str, version_name: str, tag: str, builder):
+    """Memoize a PURE PLAN builder over one immutable published
+    version (same contract and same key discipline as the
+    `read_version` memo above): ``builder()`` must only construct
+    DataFrames — no collects, no checkpoints — so the cached object is
+    a prepared statement whose every action still reads the parquet
+    inputs. Keyed on the version's manifest stat, so an in-place
+    rebuild of the root can never serve a stale file listing; falls
+    back to calling ``builder()`` uncached when the manifest is
+    unreadable."""
+    try:
+        st = os.stat(os.path.join(root, version_name, MANIFEST))
+        key = (
+            spark.sparkContext.applicationId,
+            root,
+            version_name,
+            tag,
+            st.st_mtime_ns,
+            st.st_size,
+        )
+    except OSError:
+        return builder()
+    hit = _READ_PLAN_MEMO.get(key)
+    if hit is None:
+        if len(_READ_PLAN_MEMO) >= _READ_PLAN_MEMO_MAX:
+            _READ_PLAN_MEMO.clear()
+        hit = _READ_PLAN_MEMO[key] = builder()
+    return hit
+
+
 def read_version(
     spark,
     root: str,
@@ -1071,6 +1131,31 @@ def read_version(
         if subdir is not None:
             path = os.path.join(path, subdir)
         return _apply_predicates(spark.read.parquet(path), predicates)
+    memo_key = None
+    if predicates is None:
+        try:
+            st = os.stat(os.path.join(path, MANIFEST))
+            memo_key = (
+                spark.sparkContext.applicationId,
+                root,
+                os.path.basename(path),
+                subdir,
+                st.st_mtime_ns,
+                st.st_size,
+            )
+        except OSError:
+            memo_key = None
+        hit = _READ_PLAN_MEMO.get(memo_key) if memo_key is not None else None
+        if hit is not None:
+            return hit
+
+    def _memo(df):
+        if memo_key is not None:
+            if len(_READ_PLAN_MEMO) >= _READ_PLAN_MEMO_MAX:
+                _READ_PLAN_MEMO.clear()
+            _READ_PLAN_MEMO[memo_key] = df
+        return df
+
     name = subdir or ""
     if name not in components:
         raise KeyError(
@@ -1113,7 +1198,7 @@ def read_version(
             df = df.filter(~F.coalesce(F.col(dcol), F.lit(False)))
         # one row per key already: every predicate is a plain filter,
         # applied at the scan where parquet row-group skipping sees it
-        return _apply_predicates(df, predicates).drop(spec["seq_col"])
+        return _memo(_apply_predicates(df, predicates).drop(spec["seq_col"]))
     if spec:
         # merge-key predicates commute with the latest-per-key fold
         # (they select whole keys), so they push below the window and
@@ -1146,9 +1231,9 @@ def read_version(
         else:
             df = spark.read.option("mergeSchema", "true").parquet(*paths)
             out = reconstruct_latest(_apply_predicates(df, key_preds), spec)
-        return _apply_predicates(out, rest_preds)
+        return _memo(_apply_predicates(out, rest_preds))
     df = spark.read.option("mergeSchema", "true").parquet(*paths)
-    return _apply_predicates(df, predicates)
+    return _memo(_apply_predicates(df, predicates))
 
 
 COMMIT_TS = "_committed_at"

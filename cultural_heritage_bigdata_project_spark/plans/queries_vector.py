@@ -26,7 +26,29 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _query_list(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
     """The query vector as a plain Python list (driver-side: lets ANN
-    operators compute buckets/probe lists without a Spark job)."""
+    operators compute buckets/probe lists without a Spark job).
+
+    Optimization round 12 (guide §5: the driver fetch of ONE row needs
+    no cluster job): read the single row via a driver-side pyarrow
+    row-group-pruned read instead of a Spark ``first()`` — the old path
+    cost one full scheduler round trip (~0.25 s profiled) in EVERY
+    vector serve's timed body. Same parquet bytes, same doubles, read
+    per invocation (nothing is memoized); the Spark path remains as the
+    fallback for layouts pyarrow cannot filter."""
+    import os as _os
+
+    try:
+        import pyarrow.parquet as _pq
+
+        t = _pq.read_table(
+            _os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+            filters=[("vec_id", "==", vec_id)],
+        )
+        if t.num_rows >= 1:
+            return [float(x) for x in t["embedding"][0].as_py()]
+    except Exception:
+        pass
     row = _emb(spark, sf_dir).filter(F.col("vec_id") == vec_id).select("embedding").first()
     return [float(x) for x in row[0]]
 
