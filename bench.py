@@ -326,26 +326,58 @@ def main() -> None:
 
     load["_end"] = _load1m()
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "repeats": repeats,
-                # per-repeat seconds spent INSIDE foreachBatch bodies
-                # for the streaming-sink queries: wall - commit =
-                # trigger/scheduling wait, the noisy non-operator part
-                "stream_commit_sec": stream_commit,
-                "flagship_first_run_sec": flagship_first,
-                "load": load,
-                "canary": canary,
-                "cpus": os.cpu_count(),
-                "sf": sf,
-            }
-        )
-    )
+    # Round-13 artifact-contract fix (r12 VERDICT items 2 and 7): the
+    # harness that consumes this output keeps only the LAST ~2000
+    # characters of stdout, and the full artifact (71 queries x repeats
+    # + canary + load) is far larger — every r01-r11 artifact was
+    # truncated mid-line and parsed as null. The FINAL stdout line is
+    # now a COMPACT one-line JSON (per-query medians at 2dp + total +
+    # stream-commit medians + sf + cpus, ~1.9 KB) that always fits the
+    # tail; the full-precision repeats/canary/load/flagship detail goes
+    # to a sidecar file (SPARK_GRAFT_BENCH_SIDECAR, default
+    # ./bench_details.json) and, for humans, to stderr on write failure.
+    # The measured queries, methodology (noop sink, median-of-repeats)
+    # and timing loop are UNCHANGED — this only fixes what lands where.
+    detail = {
+        "metric": "bench_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "repeats": repeats,
+        # per-repeat seconds spent INSIDE foreachBatch bodies
+        # for the streaming-sink queries: wall - commit =
+        # trigger/scheduling wait, the noisy non-operator part
+        "stream_commit_sec": stream_commit,
+        "flagship_first_run_sec": flagship_first,
+        "load": load,
+        "canary": canary,
+        "cpus": os.cpu_count(),
+        "sf": sf,
+    }
+    sidecar = os.environ.get("SPARK_GRAFT_BENCH_SIDECAR", "bench_details.json")
+    try:
+        with open(sidecar, "w") as f:
+            json.dump(detail, f)
+    except OSError:
+        import sys
+
+        print(json.dumps(detail), file=sys.stderr)
+    compact = {
+        "metric": "bench_total_sec",
+        "value": round(total, 2),
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        # the operator part of the streaming-sink queries' wall time
+        # (r12 VERDICT item 7): wall - commit = trigger/scheduling wait
+        "stream_commit_sec": {
+            k: round(statistics.median(v), 2) for k, v in stream_commit.items()
+        },
+        "cpus": os.cpu_count(),
+        "sf": sf,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) < 1990, f"compact bench line {len(line)} chars > tail budget"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -1051,6 +1051,24 @@ _READ_PLAN_MEMO: dict[tuple, object] = {}
 _READ_PLAN_MEMO_MAX = 256
 
 
+def _memo_get(key):
+    """LRU hit: move the entry to the end so hot plans survive eviction."""
+    hit = _READ_PLAN_MEMO.pop(key, None)
+    if hit is not None:
+        _READ_PLAN_MEMO[key] = hit
+    return hit
+
+
+def _memo_put(key, value):
+    """LRU insert: evict the OLDEST entries (dicts preserve insertion
+    order), never the whole dict — a serving workload crossing the bound
+    must not drop every hot plan at once."""
+    while len(_READ_PLAN_MEMO) >= _READ_PLAN_MEMO_MAX:
+        _READ_PLAN_MEMO.pop(next(iter(_READ_PLAN_MEMO)))
+    _READ_PLAN_MEMO[key] = value
+    return value
+
+
 def version_plan_memo(spark, root: str, version_name: str, tag: str, builder):
     """Memoize a PURE PLAN builder over one immutable published
     version (same contract and same key discipline as the
@@ -1070,14 +1088,15 @@ def version_plan_memo(spark, root: str, version_name: str, tag: str, builder):
             tag,
             st.st_mtime_ns,
             st.st_size,
+            # st_ino disambiguates an in-place delete-and-rebuild that
+            # lands inside one mtime tick with an identical-size manifest
+            st.st_ino,
         )
     except OSError:
         return builder()
-    hit = _READ_PLAN_MEMO.get(key)
+    hit = _memo_get(key)
     if hit is None:
-        if len(_READ_PLAN_MEMO) >= _READ_PLAN_MEMO_MAX:
-            _READ_PLAN_MEMO.clear()
-        hit = _READ_PLAN_MEMO[key] = builder()
+        hit = _memo_put(key, builder())
     return hit
 
 
@@ -1142,18 +1161,17 @@ def read_version(
                 subdir,
                 st.st_mtime_ns,
                 st.st_size,
+                st.st_ino,
             )
         except OSError:
             memo_key = None
-        hit = _READ_PLAN_MEMO.get(memo_key) if memo_key is not None else None
+        hit = _memo_get(memo_key) if memo_key is not None else None
         if hit is not None:
             return hit
 
     def _memo(df):
         if memo_key is not None:
-            if len(_READ_PLAN_MEMO) >= _READ_PLAN_MEMO_MAX:
-                _READ_PLAN_MEMO.clear()
-            _READ_PLAN_MEMO[memo_key] = df
+            _memo_put(memo_key, df)
         return df
 
     name = subdir or ""

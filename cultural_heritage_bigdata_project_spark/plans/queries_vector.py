@@ -38,17 +38,25 @@ def _query_list(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float
     import os as _os
 
     try:
-        import pyarrow.parquet as _pq
-
-        t = _pq.read_table(
-            _os.path.join(sf_dir, "embeddings.parquet"),
-            columns=["vec_id", "embedding"],
-            filters=[("vec_id", "==", vec_id)],
-        )
-        if t.num_rows >= 1:
-            return [float(x) for x in t["embedding"][0].as_py()]
-    except Exception:
-        pass
+        import pyarrow as _pa
+        import pyarrow.dataset as _pds
+    except ImportError:
+        _pa = _pds = None
+    if _pds is not None:
+        try:
+            # pyarrow.dataset filtering rather than the deprecated
+            # ``filters=`` kwarg of pq.read_table; narrow except so real
+            # data corruption is not silently eaten by the fallback
+            t = _pds.dataset(
+                _os.path.join(sf_dir, "embeddings.parquet"), format="parquet"
+            ).to_table(
+                columns=["vec_id", "embedding"],
+                filter=_pds.field("vec_id") == vec_id,
+            )
+            if t.num_rows >= 1:
+                return [float(x) for x in t["embedding"][0].as_py()]
+        except (OSError, _pa.ArrowInvalid):
+            pass
     row = _emb(spark, sf_dir).filter(F.col("vec_id") == vec_id).select("embedding").first()
     return [float(x) for x in row[0]]
 
@@ -494,7 +502,12 @@ def text_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingled = toks.filter(F.size("t") >= 3).select(
         "doc_id", dedup.shingles_expr("t", 3).alias("sh")
     )
-    edges = dedup.jaccard_pairs(shingled, "doc_id", "sh", threshold=0.8)
+    # pre_partitioned: toks is repartitioned above, so the operator's
+    # entry exchange would round-robin the heavy shingle arrays a second
+    # time (optimization round 13 — the one r12 caller that missed it)
+    edges = dedup.jaccard_pairs(
+        shingled, "doc_id", "sh", threshold=0.8, pre_partitioned=True
+    )
     labels = dedup.canonical_components(edges, docs, "doc_id")
     survivors = labels.filter(F.col("doc_id") == F.col("canonical_id")).select(
         "doc_id"
@@ -526,6 +539,43 @@ def vector_concat_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(combined).alias("combined_dim"),
         F.round(l2_norm(combined), 6).alias("combined_norm"),
     )
+
+
+def _hash_embed_query_vec(spark, sf_dir: str, doc_id: int, dim: int):
+    """doc ``doc_id``'s hash-projection embedding, computed DRIVER-side
+    through the SAME ``hash_projection_embedder`` closure the
+    distributed stage runs (single implementation — r12 VERDICT item 8:
+    the old ``embedded.filter(id==0).first()`` was a full mapInPandas
+    SQL execution per run just to fetch one fixed vector). The doc text
+    comes from a pyarrow row-group-pruned read of the same parquet
+    bytes, per invocation (nothing memoized); the Spark ``first()``
+    path remains as the fallback. Returns None when pyarrow cannot
+    serve the row (caller falls back)."""
+    import os as _os
+
+    try:
+        import pyarrow as _pa
+        import pyarrow.dataset as _pds
+    except ImportError:
+        return None
+    from ..operators import multimodal
+
+    try:
+        t = _pds.dataset(
+            _os.path.join(sf_dir, "documents.parquet"), format="parquet"
+        ).to_table(
+            columns=["doc_id", "text"], filter=_pds.field("doc_id") == doc_id
+        )
+        if t.num_rows < 1:
+            return None
+        out = next(
+            multimodal.hash_projection_embedder(dim=dim)(
+                iter([t.slice(0, 1).to_pandas()])
+            )
+        )
+        return [float(x) for x in out["embedding"][0]]
+    except (OSError, _pa.ArrowInvalid, StopIteration):
+        return None
 
 
 @register(
@@ -574,16 +624,20 @@ def hash_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         multimodal.hash_projection_embedder(dim=64),
         "doc_id long, embedding array<double>",
     )
-    row = embedded.filter(F.col("doc_id") == 0).select("embedding").first()
+    emb = _hash_embed_query_vec(spark, sf_dir, 0, 64)
+    if emb is None:
+        emb = list(
+            embedded.filter(F.col("doc_id") == 0).select("embedding").first()[0]
+        )
     from ..functions.vectors import py_l2_norm
 
-    qv = F.array(*[F.lit(float(x)) for x in row[0]]).cast("array<double>")
+    qv = F.array(*[F.lit(float(x)) for x in emb]).cast("array<double>")
     return similarity.knn_brute_force(
         embedded.filter(F.col("doc_id") != 0),
         qv,
         k=5,
         id_col="doc_id",
-        query_norm=py_l2_norm(row[0]),
+        query_norm=py_l2_norm(emb),
     )
 
 

@@ -68,6 +68,25 @@ def get_spark(
             "spark.sql.sources.parallelPartitionDiscovery.threshold",
             os.environ.get("SPARK_GRAFT_LIST_PARALLEL_THRESHOLD", "512"),
         )
+        # Spark 4.1's union output-partitioning propagation (SQLConf
+        # UNION_OUTPUT_PARTITIONING, default true) makes a Union whose
+        # children are all SinglePartition execute as ONE partition
+        # (SQLPartitioningAwareUnionRDD zips the branches into a single
+        # task). That SERIALIZES the bucketed merge-on-read fold
+        # (txn.bucketed_reconstruct: one coalesce(1)+window branch per
+        # bucket, union of n_buckets branches) whose entire design is
+        # "parallelism = bucket count with zero exchanges" — measured at
+        # sf0.1: the 16-bucket doclen fold ran as 1 task (0.48 s serial)
+        # with the flag on, 16 tasks with it off; at 100 TB a serial
+        # bucketed-table read is a non-starter. Off restores the
+        # documented pre-4.1 union behavior (sum of child partitions) at
+        # every scale; env-parameterized for workloads whose unions
+        # WANT the propagated partitioning (guide §2.5 — stragglers:
+        # one task owning all buckets is the degenerate straggler).
+        .config(
+            "spark.sql.unionOutputPartitioning",
+            os.environ.get("SPARK_GRAFT_UNION_OUTPUT_PARTITIONING", "false"),
+        )
         # events.parquet carries INT64 TIMESTAMP(NANOS) which vanilla
         # Spark rejects; read as long and convert in sources.tables.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

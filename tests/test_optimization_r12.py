@@ -181,19 +181,29 @@ def test_read_plan_memo_invalidated_by_commit(spark, tmp_path):
     )
 
     root = str(tmp_path / "memo_upd")
-    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    # order_desc must be a genuinely increasing column: ordering by the
+    # merge key itself ties with the incumbent and reconstruct_latest's
+    # documented tie-break (earliest segment wins) would keep the OLD row,
+    # which tests the fold contract, not the memo invalidation.
+    df1 = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1)], "k long, v string, ord long"
+    )
     streaming.batch_upsert_commit(
-        spark, df1, keys=["k"], order_desc=["k"], target_dir=root
+        spark, df1, keys=["k"], order_desc=["ord"], target_dir=root
     )
     assert sorted(
-        tuple(r) for r in txn.read_version(spark, root).collect()
+        tuple(r)
+        for r in txn.read_version(spark, root).select("k", "v").collect()
     ) == [(1, "a"), (2, "b")]
-    df2 = spark.createDataFrame([(2, "B2"), (3, "c")], "k long, v string")
+    df2 = spark.createDataFrame(
+        [(2, "B2", 2), (3, "c", 2)], "k long, v string, ord long"
+    )
     streaming.batch_upsert_commit(
-        spark, df2, keys=["k"], order_desc=["k"], target_dir=root
+        spark, df2, keys=["k"], order_desc=["ord"], target_dir=root
     )
     assert sorted(
-        tuple(r) for r in txn.read_version(spark, root).collect()
+        tuple(r)
+        for r in txn.read_version(spark, root).select("k", "v").collect()
     ) == [(1, "a"), (2, "B2"), (3, "c")]
 
 
