@@ -806,10 +806,38 @@ def ann_index_top_k(
     d = ((cmat - qv[None, :]) ** 2).sum(axis=1)
     probe_ids = [int(i) for i in np.argsort(d, kind="stable")[:n_probe]]
 
-    probed = _probed_filtered(
-        spark, root, comp, ann, probe_ids, id_col,
-        version=version, exclude_ids=exclude_ids, payload_filter=payload_filter,
+    excl = (
+        tuple(sorted(int(i) for i in exclude_ids)) if exclude_ids else None
     )
+    if payload_filter is None or isinstance(payload_filter, str):
+        # prepared-statement memo over the query-DEPENDENT probe
+        # subtree (optimization round 13, r12-VERDICT item 3 — the ANN
+        # twin of the text side's hits memo): `_probed_filtered` is a
+        # pure plan — scans, broadcast anti-join, filters; no collects,
+        # no checkpoints, no shuffle exchange — keyed on (version
+        # manifest stat, probe list, exclusions, filter string). The
+        # per-serve lineage cut stays inside `_shortlist_rerank`, so
+        # every serve still materializes from a fresh parquet scan;
+        # only plan construction/compilation is reused (measured
+        # 0.57 → 0.21 s construction per serve at sf0.1).
+        probed = txn.version_plan_memo(
+            spark,
+            root,
+            version,
+            "ann_probe",
+            lambda: _probed_filtered(
+                spark, root, comp, ann, probe_ids, id_col,
+                version=version, exclude_ids=exclude_ids,
+                payload_filter=payload_filter,
+            ),
+            extra=(tuple(probe_ids), id_col, excl, payload_filter),
+        )
+    else:
+        probed = _probed_filtered(
+            spark, root, comp, ann, probe_ids, id_col,
+            version=version, exclude_ids=exclude_ids,
+            payload_filter=payload_filter,
+        )
     return _shortlist_rerank(
         probed, codebook, query, k, shortlist, id_col, vec_col,
         allowed_ids, codec, m, payload_out=payload_out,
@@ -889,7 +917,40 @@ def _probed_latest(
     Pending `ann_index_set_payload` overlays merge onto the fold here
     (per-column, newest-set-epoch wins over the row's own epoch), so
     every downstream ``payload_filter`` sees the mutated values —
-    filter-after-mutation composes immediately, no compaction needed."""
+    filter-after-mutation composes immediately, no compaction needed.
+
+    The probed frame is a prepared statement (pure plan: scans,
+    broadcast anti-join, overlay merge — no collects, no checkpoints,
+    no shuffle exchange), memoized per (version manifest stat, probe
+    list) when the caller pins a version (optimization round 13,
+    r12-VERDICT item 3): batch and single-query serves re-probing the
+    same lists against the same immutable version skip re-deriving the
+    fold plan; every action over it still reads the parquet inputs."""
+    if version is not None:
+        return txn.version_plan_memo(
+            spark,
+            root,
+            version,
+            "ann_probed_latest",
+            lambda: _probed_latest_build(
+                spark, root, comp, ann, probe_ids, id_col, version
+            ),
+            extra=(tuple(int(p) for p in probe_ids), id_col),
+        )
+    return _probed_latest_build(
+        spark, root, comp, ann, probe_ids, id_col, version
+    )
+
+
+def _probed_latest_build(
+    spark: SparkSession,
+    root: str,
+    comp: dict,
+    ann: dict,
+    probe_ids,
+    id_col: str,
+    version: str | None = None,
+):
     list_segs = (ann or {}).get("list_segments", {})
     probe_segs = [list_segs[str(p)] for p in probe_ids if str(p) in list_segs]
     delta_segs = list((ann or {}).get("delta_segments", []))
@@ -1836,6 +1897,62 @@ def ann_index_retrieve(
     cols += [F.col(c) for c in pcols]
     if with_vectors:
         cols.append(F.col(vec_col))
+    if version is None:
+        cur = txn.current_version_dir(root)
+        if cur is None:
+            raise FileNotFoundError(f"nothing published under {root!r}")
+        version = os.path.basename(cur)
+
+    def _build():
+        # bounded-IN single-reader fold (optimization round 13,
+        # r12-VERDICT item 3 — the ANN twin of the text label lookup):
+        # the generic live fold is one latest-per-key window over the
+        # WHOLE codes component (a corpus-wide hash exchange executed
+        # per lookup); for ≤max_ids ids `txn.small_key_fold` answers
+        # the same rows from one IN-pushed scan + an exchange-free
+        # fold. set_payload overlays merge on top exactly as
+        # `ann_index_live` does, their input pre-filtered to the
+        # wanted ids (the overlay fold is per id, so the filter
+        # commutes).
+        fold = txn.small_key_fold(spark, root, version, CODES_COMPONENT, want)
+        if fold is None:
+            return None
+        ann = (
+            (txn.read_manifest(root, version) or {})
+            .get(CODES_COMPONENT, {})
+            .get("ann")
+            or {}
+        )
+        segs = list((ann or {}).get("payload_deltas", []) or [])
+        opcols = list((ann or {}).get("payload_cols", []) or [])
+        overlay, eff = None, []
+        if segs and opcols:
+            rows = txn._read_segment_union(
+                spark, [txn.segment_path(root, s) for s in segs]
+            ).filter(
+                F.col(id_col).isin(want) if want else F.lit(False)
+            )
+            overlay, eff = plov.overlay_fold(rows, opcols, id_col)
+        live_ = plov.overlay_merge(fold, overlay, eff, id_col, "ann_epoch")
+        if not want:
+            live_ = live_.filter(F.lit(False))
+        needed = [id_col, "ann_list"] + list(pcols) + (
+            [vec_col] if with_vectors else []
+        )
+        if any(c not in live_.columns for c in needed):
+            return None  # stale/odd column request: general path decides
+        return live_.select(*cols)
+
+    live = txn.version_plan_memo(
+        spark,
+        root,
+        version,
+        "ann_retrieve",
+        _build,
+        extra=(tuple(want), tuple(pcols), bool(with_vectors), id_col),
+    )
+    if live is not None:
+        return live
     live = ann_index_live(spark, root, id_col, version=version)
     if want:
         live = live.filter(F.col(id_col).isin(want))

@@ -914,25 +914,56 @@ def text_index_search(
     to resolve CURRENT once for the flat page and again for the label
     lookup, so a set_payload committing in between could mix payload
     vintages within one page)."""
-    hits, tix = _search_hits(
-        spark,
-        root,
-        query_terms,
-        id_col=id_col,
-        allowed_ids=allowed_ids,
-        payload_filter=payload_filter,
-        version=version,
-    )
-    n_docs, sum_dl = _corpus_stats(spark, root, tix, version=version)
-    # metadata-only corpus stats; the division is the same long/long
-    # double division the scan path computes. Built over a one-row
-    # LocalRelation so the broadcast side of the scoring crossJoin is
-    # collected driver-side — zero extra stages per serve (round 12;
-    # spark.range(1) was a 1-task RDD stage in every BM25 serve).
-    corpus = txn.literal_local_relation(spark).select(
-        F.lit(n_docs).cast("long").alias("__n_docs"),
-        (F.lit(sum_dl).cast("long") / F.lit(n_docs).cast("long")).alias("__avgdl"),
-    )
+    if version is None:
+        version = text_index_current_version(root)
+
+    def _build():
+        hits_, tix = _search_hits(
+            spark,
+            root,
+            query_terms,
+            id_col=id_col,
+            allowed_ids=allowed_ids,
+            payload_filter=payload_filter,
+            version=version,
+        )
+        n_docs, sum_dl = _corpus_stats(spark, root, tix, version=version)
+        # metadata-only corpus stats; the division is the same long/long
+        # double division the scan path computes. Built over a one-row
+        # LocalRelation so the broadcast side of the scoring crossJoin is
+        # collected driver-side — zero extra stages per serve (round 12;
+        # spark.range(1) was a 1-task RDD stage in every BM25 serve).
+        corpus_ = txn.literal_local_relation(spark).select(
+            F.lit(n_docs).cast("long").alias("__n_docs"),
+            (F.lit(sum_dl).cast("long") / F.lit(n_docs).cast("long")).alias(
+                "__avgdl"
+            ),
+        )
+        return hits_, corpus_
+
+    if allowed_ids is None and (
+        payload_filter is None or isinstance(payload_filter, str)
+    ):
+        # prepared-statement memo over the query-DEPENDENT probe subtree
+        # (optimization round 13, r12-VERDICT item 3): (hits, corpus) is
+        # a pure plan pair — no collects, no checkpoints inside — keyed
+        # on (version manifest stat, sorted terms, id_col, filter
+        # string). The per-serve lineage cut below stays OUTSIDE the
+        # memo: each serve's checkpoint materializes from a fresh scan
+        # of the parquet inputs, so repeated serves re-read the index —
+        # only the ~0.5 s of plan construction/compilation is reused.
+        # Non-string payload filters / allowed_ids frames are not
+        # hashable keys and fall through to direct construction.
+        hits, corpus = txn.version_plan_memo(
+            spark,
+            root,
+            version,
+            "bm25_serve_hits",
+            _build,
+            extra=(tuple(sorted(set(query_terms))), id_col, payload_filter),
+        )
+    else:
+        hits, corpus = _build()
     # bm25_rank_hits references hits TWICE (per-term df aggregate +
     # score join) and the index path has no shared exchange between
     # them, so without a lineage cut the probed-bucket scan + fold
@@ -1044,12 +1075,35 @@ def _probed_rows(
     """The folded posting rows a query over ``terms`` must see, plus the
     manifest ``tix`` block: probed base buckets ∪ delta tail with the
     doc-supersede fold (shared by single-query and batch serving).
-    ``version`` pins one retained manifest; None resolves CURRENT."""
+    ``version`` pins one retained manifest; None resolves CURRENT.
+
+    The (rows, tix) pair is a prepared statement — a pure plan plus a
+    manifest metadata dict — memoized per (version manifest stat,
+    sorted terms) (optimization round 13, r12-VERDICT item 3): batch
+    and single-query serves re-issuing the same terms against the same
+    immutable version skip re-deriving the probe plan; every action
+    over it still reads the parquet inputs."""
     if version is None:
         cur = txn.current_version_dir(root)
         if cur is None:
             raise FileNotFoundError(f"nothing published under {root!r}")
         version = os.path.basename(cur)
+    return txn.version_plan_memo(
+        spark,
+        root,
+        version,
+        "probed_rows",
+        lambda: _probed_rows_build(spark, root, terms, version),
+        extra=tuple(sorted(set(terms))),
+    )
+
+
+def _probed_rows_build(
+    spark: SparkSession,
+    root: str,
+    terms: list[str],
+    version: str,
+):
     comp = txn.read_manifest(root, version)[POSTINGS_COMPONENT]
     tix = comp.get("tix") or {}
     n_buckets = int(tix.get("n_buckets", 16))
@@ -1111,9 +1165,13 @@ def _probed_rows(
                 # doclen-latest epoch (O(docs) join instead of the
                 # O(changes) keyset — the same graceful degradation as
                 # the ann_index post-compaction path; rebuild to restore
-                # the pruned shape)
+                # the pruned shape). Pinned to the SAME version as the
+                # posting rows (round 13): resolving CURRENT here could
+                # mix vintages under a concurrent commit, and the
+                # (version, terms)-keyed plan memo requires every input
+                # to be a function of the pinned manifest.
                 latest_dl = txn.read_version(
-                    spark, root, subdir=DOCLEN_COMPONENT
+                    spark, root, version=version, subdir=DOCLEN_COMPONENT
                 ).select("doc_id", F.col("tix_epoch").alias("__keep"))
                 cand = base_rows
                 if delta_rows is not None:
@@ -1462,6 +1520,57 @@ def text_index_retrieve_payload(
         if payload_out is None
         else payload_out
     )
+    if version is None:
+        version = text_index_current_version(root)
+
+    def _build():
+        # bounded-IN single-reader fold (optimization round 13,
+        # r12-VERDICT item 3): the general bucketed doclen fold builds
+        # a union of n_buckets (scan → sort → window) branches — a
+        # ~140-node plan whose execution for ≤fetch_k page labels is
+        # pure scheduling overhead (0.75 s / 3 jobs / 19 tasks at
+        # sf0.1). `txn.small_key_fold` answers the same lookup from one
+        # IN-pushed scan + one windowless-exchange fold (equivalence
+        # argued there); the set_payload overlay merges on top exactly
+        # as `_doclen_with_payload` does, its input pre-filtered to the
+        # wanted ids (the fold is per id, so the filter commutes).
+        fold = txn.small_key_fold(
+            spark, root, version, DOCLEN_COMPONENT, want
+        )
+        if fold is None:
+            return None
+        comp = (txn.read_manifest(root, version) or {}).get(
+            POSTINGS_COMPONENT, {}
+        )
+        tix = dict(comp.get("tix") or {})
+        segs = list(tix.get("payload_deltas", []) or [])
+        opcols = list(tix.get("payload_cols", []) or [])
+        overlay, eff = None, []
+        if segs and opcols:
+            rows = txn._read_segment_union(
+                spark, [txn.segment_path(root, s) for s in segs]
+            ).filter(
+                F.col("doc_id").isin(want) if want else F.lit(False)
+            )
+            overlay, eff = plov.overlay_fold(rows, opcols, "doc_id")
+        live_ = plov.overlay_merge(fold, overlay, eff, "doc_id", "tix_epoch")
+        if not want:
+            live_ = live_.filter(F.lit(False))
+        missing = [c for c in pcols if c not in live_.columns]
+        if missing:
+            return None  # stale/odd column request: general path decides
+        return live_.select("doc_id", *pcols)
+
+    live = txn.version_plan_memo(
+        spark,
+        root,
+        version,
+        "doclen_lookup",
+        _build,
+        extra=(tuple(want), tuple(pcols)),
+    )
+    if live is not None:
+        return live
     live = _doclen_with_payload(spark, root, version=version)
     if want:
         live = live.filter(F.col("doc_id").isin(want))

@@ -42,6 +42,8 @@ def main() -> None:
     ap.add_argument("--sf", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--no-plans", action="store_true")
+    ap.add_argument("--round", default="r12", dest="round_dir",
+                    help="plans/<round> output directory (default r12)")
     ap.add_argument("--reps", type=int, default=1,
                     help="measured reps after the warm run (min over reps)")
     args = ap.parse_args()
@@ -65,7 +67,7 @@ def main() -> None:
     base = "http://localhost:4099"
 
     plans_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r12")
+        os.path.abspath(__file__))), "plans", args.round_dir)
     os.makedirs(plans_dir, exist_ok=True)
 
     # warmup (same as bench.py)
