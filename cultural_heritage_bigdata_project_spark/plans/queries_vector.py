@@ -504,7 +504,16 @@ def text_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # pre_partitioned: toks is repartitioned above, so the operator's
     # entry exchange would round-robin the heavy shingle arrays a second
-    # time (optimization round 13 — the one r12 caller that missed it)
+    # time (optimization round 13 — the one r12 caller that missed it).
+    # Round-13 note (measured, then reverted): an exact-duplicate
+    # contraction (pair expansion over one representative per distinct
+    # shingle set) cut the 5×-amplified pair occurrences 34.2M → 1.27M
+    # but its extra passes over the array-heavy shingled frame cost
+    # MORE than the pair savings at both 1× and 5× (2.2→2.7 s and
+    # 6.6→7.6 s warm); the superlinearity this query was flagged for
+    # was instead the edge subtree executing twice inside
+    # `canonical_components` — fixed there (edges checkpointed once
+    # before symmetrizing), 5× total 16 s → ~7 s, sublinear again.
     edges = dedup.jaccard_pairs(
         shingled, "doc_id", "sh", threshold=0.8, pre_partitioned=True
     )

@@ -328,3 +328,37 @@ def test_bm25_serve_memo_parity_and_staleness(spark, tmp_path):
     text_index.text_index_upsert(spark, up, root)
     second = serve()
     assert {r[0] for r in second} == {0, 1, 2, 50}
+
+
+def test_canonical_components_distributed_loop_parity(spark):
+    """Round-13 canonical_components rework (edges checkpointed once
+    before symmetrizing; scale-adaptive loop repartition): the
+    distributed fixpoint loop (forced via driver_edges_max=0) and the
+    driver union-find return identical labels over a graph with chains,
+    a clique, and edge-less singletons."""
+    from cultural_heritage_bigdata_project_spark.operators import dedup
+
+    edges = spark.createDataFrame(
+        # chain 0-1-2-3, clique {10,11,12}, pair {20,21}
+        [(0, 1), (1, 2), (2, 3), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "a_id long, b_id long",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [0, 1, 2, 3, 10, 11, 12, 20, 21, 30, 31]],
+        "vec_id long",
+    )
+    drv = sorted(
+        map(tuple, dedup.canonical_components(edges, nodes, "vec_id").collect())
+    )
+    dist = sorted(
+        map(
+            tuple,
+            dedup.canonical_components(
+                edges, nodes, "vec_id", driver_edges_max=0
+            ).collect(),
+        )
+    )
+    assert drv == dist
+    expect = {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 12: 10,
+              20: 20, 21: 20, 30: 30, 31: 31}
+    assert dict(drv) == expect
