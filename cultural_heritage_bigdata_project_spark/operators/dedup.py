@@ -391,6 +391,17 @@ def minhash_lsh_pairs(
     cand = _bucket_pair_occurrences(
         keyed, ["band", "bkey"], id_col, max_bucket=max_bucket, observation=observation
     ).distinct()
+    # The exact verify below is compute-dense (array_intersect/union
+    # over the full shingle arrays per candidate pair) while its input
+    # is bytes-tiny (id pairs): AQE sizes post-shuffle partitions by
+    # BYTES, so the distinct's output coalesced to ONE task and the
+    # whole verify ran serially (profiled 0.6-0.7 s single-task per
+    # bench run at sf0.1; guide §2.5 — compute density is invisible to
+    # byte-based coalescing). Spread the candidates round-robin to
+    # cluster parallelism before attaching the arrays — a KB-scale
+    # exchange, sized by defaultParallelism so it scales with the
+    # cluster, not the fixture (optimization round 13).
+    cand = cand.repartition(par)
     sa = df.select(F.col(id_col).alias("a_id"), F.col(shingle_col).alias("a_sh"))
     sb = df.select(F.col(id_col).alias("b_id"), F.col(shingle_col).alias("b_sh"))
     jac = F.round(
