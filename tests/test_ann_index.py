@@ -74,6 +74,10 @@ def test_probe_reads_only_probed_and_delta_segments(spark, built, monkeypatch):
         return real(s, paths)
 
     monkeypatch.setattr(txn, "_read_segment_union", spy)
+    # the (version, probe)-keyed plan memo (round 13) legitimately
+    # skips re-construction for a repeated serve; this test pins the
+    # CONSTRUCTION contract, so drop the memoized plan first
+    txn._READ_PLAN_MEMO.clear()
     ann_index.ann_index_top_k(spark, root, _query(spark), k=10, n_probe=4)
     probe_reads = [p for p in seen if any("/ann_" in x for x in p)]
     assert probe_reads, "probe did not go through the segment union"
@@ -130,6 +134,9 @@ def test_upsert_is_o_batch_and_supersedes(spark, built, monkeypatch):
         return real(s, paths)
 
     monkeypatch.setattr(txn, "_read_segment_union", spy)
+    # drop the (version, probe)-keyed plan memo so the spied serve
+    # re-constructs (this asserts the construction contract, round 13)
+    txn._READ_PLAN_MEMO.clear()
     ann_index.ann_index_top_k(spark, root, q, k=10, n_probe=4)
     base_reads = [p for p in seen if any("/ann_" in x for x in p)]
     delta_reads = [p for p in seen if any("/annd_" in x for x in p)]
